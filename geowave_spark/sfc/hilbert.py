@@ -1,0 +1,118 @@
+"""Vectorized n-D Hilbert space-filling curve (numpy, batch-oriented).
+
+Mirrors the role of the reference's compact Hilbert SFC
+(`/root/reference/core/index/src/main/java/mil/nga/giat/geowave/core/index/sfc/hilbert/HilbertSFC.java:114-165`,
+backed by the external uzaygezen CompactHilbertCurve). We implement the
+Skilling transpose algorithm ("Programming the Hilbert curve", J. Skilling,
+AIP Conf. Proc. 707, 2004) — a public, equal-precision Hilbert curve that is
+bijective, locality-preserving, and (crucially for the tiered index) has the
+*prefix property*: the key of a point at `bits` precision, shifted right by
+`ndims*(bits-t)`, equals its key at precision `t`.  The uzaygezen bit
+conventions cannot be byte-verified here (jar not vendored in the reference),
+so key *values* may differ from GeoWave's while all derived semantics —
+tier selection, cell covers, cell counts, join/filter row sets — match.
+
+All functions are vectorized over numpy arrays (no per-row Python), suitable
+for Arrow-batched pandas UDFs per the engine's "no per-row Python" contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["hilbert_encode", "hilbert_decode", "MAX_BITS_2D"]
+
+# 2 dims * 31 bits = 62 bits: fits in a signed int64 Spark LongType.
+MAX_BITS_2D = 31
+
+
+def _axes_to_transpose(coords: list[np.ndarray], bits: int) -> list[np.ndarray]:
+    """In-place Skilling AxestoTranspose on uint64 copies; returns transposed."""
+    n = len(coords)
+    x = [c.astype(np.uint64, copy=True) for c in coords]
+    m = np.uint64(1) << np.uint64(bits - 1)
+    # Inverse undo of excess work
+    q = m
+    one = np.uint64(1)
+    while q > one:
+        p = q - one
+        for i in range(n):
+            hi = (x[i] & q) != 0
+            # where bit set: invert low bits of x[0]
+            x[0] ^= np.where(hi, p, np.uint64(0))
+            # else: exchange low bits of x[i] and x[0]
+            t = np.where(hi, np.uint64(0), (x[0] ^ x[i]) & p)
+            x[0] ^= t
+            x[i] ^= t
+        q >>= one
+    # Gray encode
+    for i in range(1, n):
+        x[i] ^= x[i - 1]
+    t = np.zeros_like(x[0])
+    q = np.uint64(2)
+    while q != (m << one):
+        t = np.where((x[n - 1] & q) != 0, t ^ (q - one), t)
+        q <<= one
+    for i in range(n):
+        x[i] ^= t
+    return x
+
+
+def _transpose_to_axes(x: list[np.ndarray], bits: int) -> list[np.ndarray]:
+    n = len(x)
+    x = [c.astype(np.uint64, copy=True) for c in x]
+    m = np.uint64(1) << np.uint64(bits - 1)
+    one = np.uint64(1)
+    # Gray decode by H ^ (H/2)
+    t = x[n - 1] >> one
+    for i in range(n - 1, 0, -1):
+        x[i] ^= x[i - 1]
+    x[0] ^= t
+    # Undo excess work
+    q = np.uint64(2)
+    while q != (m << one):
+        p = q - one
+        for i in range(n - 1, -1, -1):
+            hi = (x[i] & q) != 0
+            x[0] ^= np.where(hi, p, np.uint64(0))
+            tt = np.where(hi, np.uint64(0), (x[0] ^ x[i]) & p)
+            x[0] ^= tt
+            x[i] ^= tt
+        q <<= one
+    return x
+
+
+def hilbert_encode(coords: list[np.ndarray], bits: int) -> np.ndarray:
+    """Encode integer grid coordinates (each in [0, 2^bits)) to Hilbert keys.
+
+    coords: list of ndims uint64-castable arrays (dimension 0 = most
+    significant, matching the reference's dimension order lon, lat:
+    `SpatialDimensionalityTypeProvider.java:49-62`).
+    Returns uint64 keys of ndims*bits bits.
+    """
+    n = len(coords)
+    if bits == 0:
+        return np.zeros(len(coords[0]), dtype=np.uint64)
+    x = _axes_to_transpose(coords, bits)
+    # Interleave transposed words: bit level j of x[i] -> key bit (j*n + (n-1-i))
+    h = np.zeros_like(x[0])
+    for j in range(bits - 1, -1, -1):
+        for i in range(n):
+            bit = (x[i] >> np.uint64(j)) & np.uint64(1)
+            h = (h << np.uint64(1)) | bit
+    return h
+
+
+def hilbert_decode(h: np.ndarray, ndims: int, bits: int) -> list[np.ndarray]:
+    """Inverse of hilbert_encode: keys -> list of ndims coordinate arrays."""
+    h = h.astype(np.uint64, copy=False)
+    if bits == 0:
+        return [np.zeros(len(h), dtype=np.uint64) for _ in range(ndims)]
+    x = [np.zeros(len(h), dtype=np.uint64) for _ in range(ndims)]
+    pos = ndims * bits
+    for j in range(bits - 1, -1, -1):
+        for i in range(ndims):
+            pos -= 1
+            bit = (h >> np.uint64(pos)) & np.uint64(1)
+            x[i] = (x[i] << np.uint64(1)) | bit
+    return _transpose_to_axes(x, bits)

@@ -1,0 +1,253 @@
+"""Unit tests for the SFC key layer.
+
+Models the reference's unit suite (SURVEY.md §5.1):
+TieredSFCIndexStrategyTest (tier selection + duplication), HilbertSFCTest /
+ZOrderSFCTest (encode/decode), BasicDimensionDefinitionTest (clamp/wrap edge
+rules).
+"""
+
+import numpy as np
+import pytest
+
+from geowave_spark.sfc import (
+    DEFAULT_CONFIG,
+    SpatialConfig,
+    bbox_insertion_cells,
+    cell_to_box,
+    cells_covering_bbox,
+    decompose_query_ranges,
+    estimated_id_count,
+    hilbert_decode,
+    hilbert_encode,
+    key_at_tier,
+    lat_bins,
+    lon_bins,
+    normalize_lon_range,
+    point_keys,
+    select_tier,
+    zorder_decode,
+    zorder_encode,
+)
+
+RNG = np.random.RandomState(42)
+
+
+class TestHilbert:
+    def test_order1_is_permutation(self):
+        # 2x2 Hilbert visits each cell once
+        x = np.array([0, 0, 1, 1], dtype=np.uint64)
+        y = np.array([0, 1, 0, 1], dtype=np.uint64)
+        h = hilbert_encode([x, y], 1)
+        assert sorted(h.tolist()) == [0, 1, 2, 3]
+
+    @pytest.mark.parametrize("bits", [1, 2, 3, 8, 16, 31])
+    def test_roundtrip(self, bits):
+        n = 2000
+        x = RNG.randint(0, 2**bits, size=n).astype(np.uint64)
+        y = RNG.randint(0, 2**bits, size=n).astype(np.uint64)
+        h = hilbert_encode([x, y], bits)
+        dx, dy = hilbert_decode(h, 2, bits)
+        np.testing.assert_array_equal(dx, x)
+        np.testing.assert_array_equal(dy, y)
+
+    @pytest.mark.parametrize("bits", [2, 4, 6])
+    def test_bijective_and_adjacent(self, bits):
+        # full enumeration: bijection + Hilbert adjacency (consecutive ids are
+        # grid neighbors with L1 distance exactly 1)
+        side = 2**bits
+        gx, gy = np.meshgrid(
+            np.arange(side, dtype=np.uint64), np.arange(side, dtype=np.uint64), indexing="ij"
+        )
+        h = hilbert_encode([gx.ravel(), gy.ravel()], bits)
+        assert len(np.unique(h)) == side * side
+        order = np.argsort(h)
+        xs = gx.ravel()[order].astype(np.int64)
+        ys = gy.ravel()[order].astype(np.int64)
+        d = np.abs(np.diff(xs)) + np.abs(np.diff(ys))
+        assert (d == 1).all()
+
+    def test_prefix_property(self):
+        # ancestor key at tier t == finest key >> 2*(31-t); this is what lets
+        # points join polygons indexed at coarser tiers without re-encoding
+        n = 5000
+        x = RNG.randint(0, 2**31, size=n).astype(np.uint64)
+        y = RNG.randint(0, 2**31, size=n).astype(np.uint64)
+        h31 = hilbert_encode([x, y], 31)
+        for t in [0, 1, 5, 11, 13, 18, 30]:
+            ht = hilbert_encode([x >> np.uint64(31 - t), y >> np.uint64(31 - t)], t)
+            np.testing.assert_array_equal(
+                key_at_tier(h31.astype(np.int64), 31, t), ht.astype(np.int64)
+            )
+
+
+class TestZOrder:
+    @pytest.mark.parametrize("bits", [1, 4, 16, 31])
+    def test_roundtrip(self, bits):
+        n = 2000
+        x = RNG.randint(0, 2**bits, size=n).astype(np.uint64)
+        y = RNG.randint(0, 2**bits, size=n).astype(np.uint64)
+        h = zorder_encode([x, y], bits)
+        dx, dy = zorder_decode(h, 2, bits)
+        np.testing.assert_array_equal(dx, x)
+        np.testing.assert_array_equal(dy, y)
+
+    def test_bit_for_bit(self):
+        # interleave convention: dim0 (lon) takes the msb of each bit pair
+        h = zorder_encode([np.array([0b10], dtype=np.uint64), np.array([0b01], dtype=np.uint64)], 2)
+        assert h[0] == 0b1001
+
+
+class TestNormalization:
+    def test_clamp_and_edges(self):
+        # BasicDimensionDefinition clamps; value==max -> last bin
+        assert lon_bins(np.array([180.0]), 4)[0] == 15
+        assert lon_bins(np.array([999.0]), 4)[0] == 15  # clamped
+        assert lon_bins(np.array([-180.0]), 4)[0] == 0
+        assert lon_bins(np.array([-999.0]), 4)[0] == 0
+        # single value on an interior boundary goes to the LOWER bin
+        # (ceil(n*bins)-1 rule): -90 -> bin 3 of 16
+        assert lon_bins(np.array([-90.0]), 4)[0] == 3
+        # range-min on the same boundary goes to the UPPER bin (floor rule)
+        assert lon_bins(np.array([-90.0]), 4, is_min=True)[0] == 4
+
+    def test_latitude_half_range(self):
+        # lat normalized against [-180,180]: lat 0 -> middle, lat 90 -> 3/4
+        assert lat_bins(np.array([0.0]), 4)[0] == 7
+        assert lat_bins(np.array([90.0]), 4, is_min=True)[0] == 12
+        assert lat_bins(np.array([91.0]), 4, is_min=True)[0] == 12  # clamp to 90
+        assert lat_bins(np.array([-90.0]), 4, is_min=True)[0] == 4
+
+    def test_lon_wrap(self):
+        assert normalize_lon_range(170.0, 190.0) == [(-180.0, -170.0), (170.0, 180.0)]
+        assert normalize_lon_range(-10.0, 10.0) == [(-10.0, 10.0)]
+        # single value clamps, never wraps (LongitudeDefinition.java:41-45)
+        assert normalize_lon_range(190.0, 190.0) == [(180.0, 180.0)]
+
+
+class TestTierSelection:
+    def test_points_go_finest(self):
+        lon = np.array([0.5, -179.99, 179.99, 0.0])
+        lat = np.array([0.5, -89.99, 89.99, 0.0])
+        tiers, keys = point_keys(lon, lat)
+        assert (tiers == 31).all()
+        assert len(np.unique(keys)) == len(keys)
+
+    def test_small_bbox_fits_finest(self):
+        # bbox within one finest cell -> 1 id at tier 31
+        eps = 1e-9
+        r, t, k, d = bbox_insertion_cells(
+            np.array([10.0]), np.array([10.0]), np.array([10.0 + eps]), np.array([10.0 + eps])
+        )
+        assert len(k) == 1 and t[0] == 31 and d[0] == 0
+
+    def test_wide_bbox_goes_coarse_with_dups(self):
+        # a 5-degree-wide bbox cannot fit in <=4 cells at fine tiers
+        r, t, k, d = bbox_insertion_cells(
+            np.array([0.0]), np.array([0.0]), np.array([5.0]), np.array([5.0])
+        )
+        assert len(k) <= 4
+        assert (t < 31).all()
+        assert (d == len(k) - 1).all()
+        count = estimated_id_count(
+            np.array([0.0]), np.array([0.0]), np.array([5.0]), np.array([5.0]), int(t[0])
+        )[0]
+        assert count == len(k) <= 4
+        # the next finer tier must NOT fit (finest-first selection)
+        tiers = sorted(DEFAULT_CONFIG.tiers)
+        finer = tiers[tiers.index(int(t[0])) + 1]
+        assert (
+            estimated_id_count(
+                np.array([0.0]), np.array([0.0]), np.array([5.0]), np.array([5.0]), finer
+            )[0]
+            > 4
+        )
+
+    def test_whole_world_tier0(self):
+        t, c = select_tier(
+            np.array([-180.0]), np.array([-90.0]), np.array([180.0]), np.array([90.0])
+        )
+        assert t[0] in (0, 1)  # world spans 1 cell at tier 0; tier 1 may also fit
+        r, tt, k, d = bbox_insertion_cells(
+            np.array([-180.0]), np.array([-90.0]), np.array([180.0]), np.array([90.0])
+        )
+        assert len(k) <= 4
+
+    def test_insertion_cells_cover_bbox(self):
+        # every point inside the bbox must share a cell (at the entry's tier)
+        # with the entry: the join correctness invariant
+        n = 50
+        minx = RNG.uniform(-170, 160, n)
+        miny = RNG.uniform(-80, 70, n)
+        maxx = minx + RNG.uniform(0, 8, n)
+        maxy = miny + RNG.uniform(0, 8, n)
+        rows, tiers, keys, _ = bbox_insertion_cells(minx, miny, maxx, maxy)
+        # sample interior points, check containment in the emitted cell set
+        for i in range(n):
+            cells = {(int(t), int(k)) for t, k in zip(tiers[rows == i], keys[rows == i])}
+            tier = next(iter(cells))[0]
+            px = RNG.uniform(minx[i], maxx[i], 20)
+            py = RNG.uniform(miny[i], maxy[i], 20)
+            _, pk = point_keys(px, py)
+            anc = key_at_tier(pk, 31, tier)
+            for a in anc:
+                assert (tier, int(a)) in cells
+
+
+class TestCoversAndRanges:
+    def test_cell_to_box_roundtrip(self):
+        # keys of real points (valid-latitude cells), projected to tier 11
+        lon = RNG.uniform(-179, 179, 50)
+        lat = RNG.uniform(-89, 89, 50)
+        _, k31 = point_keys(lon, lat)
+        keys = np.unique(key_at_tier(k31, 31, 11))
+        lon_min, lon_max, lat_min, lat_max = cell_to_box(keys, 11)
+        assert (lon_max > lon_min).all() and (lat_max > lat_min).all()
+        # re-encoding the cell center recovers the key
+        cx = (lon_min + lon_max) / 2
+        cy = (lat_min + lat_max) / 2
+        xb = lon_bins(cx, 11).astype(np.uint64)
+        yb = lat_bins(cy, 11).astype(np.uint64)
+        np.testing.assert_array_equal(
+            DEFAULT_CONFIG.encode(xb, yb, 11).astype(np.int64), keys
+        )
+
+    def test_cover_contains_inner_points(self):
+        cover = set(cells_covering_bbox(-10, -10, 10, 10, 8).tolist())
+        px = RNG.uniform(-10, 10, 200)
+        py = RNG.uniform(-10, 10, 200)
+        _, pk = point_keys(px, py)
+        anc = key_at_tier(pk, 31, 8)
+        assert all(int(a) in cover for a in anc)
+
+    def test_cover_dateline(self):
+        cover = set(cells_covering_bbox(170, -5, 190, 5, 8).tolist())
+        px = np.array([175.0, -175.0, 179.9, -179.9])
+        py = np.array([0.0, 0.0, -4.0, 4.0])
+        _, pk = point_keys(px, py)
+        anc = key_at_tier(pk, 31, 8)
+        assert all(int(a) in cover for a in anc)
+        # a point outside the wrapped range is not covered
+        _, pk2 = point_keys(np.array([0.0]), np.array([0.0]))
+        assert int(key_at_tier(pk2, 31, 8)[0]) not in cover
+
+    def test_decompose_ranges_cover_exactly(self):
+        # ranges must cover precisely the cells intersecting the box
+        bits = 8
+        box = (-10.3, -4.7, 25.9, 33.3)
+        ranges = decompose_query_ranges(*box, bits=bits, max_ranges=5000)
+        cover = set(cells_covering_bbox(*box, bits=bits).tolist())
+        in_ranges = set()
+        for lo, hi in ranges:
+            in_ranges.update(range(lo, hi + 1))
+        assert in_ranges == cover
+
+    def test_decompose_respects_budget(self):
+        ranges = decompose_query_ranges(-10, -10, 10, 10, bits=18, max_ranges=64)
+        assert len(ranges) <= 64
+        # over-inclusive: still covers everything
+        cover = set(cells_covering_bbox(-10, -10, 10, 10, bits=10).tolist())
+        # project ranges down to tier 10 cells
+        proj = set()
+        for lo, hi in ranges:
+            proj.update(range(lo >> (2 * 8), (hi >> (2 * 8)) + 1))
+        assert cover <= proj
