@@ -1,0 +1,114 @@
+"""DataFrame indexing transforms: geometry -> (tier, cell) key columns.
+
+Spark re-expression of the reference's ingest path
+(`IndexStrategy.getInsertionIds`, K1 in SURVEY.md §2.1): the "index" is not a
+side structure but precomputed key columns + storage sort order.  All
+encoders are Arrow-batched (vectorized numpy inside pandas UDFs); ancestor
+cells at coarser tiers are pure JVM bit-shifts (`F.shiftright`) thanks to the
+SFC prefix property, so joins across tiers never re-enter Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    ByteType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from geowave_spark.sfc import DEFAULT_CONFIG, SpatialConfig, bbox_insertion_cells, point_keys
+
+_CELLS_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("tier", ByteType()),
+            StructField("cell", LongType()),
+            StructField("num_duplicates", IntegerType()),
+        ]
+    )
+)
+
+
+def point_cell_udf(cfg: SpatialConfig = DEFAULT_CONFIG):
+    """pandas UDF: (lon, lat) -> finest-tier cell key (long)."""
+
+    @F.pandas_udf(LongType())
+    def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        _, keys = point_keys(lon.to_numpy(np.float64), lat.to_numpy(np.float64), cfg)
+        return pd.Series(keys)
+
+    return _enc
+
+
+def insertion_cells_udf(cfg: SpatialConfig = DEFAULT_CONFIG):
+    """pandas UDF: bbox -> array<struct<tier, cell, num_duplicates>> (K1)."""
+
+    @F.pandas_udf(_CELLS_SCHEMA)
+    def _enc(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.Series:
+        rows, tiers, keys, dups = bbox_insertion_cells(
+            minx.to_numpy(np.float64),
+            miny.to_numpy(np.float64),
+            maxx.to_numpy(np.float64),
+            maxy.to_numpy(np.float64),
+            cfg,
+        )
+        out: list[list[dict]] = [[] for _ in range(len(minx))]
+        for r, t, k, d in zip(rows.tolist(), tiers.tolist(), keys.tolist(), dups.tolist()):
+            out[r].append({"tier": t, "cell": k, "num_duplicates": d})
+        return pd.Series(out)
+
+    return _enc
+
+
+def with_point_cells(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cfg: SpatialConfig = DEFAULT_CONFIG,
+    cell_col: str = "cell",
+    tier_col: str = "tier",
+) -> DataFrame:
+    """Points always land at the finest tier as exactly one key
+    (`TieredSFCIndexStrategy.getRowIdsAtTier` single-id path)."""
+    return df.withColumn(cell_col, point_cell_udf(cfg)(F.col(lon_col), F.col(lat_col))).withColumn(
+        tier_col, F.lit(cfg.finest).cast("tinyint")
+    )
+
+
+def with_insertion_cells(
+    df: DataFrame,
+    bbox_cols: tuple[str, str, str, str] = ("minx", "miny", "maxx", "maxy"),
+    cfg: SpatialConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Explode entries to their tiered insertion cells: one output row per
+    (entry, cell); adds tier, cell, num_duplicates columns."""
+    cells = insertion_cells_udf(cfg)(*[F.col(c) for c in bbox_cols])
+    df = df.withColumn("_cells", cells).withColumn("_c", F.explode("_cells")).drop("_cells")
+    return (
+        df.withColumn("tier", F.col("_c.tier"))
+        .withColumn("cell", F.col("_c.cell"))
+        .withColumn("num_duplicates", F.col("_c.num_duplicates"))
+        .drop("_c")
+    )
+
+
+def cell_at_tier(cell: Column | str, from_bits: int, to_bits: int) -> Column:
+    """Ancestor cell at a coarser tier — pure JVM bit shift (prefix property),
+    the replacement for re-encoding when joining across tiers."""
+    c = F.col(cell) if isinstance(cell, str) else cell
+    return F.shiftright(c, 2 * (from_bits - to_bits))
+
+
+def with_salt(df: DataFrame, key_col: str, buckets: int, salt_col: str = "salt") -> Column:
+    """Deterministic salt column (HashKeyIndexStrategy analog,
+    `HashKeyIndexStrategy.java:22-60`): spread a hot key across `buckets`
+    sub-partitions.  Caller joins on (key, salt) with the build side exploded
+    across all bucket values."""
+    return df.withColumn(salt_col, F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets)).cast("int"))

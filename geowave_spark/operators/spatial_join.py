@@ -1,0 +1,276 @@
+"""Cell-bucketed point-in-polygon join (J1 pattern) + zonal aggregation (J6).
+
+Re-expression of the reference's spatial partition-join
+(`AbstractPartitioner.getCubeIdentifiers` -> shuffle by cell -> per-cell
+compare, `analytics/api/.../partitioner/AbstractPartitioner.java:78-127`,
+`AnalyticRecipes.scala:46-72`) as DataFrame primitives:
+
+  build side (polygons):  explode to covering cells        (insertion ids K1
+                          or fixed-resolution cover)
+  probe side (points):    single cell key; ancestor cell per tier is a pure
+                          bit shift (prefix property) — no re-encoding
+  join:                   broadcast hash join when the polygon side is small
+                          (the reference's own broadcast pattern, J3),
+                          shuffle hash/SMJ on cell otherwise, AQE skew-join on
+  refine:                 exact PIP in one Arrow UDF, query geometries
+                          prepared once per batch (interning analog)
+
+Pair-uniqueness invariant (no dedup shuffle needed): a point has exactly one
+cell per tier and a polygon's cells at its tier are distinct, so each
+(point, polygon) pair meets in at most one cell.  This replaces the
+reference's DedupeFilter for the join path; `num_duplicates` is still carried
+for parity with F5 semantics.
+
+Scale notes (100 TB): the polygon side is exploded (cells/polygon bounded by
+`max_cells_per_zone`); the point side is never exploded.  Hot cells (skew) are
+handled by AQE skew-join plus optional explicit salting of the probe side
+(`with_hot_cell_salt`), mirroring HashKeyIndexStrategy (K7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    LongType,
+)
+
+from geowave_spark.sfc import DEFAULT_CONFIG, SpatialConfig, cells_covering_bbox
+
+from .indexing import cell_at_tier, with_point_cells
+
+_PREPARED_CACHE: dict[str, object] = {}
+
+
+def _prepared(wkt: str):
+    from geowave_spark.geometry.predicates import PreparedGeometry
+
+    pg = _PREPARED_CACHE.get(wkt)
+    if pg is None:
+        pg = _PREPARED_CACHE[wkt] = PreparedGeometry(wkt)
+    return pg
+
+
+def cover_cells_udf(bits: int, cfg: SpatialConfig = DEFAULT_CONFIG, max_cells: int = 4096):
+    """pandas UDF: polygon WKT -> array<long> covering cells at a fixed tier.
+
+    Cover is bbox-based (superset — exactness restored by the refine stage),
+    date-line aware via the wrapped-range explode.
+    """
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _cover(wkt: pd.Series) -> pd.Series:
+        from geowave_spark.geometry.wkt import geom_bbox, parse_wkt
+
+        out = []
+        for w in wkt:
+            if w is None:
+                out.append([])
+                continue
+            minx, miny, maxx, maxy = geom_bbox(parse_wkt(w))
+            cells = cells_covering_bbox(minx, miny, maxx, maxy, bits, cfg)
+            if len(cells) > max_cells:
+                # superset-or-die: silently dropping cells would lose join
+                # rows.  The planner (choose_cover_tier) picked too fine a
+                # tier for this geometry — use mode='tiered' for layers with
+                # wildly heterogeneous extents.
+                raise ValueError(
+                    f"cover of geometry exceeds {max_cells} cells at tier "
+                    f"{bits}; use a coarser cover_bits or mode='tiered'"
+                )
+            out.append(cells.tolist())
+        return pd.Series(out)
+
+    return _cover
+
+
+def refine_pip_udf():
+    """Exact (point-in-polygon) refine over joined candidate pairs.
+
+    One Arrow batch holds many (lon, lat, wkt) rows; geometries are prepared
+    once per distinct wkt per batch and evaluated vectorized per group —
+    the Arrow-scale analog of SpatialQueryFilter's prepared-geometry
+    interning (`SpatialQueryFilter.java:286-363`).
+    """
+
+    @F.pandas_udf(BooleanType())
+    def _refine(lon: pd.Series, lat: pd.Series, wkt: pd.Series) -> pd.Series:
+        out = np.zeros(len(lon), dtype=bool)
+        lon_v = lon.to_numpy(np.float64)
+        lat_v = lat.to_numpy(np.float64)
+        codes, uniques = pd.factorize(wkt)
+        for u, w in enumerate(uniques):
+            m = codes == u
+            pg = _prepared(w)
+            out[m] = pg.contains_points(lon_v[m], lat_v[m])
+        return pd.Series(out)
+
+    return _refine
+
+
+def choose_cover_tier(zones: DataFrame, wkt_col: str, cfg: SpatialConfig, target_cells: int = 16) -> int:
+    """Pick the fixed join resolution from the polygon layer's median extent:
+    cell size ~ median_extent / sqrt(target_cells).  Driver-side tiny agg
+    (the engine's cost-based planning analog of
+    ChooseBestMatchIndexQueryStrategy)."""
+    # extents from a bounded sample (zones tables are small dims; cap work)
+    sample = [r[0] for r in zones.select(wkt_col).limit(10_000).collect()]
+    from geowave_spark.geometry.wkt import geom_bbox, parse_wkt
+
+    exts = []
+    for w in sample:
+        minx, miny, maxx, maxy = geom_bbox(parse_wkt(w))
+        exts.append(max(maxx - minx, maxy - miny, 1e-9))
+    med = float(np.median(exts)) if exts else 1.0
+    cell_deg = med / max(np.sqrt(target_cells), 1.0)
+    bits = int(np.clip(np.floor(np.log2(360.0 / cell_deg)), 1, cfg.finest - 1))
+    usable = [t for t in cfg.tiers if 0 < t < cfg.finest]
+    return min(usable, key=lambda t: abs(t - bits)) if usable else bits
+
+
+def zone_insertion_cells_udf(cfg: SpatialConfig = DEFAULT_CONFIG):
+    """pandas UDF: polygon WKT -> tiered insertion cells (K1): <=4 cells at
+    the geometry's own tier — bounded explosion regardless of extent."""
+    from pyspark.sql.types import ByteType, IntegerType, StructField, StructType
+
+    schema = ArrayType(
+        StructType(
+            [
+                StructField("tier", ByteType()),
+                StructField("cell", LongType()),
+                StructField("num_duplicates", IntegerType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(schema)
+    def _cells(wkt: pd.Series) -> pd.Series:
+        from geowave_spark.geometry.wkt import geom_bbox, parse_wkt
+        from geowave_spark.sfc import bbox_insertion_cells
+
+        boxes = np.array(
+            [geom_bbox(parse_wkt(w)) if w is not None else (0, 0, 0, 0) for w in wkt],
+            dtype=np.float64,
+        ).reshape(-1, 4)
+        rows, tiers, keys, dups = bbox_insertion_cells(
+            boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3], cfg
+        )
+        out: list[list[dict]] = [[] for _ in range(len(wkt))]
+        for r, t, k, d in zip(rows.tolist(), tiers.tolist(), keys.tolist(), dups.tolist()):
+            out[r].append({"tier": t, "cell": k, "num_duplicates": d})
+        return pd.Series(out)
+
+    return _cells
+
+
+def pip_join(
+    points: DataFrame,
+    zones: DataFrame,
+    *,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    zone_wkt_col: str = "geom_wkt",
+    cfg: SpatialConfig = DEFAULT_CONFIG,
+    mode: str = "fixed",  # 'fixed' (single join tier) | 'tiered' (GeoWave K1)
+    cover_bits: int | None = None,
+    broadcast_zones: bool = True,
+    point_cell_col: str | None = None,
+) -> DataFrame:
+    """Inner join: every (point, zone) pair where the point lies inside the
+    zone geometry.  Output = point columns + zone columns (minus working
+    columns).
+
+    mode='fixed': polygons explode to covering cells at one planner-chosen
+    tier; points join on one derived ancestor cell.  One equi-join, best at
+    scale for homogeneous zone layers.
+    mode='tiered': polygons carry their K1 insertion cells (<=4, own tier);
+    the join unions one equi-join per distinct tier present (<= 15, usually
+    2-4), each a broadcast hash join — mirrors the reference's tiered scan.
+    """
+    if point_cell_col is None:
+        points = with_point_cells(points, lon_col, lat_col, cfg, cell_col="_pcell").drop("tier")
+        point_cell_col = "_pcell"
+
+    # avoid name collisions with the probe side (points may carry their own
+    # geom_wkt); the zone geometry travels as _zwkt through the join
+    zones = zones.withColumnRenamed(zone_wkt_col, "_zwkt")
+
+    if mode == "tiered":
+        zcells = zones.withColumn("_zc", F.explode(zone_insertion_cells_udf(cfg)(F.col("_zwkt"))))
+        zcells = (
+            zcells.withColumn("_ztier", F.col("_zc.tier"))
+            .withColumn("_zcell", F.col("_zc.cell"))
+            .drop("_zc")
+        )
+        zcells = zcells.persist()
+        tiers = [r[0] for r in zcells.select("_ztier").distinct().collect()]
+        parts = []
+        for t in sorted(tiers, reverse=True):
+            build = zcells.filter(F.col("_ztier") == t).drop("_ztier")
+            build = F.broadcast(build) if broadcast_zones else build
+            probe = points.withColumn(
+                "_jcell", cell_at_tier(F.col(point_cell_col), cfg.finest, int(t))
+            )
+            parts.append(probe.join(build, probe["_jcell"] == build["_zcell"], "inner"))
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = joined.unionByName(p)
+    else:
+        if cover_bits is None:
+            cover_bits = choose_cover_tier(zones, "_zwkt", cfg)
+        zcells = zones.withColumn(
+            "_zcell", F.explode(cover_cells_udf(cover_bits, cfg)(F.col("_zwkt")))
+        )
+        build = F.broadcast(zcells) if broadcast_zones else zcells
+        probe = points.withColumn(
+            "_jcell", cell_at_tier(F.col(point_cell_col), cfg.finest, cover_bits)
+        )
+        joined = probe.join(build, probe["_jcell"] == build["_zcell"], "inner")
+
+    refined = joined.filter(refine_pip_udf()(F.col(lon_col), F.col(lat_col), F.col("_zwkt")))
+    drop = [c for c in ("_jcell", "_zcell", "_pcell", "_zwkt", "num_duplicates") if c in refined.columns]
+    return refined.drop(*drop)
+
+
+def zonal_stats(
+    points: DataFrame,
+    zones: DataFrame,
+    aggs: list,
+    zone_id_col: str = "zone_id",
+    **join_kw,
+) -> DataFrame:
+    """Zonal aggregation = PIP join + groupBy(zone) (J6 zonal path):
+    partial aggregation is map-side (Catalyst native partial/final agg,
+    the analog of the reference's server-side AggregationIterator)."""
+    return pip_join(points, zones, **join_kw).groupBy(zone_id_col).agg(*aggs)
+
+
+def with_hot_cell_salt(
+    points: DataFrame,
+    cell_col: str,
+    hot_threshold: int = 1_000_000,
+    buckets: int = 16,
+    id_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Explicit skew mitigation (K7 analog): returns (points+salt, hot_cells).
+
+    Count per cell (cheap partial-agg pass), mark cells above threshold,
+    salt the probe side deterministically; the caller explodes the build side
+    over `sequence(0, buckets-1)` for hot cells only.  For most workloads
+    AQE's skew-join split makes this unnecessary — provided for the extreme
+    (10^12-doc hot-spot) case and exercised in tests.
+    """
+    counts = points.groupBy(cell_col).count()
+    hot = counts.filter(F.col("count") >= hot_threshold).select(cell_col, "count")
+    salt_src = F.xxhash64(F.col(id_col)) if id_col else F.monotonically_increasing_id()
+    salted = points.join(F.broadcast(hot.select(cell_col)), cell_col, "left_semi").withColumn(
+        "salt", F.pmod(salt_src, F.lit(buckets)).cast("int")
+    )
+    cold = points.join(F.broadcast(hot.select(cell_col)), cell_col, "left_anti").withColumn(
+        "salt", F.lit(0)
+    )
+    return salted.unionByName(cold), hot

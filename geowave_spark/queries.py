@@ -1,0 +1,350 @@
+"""Named query catalog: Spark implementations + DuckDB oracle SQL.
+
+Each entry is one operator surface from SURVEY.md §2, exercised end-to-end:
+the Spark implementation runs through the engine's operators; the oracle is
+an *independent algorithm* (plain SQL arithmetic — half-planes for PIP,
+range predicates for boxes, explicit bin arithmetic for tier selection) over
+the same deterministic parquet fixtures.
+
+Column-name contract: every computed column is aliased identically in the
+Spark plan and the SQL so the driver's sorted-column value hash compares
+apples to apples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geowave_spark.datagen import geo_dir_for
+from geowave_spark.extract import span_signature, with_geometry
+from geowave_spark.operators.range_query import spatial_query_points, spatial_query_tracks
+from geowave_spark.operators.spatial_join import pip_join, zonal_stats
+
+# fixture-pinned filter geometries (match datagen._gen_query_filters)
+BOX_WKT = "POLYGON ((-75.0 39.5, -72.0 39.5, -72.0 42.5, -75.0 42.5, -75.0 39.5))"
+BOX = (-75.0, 39.5, -72.0, 42.5)
+CONTAINS_BOX = (-75.0, 39.5, -71.0, 43.5)
+CONTAINS_BOX_WKT = "POLYGON ((-75.0 39.5, -71.0 39.5, -71.0 43.5, -75.0 43.5, -75.0 39.5))"
+DATELINE_BOX_WKT = "POLYGON ((175.0 -20.0, 185.0 -20.0, 185.0 20.0, 175.0 20.0, 175.0 -20.0))"
+TS_LO = "2012-06-01 00:00:00"
+TS_HI = "2013-01-01 00:00:00"
+
+GEO_SF001 = "/root/repo/data/geo/sf0.01"  # oracle runs at sf=0.01 (driver contract)
+
+
+def _geo(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    d = geo_dir_for(sf_dir)
+    return spark.read.parquet(str(d / f"{table}.parquet"))
+
+
+def _polygon_filter_wkt() -> str:
+    """The convex 'polygon' saved filter (deterministic, seed 4242)."""
+    import duckdb
+
+    from geowave_spark.datagen import ensure_geo_tables
+
+    d = ensure_geo_tables("sf0.01")
+    con = duckdb.connect()
+    (wkt,) = con.execute(
+        f"SELECT geom_wkt FROM '{d}/query_filters.parquet' WHERE name='polygon'"
+    ).fetchone()
+    con.close()
+    return wkt
+
+
+def _halfplanes_sql_literal(wkt: str) -> str:
+    """Convex polygon -> SQL literal of half-plane rows (a, b, c) with
+    interior = a*x + b*y <= c.  Baked into the oracle as an independent PIP
+    algorithm."""
+    import numpy as np
+
+    from geowave_spark.geometry.wkt import parse_wkt
+
+    kind, rings = parse_wkt(wkt)
+    assert kind == "polygon"
+    ring = rings[0]
+    x, y = ring[:, 0], ring[:, 1]
+    if (x[:-1] * y[1:] - x[1:] * y[:-1]).sum() < 0:
+        ring = ring[::-1]
+    rows = []
+    for j in range(len(ring) - 1):
+        p1x, p1y = ring[j]
+        p2x, p2y = ring[j + 1]
+        a = p2y - p1y
+        b = -(p2x - p1x)
+        c = a * p1x + b * p1y
+        rows.append(f"({a!r}, {b!r}, {c!r})")
+    return "(VALUES " + ", ".join(rows) + ") AS hp(a, b, c)"
+
+
+# ---------------------------------------------------------------------------
+# queries — each returns a callable (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+def q_spatial_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+F1: box range scan over points (GeoWaveBasicIT box filter)."""
+    pts = _geo(spark, sf_dir, "points")
+    return spatial_query_points(pts, BOX_WKT).select(
+        "fid", "lon", "lat", F.col("magnitude").alias("magnitude")
+    )
+
+
+def q_spatial_box_temporal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+F1+temporal: box + time range (GeoWaveBasicIT box-temporal)."""
+    import datetime as dt
+
+    pts = _geo(spark, sf_dir, "points")
+    lo = dt.datetime.fromisoformat(TS_LO)
+    hi = dt.datetime.fromisoformat(TS_HI)
+    out = spatial_query_points(pts, BOX_WKT, ts_col="event_ts", ts_range=(lo, hi))
+    # fixtures are tz-naive parquet (TIMESTAMP_NTZ); epoch is the UTC reading,
+    # matching DuckDB's epoch_ms (session tz pinned to UTC in get_spark)
+    return out.select(
+        "fid", "lon", "lat", F.unix_millis(F.col("event_ts").cast("timestamp")).alias("event_ms")
+    )
+
+
+def q_spatial_polygon_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+F1+F2: polygon filter with exact PIP refine."""
+    pts = _geo(spark, sf_dir, "points")
+    return spatial_query_points(pts, _polygon_filter_wkt()).select("fid", "lon", "lat")
+
+
+def q_dateline_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 with date-line wrap: lon range [175,185] -> two bins."""
+    pts = _geo(spark, sf_dir, "points")
+    return spatial_query_points(pts, DATELINE_BOX_WKT).select("fid", "lon", "lat")
+
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: cell-bucketed PIP join points x convex zones (broadcast build)."""
+    pts = _geo(spark, sf_dir, "points")
+    zones = _geo(spark, sf_dir, "zones").filter(F.col("zclass") == "convex")
+    out = pip_join(pts, zones)
+    return out.select("fid", "zone_id", "lon", "lat")
+
+
+def q_pip_join_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 tiered mode: zones at their K1 insertion tiers, per-tier joins."""
+    pts = _geo(spark, sf_dir, "points")
+    zones = _geo(spark, sf_dir, "zones").filter(F.col("zclass") == "convex")
+    out = pip_join(pts, zones, mode="tiered")
+    return out.select("fid", "zone_id", "lon", "lat")
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/A-family: PIP join + per-zone aggregation (exact int-valued sums)."""
+    pts = _geo(spark, sf_dir, "points")
+    zones = _geo(spark, sf_dir, "zones").filter(F.col("zclass") == "convex")
+    return zonal_stats(
+        pts,
+        zones,
+        [
+            F.count("*").alias("n_points"),
+            F.sum("magnitude").alias("sum_magnitude"),
+            F.min("lat").alias("min_lat"),
+            F.max("lat").alias("max_lat"),
+        ],
+    )
+
+
+def q_tracks_contains_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 CONTAINS over line features: track fully within the box."""
+    tracks = _geo(spark, sf_dir, "tracks")
+    return spatial_query_tracks(tracks, CONTAINS_BOX_WKT, compare_op="CONTAINS").select(
+        "fid", "length_km"
+    )
+
+
+def q_docs_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs pipeline: span->geometry extraction + box filter (point-geo docs),
+    spans carried through untouched (invariant surface)."""
+    docs = _geo(spark, sf_dir, "docs")
+    geo = with_geometry(docs)
+    pts = geo.filter(F.col("geom_wkt").startswith("POINT"))
+    out = spatial_query_points(pts, BOX_WKT, lon_col="cx", lat_col="cy")
+    return out.select(
+        "doc_id",
+        F.col("cx").alias("lon"),
+        F.col("cy").alias("lat"),
+        F.size("spans").alias("n_spans"),
+    )
+
+
+def q_spans_preserved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-row invariant: run the extraction pipeline end-to-end and emit
+    the span-sequence signature — must equal the signature computed directly
+    on the source table (the oracle does the latter)."""
+    docs = _geo(spark, sf_dir, "docs")
+    processed = with_geometry(docs)  # full pipeline transform
+    return processed.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.concat_ws(
+            "\x1e",
+            F.transform(
+                F.col("spans"),
+                lambda s: F.concat_ws(
+                    "\x1f", s["kind"], s["text"], s["media_ref"], s["offset"].cast("string")
+                ),
+            ),
+        ).alias("span_sig"),
+    )
+
+
+def q_subsample_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: fixed-resolution subsampling — one representative per tier-11 cell
+    (dropDuplicates on truncated SFC key; deterministic min(fid) rep)."""
+    from geowave_spark.operators.indexing import cell_at_tier, with_point_cells
+    from geowave_spark.sfc import DEFAULT_CONFIG
+
+    pts = with_point_cells(_geo(spark, sf_dir, "points"))
+    t11 = pts.withColumn("cell11", cell_at_tier(F.col("cell"), DEFAULT_CONFIG.finest, 11))
+    return (
+        t11.groupBy("cell11")
+        .agg(F.min("fid").alias("fid"), F.count("*").alias("n_in_cell"))
+        .select("fid", "n_in_cell")
+    )
+
+
+def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3-A5 analog: per-category ingest statistics (count, bbox, range)."""
+    pts = _geo(spark, sf_dir, "points")
+    return pts.groupBy("category").agg(
+        F.count("*").alias("n"),
+        F.min("lon").alias("min_lon"),
+        F.max("lon").alias("max_lon"),
+        F.min("lat").alias("min_lat"),
+        F.max("lat").alias("max_lat"),
+        F.sum("magnitude").alias("sum_magnitude"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — independent algorithms over the same parquet
+# ---------------------------------------------------------------------------
+
+def build_oracles() -> dict[str, str]:
+    g = GEO_SF001
+    pts = f"'{g}/points.parquet'"
+    zones = f"'{g}/zones.parquet'"
+    hp = f"'{g}/zone_halfplanes.parquet'"
+    tracks = f"'{g}/tracks.parquet'"
+    docs = f"'{g}/docs.parquet'"
+    poly_hp = _halfplanes_sql_literal(_polygon_filter_wkt())
+
+    return {
+        "spatial_box_query": f"""
+            SELECT fid, lon, lat, magnitude FROM {pts}
+            WHERE lon >= {BOX[0]} AND lon <= {BOX[2]} AND lat >= {BOX[1]} AND lat <= {BOX[3]}
+        """,
+        "spatial_box_temporal_query": f"""
+            SELECT fid, lon, lat, epoch_ms(event_ts) AS event_ms FROM {pts}
+            WHERE lon >= {BOX[0]} AND lon <= {BOX[2]} AND lat >= {BOX[1]} AND lat <= {BOX[3]}
+              AND event_ts >= TIMESTAMP '{TS_LO}' AND event_ts < TIMESTAMP '{TS_HI}'
+        """,
+        "spatial_polygon_query": f"""
+            SELECT p.fid, p.lon, p.lat FROM {pts} p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM {poly_hp} WHERE hp.a * p.lon + hp.b * p.lat > hp.c)
+        """,
+        "dateline_box_query": f"""
+            SELECT fid, lon, lat FROM {pts}
+            WHERE (lon >= 175.0 OR lon <= -175.0) AND lat >= -20.0 AND lat <= 20.0
+        """,
+        "pip_join": f"""
+            SELECT p.fid, z.zone_id, p.lon, p.lat
+            FROM {pts} p, (SELECT DISTINCT zone_id FROM {hp}) z
+            WHERE NOT EXISTS (
+              SELECT 1 FROM {hp} h
+              WHERE h.zone_id = z.zone_id AND h.a * p.lon + h.b * p.lat > h.c)
+        """,
+        "pip_join_tiered": f"""
+            SELECT p.fid, z.zone_id, p.lon, p.lat
+            FROM {pts} p, (SELECT DISTINCT zone_id FROM {hp}) z
+            WHERE NOT EXISTS (
+              SELECT 1 FROM {hp} h
+              WHERE h.zone_id = z.zone_id AND h.a * p.lon + h.b * p.lat > h.c)
+        """,
+        "zonal_stats": f"""
+            SELECT z.zone_id,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   SUM(p.magnitude) AS sum_magnitude,
+                   MIN(p.lat) AS min_lat,
+                   MAX(p.lat) AS max_lat
+            FROM {pts} p, (SELECT DISTINCT zone_id FROM {hp}) z
+            WHERE NOT EXISTS (
+              SELECT 1 FROM {hp} h
+              WHERE h.zone_id = z.zone_id AND h.a * p.lon + h.b * p.lat > h.c)
+            GROUP BY z.zone_id
+        """,
+        "tracks_contains_box": f"""
+            SELECT fid, length_km FROM (
+              SELECT fid, length_km,
+                     list_transform(
+                       string_split(
+                         replace(replace(geom_wkt, 'LINESTRING (', ''), ')', ''), ', '),
+                       p -> struct_pack(
+                         x := CAST(string_split(p, ' ')[1] AS DOUBLE),
+                         y := CAST(string_split(p, ' ')[2] AS DOUBLE))) AS verts
+              FROM {tracks})
+            WHERE len(list_filter(verts,
+                  v -> v.x < {CONTAINS_BOX[0]} OR v.x > {CONTAINS_BOX[2]}
+                    OR v.y < {CONTAINS_BOX[1]} OR v.y > {CONTAINS_BOX[3]})) = 0
+        """,
+        "docs_box_query": f"""
+            SELECT doc_id, lon, lat, n_spans FROM (
+              SELECT doc_id,
+                     CAST(len(spans) AS INT) AS n_spans,
+                     list_filter(spans, s -> s.kind = 'geo')[1].text AS wkt
+              FROM {docs}),
+            LATERAL (SELECT
+               TRY_CAST(regexp_extract(wkt, '^POINT \\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)$', 1) AS DOUBLE) AS lon,
+               TRY_CAST(regexp_extract(wkt, '^POINT \\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)$', 2) AS DOUBLE) AS lat)
+            WHERE wkt LIKE 'POINT%'
+              AND lon >= {BOX[0]} AND lon <= {BOX[2]} AND lat >= {BOX[1]} AND lat <= {BOX[3]}
+        """,
+        "spans_preserved": f"""
+            SELECT doc_id,
+                   CAST(len(spans) AS INT) AS n_spans,
+                   array_to_string(
+                     list_transform(spans, s ->
+                       concat_ws(chr(31), s.kind, s.text, s.media_ref, CAST(s.offset AS VARCHAR))),
+                     chr(30)) AS span_sig
+            FROM {docs}
+        """,
+        "subsample_resolution": f"""
+            WITH binned AS (
+              SELECT fid,
+                     CAST(GREATEST(CEIL(((lon + 180.0) / 360.0) * 2048) - 1, 0) AS BIGINT) AS xb,
+                     CAST(GREATEST(CEIL(((LEAST(GREATEST(lat, -90.0), 90.0) + 180.0) / 360.0) * 2048) - 1, 0) AS BIGINT) AS yb
+              FROM {pts})
+            SELECT MIN(fid) AS fid, CAST(count(*) AS BIGINT) AS n_in_cell
+            FROM binned GROUP BY xb, yb
+        """,
+        "stats_summary": f"""
+            SELECT category,
+                   CAST(count(*) AS BIGINT) AS n,
+                   MIN(lon) AS min_lon, MAX(lon) AS max_lon,
+                   MIN(lat) AS min_lat, MAX(lat) AS max_lat,
+                   SUM(magnitude) AS sum_magnitude
+            FROM {pts} GROUP BY category
+        """,
+    }
+
+
+QUERIES = {
+    "spatial_box_query": q_spatial_box_query,
+    "spatial_box_temporal_query": q_spatial_box_temporal_query,
+    "spatial_polygon_query": q_spatial_polygon_query,
+    "dateline_box_query": q_dateline_box_query,
+    "pip_join": q_pip_join,
+    "pip_join_tiered": q_pip_join_tiered,
+    "zonal_stats": q_zonal_stats,
+    "tracks_contains_box": q_tracks_contains_box,
+    "docs_box_query": q_docs_box_query,
+    "spans_preserved": q_spans_preserved,
+    "subsample_resolution": q_subsample_resolution,
+    "stats_summary": q_stats_summary,
+}

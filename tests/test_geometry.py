@@ -1,0 +1,145 @@
+"""Geometry layer tests: WKT codec, PIP cross-validation, centroid hash."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from geowave_spark.datagen import ensure_geo_tables
+from geowave_spark.geometry.predicates import (
+    PreparedGeometry,
+    haversine_m,
+    linestring_intersects_box,
+    linestring_within_box,
+)
+from geowave_spark.geometry.wkt import (
+    geom_bbox,
+    geom_centroid,
+    hash_centroid,
+    parse_wkt,
+    points_from_wkt,
+)
+
+RNG = np.random.RandomState(123)
+
+
+class TestWkt:
+    def test_point_roundtrip(self):
+        k, (x, y) = parse_wkt("POINT (-73.98 40.75)")
+        assert k == "point" and x == -73.98 and y == 40.75
+
+    def test_linestring(self):
+        k, arr = parse_wkt("LINESTRING (0 0, 1 1, 2 0.5)")
+        assert k == "linestring" and arr.shape == (3, 2)
+
+    def test_polygon_with_hole(self):
+        k, rings = parse_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+        assert k == "polygon" and len(rings) == 2
+
+    def test_multipolygon(self):
+        k, polys = parse_wkt(
+            "MULTIPOLYGON (((178 0, 180 0, 180 2, 178 2, 178 0)), ((-180 0, -178 0, -178 2, -180 2, -180 0)))"
+        )
+        assert k == "multipolygon" and len(polys) == 2
+
+    def test_points_vectorized(self):
+        import pandas as pd
+
+        s = pd.Series(["POINT (1.5 -2.5)", "POINT (-180.0 90.0)"])
+        x, y = points_from_wkt(s)
+        np.testing.assert_array_equal(x, [1.5, -180.0])
+        np.testing.assert_array_equal(y, [-2.5, 90.0])
+
+
+class TestPip:
+    def test_square(self):
+        pg = PreparedGeometry("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        inside = pg.contains_points(np.array([5.0, 15.0, -1.0]), np.array([5.0, 5.0, 5.0]))
+        np.testing.assert_array_equal(inside, [True, False, False])
+
+    def test_hole(self):
+        pg = PreparedGeometry(
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+        )
+        inside = pg.contains_points(np.array([5.0, 2.0]), np.array([5.0, 2.0]))
+        np.testing.assert_array_equal(inside, [False, True])
+
+    def test_cross_validate_vs_halfplanes(self):
+        """Ray-cast PIP must agree with the independent half-plane oracle on
+        every (point, convex zone) pair of the sf0.001 fixtures — this is the
+        exact contract the driver's DuckDB comparison relies on."""
+        d = ensure_geo_tables("sf0.001")
+        con = duckdb.connect()
+        pts = con.execute(f"SELECT fid, lon, lat FROM '{d}/points.parquet'").fetchnumpy()
+        zones = con.execute(
+            f"SELECT zone_id, geom_wkt FROM '{d}/zones.parquet' WHERE zclass='convex'"
+        ).fetchall()
+        hp = con.execute(
+            f"SELECT zone_id, a, b, c FROM '{d}/zone_halfplanes.parquet'"
+        ).fetchnumpy()
+        lon, lat = pts["lon"], pts["lat"]
+        mismatches = 0
+        for zid, wkt in zones:
+            pg = PreparedGeometry(wkt)
+            ray = pg.contains_points(lon, lat)
+            sel = hp["zone_id"] == zid
+            a, b, c = hp["a"][sel], hp["b"][sel], hp["c"][sel]
+            half = ((lon[:, None] * a + lat[:, None] * b) <= c).all(axis=1)
+            mismatches += int((ray != half).sum())
+        assert mismatches == 0
+
+    def test_dateline_multipolygon(self):
+        d = ensure_geo_tables("sf0.001")
+        con = duckdb.connect()
+        wkt, = con.execute(
+            f"SELECT geom_wkt FROM '{d}/zones.parquet' WHERE zclass='dateline'"
+        ).fetchone()
+        pg = PreparedGeometry(wkt)
+        minx, miny, maxx, maxy = pg.bbox
+        # a point just inside the eastern part and one inside the western part
+        inside = pg.contains_points(
+            np.array([179.5, -179.5, 0.0]), np.array([(miny + maxy) / 2] * 3)
+        )
+        assert inside[0] and inside[1] and not inside[2]
+
+
+class TestLinePredicates:
+    def test_line_box(self):
+        line = parse_wkt("LINESTRING (-5 -5, 5 5)")[1]
+        assert linestring_intersects_box(line, -1, -1, 1, 1)  # passes through
+        assert not linestring_intersects_box(line, 6, 6, 8, 8)
+        assert not linestring_within_box(line, -1, -1, 1, 1)
+        assert linestring_within_box(line, -6, -6, 6, 6)
+
+    def test_line_crossing_box_without_vertex_inside(self):
+        line = parse_wkt("LINESTRING (-10 0.5, 10 0.5)")[1]
+        assert linestring_intersects_box(line, -1, -1, 1, 1)
+
+
+class TestCentroid:
+    def test_point(self):
+        assert geom_centroid(parse_wkt("POINT (3 4)")) == (3.0, 4.0)
+
+    def test_linestring_length_weighted(self):
+        # L-shape: two segments len 10 each; centroid = mean of midpoints
+        cx, cy = geom_centroid(parse_wkt("LINESTRING (0 0, 10 0, 10 10)"))
+        assert cx == pytest.approx(7.5) and cy == pytest.approx(2.5)
+
+    def test_polygon(self):
+        cx, cy = geom_centroid(parse_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"))
+        assert cx == pytest.approx(5.0) and cy == pytest.approx(5.0)
+
+    def test_hash_centroid_reference_semantics(self):
+        # doubleToLongBits(x) + doubleToLongBits(y*31) with int64 wrap
+        import struct
+
+        def java_bits(v: float) -> int:
+            return struct.unpack(">q", struct.pack(">d", v))[0]
+
+        x, y = -73.98, 40.75
+        expect = (java_bits(x) + java_bits(y * 31.0)) & 0xFFFFFFFFFFFFFFFF
+        expect = expect - 2**64 if expect >= 2**63 else expect
+        got = hash_centroid(np.array([x]), np.array([y]))[0]
+        assert int(got) == expect
+
+    def test_bbox(self):
+        assert geom_bbox(parse_wkt("LINESTRING (0 5, -3 2, 7 1)")) == (-3.0, 1.0, 7.0, 5.0)
