@@ -208,6 +208,41 @@ def q_subsample_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_K = 10
+KNN_DIST = 1.0
+
+
+def _knn_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic query subset: every fid ending in '00' (1% of points)."""
+    return (
+        _geo(spark, sf_dir, "points")
+        .filter(F.col("fid").endswith("00"))
+        .select(F.col("fid").alias("qid"), F.col("lon").alias("qlon"), F.col("lat").alias("qlat"))
+    )
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: distance-bounded kNN with ring-expansion cells (broadcast queries)."""
+    from geowave_spark.operators.knn import knn_join
+
+    pts = _geo(spark, sf_dir, "points")
+    return knn_join(_knn_queries(spark, sf_dir), pts, k=KNN_K, max_distance_deg=KNN_DIST)
+
+
+KDE_MIN_LEVEL, KDE_MAX_LEVEL, KDE_TILE_SIZE = 4, 6, 4
+
+
+def q_kde_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1-R3: KDE pyramid with exact tile assignment (the bit-for-bit tile
+    surface) — all-Catalyst splat + agg + windows."""
+    from geowave_spark.operators.kde import kde_pyramid
+
+    pts = _geo(spark, sf_dir, "points")
+    return kde_pyramid(
+        pts, min_level=KDE_MIN_LEVEL, max_level=KDE_MAX_LEVEL, tile_size=KDE_TILE_SIZE
+    )
+
+
 def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3-A5 analog: per-category ingest statistics (count, bbox, range)."""
     pts = _geo(spark, sf_dir, "points")
@@ -226,6 +261,8 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def build_oracles() -> dict[str, str]:
+    from geowave_spark.operators.kde import kde_oracle_sql
+
     g = GEO_SF001
     pts = f"'{g}/points.parquet'"
     zones = f"'{g}/zones.parquet'"
@@ -323,6 +360,22 @@ def build_oracles() -> dict[str, str]:
             SELECT MIN(fid) AS fid, CAST(count(*) AS BIGINT) AS n_in_cell
             FROM binned GROUP BY xb, yb
         """,
+        "knn_join": f"""
+            SELECT qid, fid, dist_sq, rank FROM (
+              SELECT q.fid AS qid, p.fid AS fid,
+                     (p.lon - q.lon) * (p.lon - q.lon) + (p.lat - q.lat) * (p.lat - q.lat) AS dist_sq,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.fid
+                       ORDER BY (p.lon - q.lon) * (p.lon - q.lon) + (p.lat - q.lat) * (p.lat - q.lat),
+                                p.fid) AS rank
+              FROM (SELECT * FROM {pts} WHERE fid LIKE '%00') q, {pts} p
+              WHERE (p.lon - q.lon) * (p.lon - q.lon) + (p.lat - q.lat) * (p.lat - q.lat)
+                    <= {KNN_DIST * KNN_DIST})
+            WHERE rank <= {KNN_K}
+        """,
+        "kde_tiles": kde_oracle_sql(
+            f"{g}/points.parquet", KDE_MIN_LEVEL, KDE_MAX_LEVEL, KDE_TILE_SIZE
+        ),
         "stats_summary": f"""
             SELECT category,
                    CAST(count(*) AS BIGINT) AS n,
@@ -347,4 +400,6 @@ QUERIES = {
     "spans_preserved": q_spans_preserved,
     "subsample_resolution": q_subsample_resolution,
     "stats_summary": q_stats_summary,
+    "knn_join": q_knn_join,
+    "kde_tiles": q_kde_tiles,
 }

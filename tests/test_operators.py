@@ -1,0 +1,177 @@
+"""Spark operator tests: PIP join modes, kNN pruning == brute force, KDE
+reference arithmetic, subsampling, salting.  Mirrors the reference IT suite
+(GeoWaveBasicIT / GeoWaveNNIT / KDERasterResizeIT, SURVEY.md §5.2) including
+the centroid-hash result-set contract."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _pts(spark, geo001):
+    return spark.read.parquet(str(geo001 / "points.parquet"))
+
+
+def _zones(spark, geo001):
+    return spark.read.parquet(str(geo001 / "zones.parquet"))
+
+
+class TestPipJoin:
+    def test_fixed_equals_tiered(self, spark, geo001):
+        from geowave_spark.operators.spatial_join import pip_join
+
+        pts = _pts(spark, geo001)
+        zones = _zones(spark, geo001).filter(F.col("zclass") != "dateline")
+        a = {(r.fid, r.zone_id) for r in pip_join(pts, zones).select("fid", "zone_id").collect()}
+        b = {
+            (r.fid, r.zone_id)
+            for r in pip_join(pts, zones, mode="tiered").select("fid", "zone_id").collect()
+        }
+        assert a == b and len(a) > 0
+
+    def test_no_duplicate_pairs(self, spark, geo001):
+        from geowave_spark.operators.spatial_join import pip_join
+
+        pts = _pts(spark, geo001)
+        zones = _zones(spark, geo001)
+        out = pip_join(pts, zones, mode="tiered").select("fid", "zone_id")
+        assert out.count() == out.distinct().count()
+
+    def test_concave_and_dateline_zones(self, spark, geo001):
+        """Engine-only check for geometry the SQL oracle can't express:
+        concave zones + the dateline multipolygon, verified against the
+        pure-python prepared geometry (independent of the Spark path)."""
+        from geowave_spark.geometry.predicates import PreparedGeometry
+        from geowave_spark.operators.spatial_join import pip_join
+
+        pts = _pts(spark, geo001)
+        zones = _zones(spark, geo001).filter(F.col("zclass").isin("concave", "dateline"))
+        got = {
+            (r.fid, r.zone_id)
+            for r in pip_join(pts, zones, mode="tiered").select("fid", "zone_id").collect()
+        }
+        prows = pts.select("fid", "lon", "lat").collect()
+        lon = np.array([r.lon for r in prows])
+        lat = np.array([r.lat for r in prows])
+        fids = [r.fid for r in prows]
+        want = set()
+        for z in zones.collect():
+            pg = PreparedGeometry(z.geom_wkt)
+            for i in np.nonzero(pg.contains_points(lon, lat))[0]:
+                want.add((fids[int(i)], z.zone_id))
+        assert got == want
+
+    def test_centroid_hash_contract(self, spark, geo001):
+        """GeoWaveBasicIT.testQuery semantics: result set compared by exact
+        count + set of centroid hashes (GeoWaveTestEnvironment.java:328-414)."""
+        from geowave_spark.geometry.wkt import hash_centroid
+        from geowave_spark.operators.range_query import spatial_query_points
+
+        pts = _pts(spark, geo001)
+        box = "POLYGON ((-75.0 39.5, -72.0 39.5, -72.0 42.5, -75.0 42.5, -75.0 39.5))"
+        got = spatial_query_points(pts, box).select("lon", "lat").collect()
+        got_hashes = set(
+            hash_centroid(
+                np.array([r.lon for r in got]), np.array([r.lat for r in got])
+            ).tolist()
+        )
+        rows = pts.select("lon", "lat").collect()
+        lon = np.array([r.lon for r in rows])
+        lat = np.array([r.lat for r in rows])
+        m = (lon >= -75) & (lon <= -72) & (lat >= 39.5) & (lat <= 42.5)
+        want_hashes = set(hash_centroid(lon[m], lat[m]).tolist())
+        assert len(got) == int(m.sum())
+        assert got_hashes == want_hashes
+
+
+class TestKnn:
+    def test_pruned_equals_brute(self, spark, geo001):
+        from geowave_spark.operators.knn import knn_join, knn_join_brute
+
+        pts = _pts(spark, geo001)
+        q = (
+            pts.filter(F.col("fid").endswith("0"))
+            .select(F.col("fid").alias("qid"), F.col("lon").alias("qlon"), F.col("lat").alias("qlat"))
+            .limit(50)
+        )
+        a = {tuple(r) for r in knn_join(q, pts, k=5, max_distance_deg=1.5).collect()}
+        b = {tuple(r) for r in knn_join_brute(q, pts, k=5, max_distance_deg=1.5).collect()}
+        assert a == b and len(a) > 0
+
+    def test_distance_bound_respected(self, spark, geo001):
+        from geowave_spark.operators.knn import knn_join
+
+        pts = _pts(spark, geo001)
+        q = pts.limit(5).select(
+            F.col("fid").alias("qid"), F.col("lon").alias("qlon"), F.col("lat").alias("qlat")
+        )
+        out = knn_join(q, pts, k=1000, max_distance_deg=0.5)
+        assert out.filter(F.col("dist_sq") > 0.25).count() == 0
+
+
+class TestKde:
+    def test_reference_arithmetic_tiny_case(self, spark):
+        """Hand-check the splat against the reference formulas: one point,
+        one level, tileSize 1 (AccumuloKDEReducer defaults)."""
+        from geowave_spark.operators.kde import KERNEL_X1000, kde_pyramid
+
+        df = spark.createDataFrame([(10.0, 20.0)], "lon double, lat double")
+        out = kde_pyramid(df, min_level=2, max_level=2, tile_size=1).collect()
+        # level 2: numXPosts=8, numYPosts=4; xbin=floor((190/360)*8)=4,
+        # ybin=floor((110/180)*4)=2
+        cells = {r.cell_id: r for r in out}
+        # dx in {1..7} all valid (8 posts), dy -> y in {-1..5} clipped to {0..3}
+        assert len(cells) == 7 * 4
+        center = 4 * 4 + 2
+        assert cells[center].weight_scaled == KERNEL_X1000[3] * KERNEL_X1000[3]
+        # tile math: cell 18 -> xPost=4, yPost=2 -> tile (4,2), px=0, py=0
+        r = cells[center]
+        assert (r.tile_x, r.tile_y, r.px, r.py) == (4, 2, 0, 0)
+        assert r.tile_west == (4 * 360.0) / 8 - 180.0 == 0.0
+        assert r.tile_south == (2 * 180.0) / 4 - 90.0 == 0.0
+        # max cell has normalized exactly 1.0; percentile of top == 1.0
+        assert max(r.normalized for r in out) == 1.0
+        assert max(r.percentile for r in out) == 1.0
+
+    def test_total_mass(self, spark):
+        """All 49 kernel taps land when the point is interior: total scaled
+        mass = (sum kernel)^2 per level per point."""
+        from geowave_spark.operators.kde import KERNEL_X1000, kde_pyramid
+
+        df = spark.createDataFrame([(0.5, 0.5), (10.2, -30.3)], "lon double, lat double")
+        out = kde_pyramid(df, min_level=6, max_level=7, tile_size=4)
+        total = out.groupBy("level").agg(F.sum("weight_scaled").alias("m")).collect()
+        expect = 2 * sum(KERNEL_X1000) ** 2
+        assert all(r.m == expect for r in total)
+
+    def test_tile_assembly(self, spark, geo001):
+        from geowave_spark.operators.kde import assemble_tiles, kde_pyramid
+
+        pts = _pts(spark, geo001).limit(500)
+        cells = kde_pyramid(pts, min_level=4, max_level=4, tile_size=4)
+        tiles = assemble_tiles(cells, 4)
+        row = tiles.orderBy(F.desc("n_pixels")).first()
+        assert 1 <= row.n_pixels <= 16
+        assert len(row.pixels) == row.n_pixels
+
+
+class TestSkew:
+    def test_hot_cell_salt(self, spark, geo001):
+        from geowave_spark.operators.indexing import cell_at_tier, with_point_cells
+        from geowave_spark.operators.spatial_join import with_hot_cell_salt
+        from geowave_spark.sfc import DEFAULT_CONFIG
+
+        pts = with_point_cells(_pts(spark, geo001))
+        coarse = pts.withColumn("cell8", cell_at_tier(F.col("cell"), DEFAULT_CONFIG.finest, 8))
+        salted, hot = with_hot_cell_salt(coarse, "cell8", hot_threshold=50, buckets=4, id_col="fid")
+        assert salted.count() == coarse.count()  # no rows lost
+        nhot = hot.count()
+        assert nhot > 0  # clustered fixture must produce hot cells
+        # hot rows spread across >1 salt bucket
+        spread = (
+            salted.join(hot.select("cell8"), "cell8", "left_semi")
+            .select("salt")
+            .distinct()
+            .count()
+        )
+        assert spread > 1
