@@ -1,0 +1,223 @@
+"""Deduplication operators for the training-data pipeline.
+
+Four dedup strategies over a ``documents(doc_id, text, ...)`` table, each
+expressed as pure DataFrame plans (no Python in the hot path):
+
+- **exact**: md5(text) hash-groupBy — one shuffle on a 16-byte key.
+- **MinHash + LSH**: word-shingle -> NUM_PERM minhashes -> banded signature
+  hashes; candidate pairs emerge from a self-equi-join on (band, band_hash)
+  — the classic shingle/minhash/band/bucket-join pipeline.  At 100 TB the
+  band join is the only shuffle and its key space (band_hash) is uniform by
+  construction, so no salting is needed.
+- **SimHash**: 16-bit sign-aggregated token hash; near-dup candidates share
+  the exact simhash (Hamming-0 buckets; wider Hamming radii = join on
+  simhash with one bit masked per probe).
+- **n-gram Jaccard**: exact set-similarity join on shared shingles with
+  ``|A ∩ B| / (|A| + |B| - |A ∩ B|)`` — the verification stage behind the
+  MinHash candidates (and a standalone exact mode for small corpora).
+
+Scale notes: every stage is a groupBy/join on uniformly-hashed keys; the
+explode factor is bounded by tokens-per-doc; partial aggregation keeps the
+shuffle payload at one row per (doc, shingle).  The reference engine has no
+dedup surface — its closest analog is the insertion-id dedupe filter
+(`core/store/.../filter/DedupeFilter.java:18-68`), which `exact_dedup`
+generalizes from key-identity to content-identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geowave_spark.functions.text import MOD, md5_long, tokens, word_ngrams
+
+NUM_PERM = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_PERM // BANDS
+SHINGLE_N = 3
+
+# deterministic multiplier/offset pairs for the NUM_PERM universal hashes
+# h_i(x) = (A[i] * x + B[i]) mod (2^31-1); constants < 2^20 (overflow-safe)
+_A = [(17 + 13 * i * i + 7 * i) % 1_000_003 + 11 for i in range(NUM_PERM)]
+_B = [(29 + 31 * i * i * i + 3 * i) % 999_983 + 5 for i in range(NUM_PERM)]
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups: one row per distinct text with the canonical
+    (minimum) id and the duplicate count."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _shingles(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, shingle_hash) — distinct word n-gram shingles per doc."""
+    return (
+        docs.select(
+            F.col(id_col).alias("sid"),
+            F.explode(F.array_distinct(word_ngrams(tokens(F.col(text_col)), SHINGLE_N))).alias(
+                "shingle"
+            ),
+        )
+        .withColumn("sh", md5_long(F.col("shingle")) % MOD)
+        .select("sid", "sh")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc MinHash signature (NUM_PERM mins) + per-band hashes.
+
+    One aggregation: explode shingles, min over NUM_PERM affine hashes.
+    Docs with fewer than SHINGLE_N tokens hash the empty shingle set to the
+    sentinel MOD (no shingles -> signature of all-MOD)."""
+    sh = _shingles(docs, text_col, id_col)
+    mins = sh.groupBy("sid").agg(
+        *[
+            F.min((F.lit(_A[i]) * F.col("sh") + F.lit(_B[i])) % MOD).alias(f"m{i}")
+            for i in range(NUM_PERM)
+        ]
+    )
+    # docs with no shingles still get a signature row (sentinel)
+    all_ids = docs.select(F.col(id_col).alias("sid")).distinct()
+    mins = all_ids.join(mins, "sid", "left").fillna({f"m{i}": MOD for i in range(NUM_PERM)})
+    band_cols = []
+    for b in range(BANDS):
+        parts = [F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        band_cols.append(
+            md5_long(F.concat_ws("_", *[p.cast("string") for p in parts])).alias(f"band{b}")
+        )
+    return mins.select("sid", *[F.col(f"m{i}") for i in range(NUM_PERM)], *band_cols)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs from LSH banding, verified with exact Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    The band join shuffles on band_hash (uniform); verification joins the
+    candidate pairs back to the shingle table (two more uniform shuffles).
+    """
+    sig = minhash_signatures(docs, text_col, id_col)
+    bands = sig.select(
+        "sid",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh")) for b in range(BANDS)])
+        ).alias("e"),
+    ).select("sid", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    left = bands.select(F.col("sid").alias("id_a"), "band", "bh")
+    right = bands.select(F.col("sid").alias("id_b"), "band", "bh")
+    cands = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_jaccard(docs, cands, text_col, id_col, threshold)
+
+
+def _verify_jaccard(
+    docs: DataFrame, pairs: DataFrame, text_col: str, id_col: str, threshold: float
+) -> DataFrame:
+    sh = _shingles(docs, text_col, id_col)
+    sizes = sh.groupBy("sid").agg(F.count("*").alias("n_sh"))
+    inter = (
+        pairs.join(sh.withColumnRenamed("sid", "id_a"), "id_a")
+        .join(sh.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .filter(F.col("sh") == F.col("sh_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_int"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("sid", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("sid", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_int").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_int")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via the shared-shingle join (no LSH):
+    only pairs sharing >= 1 shingle are ever materialized, so the join is
+    output-sensitive — the 100 TB-safe exact mode when shingle frequency is
+    bounded (cap hot shingles with a document-frequency filter upstream)."""
+    sh = _shingles(docs, text_col, id_col)
+    a = sh.select(F.col("sid").alias("id_a"), "sh")
+    b = sh.select(F.col("sid").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_int"))
+    )
+    sizes = sh.groupBy("sid").agg(F.count("*").alias("n_sh"))
+    return (
+        inter.join(sizes.withColumnRenamed("sid", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("sid", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_int").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_int")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash over token multisets (order-insensitive): bit b of the
+    per-token hash votes +1/-1; the sign of the vote sum sets bit b.
+
+    Pure Catalyst: explode tokens -> per-(doc, bit) conditional sum via a
+    broadcast cross-join with the 16-row bit table -> bit-OR fold.  Exactly
+    one shuffle (the groupBy on doc_id)."""
+    spark = docs.sparkSession
+    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
+    toks = docs.select(
+        F.col(id_col).alias("sid"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("th", md5_long(F.col("tok")) % MOD)
+    votes = (
+        toks.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "vote",
+            F.when(F.expr("(th >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        .groupBy("sid", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn("bitval", F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0).cast("long")))
+        .groupBy("sid")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+    return votes.select(F.col("sid").alias(id_col), "simhash")
+
+
+def simhash_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hamming-0 near-dup groups: docs sharing an identical simhash."""
+    sh = simhash(docs, text_col, id_col)
+    w = Window.partitionBy("simhash")
+    return (
+        sh.withColumn("n_bucket", F.count("*").over(w))
+        .withColumn("rep_id", F.min(id_col).over(w))
+        .select(id_col, "simhash", "n_bucket", "rep_id")
+    )

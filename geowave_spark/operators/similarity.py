@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, mirroring the kNN design of the spatial engine
+(`geowave_spark/operators/knn.py`, itself modeled on the reference's
+partition-based NN join `analytics/mapreduce/.../nn/NNMapReduce.java`):
+
+- **brute-force cosine top-k** — broadcast the (small) query set, score every
+  corpus vector with a JVM-side ``zip_with``/``aggregate`` dot product
+  (sequential left-to-right double accumulation: bit-identical to the
+  DuckDB oracle's ``list_reduce`` fold), window top-k per query.  The
+  baseline and the verification oracle for the bucketed variant.
+- **sign-LSH bucketed top-k** — the scale path: an 8-bit coarse quantizer
+  (sign of the first SIGN_BITS dimensions) buckets both sides; each query
+  probes its own bucket plus all Hamming<=1 neighbors, so the candidate set
+  shrinks ~2^SIGN_BITS/9-fold while recall stays high for clustered data.
+  At 100 TB this turns the crossJoin into an equi-join on ``bucket`` —
+  shuffle keys are uniform by construction (sign bits of float noise).
+
+Scores are computed in double precision from the float inputs; ranking ties
+are broken by vector id so results are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SIGN_BITS = 8
+
+
+def _dot(a, b):
+    """Sequential double-precision dot product (order-stable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm_sq(a):
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Brute-force cosine top-k: (qid, vec_id, rank); self-matches excluded.
+
+    cosine = dot / sqrt(|a|^2 * |b|^2); ranking on (-cosine, vec_id).  The
+    score column is intentionally not emitted (rank is the contract — float
+    formatting differs across engines; ordering does not)."""
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col(qid_col))
+        .withColumn(
+            "cos",
+            _dot(F.col(vec_col), F.col(qvec_col))
+            / F.sqrt(_norm_sq(F.col(vec_col)) * _norm_sq(F.col(qvec_col))),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col(qid_col), F.col(id_col), F.col("rank"))
+    )
+
+
+def sign_bucket(vec, bits: int = SIGN_BITS):
+    """Coarse quantizer: bit j set iff vec[j] > 0 (first `bits` dims)."""
+    b = F.lit(0)
+    for j in range(bits):
+        b = b + F.when(F.element_at(vec, j + 1) > 0, F.lit(1 << j)).otherwise(0)
+    return b
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    hamming_radius: int = 1,
+    bits: int = SIGN_BITS,
+) -> DataFrame:
+    """Bucketed ANN: equi-join on sign-LSH bucket with Hamming<=radius
+    multi-probe.  Output schema matches :func:`cosine_topk` (ranks are within
+    the probed candidate set — approximate by design).  ``bits`` sizes the
+    bucket space: pick ~log2(N / target_candidates_per_bucket)."""
+    c = corpus.withColumn("bucket", sign_bucket(F.col(vec_col), bits))
+    probes = [F.lit(0)] + [F.lit(1 << j) for j in range(bits)] if hamming_radius >= 1 else [
+        F.lit(0)
+    ]
+    q = (
+        queries.withColumn("qbucket", sign_bucket(F.col(qvec_col), bits))
+        .withColumn("flip", F.explode(F.array(*probes)))
+        .withColumn("bucket", F.col("qbucket").bitwiseXOR(F.col("flip")))
+        .drop("qbucket", "flip")
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col(id_col) != F.col(qid_col))
+        .withColumn(
+            "cos",
+            _dot(F.col(vec_col), F.col(qvec_col))
+            / F.sqrt(_norm_sq(F.col(vec_col)) * _norm_sq(F.col(qvec_col))),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col(qid_col), F.col(id_col), F.col("rank"))
+    )

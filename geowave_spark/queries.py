@@ -262,6 +262,7 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def build_oracles() -> dict[str, str]:
     from geowave_spark.operators.kde import kde_oracle_sql
+    from geowave_spark.queries_text import build_text_oracles
 
     g = GEO_SF001
     pts = f"'{g}/points.parquet'"
@@ -272,6 +273,7 @@ def build_oracles() -> dict[str, str]:
     poly_hp = _halfplanes_sql_literal(_polygon_filter_wkt())
 
     return {
+        **build_text_oracles(),
         "spatial_box_query": f"""
             SELECT fid, lon, lat, magnitude FROM {pts}
             WHERE lon >= {BOX[0]} AND lon <= {BOX[2]} AND lat >= {BOX[1]} AND lat <= {BOX[3]}
@@ -387,7 +389,10 @@ def build_oracles() -> dict[str, str]:
     }
 
 
+from geowave_spark.queries_text import TEXT_QUERIES  # noqa: E402
+
 QUERIES = {
+    **TEXT_QUERIES,
     "spatial_box_query": q_spatial_box_query,
     "spatial_box_temporal_query": q_spatial_box_temporal_query,
     "spatial_polygon_query": q_spatial_polygon_query,

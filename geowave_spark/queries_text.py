@@ -1,0 +1,326 @@
+"""Training-data pipeline query catalog: dedup / similarity / text analysis.
+
+Runs over the driver's own ``documents`` and ``embeddings`` parquet tables
+(pre-registered as DuckDB views for the oracle side).  Every oracle is an
+independent SQL re-implementation of the same deterministic algorithm —
+shared only through the cross-engine hash convention in
+``geowave_spark/functions/text.py`` (md5-prefix bigint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geowave_spark.functions.text import (
+    LANG_MARKERS,
+    MOD,
+    STOPWORDS,
+    doc_fingerprint,
+    doc_fingerprint_sql,
+    lang_id,
+    md5_long_sql,
+    tokens,
+    word_ngrams_sql,
+)
+from geowave_spark.operators.dedup import (
+    _A,
+    _B,
+    BANDS,
+    NUM_PERM,
+    ROWS_PER_BAND,
+    SHINGLE_N,
+    SIMHASH_BITS,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_dup_groups,
+)
+from geowave_spark.operators.similarity import SIGN_BITS, cosine_topk, lsh_bucketed_topk
+
+JACCARD_THRESHOLD = 0.3
+ANN_K = 10
+ANN_QUERY_MOD = 25  # queries = vec_id % 25 == 0
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- Spark side -------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(_docs(spark, sf_dir))
+    return sig.select(
+        F.col("sid").alias("doc_id"),
+        *[F.col(f"m{i}") for i in range(NUM_PERM)],
+        *[F.col(f"band{b}") for b in range(BANDS)],
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_dup_groups(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("n_stopwords"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", doc_fingerprint(tokens(F.col("text"))).alias("fingerprint"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", lang_id(tokens(F.col("text"))).alias("pred_lang"))
+
+
+def _ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _embs(spark, sf_dir)
+        .filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(_embs(spark, sf_dir), _ann_queries(spark, sf_dir), k=ANN_K)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_bucketed_topk(_embs(spark, sf_dir), _ann_queries(spark, sf_dir), k=ANN_K)
+
+
+# --- oracle SQL -------------------------------------------------------------
+
+_TOKS = "string_split(text, ' ')"
+_SHINGLES = f"list_distinct({word_ngrams_sql(_TOKS, SHINGLE_N)})"
+
+
+def _shingle_cte() -> str:
+    h = md5_long_sql("shingle")
+    return f"""
+        sh AS (
+          SELECT doc_id AS sid, {h} % {MOD} AS shv
+          FROM (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents))
+    """
+
+
+def _minhash_cte() -> str:
+    mins = ",\n".join(
+        f"COALESCE(MIN(({_A[i]} * shv + {_B[i]}) % {MOD}), {MOD}) AS m{i}"
+        for i in range(NUM_PERM)
+    )
+    return f"""
+        {_shingle_cte()},
+        mins AS (
+          SELECT d.doc_id AS sid, {mins}
+          FROM documents d LEFT JOIN sh ON sh.sid = d.doc_id
+          GROUP BY d.doc_id)
+    """
+
+
+def _band_exprs() -> list[str]:
+    out = []
+    for b in range(BANDS):
+        parts = ", ".join(
+            f"CAST(m{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        out.append(md5_long_sql(f"concat_ws('_', {parts})") + f" AS band{b}")
+    return out
+
+
+def build_text_oracles() -> dict[str, str]:
+    mins_cols = ", ".join(f"m{i}" for i in range(NUM_PERM))
+    bands = ", ".join(_band_exprs())
+    band_rows = " UNION ALL ".join(
+        f"SELECT sid, {b} AS band, band{b} AS bh FROM sig" for b in range(BANDS)
+    )
+    jaccard_tail = f"""
+        sizes AS (SELECT sid, count(*) AS n_sh FROM sh GROUP BY sid),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS n_int
+          FROM cands c
+          JOIN sh a ON a.sid = c.id_a
+          JOIN sh b ON b.sid = c.id_b AND b.shv = a.shv
+          GROUP BY c.id_a, c.id_b)
+        SELECT i.id_a, i.id_b,
+               CAST(i.n_int AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_int AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.sid = i.id_a
+        JOIN sizes sb ON sb.sid = i.id_b
+        WHERE CAST(i.n_int AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_int AS DOUBLE)
+              >= {JACCARD_THRESHOLD}
+    """
+
+    th = md5_long_sql("tok")
+    lang_score = {
+        lang: (
+            "len(list_filter("
+            + _TOKS
+            + ", t -> list_contains(["
+            + ", ".join(f"'{m}'" for m in markers)
+            + "], t)))"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)
+    # same strictly-greater argmax fold as functions.text.lang_id
+    pred = f"'{langs[0]}'"
+    best = lang_score[langs[0]]
+    for lang in langs[1:]:
+        pred = f"CASE WHEN {lang_score[lang]} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"GREATEST({best}, {lang_score[lang]})"
+
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, 65), i -> "
+        "CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))), "
+        "(acc, v) -> acc + v)"
+    )
+    nsq = (
+        lambda side: "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, 65), i -> "
+        f"CAST({side}.embedding[i] AS DOUBLE) * CAST({side}.embedding[i] AS DOUBLE))), "
+        "(acc, v) -> acc + v)"
+    )
+    cos = f"{dot} / sqrt({nsq('e')} * {nsq('q')})"
+    bucket = lambda side: " + ".join(
+        f"(CASE WHEN {side}.embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIGN_BITS)
+    )
+    probe_masks = "[0" + "".join(f", {1 << j}" for j in range(SIGN_BITS)) + "]"
+
+    stopword_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+    return {
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, MIN(doc_id) AS rep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_minhash_signatures": f"""
+            WITH {_minhash_cte()},
+            sig AS (SELECT sid, {mins_cols} FROM mins)
+            SELECT sid AS doc_id, {mins_cols}, {bands} FROM sig
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH {_minhash_cte()},
+            sig AS (SELECT sid, {mins_cols}, {bands} FROM mins),
+            bandrows AS ({band_rows}),
+            cands AS (
+              SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+              FROM bandrows a JOIN bandrows b
+                ON a.band = b.band AND a.bh = b.bh AND a.sid < b.sid),
+            {jaccard_tail}
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH {_shingle_cte()},
+            cands AS (
+              SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+              FROM sh a JOIN sh b ON a.shv = b.shv AND a.sid < b.sid),
+            {jaccard_tail}
+        """,
+        "dedup_simhash": f"""
+            WITH toks AS (
+              SELECT doc_id AS sid, {th} % {MOD} AS thv
+              FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)),
+            votes AS (
+              SELECT sid, bit,
+                     SUM(CASE WHEN (thv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM toks, (SELECT unnest(range(0, {SIMHASH_BITS})) AS bit)
+              GROUP BY sid, bit),
+            hashes AS (
+              SELECT sid, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+              FROM votes GROUP BY sid)
+            SELECT sid AS doc_id, simhash,
+                   count(*) OVER (PARTITION BY simhash) AS n_bucket,
+                   MIN(sid) OVER (PARTITION BY simhash) AS rep_id
+            FROM hashes
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS INT) AS n_tokens,
+                   CAST(len(list_filter({_TOKS},
+                        t -> list_contains([{stopword_list}], t))) AS INT) AS n_stopwords,
+                   CAST(len(list_distinct({_TOKS})) AS INT) AS n_distinct,
+                   CAST(length(text) AS INT) AS n_chars_actual
+            FROM documents
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id, {doc_fingerprint_sql(_TOKS)} AS fingerprint
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT doc_id, {pred} AS pred_lang FROM documents
+        """,
+        "ann_cosine_topk": f"""
+            SELECT qid, vec_id, rank FROM (
+              SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {cos} DESC, e.vec_id) AS rank
+              FROM embeddings e,
+                   (SELECT * FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0) q
+              WHERE e.vec_id <> q.vec_id)
+            WHERE rank <= {ANN_K}
+        """,
+        "ann_lsh_topk": f"""
+            WITH c AS (SELECT *, {bucket('e')} AS bucket FROM embeddings e),
+            qp AS (
+              SELECT q.vec_id, q.embedding, xor(qb.bucket, f.flip) AS bucket
+              FROM (SELECT e.*, {bucket('e')} AS bucket
+                    FROM embeddings e WHERE e.vec_id % {ANN_QUERY_MOD} = 0) qb,
+                   (SELECT unnest({probe_masks}) AS flip) f,
+                   LATERAL (SELECT qb.vec_id AS vec_id, qb.embedding AS embedding) q)
+            SELECT qid, vec_id, rank FROM (
+              SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {cos} DESC, e.vec_id) AS rank
+              FROM c e JOIN qp q ON e.bucket = q.bucket
+              WHERE e.vec_id <> q.vec_id)
+            WHERE rank <= {ANN_K}
+        """,
+    }
+
+
+TEXT_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_signatures": q_dedup_minhash_signatures,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "text_quality": q_text_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "lang_id": q_lang_id,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+}

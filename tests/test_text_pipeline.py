@@ -1,0 +1,148 @@
+"""Training-data pipeline operators: dedup family, similarity search, text
+analysis.  Properties are checked against independent numpy/python
+re-implementations at sf0.001 scale (the DuckDB oracle covers sf0.01)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def _py_hash(s: str) -> int:
+    """The shared cross-engine hash: first 15 hex chars of md5 as int."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+class TestDedup:
+    def test_exact_groups_partition_the_table(self, spark, docs):
+        from geowave_spark.operators.dedup import exact_dedup
+
+        out = exact_dedup(docs).collect()
+        assert sum(r.n_copies for r in out) == docs.count()
+        assert len({r.text_md5 for r in out}) == len(out)
+
+    def test_minhash_matches_python(self, spark, docs):
+        from geowave_spark.functions.text import MOD
+        from geowave_spark.operators.dedup import _A, _B, NUM_PERM, SHINGLE_N, minhash_signatures
+
+        sample = docs.limit(5).collect()
+        sig = {r.sid: r for r in minhash_signatures(docs.limit(5)).collect()}
+        for row in sample:
+            toks = row.text.split(" ")
+            shingles = {" ".join(toks[i : i + SHINGLE_N]) for i in range(len(toks) - SHINGLE_N + 1)}
+            hashes = [_py_hash(s) % MOD for s in shingles]
+            for i in range(NUM_PERM):
+                expect = min((_A[i] * h + _B[i]) % MOD for h in hashes) if hashes else MOD
+                assert sig[row.doc_id][f"m{i}"] == expect
+
+    def test_lsh_pairs_subset_of_exact_jaccard(self, spark, docs):
+        from geowave_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+        lsh = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, threshold=0.3).collect()}
+        exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+        # every LSH-surfaced pair is jaccard-verified, so lsh ⊆ exact
+        assert lsh <= exact
+
+    def test_simhash_deterministic_and_16bit(self, spark, docs):
+        from geowave_spark.operators.dedup import simhash
+
+        a = {(r.doc_id, r.simhash) for r in simhash(docs).collect()}
+        b = {(r.doc_id, r.simhash) for r in simhash(docs).collect()}
+        assert a == b
+        assert all(0 <= s < (1 << 16) for _, s in a)
+
+    def test_identical_texts_identical_signatures(self, spark):
+        from geowave_spark.operators.dedup import minhash_signatures, simhash
+
+        rows = [(1, "storm hail wind track sensor doc span region"), (2, "storm hail wind track sensor doc span region"), (3, "completely different words entirely here now")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sig = {r.sid: tuple(r[f"m{i}"] for i in range(16)) for r in minhash_signatures(df).collect()}
+        assert sig[1] == sig[2] != sig[3]
+        sh = {r.doc_id: r.simhash for r in simhash(df).collect()}
+        assert sh[1] == sh[2]
+
+
+class TestSimilarity:
+    def test_bruteforce_matches_numpy(self, spark, embs):
+        from geowave_spark.operators.similarity import cosine_topk
+
+        queries = (
+            embs.filter(F.col("vec_id") % 25 == 0)
+            .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        )
+        out = cosine_topk(embs, queries, k=5)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.qid, []).append((r.rank, r.vec_id))
+        mat = np.array([r.embedding for r in embs.orderBy("vec_id").collect()], dtype=np.float64)
+        ids = [r.vec_id for r in embs.orderBy("vec_id").collect()]
+        norms = np.linalg.norm(mat, axis=1)
+        for qid, ranked in got.items():
+            qi = ids.index(qid)
+            cos = (mat @ mat[qi]) / (norms * norms[qi])
+            order = sorted(
+                (i for i in range(len(ids)) if ids[i] != qid),
+                key=lambda i: (-cos[i], ids[i]),
+            )[:5]
+            expect = [ids[i] for i in order]
+            assert [v for _, v in sorted(ranked)] == expect
+
+    def test_lsh_recall_reasonable(self, spark, embs):
+        from geowave_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+
+        queries = (
+            embs.filter(F.col("vec_id") % 25 == 0)
+            .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        )
+        exact = {(r.qid, r.vec_id) for r in cosine_topk(embs, queries, k=5).collect()}
+        # 4 sign bits on 500 vectors: ~31/bucket, 5 probes -> ~150 candidates
+        approx = {
+            (r.qid, r.vec_id) for r in lsh_bucketed_topk(embs, queries, k=5, bits=4).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.3
+
+
+class TestTextFunctions:
+    def test_fingerprint_is_order_sensitive(self, spark):
+        from geowave_spark.functions.text import doc_fingerprint, tokens
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "gamma beta alpha")], "id long, text string"
+        )
+        out = {r.id: r.fp for r in df.select("id", doc_fingerprint(tokens(F.col("text"))).alias("fp")).collect()}
+        assert out[1] != out[2]
+
+    def test_fingerprint_matches_python(self, spark):
+        from geowave_spark.functions.text import MOD, doc_fingerprint, tokens
+
+        text = "key agg row scan slow fast table"
+        df = spark.createDataFrame([(1, text)], "id long, text string")
+        (got,) = df.select(doc_fingerprint(tokens(F.col("text"))).alias("fp")).collect()[0]
+        h = 0
+        for t in text.split(" "):
+            h = (h * 31 + _py_hash(t) % MOD) % MOD
+        assert got == h
+
+    def test_lang_id_markers(self, spark):
+        from geowave_spark.functions.text import lang_id, tokens
+
+        df = spark.createDataFrame(
+            [(1, "the value of the table"), (2, "der und das ist nicht die"), (3, "le la les et est")],
+            "id long, text string",
+        )
+        out = {r.id: r.lang for r in df.select("id", lang_id(tokens(F.col("text"))).alias("lang")).collect()}
+        assert out == {1: "en", 2: "de", 3: "fr"}
