@@ -51,6 +51,70 @@ def _force(df) -> int:
     return 0
 
 
+def _scaling_input(spark, replicas: int = 20):
+    """Deterministic large input: sf0.1 points replicated `replicas` times
+    with distinct fids (4.8M points) — same bytes at every parallelism level."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark.datagen import ensure_geo_tables
+
+    d = ensure_geo_tables("sf0.1")
+    pts = spark.read.parquet(str(d / "points.parquet"))
+    reps = spark.range(replicas).select(F.col("id").alias("_rep"))
+    big = (
+        pts.crossJoin(F.broadcast(reps))
+        .withColumn("fid", F.concat_ws("#", "fid", F.col("_rep").cast("string")))
+        .drop("_rep")
+        # the 240k-row source is one parquet file -> one input split; a real
+        # 4.8M-point table would arrive as many files.  Fix the partition
+        # count (identical at every parallelism level) so the measurement
+        # exercises the engine, not the synthetic input's file layout.
+        .repartition(256)
+    )
+    return big, spark.read.parquet(str(d / "zones.parquet"))
+
+
+def run_scaling_job(cpus: str) -> None:
+    """One scaling measurement (invoked per parallelism level in a fresh
+    process): Hilbert encode + cell-bucketed PIP join + KDE pyramid over the
+    replicated corpus; prints one JSON line with docs/sec."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark.operators.kde import kde_pyramid
+    from geowave_spark.operators.spatial_join import pip_join
+    from geowave_spark.session import get_spark
+
+    spark = get_spark("geowave-scaling", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    pts, zones = _scaling_input(spark)
+    zones = zones.filter(F.col("zclass") == "convex")
+    n = pts.count()  # also warms the input scan
+
+    t0 = time.perf_counter()
+    _force(pip_join(pts, zones).select("fid", "zone_id"))
+    t_join = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    _force(kde_pyramid(pts, min_level=4, max_level=7, tile_size=4))
+    t_kde = time.perf_counter() - t0
+
+    total = t_join + t_kde
+    print(
+        json.dumps(
+            {
+                "job": "scaling",
+                "cpus": int(cpus),
+                "n_points": n,
+                "pip_join_sec": round(t_join, 3),
+                "kde_sec": round(t_kde, 3),
+                "total_sec": round(total, 3),
+                "docs_per_sec": round(n / total, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -102,4 +166,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-job":
+        run_scaling_job(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    else:
+        main()

@@ -91,13 +91,20 @@ def kde_pyramid(
         .drop("_max", "_total")
     )
 
+    return with_tile_columns(cells, tile_size)
+
+
+def with_tile_columns(cells: DataFrame, tile_size: int) -> DataFrame:
+    """Tile decomposition of (level, cell_id) rows per
+    `AccumuloKDEReducer.fromCellIndexToTileInfo` (:186-209): post grid ->
+    (tile_x, tile_y, px, py) with raster y inversion, tile west/south edges."""
     ts = F.lit(tile_size)
     n_y_posts = F.expr(f"shiftleft(1L, level) * {tile_size}")
     num_x_tiles = F.expr("shiftleft(2L, level)")
     num_y_tiles = F.expr("shiftleft(1L, level)")
     x_post = (F.col("cell_id") / n_y_posts).cast("long")
     y_post = F.col("cell_id") % n_y_posts
-    out = (
+    return (
         cells.withColumn("tile_x", (x_post / ts).cast("long"))
         .withColumn("tile_y", (y_post / ts).cast("long"))
         .withColumn("px", (x_post % ts).cast("int"))
@@ -105,7 +112,34 @@ def kde_pyramid(
         .withColumn("tile_west", (F.col("tile_x") * 360.0) / num_x_tiles - 180.0)
         .withColumn("tile_south", (F.col("tile_y") * 180.0) / num_y_tiles - 90.0)
     )
-    return out
+
+
+def resize_pyramid(cells: DataFrame, old_tile_size: int, new_tile_size: int) -> DataFrame:
+    """R7 tile resize without recomputation: numXPosts = 2^(L+1) * tileSize,
+    so halving the tile size while incrementing the level keeps the exact
+    post grid — `cell_id`, weights, normalized and percentile bands are all
+    invariant; only the tile decomposition changes.  This is the property
+    `KDERasterResizeIT.testSamplesMatch` asserts pixel-for-pixel
+    (`RasterTileResizeJobRunner.java:1-338` does it the hard way, re-keying
+    every tile through a mapper).
+
+    Requires old/new to be a power-of-two ratio.  Catalyst-only: zero
+    shuffle, zero Python.
+    """
+    import math
+
+    ratio = old_tile_size / new_tile_size
+    shift = int(math.log2(ratio))
+    if 2**shift != ratio or shift < 0:
+        raise ValueError("tile-size ratio must be a power of two >= 1")
+    base = cells.select(
+        (F.col("level") + shift).alias("level"),
+        "cell_id",
+        "weight_scaled",
+        "normalized",
+        "percentile",
+    )
+    return with_tile_columns(base, new_tile_size)
 
 
 def kde_oracle_sql(points_path: str, min_level: int, max_level: int, tile_size: int) -> str:

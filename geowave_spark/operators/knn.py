@@ -30,11 +30,18 @@ from geowave_spark.sfc import DEFAULT_CONFIG, SpatialConfig, cells_covering_bbox
 from .indexing import cell_at_tier, with_point_cells
 
 
-def tier_for_distance(distance_deg: float, cfg: SpatialConfig = DEFAULT_CONFIG) -> int:
+def tier_for_distance(
+    distance_deg: float, cfg: SpatialConfig = DEFAULT_CONFIG, margin_bits: int = 0
+) -> int:
     """Finest defined tier whose cell size >= 2*distance (the reference's
     partitioner grid rule, AbstractPartitioner.java:241-280: bits =
-    log2(range / (2d)))."""
-    bits = int(np.floor(np.log2(360.0 / max(2.0 * distance_deg, 1e-12))))
+    log2(range / (2d))).
+
+    ``margin_bits`` tightens the grid beyond the reference rule: each extra
+    bit halves the cell size, shrinking the candidate set ~4x at the cost of
+    more (still few) probe cells per query — worth it whenever the data is
+    denser than one candidate page per 2d-cell (hot clusters)."""
+    bits = int(np.floor(np.log2(360.0 / max(2.0 * distance_deg, 1e-12)))) + margin_bits
     usable = [t for t in cfg.tiers if 0 < t <= bits]
     return max(usable) if usable else min(t for t in cfg.tiers if t > 0)
 
@@ -70,14 +77,24 @@ def knn_join(
     lat_col: str = "lat",
     cfg: SpatialConfig = DEFAULT_CONFIG,
     point_cell_col: str | None = None,
+    margin_bits: int = 2,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """For each query point: its k nearest data points within max_distance.
 
     Output: (qid, fid, dist_sq, rank) — dist_sq is the exact squared planar
     degree distance (identical IEEE ops to the SQL oracle), rank 1..k ordered
     by (dist_sq, fid).
+
+    Skew handling (hot clusters make some queries see 10^4+ in-distance
+    candidates): top-k runs in two phases — a salted partial top-k over
+    (qid, hash(fid) % salt_buckets), then a final top-k over the <=
+    k*salt_buckets survivors per query.  This is the reference's per-cell
+    ``upperBoundPerPartition`` bound (`NNProcessor.java:69,111-116`)
+    re-expressed as bounded-depth windows, and keeps the heavy sort spread
+    over salt_buckets x queries partitions instead of one per query.
     """
-    bits = tier_for_distance(max_distance_deg, cfg)
+    bits = tier_for_distance(max_distance_deg, cfg, margin_bits)
     q = queries.withColumn(
         "_qcell",
         F.explode(
@@ -89,7 +106,11 @@ def knn_join(
     if point_cell_col is None:
         points = with_point_cells(points, lon_col, lat_col, cfg, cell_col="_pcell").drop("tier")
         point_cell_col = "_pcell"
-    probe = points.withColumn("_jcell", cell_at_tier(F.col(point_cell_col), cfg.finest, bits))
+    # non-nullable join key (coalesce w/ sentinel) so the encode UDF is not
+    # re-evaluated by an inferred isnotnull pre-filter
+    probe = points.withColumn(
+        "_jcell", F.coalesce(cell_at_tier(F.col(point_cell_col), cfg.finest, bits), F.lit(-1))
+    )
 
     dx = F.col(lon_col) - F.col(query_lon_col)
     dy = F.col(lat_col) - F.col(query_lat_col)
@@ -97,7 +118,17 @@ def knn_join(
         probe.join(F.broadcast(q), probe["_jcell"] == q["_qcell"], "inner")
         .withColumn("dist_sq", dx * dx + dy * dy)
         .filter(F.col("dist_sq") <= max_distance_deg * max_distance_deg)
+        # shed every payload column before the topk shuffle: the window sees
+        # 12-byte rows, not WKT strings
+        .select(query_id_col, id_col, "dist_sq")
     )
+    if salt_buckets > 1:
+        partial = Window.partitionBy(query_id_col, "_salt").orderBy("dist_sq", id_col)
+        joined = (
+            joined.withColumn("_salt", F.pmod(F.hash(F.col(id_col)), F.lit(salt_buckets)))
+            .withColumn("_prank", F.row_number().over(partial))
+            .filter(F.col("_prank") <= k)
+        )
     w = Window.partitionBy(query_id_col).orderBy("dist_sq", id_col)
     out = (
         joined.withColumn("rank", F.row_number().over(w))
@@ -105,6 +136,89 @@ def knn_join(
         .select(query_id_col, id_col, "dist_sq", "rank")
     )
     return out
+
+
+def knn_join_adaptive(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    max_distance_deg: float,
+    *,
+    query_id_col: str = "qid",
+    query_lon_col: str = "qlon",
+    query_lat_col: str = "qlat",
+    id_col: str = "fid",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cfg: SpatialConfig = DEFAULT_CONFIG,
+    start_fraction: float = 1.0 / 16.0,
+    expansion_factor: float = 4.0,
+) -> DataFrame:
+    """Ring-expansion kNN: identical output to :func:`knn_join`, but the
+    search radius starts at ``max_distance * start_fraction`` and expands
+    geometrically, re-running only the queries that have not yet found k
+    neighbors.
+
+    Why: with a generous distance bound over skewed data, the fixed-radius
+    join materializes every in-distance pair (10^4+ per hot-cluster query)
+    only to keep k.  A query satisfied at radius r < d has its true top-k
+    already (everything unseen is farther than r), so each round retires the
+    dense queries while sparse-region queries escalate cheaply — total pair
+    volume drops orders of magnitude.  This is the kNN analog of the
+    reference's tier walk (finest tier first, coarsen until the entry fits,
+    `TieredSFCIndexStrategy.java:162-195`).
+
+    Driver-side loop cost: one count-aggregate job per round over <= |queries|
+    rows; round outputs are <= k*|queries| rows and are cached before the
+    final union.
+    """
+    radii = []
+    r = max_distance_deg * start_fraction
+    while r < max_distance_deg:
+        radii.append(r)
+        r *= expansion_factor
+    radii.append(max_distance_deg)
+
+    # encode the big side once at the finest tier; per-round probe cells are
+    # JVM bit-shifts of the cached key
+    probe = with_point_cells(points, lon_col, lat_col, cfg, cell_col="_pcell").drop("tier")
+    probe = probe.select(id_col, lon_col, lat_col, "_pcell").cache()
+
+    remaining = queries
+    chunks = []
+    for i, radius in enumerate(radii):
+        is_last = i == len(radii) - 1
+        out = knn_join(
+            remaining,
+            probe,
+            k,
+            radius,
+            query_id_col=query_id_col,
+            query_lon_col=query_lon_col,
+            query_lat_col=query_lat_col,
+            id_col=id_col,
+            lon_col=lon_col,
+            lat_col=lat_col,
+            cfg=cfg,
+            point_cell_col="_pcell",
+        ).localCheckpoint()  # materialize (<= k*|queries| rows), cut lineage
+        if is_last:
+            chunks.append(out)
+            break
+        counts = out.groupBy(query_id_col).agg(F.count("*").alias("_n"))
+        satisfied = [
+            row[0] for row in counts.filter(F.col("_n") >= k).select(query_id_col).collect()
+        ]
+        if satisfied:
+            chunks.append(out.filter(F.col(query_id_col).isin(satisfied)))
+            remaining = remaining.filter(~F.col(query_id_col).isin(satisfied))
+        if not remaining.take(1):
+            break
+    probe.unpersist()  # round outputs are checkpointed; the big cache can go
+    result = chunks[0]
+    for c in chunks[1:]:
+        result = result.unionByName(c)
+    return result
 
 
 def knn_join_brute(

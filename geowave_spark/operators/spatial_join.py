@@ -194,6 +194,10 @@ def pip_join(
     if point_cell_col is None:
         points = with_point_cells(points, lon_col, lat_col, cfg, cell_col="_pcell").drop("tier")
         point_cell_col = "_pcell"
+        if mode == "tiered":
+            # the tier loop unions one probe scan per tier: cache the encoded
+            # probe so the (Python) encode UDF runs once, not once per tier
+            points = points.persist()
 
     # avoid name collisions with the probe side (points may carry their own
     # geom_wkt); the zone geometry travels as _zwkt through the join
@@ -212,8 +216,12 @@ def pip_join(
         for t in sorted(tiers, reverse=True):
             build = zcells.filter(F.col("_ztier") == t).drop("_ztier")
             build = F.broadcast(build) if broadcast_zones else build
+            # coalesce makes the join key non-nullable so Catalyst skips the
+            # isnotnull pre-filter that would re-evaluate the encode UDF on
+            # every probe row (sentinel -1 never equals a real cell)
             probe = points.withColumn(
-                "_jcell", cell_at_tier(F.col(point_cell_col), cfg.finest, int(t))
+                "_jcell",
+                F.coalesce(cell_at_tier(F.col(point_cell_col), cfg.finest, int(t)), F.lit(-1)),
             )
             parts.append(probe.join(build, probe["_jcell"] == build["_zcell"], "inner"))
         joined = parts[0]
@@ -227,7 +235,8 @@ def pip_join(
         )
         build = F.broadcast(zcells) if broadcast_zones else zcells
         probe = points.withColumn(
-            "_jcell", cell_at_tier(F.col(point_cell_col), cfg.finest, cover_bits)
+            "_jcell",
+            F.coalesce(cell_at_tier(F.col(point_cell_col), cfg.finest, cover_bits), F.lit(-1)),
         )
         joined = probe.join(build, probe["_jcell"] == build["_zcell"], "inner")
 

@@ -222,11 +222,11 @@ def _knn_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2: distance-bounded kNN with ring-expansion cells (broadcast queries)."""
-    from geowave_spark.operators.knn import knn_join
+    """J2: distance-bounded kNN, adaptive ring expansion (broadcast queries)."""
+    from geowave_spark.operators.knn import knn_join_adaptive
 
     pts = _geo(spark, sf_dir, "points")
-    return knn_join(_knn_queries(spark, sf_dir), pts, k=KNN_K, max_distance_deg=KNN_DIST)
+    return knn_join_adaptive(_knn_queries(spark, sf_dir), pts, k=KNN_K, max_distance_deg=KNN_DIST)
 
 
 KDE_MIN_LEVEL, KDE_MAX_LEVEL, KDE_TILE_SIZE = 4, 6, 4
@@ -240,6 +240,104 @@ def q_kde_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _geo(spark, sf_dir, "points")
     return kde_pyramid(
         pts, min_level=KDE_MIN_LEVEL, max_level=KDE_MAX_LEVEL, tile_size=KDE_TILE_SIZE
+    )
+
+
+def q_kde_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7: tile resize (tileSize 4 -> 2).  The oracle computes the pyramid
+    directly at tileSize 2 — bit-for-bit equality is the reference's
+    KDERasterResizeIT.testSamplesMatch contract."""
+    from geowave_spark.operators.kde import kde_pyramid, resize_pyramid
+
+    pts = _geo(spark, sf_dir, "points")
+    tiles4 = kde_pyramid(
+        pts, min_level=KDE_MIN_LEVEL, max_level=KDE_MAX_LEVEL, tile_size=KDE_TILE_SIZE
+    )
+    return resize_pyramid(tiles4, old_tile_size=KDE_TILE_SIZE, new_tile_size=KDE_TILE_SIZE // 2)
+
+
+def q_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: fixed-bin numeric histogram of magnitude (width-10 bins)."""
+    pts = _geo(spark, sf_dir, "points")
+    return (
+        pts.withColumn("bin", F.floor(F.col("magnitude") / 10).cast("long"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("magnitude").alias("bin_min"),
+            F.max("magnitude").alias("bin_max"),
+        )
+    )
+
+
+def q_percentile_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 analog: exact percentiles per category (HdrHistogram stand-in —
+    Spark's exact percentile; at scale swap for approx_percentile)."""
+    pts = _geo(spark, sf_dir, "points")
+    return pts.groupBy("category").agg(
+        F.percentile("magnitude", F.lit(0.25)).alias("p25"),
+        F.percentile("magnitude", F.lit(0.5)).alias("p50"),
+        F.percentile("magnitude", F.lit(0.9)).alias("p90"),
+    )
+
+
+def q_distinct_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 surface (exact twin of FeatureHyperLogLogStatistics; swap in
+    approx_count_distinct at scale) over the events stream table."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_cql_attribute_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: CQL-style attribute predicate — Spark SQL expr is a CQL superset."""
+    pts = _geo(spark, sf_dir, "points")
+    return pts.filter(
+        F.expr(
+            "magnitude >= 50 AND category IN ('cat1', 'cat3') "
+            "AND lon BETWEEN -80 AND -60"
+        )
+    ).select("fid", "lon", "lat", "magnitude", "category")
+
+
+def q_text_like_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 text secondary-index predicate (LikeFilter analog)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.filter(F.col("text").like("%table value%")).select("doc_id", "n_chars")
+
+
+def q_spatiotemporal_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6: spatio-temporal binning — YEAR time bins (TemporalBinningStrategy
+    default) x tier-11 spatial cells; per-bin cell/point counts."""
+    from geowave_spark.operators.indexing import cell_at_tier, with_point_cells
+    from geowave_spark.sfc import DEFAULT_CONFIG
+
+    pts = with_point_cells(_geo(spark, sf_dir, "points"))
+    binned = pts.withColumn("year", F.year("event_ts")).withColumn(
+        "cell11", cell_at_tier(F.col("cell"), DEFAULT_CONFIG.finest, 11)
+    )
+    per_cell = binned.groupBy("year", "cell11").agg(F.count("*").alias("n"))
+    return per_cell.groupBy("year").agg(
+        F.count("*").alias("n_cells"),
+        F.sum("n").alias("n_points"),
+        F.max("n").alias("max_cell_points"),
+    )
+
+
+def q_events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling calendar windows over the events stream table (the
+    reference's only window construct is temporal binning, §2.9) — same plan
+    shape Structured Streaming uses for windowed aggs."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
     )
 
 
@@ -378,6 +476,59 @@ def build_oracles() -> dict[str, str]:
         "kde_tiles": kde_oracle_sql(
             f"{g}/points.parquet", KDE_MIN_LEVEL, KDE_MAX_LEVEL, KDE_TILE_SIZE
         ),
+        # resize(4 -> 2) must equal the pyramid computed directly at tileSize
+        # 2 on levels shifted by +1 (same post grid)
+        "kde_resize": kde_oracle_sql(
+            f"{g}/points.parquet", KDE_MIN_LEVEL + 1, KDE_MAX_LEVEL + 1, KDE_TILE_SIZE // 2
+        ),
+        "histogram_fixed_bins": f"""
+            SELECT CAST(FLOOR(magnitude / 10) AS BIGINT) AS bin,
+                   count(*) AS n,
+                   MIN(magnitude) AS bin_min,
+                   MAX(magnitude) AS bin_max
+            FROM {pts} GROUP BY 1
+        """,
+        "percentile_by_category": f"""
+            SELECT category,
+                   quantile_cont(magnitude, 0.25) AS p25,
+                   quantile_cont(magnitude, 0.5) AS p50,
+                   quantile_cont(magnitude, 0.9) AS p90
+            FROM {pts} GROUP BY category
+        """,
+        "distinct_count_stats": """
+            SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "cql_attribute_filter": f"""
+            SELECT fid, lon, lat, magnitude, category FROM {pts}
+            WHERE magnitude >= 50 AND category IN ('cat1', 'cat3')
+              AND lon BETWEEN -80 AND -60
+        """,
+        "text_like_query": """
+            SELECT doc_id, n_chars FROM documents WHERE text LIKE '%table value%'
+        """,
+        "spatiotemporal_bins": f"""
+            WITH binned AS (
+              SELECT date_part('year', event_ts) AS year,
+                     CAST(GREATEST(CEIL(((lon + 180.0) / 360.0) * 2048) - 1, 0) AS BIGINT) AS xb,
+                     CAST(GREATEST(CEIL(((LEAST(GREATEST(lat, -90.0), 90.0) + 180.0) / 360.0) * 2048) - 1, 0) AS BIGINT) AS yb
+              FROM {pts}),
+            per_cell AS (
+              SELECT year, xb, yb, count(*) AS n FROM binned GROUP BY year, xb, yb)
+            SELECT CAST(year AS INT) AS year,
+                   count(*) AS n_cells,
+                   SUM(n) AS n_points,
+                   MAX(n) AS max_cell_points
+            FROM per_cell GROUP BY year
+        """,
+        "events_windowed_counts": """
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   count(*) AS n,
+                   count(DISTINCT user_id) AS n_users,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
         "stats_summary": f"""
             SELECT category,
                    CAST(count(*) AS BIGINT) AS n,
@@ -407,4 +558,12 @@ QUERIES = {
     "stats_summary": q_stats_summary,
     "knn_join": q_knn_join,
     "kde_tiles": q_kde_tiles,
+    "kde_resize": q_kde_resize,
+    "histogram_fixed_bins": q_histogram_fixed_bins,
+    "percentile_by_category": q_percentile_by_category,
+    "distinct_count_stats": q_distinct_count_stats,
+    "cql_attribute_filter": q_cql_attribute_filter,
+    "text_like_query": q_text_like_query,
+    "spatiotemporal_bins": q_spatiotemporal_bins,
+    "events_windowed_counts": q_events_windowed_counts,
 }

@@ -98,6 +98,19 @@ class TestKnn:
         b = {tuple(r) for r in knn_join_brute(q, pts, k=5, max_distance_deg=1.5).collect()}
         assert a == b and len(a) > 0
 
+    def test_adaptive_equals_fixed(self, spark, geo001):
+        from geowave_spark.operators.knn import knn_join, knn_join_adaptive
+
+        pts = _pts(spark, geo001)
+        q = (
+            pts.filter(F.col("fid").endswith("0"))
+            .select(F.col("fid").alias("qid"), F.col("lon").alias("qlon"), F.col("lat").alias("qlat"))
+            .limit(80)
+        )
+        a = {tuple(r) for r in knn_join(q, pts, k=5, max_distance_deg=1.5).collect()}
+        b = {tuple(r) for r in knn_join_adaptive(q, pts, k=5, max_distance_deg=1.5).collect()}
+        assert a == b and len(a) > 0
+
     def test_distance_bound_respected(self, spark, geo001):
         from geowave_spark.operators.knn import knn_join
 
