@@ -1,0 +1,124 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with typed metadata — the
+pattern the docs table's ``media`` spans point at via ``media_ref``.  The
+Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas signatures,
+partitioning) is real and tested; the actual codec step is STUBBED because
+this container ships no image/audio libraries:
+
+- ``decode_media(..., codec="fake")`` produces a deterministic fake decode
+  (seeded by the payload hash) with the same schema a real decoder would
+  emit — tests and downstream feature extraction run against it;
+- ``codec="real"`` raises ``NotImplementedError`` with the exact integration
+  point documented (swap in PIL/libav inside ``_decode_batch``).
+
+Scale shape: decode and feature extraction run in ``mapInPandas`` so one
+Arrow batch amortizes per-batch model/codec setup; media rows are
+repartitioned by ``media_ref`` hash so any per-ref cache locality is
+preserved and no executor sees a skewed share of the (large) binary column.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_ref string, media_type string, content binary, "
+    "width int, height int, n_frames int"
+)
+
+DECODED_SCHEMA = (
+    "media_ref string, media_type string, width int, height int, "
+    "n_frames int, pixels array<float>"
+)
+
+FEATURES_SCHEMA = "media_ref string, feature array<float>, feat_norm double"
+
+FAKE_DECODE_DIM = 16  # fake decodes are FAKE_DECODE_DIM^2 "pixels"
+
+
+def _fake_pixels(content: bytes, n: int) -> np.ndarray:
+    """Deterministic stand-in decode: pixels derived from the payload hash —
+    stable across engines/runs, so downstream tests are exact."""
+    seed = int.from_bytes(hashlib.md5(content or b"").digest()[:4], "big")
+    rng = np.random.RandomState(seed)
+    return rng.uniform(0.0, 1.0, n).astype(np.float32)
+
+
+def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
+    """Binary payload -> pixel array rows (mapInPandas, Arrow-batched)."""
+    if codec == "real":
+        raise NotImplementedError(
+            "real codecs are not available in this environment; plug a "
+            "PIL/libav call into _decode_batch (same schema, same batching)"
+        )
+    if codec != "fake":
+        raise ValueError(f"unknown codec {codec!r}")
+
+    n_px = FAKE_DECODE_DIM * FAKE_DECODE_DIM
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["media_ref", "media_type", "width", "height", "n_frames"]].copy()
+            out["pixels"] = [_fake_pixels(c, n_px) for c in pdf["content"]]
+            yield out
+
+    return media.repartition(F.col("media_ref")).mapInPandas(_decode_batch, DECODED_SCHEMA)
+
+
+def extract_features(decoded: DataFrame, dim: int = 8) -> DataFrame:
+    """Decoded pixels -> fixed-dim feature vector (mean-pooled blocks) +
+    L2 norm.  Vectorized numpy per Arrow batch; the real model swap-in point
+    keeps this exact signature."""
+
+    def _feat_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            norms = []
+            for px in pdf["pixels"]:
+                v = np.asarray(px, dtype=np.float64)
+                blocks = np.array_split(v, dim)
+                f = np.array([b.mean() if len(b) else 0.0 for b in blocks], dtype=np.float32)
+                feats.append(f)
+                norms.append(float(np.sqrt((f.astype(np.float64) ** 2).sum())))
+            yield pd.DataFrame(
+                {"media_ref": pdf["media_ref"], "feature": feats, "feat_norm": norms}
+            )
+
+    return decoded.mapInPandas(_feat_batch, FEATURES_SCHEMA)
+
+
+def frame_sample(decoded: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Video-style frame sampling: keep every n-th frame index row.  For the
+    single-frame fake decode this is a pass-through filter on n_frames — the
+    plumbing (explode frames -> filter -> regroup) is what a real video
+    pipeline reuses."""
+    frames = decoded.withColumn(
+        "frame_idx", F.explode(F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0))))
+    )
+    return frames.filter(F.col("frame_idx") % every_nth == 0)
+
+
+def synth_media_table(spark, docs: DataFrame) -> DataFrame:
+    """Deterministic media table for every media_ref in the docs corpus:
+    payload bytes derived from the ref (opaque but stable)."""
+    refs = (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+    return refs.select(
+        "media_ref",
+        F.lit("image/fake").alias("media_type"),
+        F.sha2(F.col("media_ref"), 256).cast("binary").alias("content"),
+        F.lit(FAKE_DECODE_DIM).cast("int").alias("width"),
+        F.lit(FAKE_DECODE_DIM).cast("int").alias("height"),
+        F.lit(1).cast("int").alias("n_frames"),
+    )

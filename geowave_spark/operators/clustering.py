@@ -1,0 +1,202 @@
+"""Clustering operators: K-means (J4) and DBSCAN (J5).
+
+Mirrors the reference analytics suite re-expressed as DataFrame loops:
+
+- **K-means** (`analytics/mapreduce/.../kmeans/KMeansMapReduce.java`,
+  runners in `kmeans/runner/`): assignment is a broadcast nearest-centroid
+  join (`NestedGroupCentroidAssignment` -> our crossJoin(broadcast) +
+  min_by), update is one partial+final aggregation per iteration.  Init is
+  deterministic (hash-ranked sample — the seeded analog of the k-means||
+  sampler `KSamplerMapReduce.java`).
+- **DBSCAN** (`analytics/mapreduce/.../dbscan/DBScanMapReduce.java:83-199`):
+  the reference J1-partitions by cell, clusters locally with a minOwners
+  density rule, then iteratively merges cross-cell clusters across job
+  rounds (`DBScanIterationsJobRunner`).  Here: the epsilon-neighbor edge set
+  comes from the same cell-bucketed self-join (each pair meets in exactly
+  one cell — the finer-grid dedup trick), core points by degree, and the
+  cross-cell merge is label propagation (min-label flood) over core-core
+  edges until fixpoint — each round one shuffle, iteration count logarithmic
+  in cluster diameter.
+
+Determinism: cluster ids are the minimum member id of the component, ties in
+assignment break on centroid index / neighbor id, so outputs are stable and
+test-comparable against brute-force python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geowave_spark.sfc import DEFAULT_CONFIG, SpatialConfig
+
+from .indexing import cell_at_tier, with_point_cells
+from .knn import expansion_cells_udf, tier_for_distance
+
+
+def kmeans(
+    points: DataFrame,
+    k: int,
+    max_iters: int = 10,
+    id_col: str = "fid",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> tuple[DataFrame, list[tuple[float, float]]]:
+    """Lloyd iterations with broadcast centroids.
+
+    Returns (assignments DF: id, cluster, dist_sq; final centroids list).
+    Deterministic: init = the k points with the smallest md5-prefix hash of
+    their id (a seeded uniform sample without an RNG, reproducible in any
+    engine), assignment ties -> lowest cluster index.  Each iteration is one
+    crossJoin(broadcast(k rows)) + min_by and one groupBy(cluster).avg —
+    partial aggregation keeps the shuffle at k rows per partition.
+    """
+    from geowave_spark.functions.text import md5_long
+
+    pts = points.select(id_col, lon_col, lat_col).cache()
+    init = (
+        pts.withColumn("_h", md5_long(F.col(id_col)))
+        .orderBy("_h")
+        .limit(k)
+        .select(lon_col, lat_col)
+        .collect()
+    )
+    centroids = [(float(r[0]), float(r[1])) for r in init]
+
+    assign = None
+    for _ in range(max_iters):
+        spark = pts.sparkSession
+        cdf = spark.createDataFrame(
+            [(i, cx, cy) for i, (cx, cy) in enumerate(centroids)], "cluster int, cx double, cy double"
+        )
+        d2 = (F.col(lon_col) - F.col("cx")) ** 2 + (F.col(lat_col) - F.col("cy")) ** 2
+        scored = pts.crossJoin(F.broadcast(cdf)).withColumn("dist_sq", d2)
+        w = Window.partitionBy(id_col).orderBy("dist_sq", "cluster")
+        assign = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(id_col, "cluster", "dist_sq", lon_col, lat_col)
+        )
+        new_rows = (
+            assign.groupBy("cluster")
+            .agg(F.avg(lon_col).alias("cx"), F.avg(lat_col).alias("cy"))
+            .collect()
+        )
+        new_centroids = list(centroids)
+        for r in new_rows:
+            new_centroids[r.cluster] = (float(r.cx), float(r.cy))
+        moved = max(
+            (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2 for a, b in zip(centroids, new_centroids)
+        )
+        centroids = new_centroids
+        if moved < 1e-12:
+            break
+    pts.unpersist()
+    return assign.select(id_col, "cluster", "dist_sq"), centroids
+
+
+def _eps_edges(
+    points: DataFrame,
+    eps: float,
+    id_col: str,
+    lon_col: str,
+    lat_col: str,
+    cfg: SpatialConfig,
+) -> DataFrame:
+    """Symmetric epsilon-neighborhood edges (a != b) via the cell-bucketed
+    self-join: left side explodes to expansion cells of its eps-ball, right
+    side sits in its single home cell -> each (a, b) pair meets exactly once,
+    no dedup shuffle (J1 pair-uniqueness invariant)."""
+    bits = tier_for_distance(eps, cfg, margin_bits=2)
+    pts = with_point_cells(points.select(id_col, lon_col, lat_col), lon_col, lat_col, cfg, cell_col="_pc")
+    home = pts.withColumn("_cell", F.coalesce(cell_at_tier(F.col("_pc"), cfg.finest, bits), F.lit(-1)))
+    left = (
+        pts.withColumn(
+            "_cell", F.explode(expansion_cells_udf(eps, bits, cfg)(F.col(lon_col), F.col(lat_col)))
+        )
+        .select(
+            F.col(id_col).alias("a"),
+            F.col(lon_col).alias("ax"),
+            F.col(lat_col).alias("ay"),
+            "_cell",
+        )
+    )
+    right = home.select(
+        F.col(id_col).alias("b"), F.col(lon_col).alias("bx"), F.col(lat_col).alias("by"), "_cell"
+    )
+    d2 = (F.col("ax") - F.col("bx")) ** 2 + (F.col("ay") - F.col("by")) ** 2
+    return (
+        left.join(right, "_cell")
+        .filter(F.col("a") != F.col("b"))
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= eps * eps)
+        .select("a", "b")
+    )
+
+
+def dbscan(
+    points: DataFrame,
+    eps: float,
+    min_pts: int,
+    id_col: str = "fid",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cfg: SpatialConfig = DEFAULT_CONFIG,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """DBSCAN via cell-bucketed edges + min-label propagation.
+
+    Returns (id, cluster, is_core) — cluster is the min core-point id of the
+    component (noise points absent).  min_pts counts the point itself
+    (standard DBSCAN).  Label propagation runs over core-core edges only;
+    border points attach to their minimum core neighbor's final label.
+    """
+    edges = _eps_edges(points, eps, id_col, lon_col, lat_col, cfg).cache()
+    deg = edges.groupBy("a").agg(F.count("*").alias("_deg"))
+    core = deg.filter(F.col("_deg") >= min_pts - 1).select(F.col("a").alias("id"))
+    core = core.cache()
+
+    cc_edges = (
+        edges.join(core.withColumnRenamed("id", "a"), "a")
+        .join(core.withColumnRenamed("id", "b"), "b")
+        .select("a", "b")
+        .cache()
+    )
+
+    labels = core.withColumn("label", F.col("id"))
+    for _ in range(max_rounds):
+        # one propagation round: every core takes min(own, neighbors' labels)
+        neigh = (
+            cc_edges.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .withColumn("new", F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))))
+            .select("id", F.col("new").alias("label"))
+        ).localCheckpoint()  # truncate the iterative lineage each round
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .take(1)
+        )
+        labels = new_labels
+        if not changed:
+            break
+
+    core_out = labels.select("id", "label", F.lit(True).alias("is_core"))
+    border = (
+        edges.join(core.withColumnRenamed("id", "b"), "b")  # b is core
+        .join(core.withColumnRenamed("id", "a"), "a", "left_anti")  # a is not
+        .groupBy("a")
+        .agg(F.min("b").alias("attach"))
+        .join(labels.withColumnRenamed("id", "attach"), "attach")
+        .select(F.col("a").alias("id"), "label", F.lit(False).alias("is_core"))
+    )
+    out = core_out.unionByName(border).select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster"), "is_core"
+    )
+    return out

@@ -128,10 +128,13 @@ def spatial_query_points(
     if cell_col is not None:
         coarse = sfc_range_predicate(geom_wkt, F.col(cell_col), cfg.finest, cfg) & coarse
     out = df.filter(coarse)
-    if not _is_box(geom) and geom[0] != "multipolygon":
-        out = out.filter(pip_udf(geom_wkt, compare_op)(F.col(lon_col), F.col(lat_col)))
-    elif geom[0] == "multipolygon":
-        # per-part exact test (parts may not be boxes)
+    if not _is_box(geom) and geom[0] in ("polygon", "multipolygon"):
+        # exact refine as a pure Catalyst expression (unrolled ray cast) —
+        # no Python round-trip for point rows vs an areal query geometry
+        from geowave_spark.geometry.pip_expr import pip_point_expr
+
+        out = out.filter(pip_point_expr(geom_wkt, F.col(lon_col), F.col(lat_col)))
+    elif not _is_box(geom):
         out = out.filter(pip_udf(geom_wkt, compare_op)(F.col(lon_col), F.col(lat_col)))
     if ts_col is not None and ts_range is not None:
         out = out.filter((F.col(ts_col) >= F.lit(ts_range[0])) & (F.col(ts_col) < F.lit(ts_range[1])))

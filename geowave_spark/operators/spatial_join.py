@@ -112,6 +112,30 @@ def refine_pip_udf():
     return _refine
 
 
+def refine_pip_catalog_udf(catalog: list[str]):
+    """Catalog-indexed refine: candidates carry a small int geometry index;
+    the WKT catalog ships ONCE per worker in the UDF closure instead of a
+    ~0.5 KB string per candidate row.  Cuts the Arrow transfer for the refine
+    stage ~20x (the measured bottleneck at high parallelism: JVM->worker
+    string serialization + allocation pressure).  Used whenever the zone side
+    is broadcastable — the same condition under which the catalog is small.
+    """
+
+    @F.pandas_udf(BooleanType())
+    def _refine(lon: pd.Series, lat: pd.Series, zid: pd.Series) -> pd.Series:
+        out = np.zeros(len(lon), dtype=bool)
+        lon_v = lon.to_numpy(np.float64)
+        lat_v = lat.to_numpy(np.float64)
+        z = zid.to_numpy(np.int64)
+        for u in np.unique(z):
+            m = z == u
+            pg = _prepared(catalog[u])
+            out[m] = pg.contains_points(lon_v[m], lat_v[m])
+        return pd.Series(out)
+
+    return _refine
+
+
 def choose_cover_tier(zones: DataFrame, wkt_col: str, cfg: SpatialConfig, target_cells: int = 16) -> int:
     """Pick the fixed join resolution from the polygon layer's median extent:
     cell size ~ median_extent / sqrt(target_cells).  Driver-side tiny agg
@@ -203,6 +227,22 @@ def pip_join(
     # geom_wkt); the zone geometry travels as _zwkt through the join
     zones = zones.withColumnRenamed(zone_wkt_col, "_zwkt")
 
+    # catalog mode (whenever the zone side is broadcastable): geometries are
+    # replaced by a small int index before the join so candidate rows never
+    # carry WKT strings — the refine UDF holds the catalog per worker.
+    catalog: list[str] | None = None
+    if broadcast_zones:
+        from geowave_spark.geometry.pip_expr import EDGES_SCHEMA, edges_rows
+
+        catalog = sorted(r[0] for r in zones.select("_zwkt").distinct().collect())
+        edge_data = edges_rows(catalog)
+        spark = zones.sparkSession
+        cat_df = spark.createDataFrame(
+            [(w, i, edge_data[i]) for i, w in enumerate(catalog)],
+            f"_zwkt string, _zid int, _zedges {EDGES_SCHEMA}",
+        )
+        zones = zones.join(F.broadcast(cat_df), "_zwkt")
+
     if mode == "tiered":
         zcells = zones.withColumn("_zc", F.explode(zone_insertion_cells_udf(cfg)(F.col("_zwkt"))))
         zcells = (
@@ -210,6 +250,8 @@ def pip_join(
             .withColumn("_zcell", F.col("_zc.cell"))
             .drop("_zc")
         )
+        if catalog is not None:
+            zcells = zcells.drop("_zwkt")
         zcells = zcells.persist()
         tiers = [r[0] for r in zcells.select("_ztier").distinct().collect()]
         parts = []
@@ -233,15 +275,32 @@ def pip_join(
         zcells = zones.withColumn(
             "_zcell", F.explode(cover_cells_udf(cover_bits, cfg)(F.col("_zwkt")))
         )
+        if catalog is not None:
+            zcells = zcells.drop("_zwkt")
         build = F.broadcast(zcells) if broadcast_zones else zcells
+        # name-based equi-join (not cross-plan column refs): keeps attribute
+        # binding unambiguous for the higher-order refine expression above it
         probe = points.withColumn(
-            "_jcell",
+            "_zcell",
             F.coalesce(cell_at_tier(F.col(point_cell_col), cfg.finest, cover_bits), F.lit(-1)),
         )
-        joined = probe.join(build, probe["_jcell"] == build["_zcell"], "inner")
+        joined = probe.join(build, "_zcell", "inner")
 
-    refined = joined.filter(refine_pip_udf()(F.col(lon_col), F.col(lat_col), F.col("_zwkt")))
-    drop = [c for c in ("_jcell", "_zcell", "_pcell", "_zwkt", "num_duplicates") if c in refined.columns]
+    if catalog is not None:
+        # pure-JVM refine: ray-cast fold over the edge array riding the
+        # broadcast build side — zero Python in the query hot path
+        from geowave_spark.geometry.pip_expr import pip_edges_expr
+
+        refined = joined.filter(
+            pip_edges_expr(F.col("_zedges"), F.col(lon_col), F.col(lat_col))
+        )
+    else:
+        refined = joined.filter(refine_pip_udf()(F.col(lon_col), F.col(lat_col), F.col("_zwkt")))
+    drop = [
+        c
+        for c in ("_jcell", "_zcell", "_pcell", "_zwkt", "_zid", "_zedges", "num_duplicates")
+        if c in refined.columns
+    ]
     return refined.drop(*drop)
 
 

@@ -341,6 +341,42 @@ def q_events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hot_cell_salting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7: hot-cell detection for salting — per tier-7 cell counts with the
+    hot flag (threshold 500), the planning input for explicit skew salting."""
+    from geowave_spark.operators.indexing import cell_at_tier, with_point_cells
+    from geowave_spark.sfc import DEFAULT_CONFIG
+
+    pts = with_point_cells(_geo(spark, sf_dir, "points"))
+    t7 = pts.withColumn("cell7", cell_at_tier(F.col("cell"), DEFAULT_CONFIG.finest, 7))
+    return (
+        t7.groupBy("cell7")
+        .agg(F.min("fid").alias("rep_fid"), F.count("*").alias("n_in_cell"))
+        .select("rep_fid", "n_in_cell", (F.col("n_in_cell") >= 500).alias("is_hot"))
+    )
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 (rows-only check; numpy-verified in pytest): per-cluster sizes."""
+    from geowave_spark.operators.clustering import kmeans
+
+    pts = _geo(spark, sf_dir, "points").limit(5000)
+    assign, _ = kmeans(pts, k=8, max_iters=5)
+    return assign.groupBy("cluster").agg(F.count("*").alias("n"))
+
+
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 (rows-only check; brute-force-verified in pytest): cluster sizes."""
+    from geowave_spark.operators.clustering import dbscan
+
+    pts = _geo(spark, sf_dir, "points").limit(4000)
+    out = dbscan(pts, eps=0.05, min_pts=5)
+    return out.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.col("is_core").cast("int")).alias("n_core"),
+    )
+
+
 def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3-A5 analog: per-category ingest statistics (count, bbox, range)."""
     pts = _geo(spark, sf_dir, "points")
@@ -521,6 +557,16 @@ def build_oracles() -> dict[str, str]:
                    MAX(n) AS max_cell_points
             FROM per_cell GROUP BY year
         """,
+        "hot_cell_salting": f"""
+            WITH binned AS (
+              SELECT fid,
+                     CAST(GREATEST(CEIL(((lon + 180.0) / 360.0) * 128) - 1, 0) AS BIGINT) AS xb,
+                     CAST(GREATEST(CEIL(((LEAST(GREATEST(lat, -90.0), 90.0) + 180.0) / 360.0) * 128) - 1, 0) AS BIGINT) AS yb
+              FROM {pts})
+            SELECT MIN(fid) AS rep_fid, count(*) AS n_in_cell,
+                   count(*) >= 500 AS is_hot
+            FROM binned GROUP BY xb, yb
+        """,
         "events_windowed_counts": """
             SELECT date_trunc('day', ts) AS day, event_type,
                    count(*) AS n,
@@ -566,4 +612,7 @@ QUERIES = {
     "text_like_query": q_text_like_query,
     "spatiotemporal_bins": q_spatiotemporal_bins,
     "events_windowed_counts": q_events_windowed_counts,
+    "hot_cell_salting": q_hot_cell_salting,
+    "kmeans_clusters": q_kmeans_clusters,
+    "dbscan_clusters": q_dbscan_clusters,
 }

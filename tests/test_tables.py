@@ -1,0 +1,65 @@
+"""Indexed table layout (S6 sink / S1 scan contract): tier partitions,
+cell-sorted files, row-group pruning predicate reaches the scan."""
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestIndexedLayout:
+    def test_write_read_roundtrip_sorted(self, spark, geo001, tmp_path):
+        from geowave_spark.sources.tables import ingest_points, read_indexed
+
+        pts = spark.read.parquet(str(geo001 / "points.parquet"))
+        path = str(tmp_path / "pts_idx")
+        ingest_points(pts, path)
+        back = read_indexed(spark, path)
+        assert back.count() == pts.count()
+        # tier partition dirs exist
+        assert any(p.name.startswith("tier=") for p in (tmp_path / "pts_idx").iterdir())
+        # files are cell-sorted (parquet min/max usable for pruning)
+        tier_dirs = [p for p in (tmp_path / "pts_idx").iterdir() if p.name.startswith("tier=")]
+        f = next(iter(sorted(tier_dirs[0].glob("*.parquet"))))
+        cells = pq.read_table(f, columns=["cell"])["cell"].to_pylist()
+        assert cells == sorted(cells)
+
+    def test_cell_predicate_prunes_and_matches(self, spark, geo001, tmp_path):
+        from geowave_spark.operators.range_query import spatial_query_points
+        from geowave_spark.sources.tables import ingest_points, read_indexed
+
+        pts = spark.read.parquet(str(geo001 / "points.parquet"))
+        path = str(tmp_path / "pts_idx2")
+        ingest_points(pts, path)
+        back = read_indexed(spark, path)
+        box = "POLYGON ((-75.0 39.5, -72.0 39.5, -72.0 42.5, -75.0 42.5, -75.0 39.5))"
+        with_key = spatial_query_points(back, box, cell_col="cell")
+        plain = spatial_query_points(pts, box)
+        assert {r.fid for r in with_key.collect()} == {r.fid for r in plain.collect()}
+        # the cell-range predicate reaches the parquet scan (PushedFilters);
+        # raise the metadata string cap so the filter list isn't elided
+        spark.conf.set("spark.sql.maxMetadataStringLength", "20000")
+        try:
+            plan = spatial_query_points(back, box, cell_col="cell")._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.unset("spark.sql.maxMetadataStringLength")
+        pushed = plan.split("PushedFilters", 1)
+        assert len(pushed) == 2 and "cell" in pushed[1][:20000]
+
+    def test_extent_ingest_carries_dup_counts(self, spark, geo001, tmp_path):
+        from geowave_spark.extract import with_geometry
+        from geowave_spark.sources.tables import ingest_extents, read_indexed
+
+        docs = with_geometry(spark.read.parquet(str(geo001 / "docs.parquet")))
+        path = str(tmp_path / "docs_idx")
+        ingest_extents(docs.select("doc_id", "minx", "miny", "maxx", "maxy"), path)
+        back = read_indexed(spark, path)
+        assert back.filter(F.col("num_duplicates") > 0).count() > 0  # coarse-tier extents
+        # spans-equality invariant is upstream; here: every doc still present
+        assert back.select("doc_id").distinct().count() == docs.count()
+
+    def test_iceberg_ddl_text(self):
+        from geowave_spark.sources.tables import iceberg_ddl
+
+        ddl = iceberg_ddl("geo.points", {"fid": "string", "cell": "bigint", "tier": "int"})
+        assert "PARTITIONED BY (tier)" in ddl
+        assert "WRITE ORDERED BY (tier, cell)" in ddl
