@@ -81,6 +81,11 @@ def kde_pyramid(
     )
     cells = splat.groupBy("level", "cell_id").agg(F.sum("w").alias("weight_scaled"))
 
+    # scale note: normalized/percentile need per-level global context, so
+    # these windows gather each level into one partition (pyramids have few
+    # levels but many cells).  At 100 TB swap the exact percent-rank for a
+    # two-pass approx: per-level max/total via agg (tiny broadcast) +
+    # approx_percentile bucketing — same bands, bounded partition sizes.
     by_level = Window.partitionBy("level")
     rank_w = Window.partitionBy("level").orderBy("weight_scaled")
     cells = (

@@ -377,6 +377,19 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dbscan_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 hull stage (rows-only; python-oracle-verified in pytest):
+    per-cluster convex hulls of DBSCAN clusters."""
+    from geowave_spark.operators.clustering import dbscan
+    from geowave_spark.operators.hull import group_hulls
+
+    pts = _geo(spark, sf_dir, "points").limit(4000)
+    members = dbscan(pts, eps=0.05, min_pts=5).join(
+        pts.select("fid", "lon", "lat"), "fid"
+    )
+    return group_hulls(members).select("cluster", "n_points", "n_vertices")
+
+
 def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3-A5 analog: per-category ingest statistics (count, bbox, range)."""
     pts = _geo(spark, sf_dir, "points")
@@ -615,4 +628,5 @@ QUERIES = {
     "hot_cell_salting": q_hot_cell_salting,
     "kmeans_clusters": q_kmeans_clusters,
     "dbscan_clusters": q_dbscan_clusters,
+    "dbscan_hulls": q_dbscan_hulls,
 }

@@ -49,7 +49,7 @@ def get_spark(
         # collapse 6x under an 8g heap at 32 threads)
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_DRIVER_MEMORY", f"{min(64, max(8, 2 * int(shuffle_partitions)))}g"),
+            os.environ.get("SPARK_DRIVER_MEMORY", f"{min(24, max(8, int(shuffle_partitions)))}g"),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
