@@ -157,6 +157,60 @@ def q_tracks_contains_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tracks_box_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+F1+temporal over *range-typed* time (tracks carry [start,end]):
+    overlap semantics — track time range intersects the query range
+    (TemporalConstraints overlap, `TemporalConstraintsTest` model)."""
+    import datetime as dt
+
+    tracks = _geo(spark, sf_dir, "tracks")
+    lo = dt.datetime.fromisoformat(TS_LO)
+    hi = dt.datetime.fromisoformat(TS_HI)
+    out = spatial_query_tracks(tracks, CONTAINS_BOX_WKT, compare_op="CONTAINS").filter(
+        (F.col("start_ts") < F.lit(hi)) & (F.col("end_ts") >= F.lit(lo))
+    )
+    return out.select("fid", "length_km")
+
+
+def q_docs_extent_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs pipeline over ALL geometry kinds (point/line/polygon): extract
+    bbox per doc, coarse bbox-intersects filter vs the box (K1 extent path),
+    spans carried through."""
+    docs = _geo(spark, sf_dir, "docs")
+    geo = with_geometry(docs)
+    out = geo.filter(
+        (F.col("minx") <= BOX[2])
+        & (F.col("maxx") >= BOX[0])
+        & (F.col("miny") <= BOX[3])
+        & (F.col("maxy") >= BOX[1])
+    )
+    return out.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.col("minx"),
+        F.col("maxy"),
+    )
+
+
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (30-min inactivity gap) — the custom
+    stateful-operator pattern expressed declaratively; oracle re-derives
+    sessions with gaps-and-islands SQL."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def q_docs_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs pipeline: span->geometry extraction + box filter (point-geo docs),
     spans carried through untouched (invariant surface)."""
@@ -201,6 +255,23 @@ def q_subsample_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = with_point_cells(_geo(spark, sf_dir, "points"))
     t11 = pts.withColumn("cell11", cell_at_tier(F.col("cell"), DEFAULT_CONFIG.finest, 11))
+    return (
+        t11.groupBy("cell11")
+        .agg(F.min("fid").alias("fid"), F.count("*").alias("n_in_cell"))
+        .select("fid", "n_in_cell")
+    )
+
+
+def q_subsample_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: the same tier-11 subsampling on the Z-order backend — cell ids
+    differ from Hilbert but the cell partition of the plane is identical, so
+    the (rep fid, count) result set matches the same bin-arithmetic oracle."""
+    from geowave_spark.operators.indexing import cell_at_tier, with_point_cells
+    from geowave_spark.sfc import SpatialConfig
+
+    zcfg = SpatialConfig(backend="zorder")
+    pts = with_point_cells(_geo(spark, sf_dir, "points"), cfg=zcfg)
+    t11 = pts.withColumn("cell11", cell_at_tier(F.col("cell"), zcfg.finest, 11))
     return (
         t11.groupBy("cell11")
         .agg(F.min("fid").alias("fid"), F.count("*").alias("n_in_cell"))
@@ -509,6 +580,15 @@ def build_oracles() -> dict[str, str]:
             SELECT MIN(fid) AS fid, CAST(count(*) AS BIGINT) AS n_in_cell
             FROM binned GROUP BY xb, yb
         """,
+        "subsample_zorder": f"""
+            WITH binned AS (
+              SELECT fid,
+                     CAST(GREATEST(CEIL(((lon + 180.0) / 360.0) * 2048) - 1, 0) AS BIGINT) AS xb,
+                     CAST(GREATEST(CEIL(((LEAST(GREATEST(lat, -90.0), 90.0) + 180.0) / 360.0) * 2048) - 1, 0) AS BIGINT) AS yb
+              FROM {pts})
+            SELECT MIN(fid) AS fid, CAST(count(*) AS BIGINT) AS n_in_cell
+            FROM binned GROUP BY xb, yb
+        """,
         "knn_join": f"""
             SELECT qid, fid, dist_sq, rank FROM (
               SELECT q.fid AS qid, p.fid AS fid,
@@ -580,6 +660,57 @@ def build_oracles() -> dict[str, str]:
                    count(*) >= 500 AS is_hot
             FROM binned GROUP BY xb, yb
         """,
+        "tracks_box_temporal": f"""
+            SELECT fid, length_km FROM (
+              SELECT fid, length_km, start_ts, end_ts,
+                     list_transform(
+                       string_split(
+                         replace(replace(geom_wkt, 'LINESTRING (', ''), ')', ''), ', '),
+                       p -> struct_pack(
+                         x := CAST(string_split(p, ' ')[1] AS DOUBLE),
+                         y := CAST(string_split(p, ' ')[2] AS DOUBLE))) AS verts
+              FROM '{GEO_SF001}/tracks.parquet')
+            WHERE len(list_filter(verts,
+                  v -> v.x < {CONTAINS_BOX[0]} OR v.x > {CONTAINS_BOX[2]}
+                    OR v.y < {CONTAINS_BOX[1]} OR v.y > {CONTAINS_BOX[3]})) = 0
+              AND start_ts < TIMESTAMP '{TS_HI}' AND end_ts >= TIMESTAMP '{TS_LO}'
+        """,
+        "docs_extent_query": f"""
+            WITH g AS (
+              SELECT doc_id, CAST(len(spans) AS INT) AS n_spans,
+                     list_transform(
+                       regexp_extract_all(list_filter(spans, s -> s.kind = 'geo')[1].text,
+                                          '[-+]?[0-9]+(\\.[0-9]+)?([eE][-+]?[0-9]+)?'),
+                       c -> CAST(c AS DOUBLE)) AS coords
+              FROM '{GEO_SF001}/docs.parquet'),
+            b AS (
+              SELECT doc_id, n_spans,
+                     list_aggregate(list_transform(range(1, len(coords) + 1, 2), i -> coords[i]), 'min') AS minx,
+                     list_aggregate(list_transform(range(1, len(coords) + 1, 2), i -> coords[i]), 'max') AS maxx,
+                     list_aggregate(list_transform(range(2, len(coords) + 1, 2), i -> coords[i]), 'min') AS miny,
+                     list_aggregate(list_transform(range(2, len(coords) + 1, 2), i -> coords[i]), 'max') AS maxy
+              FROM g)
+            SELECT doc_id, n_spans, minx, maxy FROM b
+            WHERE minx <= {BOX[2]} AND maxx >= {BOX[0]}
+              AND miny <= {BOX[3]} AND maxy >= {BOX[1]}
+        """,
+        "events_sessionization": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                            OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sess AS (
+              SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked)
+            SELECT user_id, MIN(ts) AS session_start,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
+        """,
         "events_windowed_counts": """
             SELECT date_trunc('day', ts) AS day, event_type,
                    count(*) AS n,
@@ -629,4 +760,8 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "dbscan_clusters": q_dbscan_clusters,
     "dbscan_hulls": q_dbscan_hulls,
+    "tracks_box_temporal": q_tracks_box_temporal,
+    "docs_extent_query": q_docs_extent_query,
+    "events_sessionization": q_events_sessionization,
+    "subsample_zorder": q_subsample_zorder,
 }
