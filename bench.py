@@ -42,6 +42,9 @@ HEADLINE = [
     "kde_tiles",
     "docs_box_query",
     "spans_preserved",
+    # training-data pipeline headliners (documents/embeddings tables)
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
 ]
 
 
@@ -229,7 +232,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "geo headline suite wall time (9 queries)",
+                "metric": f"headline suite wall time ({len(HEADLINE)} queries)",
                 "value": total,
                 "unit": "sec",
                 "queries": times,

@@ -151,8 +151,8 @@ def knn_join_adaptive(
     lon_col: str = "lon",
     lat_col: str = "lat",
     cfg: SpatialConfig = DEFAULT_CONFIG,
-    start_fraction: float = 1.0 / 16.0,
-    expansion_factor: float = 4.0,
+    start_fraction: float = 1.0 / 8.0,
+    expansion_factor: float = 8.0,
 ) -> DataFrame:
     """Ring-expansion kNN: identical output to :func:`knn_join`, but the
     search radius starts at ``max_distance * start_fraction`` and expands
