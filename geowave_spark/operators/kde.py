@@ -147,6 +147,68 @@ def resize_pyramid(cells: DataFrame, old_tile_size: int, new_tile_size: int) -> 
     return with_tile_columns(base, new_tile_size)
 
 
+def kde_pyramid_scalable(
+    points: DataFrame,
+    min_level: int = 1,
+    max_level: int = 25,
+    tile_size: int = 1,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    quantile_buckets: int = 1000,
+) -> DataFrame:
+    """The 100 TB variant of :func:`kde_pyramid`: identical splat + sums and
+    identical `normalized`, but `percentile` is computed without gathering a
+    level into one window partition:
+
+    - per-level max/total via one tiny aggregation, broadcast back;
+    - per-level `quantile_buckets` approximate quantiles
+      (`percentile_approx` — a partial-aggregated sketch), broadcast back;
+    - percentile(w) ~= |{q_i <= w}| / buckets via an array scan per row.
+
+    Error <= 1/buckets + sketch error; every stage is partial/final
+    aggregation or broadcast join — no per-level window, partitions stay
+    bounded at any scale.
+    """
+    spark = points.sparkSession
+    levels = spark.createDataFrame([(lv,) for lv in range(min_level, max_level + 1)], "level int")
+    offsets = _offsets_df(spark)
+    num_x_posts = F.expr(f"shiftleft(2L, level) * {tile_size}")
+    num_y_posts = F.expr(f"shiftleft(1L, level) * {tile_size}")
+    splat = (
+        points.select(lon_col, lat_col)
+        .crossJoin(F.broadcast(levels))
+        .withColumn("nx", num_x_posts)
+        .withColumn("ny", num_y_posts)
+        .withColumn("xbin", F.floor((F.col(lon_col) + 180.0) / 360.0 * F.col("nx")))
+        .withColumn("ybin", F.floor((F.col(lat_col) + 90.0) / 180.0 * F.col("ny")))
+        .crossJoin(F.broadcast(offsets))
+        .withColumn("x", F.col("xbin") + F.col("dx"))
+        .withColumn("y", F.col("ybin") + F.col("dy"))
+        .filter((F.col("x") >= 0) & (F.col("x") < F.col("nx")) & (F.col("y") >= 0) & (F.col("y") < F.col("ny")))
+        .withColumn("cell_id", F.col("x") * F.col("ny") + F.col("y"))
+    )
+    cells = splat.groupBy("level", "cell_id").agg(F.sum("w").alias("weight_scaled"))
+
+    probs = [i / quantile_buckets for i in range(1, quantile_buckets + 1)]
+    stats = cells.groupBy("level").agg(
+        F.max("weight_scaled").alias("_max"),
+        F.percentile_approx(
+            "weight_scaled", F.array(*[F.lit(p) for p in probs]), F.lit(100_000)
+        ).alias("_qs"),
+    )
+    out = (
+        cells.join(F.broadcast(stats), "level")
+        .withColumn("normalized", F.col("weight_scaled") / F.col("_max"))
+        .withColumn(
+            "percentile",
+            F.size(F.filter(F.col("_qs"), lambda q: q <= F.col("weight_scaled")))
+            / F.lit(float(quantile_buckets)),
+        )
+        .drop("_max", "_qs")
+    )
+    return with_tile_columns(out, tile_size)
+
+
 def kde_oracle_sql(points_path: str, min_level: int, max_level: int, tile_size: int) -> str:
     """DuckDB SQL computing the identical pyramid (independent executor)."""
     kern = ", ".join(

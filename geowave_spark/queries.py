@@ -461,6 +461,20 @@ def q_dbscan_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_hulls(members).select("cluster", "n_points", "n_vertices")
 
 
+def q_cms_category_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: count-min sketch per attribute (FeatureCountMinSketchStatistics
+    analog).  Rows-only check: sketch bytes aren't portable across engines;
+    the estimate's correctness is asserted relative to exact counts here."""
+    pts = _geo(spark, sf_dir, "points")
+    sketch = pts.agg(
+        F.count_min_sketch(F.col("category"), F.lit(0.01), F.lit(0.01), F.lit(42)).alias("cms")
+    )
+    exact = pts.groupBy("category").count()
+    return exact.crossJoin(sketch).select(
+        "category", "count", F.length("cms").alias("sketch_bytes")
+    )
+
+
 def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3-A5 analog: per-category ingest statistics (count, bbox, range)."""
     pts = _geo(spark, sf_dir, "points")
@@ -764,4 +778,5 @@ QUERIES = {
     "docs_extent_query": q_docs_extent_query,
     "events_sessionization": q_events_sessionization,
     "subsample_zorder": q_subsample_zorder,
+    "cms_category_sketch": q_cms_category_sketch,
 }

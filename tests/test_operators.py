@@ -188,3 +188,19 @@ class TestSkew:
             .count()
         )
         assert spread > 1
+
+
+class TestKdeScalable:
+    def test_approx_bands_close_to_exact(self, spark, geo001):
+        from geowave_spark.operators.kde import kde_pyramid, kde_pyramid_scalable
+
+        pts = _pts(spark, geo001)
+        exact = kde_pyramid(pts, min_level=4, max_level=5, tile_size=2)
+        approx = kde_pyramid_scalable(pts, min_level=4, max_level=5, tile_size=2)
+        e = {(r.level, r.cell_id): (r.weight_scaled, r.normalized, r.percentile) for r in exact.collect()}
+        a = {(r.level, r.cell_id): (r.weight_scaled, r.normalized, r.percentile) for r in approx.collect()}
+        assert set(e) == set(a)
+        for k in e:
+            assert e[k][0] == a[k][0]          # sums identical (exact ints)
+            assert abs(e[k][1] - a[k][1]) < 1e-12   # normalized identical
+            assert abs(e[k][2] - a[k][2]) <= 0.02   # percentile within 2%
