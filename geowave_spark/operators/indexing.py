@@ -99,6 +99,61 @@ def with_insertion_cells(
     )
 
 
+def spatiotemporal_cell_udf(spatial_bits: int = 10, time_bits: int = 10):
+    """pandas UDF: (lon, lat, ts) -> 3D Z-order key over (lon, lat,
+    fraction-of-year) — the K6 spatio-temporal index with the reference's
+    YEAR binning (`TimeDefinition` + `TemporalBinningStrategy`, bin id
+    carried separately as the year) and BALANCED-style equal bits per
+    dimension (`SpatialTemporalDimensionalityTypeProvider.java:149-190`).
+
+    The year rides in its own column (`time_bin`), exactly like the
+    reference's bin-id key prefix; the key interleaves (x, y, t-in-year).
+    """
+    from geowave_spark.sfc import lat_bins, lon_bins
+    from geowave_spark.sfc.zorder import zorder_encode
+
+    @F.pandas_udf(LongType())
+    def _enc(lon: pd.Series, lat: pd.Series, ts: pd.Series) -> pd.Series:
+        x = lon_bins(lon.to_numpy(np.float64), spatial_bits)
+        y = lat_bins(lat.to_numpy(np.float64), spatial_bits)
+        t64 = ts.to_numpy("datetime64[us]")
+        year_start = t64.astype("datetime64[Y]").astype("datetime64[us]")
+        next_start = (t64.astype("datetime64[Y]") + np.timedelta64(1, "Y")).astype(
+            "datetime64[us]"
+        )
+        a = (t64 - year_start).astype("int64")
+        b = (next_start - year_start).astype("int64")
+        frac = a.astype(np.float64) / b.astype(np.float64)
+        t = np.floor(frac * (1 << time_bits)).astype(np.int64)
+        np.clip(t, 0, (1 << time_bits) - 1, out=t)
+        # equal-precision interleave: pad the shorter dims (reference
+        # BALANCED is equal bits; unequal bias would need compact-Hilbert)
+        bits = max(spatial_bits, time_bits)
+        key = zorder_encode(
+            [x.astype(np.uint64), y.astype(np.uint64), t.astype(np.uint64)], bits
+        )
+        return pd.Series(key.astype(np.int64))
+
+    return _enc
+
+
+def with_spatiotemporal_cells(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    ts_col: str = "event_ts",
+    spatial_bits: int = 10,
+    time_bits: int = 10,
+) -> DataFrame:
+    """Adds (time_bin = year, st_cell = 3D z-order key)."""
+    return df.withColumn("time_bin", F.year(F.col(ts_col))).withColumn(
+        "st_cell",
+        spatiotemporal_cell_udf(spatial_bits, time_bits)(
+            F.col(lon_col), F.col(lat_col), F.col(ts_col)
+        ),
+    )
+
+
 def cell_at_tier(cell: Column | str, from_bits: int, to_bits: int) -> Column:
     """Ancestor cell at a coarser tier — pure JVM bit shift (prefix property),
     the replacement for re-encoding when joining across tiers."""

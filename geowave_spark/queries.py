@@ -461,6 +461,50 @@ def q_dbscan_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_hulls(members).select("cluster", "n_points", "n_vertices")
 
 
+def q_spatiotemporal_3d_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 proper: 3D (lon, lat, time-in-year) Z-order keys with YEAR bin-id
+    prefix; per-year cell/point statistics.  Oracle re-bins with the same
+    edge rules (ceil-1 spatial bins, microsecond-exact year fraction)."""
+    from geowave_spark.operators.indexing import with_spatiotemporal_cells
+
+    pts = with_spatiotemporal_cells(_geo(spark, sf_dir, "points"))
+    per_cell = pts.groupBy("time_bin", "st_cell").agg(F.count("*").alias("n"))
+    return per_cell.groupBy("time_bin").agg(
+        F.count("*").alias("n_cells"),
+        F.sum("n").alias("n_points"),
+        F.max("n").alias("max_cell_points"),
+    )
+
+
+HAVERSINE_K = 5
+HAVERSINE_RADIUS_KM = 200.0
+
+
+def q_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 + geodesic distance (CoordinateCircleDistanceFn analog): broadcast
+    nested-loop kNN under great-circle distance, rank-only output (trig ulps
+    differ across engines; ordering does not)."""
+    from geowave_spark.functions.distance import haversine_km
+
+    pts = _geo(spark, sf_dir, "points")
+    q = _knn_queries(spark, sf_dir)
+    hav = haversine_km(F.col("lon"), F.col("lat"), F.col("qlon"), F.col("qlat"))
+    from pyspark.sql.window import Window
+
+    scored = (
+        pts.crossJoin(F.broadcast(q))
+        .filter(F.col("fid") != F.col("qid"))
+        .withColumn("hav_km", hav)
+        .filter(F.col("hav_km") <= HAVERSINE_RADIUS_KM)
+    )
+    w = Window.partitionBy("qid").orderBy("hav_km", "fid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HAVERSINE_K)
+        .select("qid", "fid", "rank")
+    )
+
+
 def q_cms_category_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: count-min sketch per attribute (FeatureCountMinSketchStatistics
     analog).  Rows-only check: sketch bytes aren't portable across engines;
@@ -491,6 +535,22 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — independent algorithms over the same parquet
 # ---------------------------------------------------------------------------
+
+def _knn_haversine_oracle() -> str:
+    from geowave_spark.functions.distance import haversine_km_sql
+
+    hav = haversine_km_sql("q.lon", "q.lat", "p.lon", "p.lat")
+    return f"""
+        SELECT qid, fid, rank FROM (
+          SELECT q.fid AS qid, p.fid AS fid,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.fid ORDER BY {hav}, p.fid) AS rank
+          FROM (SELECT * FROM '{GEO_SF001}/points.parquet' WHERE fid LIKE '%00') q,
+               '{GEO_SF001}/points.parquet' p
+          WHERE p.fid <> q.fid AND {hav} <= {HAVERSINE_RADIUS_KM})
+        WHERE rank <= {HAVERSINE_K}
+    """
+
 
 def build_oracles() -> dict[str, str]:
     from geowave_spark.operators.kde import kde_oracle_sql
@@ -725,6 +785,24 @@ def build_oracles() -> dict[str, str]:
                    count(*) AS n_events
             FROM sess GROUP BY user_id, sid
         """,
+        "knn_haversine": _knn_haversine_oracle(),
+        "spatiotemporal_3d_cells": f"""
+            WITH binned AS (
+              SELECT
+                CAST(date_part('year', event_ts) AS INT) AS time_bin,
+                CAST(GREATEST(CEIL(((lon + 180.0) / 360.0) * 1024) - 1, 0) AS BIGINT) AS xb,
+                CAST(GREATEST(CEIL(((LEAST(GREATEST(lat, -90.0), 90.0) + 180.0) / 360.0) * 1024) - 1, 0) AS BIGINT) AS yb,
+                CAST(FLOOR((CAST(datediff('microsecond', date_trunc('year', event_ts), event_ts) AS DOUBLE)
+                     / CAST(datediff('microsecond', date_trunc('year', event_ts),
+                                     date_trunc('year', event_ts) + INTERVAL 1 YEAR) AS DOUBLE)) * 1024) AS BIGINT) AS tb
+              FROM {pts}),
+            per_cell AS (
+              SELECT time_bin, xb, yb, tb, count(*) AS n
+              FROM binned GROUP BY time_bin, xb, yb, tb)
+            SELECT time_bin, count(*) AS n_cells, SUM(n) AS n_points,
+                   MAX(n) AS max_cell_points
+            FROM per_cell GROUP BY time_bin
+        """,
         "events_windowed_counts": """
             SELECT date_trunc('day', ts) AS day, event_type,
                    count(*) AS n,
@@ -779,4 +857,6 @@ QUERIES = {
     "events_sessionization": q_events_sessionization,
     "subsample_zorder": q_subsample_zorder,
     "cms_category_sketch": q_cms_category_sketch,
+    "spatiotemporal_3d_cells": q_spatiotemporal_3d_cells,
+    "knn_haversine": q_knn_haversine,
 }

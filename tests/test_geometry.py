@@ -143,3 +143,56 @@ class TestCentroid:
 
     def test_bbox(self):
         assert geom_bbox(parse_wkt("LINESTRING (0 5, -3 2, 7 1)")) == (-3.0, 1.0, 7.0, 5.0)
+
+
+class TestDistance:
+    def test_haversine_known_value(self, spark):
+        from geowave_spark.functions.distance import haversine_km
+        from pyspark.sql import functions as F
+
+        # Paris (2.3522, 48.8566) -> London (-0.1276, 51.5072) ~ 343.5 km
+        df = spark.createDataFrame([(2.3522, 48.8566, -0.1276, 51.5072)],
+                                   "lon1 double, lat1 double, lon2 double, lat2 double")
+        (got,) = df.select(
+            haversine_km(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("d")
+        ).collect()[0]
+        assert abs(got - 343.5) < 1.0
+
+    def test_haversine_symmetry_and_zero(self, spark):
+        from geowave_spark.functions.distance import haversine_km
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(10.0, 20.0, -30.0, 45.0)],
+                                   "lon1 double, lat1 double, lon2 double, lat2 double")
+        row = df.select(
+            haversine_km(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("ab"),
+            haversine_km(F.col("lon2"), F.col("lat2"), F.col("lon1"), F.col("lat1")).alias("ba"),
+            haversine_km(F.col("lon1"), F.col("lat1"), F.col("lon1"), F.col("lat1")).alias("aa"),
+        ).collect()[0]
+        assert row.ab == row.ba and row.aa == 0.0
+
+
+class TestSpatioTemporalKeys:
+    def test_same_cell_iff_same_bins(self, spark, geo001):
+        """3D key equality must partition exactly like (xbin, ybin, tbin)."""
+        import numpy as np
+        from geowave_spark.operators.indexing import with_spatiotemporal_cells
+        from geowave_spark.sfc import lat_bins, lon_bins
+
+        pts = spark.read.parquet(str(geo001 / "points.parquet")).limit(500)
+        rows = with_spatiotemporal_cells(pts).select(
+            "lon", "lat", "event_ts", "time_bin", "st_cell"
+        ).collect()
+        lon = np.array([r.lon for r in rows]); lat = np.array([r.lat for r in rows])
+        xb = lon_bins(lon, 10); yb = lat_bins(lat, 10)
+        t64 = np.array([r.event_ts for r in rows], dtype="datetime64[us]")
+        ys = t64.astype("datetime64[Y]").astype("datetime64[us]")
+        ns = (t64.astype("datetime64[Y]") + np.timedelta64(1, "Y")).astype("datetime64[us]")
+        frac = (t64 - ys).astype("int64").astype(float) / (ns - ys).astype("int64").astype(float)
+        tb = np.floor(frac * 1024).astype(int)
+        trip = {}
+        for i, r in enumerate(rows):
+            key = (r.time_bin, r.st_cell)
+            bins = (int(t64[i].astype("datetime64[Y]").astype(int)), int(xb[i]), int(yb[i]), int(tb[i]))
+            assert trip.setdefault(key, bins) == bins  # key -> one bin triple
+        assert len({v for v in trip.values()}) == len(trip)  # bins -> one key
