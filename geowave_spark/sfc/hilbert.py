@@ -7,10 +7,11 @@ Skilling transpose algorithm ("Programming the Hilbert curve", J. Skilling,
 AIP Conf. Proc. 707, 2004) — a public, equal-precision Hilbert curve that is
 bijective, locality-preserving, and (crucially for the tiered index) has the
 *prefix property*: the key of a point at `bits` precision, shifted right by
-`ndims*(bits-t)`, equals its key at precision `t`.  The uzaygezen bit
-conventions cannot be byte-verified here (jar not vendored in the reference),
-so key *values* may differ from GeoWave's while all derived semantics —
-tier selection, cell covers, cell counts, join/filter row sets — match.
+`ndims*(bits-t)`, equals its key at precision `t`.  Key values reproduce the
+reference's own HilbertSFCTest ID vectors bit-for-bit (31 bits/dim: corner
+cells -> 0 and 3074457345618258602, center -> 768614336404564650; pinned in
+tests/test_sfc.py::TestReferenceHilbertVectors), so the Skilling transform
+agrees with uzaygezen's compact Hilbert conventions on equal-precision 2D.
 
 All functions are vectorized over numpy arrays (no per-row Python), suitable
 for Arrow-batched pandas UDFs per the engine's "no per-row Python" contract.

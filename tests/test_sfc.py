@@ -251,3 +251,41 @@ class TestCoversAndRanges:
         for lo, hi in ranges:
             proj.update(range(lo >> (2 * 8), (hi >> (2 * 8)) + 1))
         assert cover <= proj
+
+
+class TestReferenceHilbertVectors:
+    """The reference's own HilbertSFCTest ID vectors, bit-for-bit
+    (/root/reference/core/geotime/src/test/java/mil/nga/giat/geowave/core/
+    geotime/index/sfc/hilbert/HilbertSFCTest.java:24-119): 31 bits/dim,
+    full-range [-90,90]x[-180,180] normalization as in that test."""
+
+    def test_reference_id_vectors(self):
+        import numpy as np
+        from geowave_spark.sfc import hilbert_encode
+
+        bits = 31
+        maxb = (1 << 31) - 1
+        mid = (1 << 30) - 1
+        cases = [
+            ((maxb, maxb), 3074457345618258602),  # (lat=90, lon=180)
+            ((0, 0), 0),                           # (lat=-90, lon=-180)
+            ((mid, mid), 768614336404564650),      # (lat=0, lon=0)
+        ]
+        for (a, b), want in cases:
+            h = int(
+                hilbert_encode(
+                    [np.array([a], dtype=np.uint64), np.array([b], dtype=np.uint64)], bits
+                )[0]
+            )
+            assert h == want
+
+    def test_lexicographic_ordering(self):
+        """testGetId_2DSpatialLexicographicOrdering: id(min) < id(max)."""
+        import numpy as np
+        from geowave_spark.sfc import hilbert_encode
+
+        bits = 31
+        maxb = (1 << 31) - 1
+        lo = int(hilbert_encode([np.array([0], dtype=np.uint64)] * 2, bits)[0])
+        hi = int(hilbert_encode([np.array([maxb], dtype=np.uint64)] * 2, bits)[0])
+        assert lo < hi
