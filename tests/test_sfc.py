@@ -289,3 +289,55 @@ class TestReferenceHilbertVectors:
         lo = int(hilbert_encode([np.array([0], dtype=np.uint64)] * 2, bits)[0])
         hi = int(hilbert_encode([np.array([maxb], dtype=np.uint64)] * 2, bits)[0])
         assert lo < hi
+
+
+class TestReferenceTieredVectors:
+    """Port of TieredSFCIndexStrategyTest.testPredefinedSpatialEntries
+    (/root/reference/core/geotime/src/test/java/.../tiered/
+    TieredSFCIndexStrategyTest.java:126-216): for each defined tier t, a
+    bbox of exactly that tier's cell size anchored at (0,-p)..(p,0) either
+    fits tier t as ONE id, or (when t+1 is also defined) spills to tier t+1
+    as 2 ids (rectangular split, 90<p<=180) / 4 ids (square split)."""
+
+    def test_predefined_spatial_entries(self):
+        import numpy as np
+        from geowave_spark.sfc import DEFAULT_CONFIG, bbox_insertion_cells
+
+        tiers = DEFAULT_CONFIG.tiers
+        for si, t in enumerate(tiers):
+            p = 360.0 / (2.0**t)
+            if p > 180.0:
+                box = (-180.0, -90.0, 180.0, 90.0)
+            else:
+                box = (0.0, -p, p, 0.0)
+            rows, out_tiers, keys, dups = bbox_insertion_cells(
+                np.array([box[0]]), np.array([box[1]]), np.array([box[2]]), np.array([box[3]])
+            )
+            n = len(rows)
+            first_tier = int(out_tiers[0])
+            contiguous_next = si + 1 < len(tiers) and tiers[si + 1] == t + 1
+            if first_tier == 0 or not contiguous_next:
+                assert (n, first_tier) == (1, t), f"tier {t}: got {n} ids at {first_tier}"
+            else:
+                expected = 2 if (90.0 < p <= 180.0) else 4
+                assert first_tier == t + 1, f"tier {t}: spill tier {first_tier}"
+                assert n == expected, f"tier {t}: got {n} ids, want {expected}"
+
+    def test_one_estimated_duplicate_insertion(self):
+        """testOneEstimatedDuplicateInsertion: with the duplicate budget
+        forced to 1, every exact-fit bbox lands at its own tier as one id."""
+        import numpy as np
+        from geowave_spark.sfc import SpatialConfig, bbox_insertion_cells
+
+        cfg = SpatialConfig(max_duplicate_ids=1)
+        for t in cfg.tiers:
+            p = 360.0 / (2.0**t)
+            if p > 180.0:
+                box = (-180.0, -90.0, 180.0, 90.0)
+            else:
+                box = (0.0, -p, p, 0.0)
+            rows, out_tiers, keys, dups = bbox_insertion_cells(
+                np.array([box[0]]), np.array([box[1]]), np.array([box[2]]), np.array([box[3]]),
+                cfg,
+            )
+            assert (len(rows), int(out_tiers[0])) == (1, t), f"tier {t}"
