@@ -14,9 +14,11 @@ Mirrors the reference analytics suite re-expressed as DataFrame loops:
   rounds (`DBScanIterationsJobRunner`).  Here: the epsilon-neighbor edge set
   comes from the same cell-bucketed self-join (each pair meets in exactly
   one cell — the finer-grid dedup trick), core points by degree, and the
-  cross-cell merge is label propagation (min-label flood) over core-core
-  edges until fixpoint — each round one shuffle, iteration count logarithmic
-  in cluster diameter.
+  cross-cell merge is min-label propagation over core-core edges with a
+  pointer-jumping step each round (every node also adopts its current
+  label's label), so rounds are logarithmic in cluster hop diameter rather
+  than linear; non-convergence within ``max_rounds`` raises instead of
+  silently splitting clusters.
 
 Determinism: cluster ids are the minimum member id of the component, ties in
 assignment break on centroid index / neighbor id, so outputs are stable and
@@ -70,7 +72,11 @@ def kmeans(
         cdf = spark.createDataFrame(
             [(i, cx, cy) for i, (cx, cy) in enumerate(centroids)], "cluster int, cx double, cy double"
         )
-        d2 = (F.col(lon_col) - F.col("cx")) ** 2 + (F.col(lat_col) - F.col("cy")) ** 2
+        # explicit products (not **2 / pow): bit-identical IEEE ops to the
+        # SQL oracle's (x)*(x), so cross-engine comparisons see the same d2
+        ddx = F.col(lon_col) - F.col("cx")
+        ddy = F.col(lat_col) - F.col("cy")
+        d2 = ddx * ddx + ddy * ddy
         scored = pts.crossJoin(F.broadcast(cdf)).withColumn("dist_sq", d2)
         w = Window.partitionBy(id_col).orderBy("dist_sq", "cluster")
         assign = (
@@ -165,6 +171,7 @@ def dbscan(
     )
 
     labels = core.withColumn("label", F.col("id"))
+    converged = False
     for _ in range(max_rounds):
         # one propagation round: every core takes min(own, neighbors' labels)
         neigh = (
@@ -173,10 +180,23 @@ def dbscan(
             .agg(F.min("label").alias("nlabel"))
             .withColumnRenamed("a", "id")
         )
-        new_labels = (
+        stepped = (
             labels.join(neigh, "id", "left")
             .withColumn("new", F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))))
             .select("id", F.col("new").alias("label"))
+        )
+        # pointer-jumping (path halving): adopt the current label of your
+        # label, so label chains collapse geometrically — total rounds are
+        # O(log hop-diameter), not O(hop-diameter)
+        parent = stepped.select(F.col("id").alias("label"), F.col("label").alias("_plabel"))
+        new_labels = (
+            stepped.join(parent, "label", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
         ).localCheckpoint()  # truncate the iterative lineage each round
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "id")
@@ -185,7 +205,13 @@ def dbscan(
         )
         labels = new_labels
         if not changed:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dbscan label propagation did not converge within {max_rounds} rounds; "
+            "raise max_rounds (components this deep are pathological at sane eps)"
+        )
 
     core_out = labels.select("id", "label", F.lit(True).alias("is_core"))
     border = (

@@ -52,9 +52,19 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _shingles(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, shingle_hash) — distinct word n-gram shingles per doc."""
-    return (
+def _shingles(
+    docs: DataFrame, text_col: str, id_col: str, max_doc_freq: int | None = None
+) -> DataFrame:
+    """(id, shingle_hash) — distinct word n-gram shingles per doc.
+
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    documents (one partial-agg count + broadcast anti-join).  This is the
+    100 TB guard for the output-sensitive shared-shingle joins: a boilerplate
+    shingle in 1% of a 10^12-doc corpus would otherwise emit ~10^18 pairs.
+    Capped shingles vanish from both the intersection AND the size counts, so
+    Jaccard stays internally consistent (it becomes Jaccard over the filtered
+    shingle space)."""
+    sh = (
         docs.select(
             F.col(id_col).alias("sid"),
             F.explode(F.array_distinct(word_ngrams(tokens(F.col(text_col)), SHINGLE_N))).alias(
@@ -64,6 +74,10 @@ def _shingles(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .withColumn("sh", md5_long(F.col("shingle")) % MOD)
         .select("sid", "sh")
     )
+    if max_doc_freq is not None:
+        hot = sh.groupBy("sh").agg(F.count("*").alias("_df")).filter(F.col("_df") > max_doc_freq)
+        sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    return sh
 
 
 def minhash_signatures(
@@ -154,12 +168,14 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via the shared-shingle join (no LSH):
     only pairs sharing >= 1 shingle are ever materialized, so the join is
     output-sensitive — the 100 TB-safe exact mode when shingle frequency is
-    bounded (cap hot shingles with a document-frequency filter upstream)."""
-    sh = _shingles(docs, text_col, id_col)
+    bounded.  Pass ``max_doc_freq`` to enforce that bound: shingles in more
+    than that many docs are dropped before the join (see ``_shingles``)."""
+    sh = _shingles(docs, text_col, id_col, max_doc_freq)
     a = sh.select(F.col("sid").alias("id_a"), "sh")
     b = sh.select(F.col("sid").alias("id_b"), "sh")
     inter = (
@@ -189,27 +205,30 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """16-bit SimHash over token multisets (order-insensitive): bit b of the
     per-token hash votes +1/-1; the sign of the vote sum sets bit b.
 
-    Pure Catalyst: explode tokens -> per-(doc, bit) conditional sum via a
-    broadcast cross-join with the 16-row bit table -> bit-OR fold.  Exactly
-    one shuffle (the groupBy on doc_id)."""
-    spark = docs.sparkSession
-    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
+    Pure Catalyst, ONE groupBy on doc_id with 16 conditional-sum aggregates
+    (one per bit) — the shuffle sees exactly one row per token, not the 16x
+    token-row blowup a bit-table cross-join would produce, and partial
+    aggregation collapses it map-side to one 16-column row per (doc,
+    partition)."""
     toks = docs.select(
         F.col(id_col).alias("sid"), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("th", md5_long(F.col("tok")) % MOD)
-    votes = (
-        toks.crossJoin(F.broadcast(bits))
-        .withColumn(
-            "vote",
-            F.when(F.expr("(th >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        .groupBy("sid", "bit")
-        .agg(F.sum("vote").alias("v"))
-        .withColumn("bitval", F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0).cast("long")))
-        .groupBy("sid")
-        .agg(F.sum("bitval").alias("simhash"))
+    votes = toks.groupBy("sid").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(th >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    return votes.select(F.col("sid").alias(id_col), "simhash")
+    bitvals = [
+        F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(SIMHASH_BITS)
+    ]
+    acc = bitvals[0]
+    for bv in bitvals[1:]:
+        acc = acc + bv
+    return votes.select(F.col("sid").alias(id_col), acc.alias("simhash"))
 
 
 def simhash_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -205,14 +205,21 @@ def knn_join_adaptive(
         if is_last:
             chunks.append(out)
             break
-        counts = out.groupBy(query_id_col).agg(F.count("*").alias("_n"))
-        satisfied = [
-            row[0] for row in counts.filter(F.col("_n") >= k).select(query_id_col).collect()
-        ]
-        if satisfied:
-            chunks.append(out.filter(F.col(query_id_col).isin(satisfied)))
-            remaining = remaining.filter(~F.col(query_id_col).isin(satisfied))
-        if not remaining.take(1):
+        # executor-side retirement (the reference's NNProcessor.java:53-120
+        # removes satisfied neighborhoods inside the task): keep the per-query
+        # counts as a DataFrame and semi/anti join — no query ids ever cross
+        # the driver, and the plan size stays O(1) per round regardless of
+        # |queries|.
+        satisfied = (
+            out.groupBy(query_id_col)
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") >= k)
+            .select(query_id_col)
+            .localCheckpoint()
+        )
+        chunks.append(out.join(satisfied, query_id_col, "left_semi"))
+        remaining = remaining.join(satisfied, query_id_col, "left_anti").localCheckpoint()
+        if not remaining.take(1):  # scalar early-exit probe, not an id transfer
             break
     probe.unpersist()  # round outputs are checkpointed; the big cache can go
     result = chunks[0]

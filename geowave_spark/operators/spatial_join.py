@@ -45,6 +45,23 @@ from .indexing import cell_at_tier, with_point_cells
 
 _PREPARED_CACHE: dict[str, object] = {}
 
+# Persisted DataFrames from prior pip_join calls (tiered probe cache, zcells).
+# They cannot be unpersisted inside the call that creates them — the returned
+# plan is lazy and the cache must survive until the caller materializes it —
+# so each new pip_join call releases the previous call's caches, and
+# `release_caches()` lets a long-running session drop the last ones.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist DataFrames cached by earlier pip_join calls."""
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
 
 def _prepared(wkt: str):
     from geowave_spark.geometry.predicates import PreparedGeometry
@@ -203,6 +220,7 @@ def pip_join(
     cover_bits: int | None = None,
     broadcast_zones: bool = True,
     point_cell_col: str | None = None,
+    max_broadcast_zones: int = 65536,
 ) -> DataFrame:
     """Inner join: every (point, zone) pair where the point lies inside the
     zone geometry.  Output = point columns + zone columns (minus working
@@ -215,6 +233,7 @@ def pip_join(
     the join unions one equi-join per distinct tier present (<= 15, usually
     2-4), each a broadcast hash join — mirrors the reference's tiered scan.
     """
+    release_caches()  # prior calls' consumers have run; drop their storage
     if point_cell_col is None:
         points = with_point_cells(points, lon_col, lat_col, cfg, cell_col="_pcell").drop("tier")
         point_cell_col = "_pcell"
@@ -222,6 +241,7 @@ def pip_join(
             # the tier loop unions one probe scan per tier: cache the encoded
             # probe so the (Python) encode UDF runs once, not once per tier
             points = points.persist()
+            _LIVE_CACHES.append(points)
 
     # avoid name collisions with the probe side (points may carry their own
     # geom_wkt); the zone geometry travels as _zwkt through the join
@@ -230,18 +250,28 @@ def pip_join(
     # catalog mode (whenever the zone side is broadcastable): geometries are
     # replaced by a small int index before the join so candidate rows never
     # carry WKT strings — the refine UDF holds the catalog per worker.
+    # Auto-gated: the catalog fetch collects at most max_broadcast_zones + 1
+    # distinct geometries; a larger build side falls back to the shuffle path
+    # (same rows, refine via Arrow UDF) instead of OOMing the driver.
     catalog: list[str] | None = None
     if broadcast_zones:
-        from geowave_spark.geometry.pip_expr import EDGES_SCHEMA, edges_rows
+        fetched = [
+            r[0]
+            for r in zones.select("_zwkt").distinct().limit(max_broadcast_zones + 1).collect()
+        ]
+        if len(fetched) > max_broadcast_zones:
+            broadcast_zones = False
+        else:
+            from geowave_spark.geometry.pip_expr import EDGES_SCHEMA, edges_rows
 
-        catalog = sorted(r[0] for r in zones.select("_zwkt").distinct().collect())
-        edge_data = edges_rows(catalog)
-        spark = zones.sparkSession
-        cat_df = spark.createDataFrame(
-            [(w, i, edge_data[i]) for i, w in enumerate(catalog)],
-            f"_zwkt string, _zid int, _zedges {EDGES_SCHEMA}",
-        )
-        zones = zones.join(F.broadcast(cat_df), "_zwkt")
+            catalog = sorted(fetched)
+            edge_data = edges_rows(catalog)
+            spark = zones.sparkSession
+            cat_df = spark.createDataFrame(
+                [(w, i, edge_data[i]) for i, w in enumerate(catalog)],
+                f"_zwkt string, _zid int, _zedges {EDGES_SCHEMA}",
+            )
+            zones = zones.join(F.broadcast(cat_df), "_zwkt")
 
     if mode == "tiered":
         zcells = zones.withColumn("_zc", F.explode(zone_insertion_cells_udf(cfg)(F.col("_zwkt"))))
@@ -253,6 +283,7 @@ def pip_join(
         if catalog is not None:
             zcells = zcells.drop("_zwkt")
         zcells = zcells.persist()
+        _LIVE_CACHES.append(zcells)
         tiers = [r[0] for r in zcells.select("_ztier").distinct().collect()]
         parts = []
         for t in sorted(tiers, reverse=True):

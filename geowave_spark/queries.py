@@ -427,21 +427,45 @@ def q_hot_cell_salting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 5
+DBSCAN_EPS = 0.05
+DBSCAN_MIN_PTS = 5
+
+
+def _kmeans_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/4 sample (engine-independent md5 filter, NOT limit —
+    Spark's limit picks arbitrary partitions and cannot be oracle-compared)."""
+    from geowave_spark.functions.text import md5_long
+
+    pts = _geo(spark, sf_dir, "points")
+    return pts.filter(F.pmod(md5_long(F.col("fid")), F.lit(4)) == 0)
+
+
+def _dbscan_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geowave_spark.functions.text import md5_long
+
+    pts = _geo(spark, sf_dir, "points")
+    return pts.filter(F.pmod(md5_long(F.col("fid")), F.lit(5)) == 0)
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4 (rows-only check; numpy-verified in pytest): per-cluster sizes."""
+    """J4: per-cluster sizes after fixed Lloyd iterations.  Oracle = the same
+    deterministic algorithm (md5-ranked init, k=8, 5 unrolled iterations)
+    written as a DuckDB CTE chain — mirrors GeoWaveKMeansIT's
+    ingest-then-verify contract (`GeoWaveKMeansIT.java:213-308`)."""
     from geowave_spark.operators.clustering import kmeans
 
-    pts = _geo(spark, sf_dir, "points").limit(5000)
-    assign, _ = kmeans(pts, k=8, max_iters=5)
+    assign, _ = kmeans(_kmeans_subset(spark, sf_dir), k=KMEANS_K, max_iters=KMEANS_ITERS)
     return assign.groupBy("cluster").agg(F.count("*").alias("n"))
 
 
 def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5 (rows-only check; brute-force-verified in pytest): cluster sizes."""
+    """J5: cluster sizes.  Oracle = eps self-join + WITH RECURSIVE reachability
+    (min core id per component) in DuckDB (`DBScanIT.java:178-183`)."""
     from geowave_spark.operators.clustering import dbscan
 
-    pts = _geo(spark, sf_dir, "points").limit(4000)
-    out = dbscan(pts, eps=0.05, min_pts=5)
+    out = dbscan(_dbscan_subset(spark, sf_dir), eps=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS)
     return out.groupBy("cluster").agg(
         F.count("*").alias("n_members"),
         F.sum(F.col("is_core").cast("int")).alias("n_core"),
@@ -449,13 +473,15 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dbscan_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5 hull stage (rows-only; python-oracle-verified in pytest):
-    per-cluster convex hulls of DBSCAN clusters."""
+    """J5 hull stage: per-cluster convex hulls of DBSCAN clusters.  Oracle
+    counts hull vertices with an independent algorithm: a member is a strict
+    hull vertex iff the circular gap between directions to its co-members
+    exceeds pi (all others in an open half-plane)."""
     from geowave_spark.operators.clustering import dbscan
     from geowave_spark.operators.hull import group_hulls
 
-    pts = _geo(spark, sf_dir, "points").limit(4000)
-    members = dbscan(pts, eps=0.05, min_pts=5).join(
+    pts = _dbscan_subset(spark, sf_dir)
+    members = dbscan(pts, eps=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS).join(
         pts.select("fid", "lon", "lat"), "fid"
     )
     return group_hulls(members).select("cluster", "n_points", "n_vertices")
@@ -505,17 +531,47 @@ def q_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
 def q_cms_category_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: count-min sketch per attribute (FeatureCountMinSketchStatistics
-    analog).  Rows-only check: sketch bytes aren't portable across engines;
-    the estimate's correctness is asserted relative to exact counts here."""
+    analog, `core/store/.../statistics/CountMinSketchStatistics`).
+
+    The sketch is built as data: depth x width hashed counters from ONE
+    partial-agg groupBy (the distributed CMS build — counters merge by sum,
+    exactly how per-partition sketches compose), then each category's
+    estimate is the min over its depth buckets.  Deterministic engine-portable
+    hash (md5 prefix) makes the estimate oracle-checkable; at sf0.01 the
+    1024-wide rows are collision-free so estimate == exact, which the output
+    exposes side-by-side."""
+    from geowave_spark.functions.text import md5_long
+
     pts = _geo(spark, sf_dir, "points")
-    sketch = pts.agg(
-        F.count_min_sketch(F.col("category"), F.lit(0.01), F.lit(0.01), F.lit(42)).alias("cms")
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("depth")
+    hashed = pts.select("category", rows).withColumn(
+        "bucket",
+        F.pmod(md5_long(F.concat_ws(":", F.col("depth"), F.col("category"))), F.lit(CMS_WIDTH)),
     )
-    exact = pts.groupBy("category").count()
-    return exact.crossJoin(sketch).select(
-        "category", "count", F.length("cms").alias("sketch_bytes")
+    # the sketch table: (depth, bucket) -> counter  [partial agg map-side]
+    sketch = hashed.groupBy("depth", "bucket").agg(F.count("*").alias("counter"))
+    cats = (
+        pts.groupBy("category")
+        .agg(F.count("*").alias("n_exact"))
+        .withColumn("depth", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))))
+        .withColumn(
+            "bucket",
+            F.pmod(
+                md5_long(F.concat_ws(":", F.col("depth"), F.col("category"))), F.lit(CMS_WIDTH)
+            ),
+        )
+    )
+    return (
+        cats.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("category", "n_exact")
+        .agg(F.min("counter").alias("n_est"))
+        .select("category", "n_exact", "n_est")
     )
 
 
@@ -550,6 +606,148 @@ def _knn_haversine_oracle() -> str:
           WHERE p.fid <> q.fid AND {hav} <= {HAVERSINE_RADIUS_KM})
         WHERE rank <= {HAVERSINE_K}
     """
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd iterations as a DuckDB CTE chain — same deterministic
+    init (k smallest md5 hashes), same tie-breaks, same IEEE products.
+    Early convergence in the engine is a no-op under unrolling (converged
+    centroids stop moving, so extra iterations repeat the assignment)."""
+    from geowave_spark.functions.text import md5_long_sql
+
+    h = md5_long_sql("fid")
+    parts = [
+        f"sub AS (SELECT fid, lon, lat FROM '{GEO_SF001}/points.parquet' WHERE {h} % 4 = 0)",
+        f"""c0 AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS cluster, lon AS cx, lat AS cy
+          FROM (SELECT {h} AS h, lon, lat FROM sub ORDER BY 1 LIMIT {KMEANS_K}))""",
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        parts.append(
+            f"""a{i} AS (
+          SELECT fid, lon, lat, cluster FROM (
+            SELECT s.fid, s.lon, s.lat, c.cluster,
+                   ROW_NUMBER() OVER (PARTITION BY s.fid ORDER BY
+                     (s.lon - c.cx) * (s.lon - c.cx) + (s.lat - c.cy) * (s.lat - c.cy),
+                     c.cluster) AS rn
+            FROM sub s CROSS JOIN c{i - 1} c) WHERE rn = 1)"""
+        )
+        if i < KMEANS_ITERS:
+            parts.append(
+                f"""c{i} AS (
+          SELECT c.cluster, COALESCE(m.cx, c.cx) AS cx, COALESCE(m.cy, c.cy) AS cy
+          FROM c{i - 1} c LEFT JOIN (
+            SELECT cluster, AVG(lon) AS cx, AVG(lat) AS cy FROM a{i} GROUP BY cluster) m
+          USING (cluster))"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(cluster AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n
+        FROM a{KMEANS_ITERS} GROUP BY cluster"""
+    )
+
+
+def _dbscan_members_cte() -> str:
+    """Shared WITH RECURSIVE prologue: DBSCAN membership (id, label, is_core)
+    via eps self-join edges, degree-thresholded cores, transitive-closure
+    reachability (min reachable core id = component label), border points
+    attached to their minimum core neighbor's label."""
+    from geowave_spark.functions.text import md5_long_sql
+
+    h = md5_long_sql("fid")
+    eps2 = repr(DBSCAN_EPS * DBSCAN_EPS)  # same float literal the engine uses
+    return f"""WITH RECURSIVE
+        sub AS (SELECT fid, lon, lat FROM '{GEO_SF001}/points.parquet' WHERE {h} % 5 = 0),
+        edges AS (
+          SELECT a.fid AS a, b.fid AS b
+          FROM sub a JOIN sub b
+            ON a.fid <> b.fid
+           AND (a.lon - b.lon) * (a.lon - b.lon)
+             + (a.lat - b.lat) * (a.lat - b.lat) <= {eps2}),
+        core AS (SELECT a AS id FROM edges GROUP BY a HAVING count(*) >= {DBSCAN_MIN_PTS - 1}),
+        cc AS (SELECT e.a, e.b FROM edges e
+               WHERE e.a IN (SELECT id FROM core) AND e.b IN (SELECT id FROM core)),
+        reach(id, r) AS (
+          SELECT id, id FROM core
+          UNION
+          SELECT cc.a, reach.r FROM cc JOIN reach ON reach.id = cc.b),
+        labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+        border AS (
+          SELECT e.a AS id, MIN(e.b) AS attach FROM edges e
+          WHERE e.b IN (SELECT id FROM core) AND e.a NOT IN (SELECT id FROM core)
+          GROUP BY e.a),
+        members AS (
+          SELECT id, label, TRUE AS is_core FROM labels
+          UNION ALL
+          SELECT b.id, l.label, FALSE AS is_core
+          FROM border b JOIN labels l ON l.id = b.attach)"""
+
+
+def _dbscan_oracle() -> str:
+    return (
+        _dbscan_members_cte()
+        + """
+        SELECT label AS cluster,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(SUM(CASE WHEN is_core THEN 1 ELSE 0 END) AS BIGINT) AS n_core
+        FROM members GROUP BY label"""
+    )
+
+
+def _dbscan_hulls_oracle() -> str:
+    """Independent hull-vertex count: a member is a strict convex-hull vertex
+    of its cluster iff the largest circular gap between directions to its
+    co-members exceeds pi (equivalently: all co-members fit in an open
+    half-plane through it).  Collinear boundary points (gap == pi exactly)
+    are excluded — matching the engine's strict monotone chain."""
+    return (
+        _dbscan_members_cte()
+        + """,
+        mcoords AS (SELECT m.id, m.label, s.lon, s.lat
+                    FROM members m JOIN sub s ON s.fid = m.id),
+        pairs AS (
+          SELECT p.label, p.id, atan2(q.lat - p.lat, q.lon - p.lon) AS th
+          FROM mcoords p JOIN mcoords q ON p.label = q.label AND p.id <> q.id),
+        gapped AS (
+          SELECT label, id, th,
+                 th - LAG(th) OVER (PARTITION BY label, id ORDER BY th) AS gap
+          FROM pairs),
+        span AS (
+          SELECT label, id,
+                 GREATEST(COALESCE(MAX(gap), 0), 2 * PI() - (MAX(th) - MIN(th))) AS circgap
+          FROM gapped GROUP BY label, id),
+        verts AS (SELECT label, count(*) AS n_vertices FROM span
+                  WHERE circgap > PI() GROUP BY label),
+        sizes AS (SELECT label, count(*) AS n_points FROM members GROUP BY label)
+        SELECT s.label AS cluster,
+               CAST(s.n_points AS BIGINT) AS n_points,
+               CAST(v.n_vertices AS BIGINT) AS n_vertices
+        FROM sizes s JOIN verts v ON v.label = s.label"""
+    )
+
+
+def _cms_oracle() -> str:
+    from geowave_spark.functions.text import md5_long_sql
+
+    pts = f"'{GEO_SF001}/points.parquet'"
+    hb = md5_long_sql("(d.depth || ':' || category)")
+    hc = md5_long_sql("(d.depth || ':' || c.category)")
+    return f"""
+        WITH hashed AS (
+          SELECT category, d.depth, {hb} % {CMS_WIDTH} AS bucket
+          FROM {pts}, (SELECT unnest(range(0, {CMS_DEPTH})) AS depth) d),
+        sketch AS (SELECT depth, bucket, count(*) AS counter
+                   FROM hashed GROUP BY depth, bucket),
+        cats AS (SELECT category, CAST(count(*) AS BIGINT) AS n_exact
+                 FROM {pts} GROUP BY category),
+        cat_buckets AS (
+          SELECT c.category, c.n_exact, d.depth, {hc} % {CMS_WIDTH} AS bucket
+          FROM cats c, (SELECT unnest(range(0, {CMS_DEPTH})) AS depth) d)
+        SELECT category, n_exact, CAST(MIN(s.counter) AS BIGINT) AS n_est
+        FROM cat_buckets cb JOIN sketch s USING (depth, bucket)
+        GROUP BY category, n_exact"""
 
 
 def build_oracles() -> dict[str, str]:
@@ -720,7 +918,7 @@ def build_oracles() -> dict[str, str]:
               SELECT year, xb, yb, count(*) AS n FROM binned GROUP BY year, xb, yb)
             SELECT CAST(year AS INT) AS year,
                    count(*) AS n_cells,
-                   SUM(n) AS n_points,
+                   CAST(SUM(n) AS BIGINT) AS n_points,
                    MAX(n) AS max_cell_points
             FROM per_cell GROUP BY year
         """,
@@ -786,6 +984,10 @@ def build_oracles() -> dict[str, str]:
             FROM sess GROUP BY user_id, sid
         """,
         "knn_haversine": _knn_haversine_oracle(),
+        "kmeans_clusters": _kmeans_oracle(),
+        "dbscan_clusters": _dbscan_oracle(),
+        "dbscan_hulls": _dbscan_hulls_oracle(),
+        "cms_category_sketch": _cms_oracle(),
         "spatiotemporal_3d_cells": f"""
             WITH binned AS (
               SELECT
@@ -799,7 +1001,7 @@ def build_oracles() -> dict[str, str]:
             per_cell AS (
               SELECT time_bin, xb, yb, tb, count(*) AS n
               FROM binned GROUP BY time_bin, xb, yb, tb)
-            SELECT time_bin, count(*) AS n_cells, SUM(n) AS n_points,
+            SELECT time_bin, count(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS n_points,
                    MAX(n) AS max_cell_points
             FROM per_cell GROUP BY time_bin
         """,

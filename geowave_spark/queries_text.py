@@ -258,7 +258,7 @@ def build_text_oracles() -> dict[str, str]:
               FROM toks, (SELECT unnest(range(0, {SIMHASH_BITS})) AS bit)
               GROUP BY sid, bit),
             hashes AS (
-              SELECT sid, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+              SELECT sid, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
               FROM votes GROUP BY sid)
             SELECT sid AS doc_id, simhash,
                    count(*) OVER (PARTITION BY simhash) AS n_bucket,

@@ -29,6 +29,30 @@ class TestPipJoin:
         }
         assert a == b and len(a) > 0
 
+    def test_broadcast_autogate_fallback_same_rows(self, spark, geo001):
+        """A zone layer larger than max_broadcast_zones must auto-fall-back to
+        the shuffle path (no unconditional driver collect of the catalog) and
+        still produce the identical pair set."""
+        from geowave_spark.operators.spatial_join import pip_join
+
+        pts = _pts(spark, geo001)
+        zones = _zones(spark, geo001).filter(F.col("zclass") == "convex")
+        a = {(r.fid, r.zone_id) for r in pip_join(pts, zones).select("fid", "zone_id").collect()}
+        # force the gate: the convex layer has > 2 distinct geometries
+        b = {
+            (r.fid, r.zone_id)
+            for r in pip_join(pts, zones, max_broadcast_zones=2)
+            .select("fid", "zone_id")
+            .collect()
+        }
+        c = {
+            (r.fid, r.zone_id)
+            for r in pip_join(pts, zones, broadcast_zones=False)
+            .select("fid", "zone_id")
+            .collect()
+        }
+        assert a == b == c and len(a) > 0
+
     def test_no_duplicate_pairs(self, spark, geo001):
         from geowave_spark.operators.spatial_join import pip_join
 

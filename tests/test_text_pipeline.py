@@ -64,7 +64,39 @@ class TestDedup:
         assert a == b
         assert all(0 <= s < (1 << 16) for _, s in a)
 
-    def test_identical_texts_identical_signatures(self, spark):
+    def test_simhash_python_oracle_and_no_token_blowup(self, spark, docs):
+        """Value check vs a python simhash AND a plan check: the 16 bit
+        votes must come from conditional sums in ONE aggregate — no
+        cross-join / 16x explode before the shuffle."""
+        from geowave_spark.operators.dedup import SIMHASH_BITS, simhash
+        from geowave_spark.functions.text import MOD
+
+        sample = docs.limit(5).collect()
+        got = {r.doc_id: r.simhash for r in simhash(docs.limit(5)).collect()}
+        for row in sample:
+            votes = [0] * SIMHASH_BITS
+            for tok in row.text.split(" "):
+                th = _py_hash(tok) % MOD
+                for b in range(SIMHASH_BITS):
+                    votes[b] += 1 if (th >> b) & 1 else -1
+            expect = sum(1 << b for b in range(SIMHASH_BITS) if votes[b] > 0)
+            assert got[row.doc_id] == expect
+        plan = simhash(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+
+    def test_ngram_jaccard_hot_shingle_cap(self, spark):
+        """max_doc_freq drops boilerplate shingles: a shingle shared by every
+        doc must not by itself produce candidate pairs."""
+        from geowave_spark.operators.dedup import ngram_jaccard_pairs
+
+        boiler = "all rights reserved"  # one 3-gram shared by all docs
+        rows = [(i, f"unique{i} tok{i} word{i} {boiler}") for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        uncapped = ngram_jaccard_pairs(df, threshold=0.01)
+        capped = ngram_jaccard_pairs(df, threshold=0.01, max_doc_freq=5)
+        assert uncapped.count() == 20 * 19 // 2  # all pairs share the boilerplate
+        assert capped.count() == 0  # cap removes the hot shingle entirely
         from geowave_spark.operators.dedup import minhash_signatures, simhash
 
         rows = [(1, "storm hail wind track sensor doc span region"), (2, "storm hail wind track sensor doc span region"), (3, "completely different words entirely here now")]
