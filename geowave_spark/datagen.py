@@ -316,6 +316,73 @@ def _gen_query_filters(rng):
     )
 
 
+COVERAGE_COUNTS = {"sf0.001": 8, "sf0.01": 12, "sf0.1": 24, "sf1": 48}
+TILE_SIZE = 32
+RASTER_NODATA = -1
+
+
+def _gen_coverages(rng: np.random.RandomState, n: int) -> pa.Table:
+    """Raster grid coverages (RasterDataAdapter input analog): integer pixel
+    grids with a geographic envelope.  ~70% are aligned to the tier grid
+    their resolution selects (one tile == one SFC cell, exercising the clean
+    chop path); the rest get a sub-cell envelope jitter so nearest-neighbor
+    resampling and partial-coverage nodata fill are exercised.  Anchored on
+    shared hotspots so coverages overlap and the mosaic merge path is real.
+    Pixels are small ints (exact in float64 sums); RASTER_NODATA sprinkled
+    deterministically."""
+    ids, minxs, minys, maxxs, maxys, ws, hs, pix = [], [], [], [], [], [], [], []
+    for i in range(n):
+        k = (5, 6, 7)[rng.randint(0, 3)]
+        bins = 2**k
+        cell = 360.0 / bins
+        ax, ay = CLUSTERS[rng.randint(0, 3)]
+        gx0 = int(np.floor((ax + 180.0) / 360.0 * bins)) + rng.randint(-1, 2)
+        gy0 = int(np.floor((ay + 180.0) / 360.0 * bins)) + rng.randint(-1, 2)
+        nx = rng.randint(1, 4)
+        ny = rng.randint(1, 4)
+        minx = -180.0 + gx0 * cell
+        miny = -180.0 + gy0 * cell
+        if rng.uniform() < 0.3:
+            minx += rng.uniform(-0.3, 0.3) * cell
+            miny += rng.uniform(-0.3, 0.3) * cell
+        maxx = minx + nx * cell
+        maxy = miny + ny * cell
+        w, h = nx * TILE_SIZE, ny * TILE_SIZE
+        v = (np.arange(w * h, dtype=np.int64) * 2654435761 + (i + 1) * 7919) % 256
+        v = np.where(v % 7 == 0, RASTER_NODATA, v).astype(np.int32)
+        ids.append("cov_%03d" % i)
+        minxs.append(minx)
+        minys.append(miny)
+        maxxs.append(maxx)
+        maxys.append(maxy)
+        ws.append(w)
+        hs.append(h)
+        pix.append(v)
+    return pa.table(
+        {
+            "coverage_id": ids,
+            "minx": np.array(minxs),
+            "miny": np.array(minys),
+            "maxx": np.array(maxxs),
+            "maxy": np.array(maxys),
+            "width": np.array(ws, dtype=np.int32),
+            "height": np.array(hs, dtype=np.int32),
+            "pixels": pa.array([p.tolist() for p in pix], type=pa.list_(pa.int32())),
+        }
+    )
+
+
+def ensure_coverages(sf: str, root: Path | None = None) -> Path:
+    """Generate (once) the raster coverage fixture for a scale factor.
+    Separate seed stream + marker so existing fixture dirs stay byte-stable."""
+    out = ensure_geo_tables(sf, root)
+    f = out / "coverages.parquet"
+    if not f.exists():
+        rng = np.random.RandomState(777)
+        pq.write_table(_gen_coverages(rng, COVERAGE_COUNTS.get(sf, 12)), f)
+    return out
+
+
 def ensure_geo_tables(sf: str, root: Path | None = None) -> Path:
     """Generate (once) and return the fixture dir for a scale factor."""
     root = Path(root) if root else GEO_DATA_ROOT

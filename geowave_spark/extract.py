@@ -82,6 +82,24 @@ def with_geometry(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
     return df
 
 
+def refine_intersects_box_udf(minx: float, miny: float, maxx: float, maxy: float):
+    """Arrow-batched exact geometry-vs-box intersects refine for the non-point
+    minority (lines/polygons): per-kind dispatch in
+    geometry/predicates.geom_intersects_box (SAT for segments and convex
+    rings — same formulas as the SQL oracle)."""
+    from pyspark.sql.types import BooleanType
+
+    @F.pandas_udf(BooleanType())
+    def _refine(wkt: pd.Series) -> pd.Series:
+        from geowave_spark.geometry.predicates import geom_intersects_box
+
+        return pd.Series(
+            [bool(w is not None and geom_intersects_box(w, minx, miny, maxx, maxy)) for w in wkt]
+        )
+
+    return _refine
+
+
 def span_signature(spans_col: str = "spans") -> Column:
     """Deterministic per-doc signature of (kind, text, media_ref, order):
     the invariant every pipeline must preserve bit-for-bit."""

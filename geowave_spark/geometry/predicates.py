@@ -153,6 +153,146 @@ def linestring_intersects_polygon(line: np.ndarray, prepared: PreparedGeometry) 
 
 
 # ---------------------------------------------------------------------------
+# polygon-valued data geometries (the SpatialQueryFilter.java:182-228 accept
+# path for areal features): exact intersects/contains for every data kind
+# ---------------------------------------------------------------------------
+
+
+def _ccw(ring: np.ndarray) -> np.ndarray:
+    x, y = ring[:, 0], ring[:, 1]
+    if (x[:-1] * y[1:] - x[1:] * y[:-1]).sum() < 0:
+        return ring[::-1]
+    return ring
+
+
+def segment_intersects_box(x1, y1, x2, y2, minx, miny, maxx, maxy) -> np.ndarray:
+    """Vectorized exact segment-vs-box intersects via the separating-axis
+    test (axes: x, y, segment normal).  Formulas ordered to match the SQL
+    oracle's expressions op-for-op."""
+    bbox_ok = (
+        (np.maximum(x1, x2) >= minx)
+        & (np.minimum(x1, x2) <= maxx)
+        & (np.maximum(y1, y2) >= miny)
+        & (np.minimum(y1, y2) <= maxy)
+    )
+    a = -(y2 - y1)
+    b = x2 - x1
+    c = a * x1 + b * y1
+    projs = [a * minx + b * miny, a * minx + b * maxy, a * maxx + b * miny, a * maxx + b * maxy]
+    lo = np.minimum(np.minimum(projs[0], projs[1]), np.minimum(projs[2], projs[3]))
+    hi = np.maximum(np.maximum(projs[0], projs[1]), np.maximum(projs[2], projs[3]))
+    return bbox_ok & (lo <= c) & (c <= hi)
+
+
+def convex_polygon_intersects_box(ring: np.ndarray, minx, miny, maxx, maxy) -> bool:
+    """Exact convex-polygon-vs-box intersects (SAT: bbox axes + every edge's
+    outward half-plane must keep at least one box corner on the inner side)."""
+    ring = _ccw(ring)
+    x, y = ring[:, 0], ring[:, 1]
+    if x.max() < minx or x.min() > maxx or y.max() < miny or y.min() > maxy:
+        return False
+    a = y[1:] - y[:-1]
+    b = -(x[1:] - x[:-1])
+    c = a * x[:-1] + b * y[:-1]
+    projs = np.stack(
+        [a * minx + b * miny, a * minx + b * maxy, a * maxx + b * miny, a * maxx + b * maxy]
+    )
+    return bool((projs.min(axis=0) <= c).all())
+
+
+def geom_intersects_box(geom, minx, miny, maxx, maxy) -> bool:
+    """Exact geometry-vs-box intersects for point/line/polygon data — the
+    per-kind dispatch SpatialQueryFilter applies after the coarse bbox pass."""
+    if isinstance(geom, str):
+        geom = parse_wkt(geom)
+    kind, data = geom
+    if kind == "point":
+        return bool(minx <= data[0] <= maxx and miny <= data[1] <= maxy)
+    if kind == "linestring":
+        x, y = data[:, 0], data[:, 1]
+        return bool(
+            segment_intersects_box(x[:-1], y[:-1], x[1:], y[1:], minx, miny, maxx, maxy).any()
+        )
+    if kind == "polygon":
+        return convex_polygon_intersects_box(data[0], minx, miny, maxx, maxy)
+    if kind == "multipolygon":
+        return any(convex_polygon_intersects_box(p[0], minx, miny, maxx, maxy) for p in data)
+    raise ValueError(f"unsupported geometry kind {kind}")
+
+
+def geom_within_box(geom, minx, miny, maxx, maxy) -> bool:
+    """CONTAINS semantics for a box query: every vertex inside (exact for a
+    convex box, `BasicQueryFilter.java:40-63`)."""
+    if isinstance(geom, str):
+        geom = parse_wkt(geom)
+    kind, data = geom
+    if kind == "point":
+        return bool(minx <= data[0] <= maxx and miny <= data[1] <= maxy)
+    if kind == "linestring":
+        verts = [data]
+    elif kind == "polygon":
+        verts = list(data)
+    elif kind == "multipolygon":
+        verts = [r for p in data for r in p]
+    else:
+        raise ValueError(f"unsupported geometry kind {kind}")
+    for v in verts:
+        x, y = v[:, 0], v[:, 1]
+        if not ((x >= minx) & (x <= maxx) & (y >= miny) & (y <= maxy)).all():
+            return False
+    return True
+
+
+def _rings_of(geom) -> list[np.ndarray]:
+    kind, data = geom
+    if kind == "polygon":
+        return list(data)
+    if kind == "multipolygon":
+        return [r for p in data for r in p]
+    raise ValueError(f"not an areal geometry: {kind}")
+
+
+def polygon_intersects_polygon(data_geom, query: PreparedGeometry) -> bool:
+    """Exact areal-vs-areal intersects (general simple polygons, holes on the
+    query side honored by the even-odd containment): any data vertex inside
+    the query, any query vertex inside the data polygon, or any edge pair
+    crossing."""
+    if isinstance(data_geom, str):
+        data_geom = parse_wkt(data_geom)
+    dp = PreparedGeometry(data_geom)
+    for ring in _rings_of(data_geom):
+        if query.contains_points(ring[:, 0], ring[:, 1]).any():
+            return True
+    for x1, y1, x2, y2 in query._rings:
+        if dp.contains_points(x1, y1).any():
+            return True
+    for ring in _rings_of(data_geom):
+        ax1, ay1, ax2, ay2 = ring[:-1, 0], ring[:-1, 1], ring[1:, 0], ring[1:, 1]
+        for x1, y1, x2, y2 in query._rings:
+            for i in range(len(x1)):
+                if segments_intersect(ax1, ay1, ax2, ay2, x1[i], y1[i], x2[i], y2[i]).any():
+                    return True
+    return False
+
+
+def polygon_within_polygon(data_geom, query: PreparedGeometry) -> bool:
+    """Exact areal-within-areal: every data vertex inside the query and no
+    boundary crossing (sufficient for simple rings)."""
+    if isinstance(data_geom, str):
+        data_geom = parse_wkt(data_geom)
+    for ring in _rings_of(data_geom):
+        if not query.contains_points(ring[:, 0], ring[:, 1]).all():
+            return False
+    for ring in _rings_of(data_geom):
+        ax1, ay1, ax2, ay2 = ring[:-1, 0], ring[:-1, 1], ring[1:, 0], ring[1:, 1]
+        for x1, y1, x2, y2 in query._rings:
+            for i in range(len(x1)):
+                if segments_intersect(ax1, ay1, ax2, ay2, x1[i], y1[i], x2[i], y2[i]).any():
+                    return False
+    return True
+
+
+# ---------------------------------------------------------------------------
 # distances
 # ---------------------------------------------------------------------------
 

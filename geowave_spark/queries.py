@@ -192,6 +192,40 @@ def q_docs_extent_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_polygon_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 for polygon/line-valued *data* geometries: coarse bbox pass, then
+    exact per-kind intersects refine (point range check stays native; only
+    the ~10% non-point minority reaches the Arrow batch) — the
+    `SpatialQueryFilter.java:182-228` accept semantics for every geometry
+    type, not bbox-only."""
+    from geowave_spark.extract import refine_intersects_box_udf
+
+    docs = _geo(spark, sf_dir, "docs")
+    geo = with_geometry(docs)
+    coarse = geo.filter(
+        (F.col("minx") <= BOX[2])
+        & (F.col("maxx") >= BOX[0])
+        & (F.col("miny") <= BOX[3])
+        & (F.col("maxy") >= BOX[1])
+    )
+    _refine = refine_intersects_box_udf(BOX[0], BOX[1], BOX[2], BOX[3])
+    is_point = F.col("geom_wkt").startswith("POINT")
+    point_ok = (
+        (F.col("cx") >= BOX[0])
+        & (F.col("cx") <= BOX[2])
+        & (F.col("cy") >= BOX[1])
+        & (F.col("cy") <= BOX[3])
+    )
+    refined = coarse.filter(
+        F.when(is_point, point_ok).otherwise(_refine(F.col("geom_wkt")))
+    )
+    return refined.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.split("geom_wkt", " ")[0].alias("gkind"),
+    )
+
+
 def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user (30-min inactivity gap) — the custom
     stateful-operator pattern expressed declaratively; oracle re-derives
@@ -575,6 +609,24 @@ def q_cms_category_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_raster_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5+R6: coverage -> tier selection (convertToIndex floorEntry rule) ->
+    per-cell tileSize^2 chop with nearest-neighbor resample -> no-data mosaic
+    merge (latest-wins, earlier fills holes) -> exact integer summary.
+    Mirrors `RasterDataAdapter.java:391-516` + `NoDataMergeStrategy.java`."""
+    from pathlib import Path
+
+    from geowave_spark.datagen import SCALES, ensure_coverages
+    from geowave_spark.operators.raster import mosaic_summary, mosaic_tiles, raster_tiles
+
+    sf = Path(sf_dir).name
+    d = ensure_coverages(sf if sf in SCALES else "sf0.01")
+    covs = spark.read.parquet(str(d / "coverages.parquet"))
+    return mosaic_summary(mosaic_tiles(raster_tiles(covs))).select(
+        "tier", "xb", "yb", "n_sources", "checksum", "n_nodata"
+    )
+
+
 def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3-A5 analog: per-category ingest statistics (count, bbox, range)."""
     pts = _geo(spark, sf_dir, "points")
@@ -606,6 +658,132 @@ def _knn_haversine_oracle() -> str:
           WHERE p.fid <> q.fid AND {hav} <= {HAVERSINE_RADIUS_KM})
         WHERE rank <= {HAVERSINE_K}
     """
+
+
+def _raster_oracle() -> str:
+    """Independent SQL re-derivation of the raster pipeline: tier selection
+    (coarsest cell <= tile world size), bbox->bin spans with the engine's
+    edge rules, nearest-neighbor resample with the identical FP expressions,
+    and the latest-wins merge as ARG_MAX over non-nodata contributions."""
+    from geowave_spark.datagen import ensure_coverages
+    from geowave_spark.operators.raster import NODATA, TILE_SIZE, _REL_EPS
+
+    ensure_coverages("sf0.01")
+    g = GEO_SF001
+    tiers = "[0,1,2,3,4,5,6,7,8,9,10,11,13,18,31]"
+    ts = TILE_SIZE
+    nd = NODATA
+    return f"""
+        WITH cov AS (
+          SELECT coverage_id, minx, miny, maxx, maxy, width, height, pixels,
+                 LEAST((maxx - minx) * {ts} / width, (maxy - miny) * {ts} / height) AS tworld
+          FROM '{g}/coverages.parquet'),
+        tiered AS (
+          SELECT c.*, COALESCE((
+            SELECT MIN(t) FROM unnest({tiers}) AS u(t)
+            WHERE 360.0 / POWER(2.0, t) <= c.tworld * (1.0 + {_REL_EPS!r})), 31) AS tier
+          FROM cov c),
+        binned AS (
+          SELECT *, POWER(2.0, tier) AS bins, 360.0 / POWER(2.0, tier) AS cellw,
+            CAST(LEAST(FLOOR(((LEAST(GREATEST(minx, -180.0), 180.0) + 180.0) / 360.0) * POWER(2.0, tier)), POWER(2.0, tier) - 1) AS BIGINT) AS xlo,
+            CAST(GREATEST(CEIL(((LEAST(GREATEST(maxx, -180.0), 180.0) + 180.0) / 360.0) * POWER(2.0, tier)) - 1, 0) AS BIGINT) AS xhi,
+            CAST(LEAST(FLOOR(((LEAST(GREATEST(miny, -90.0), 90.0) + 180.0) / 360.0) * POWER(2.0, tier)), POWER(2.0, tier) - 1) AS BIGINT) AS ylo,
+            CAST(GREATEST(CEIL(((LEAST(GREATEST(maxy, -90.0), 90.0) + 180.0) / 360.0) * POWER(2.0, tier)) - 1, 0) AS BIGINT) AS yhi
+          FROM tiered),
+        cells AS (
+          SELECT b.*, gx.cx, gy.cy
+          FROM binned b,
+               LATERAL unnest(range(b.xlo, GREATEST(b.xhi, b.xlo) + 1)) AS gx(cx),
+               LATERAL unnest(range(b.ylo, GREATEST(b.yhi, b.ylo) + 1)) AS gy(cy)),
+        px AS (
+          SELECT coverage_id, tier, cx, cy, p,
+                 CASE WHEN col >= 0 AND col < width AND row >= 0 AND row < height
+                      THEN pixels[row * width + col + 1] ELSE {nd} END AS val
+          FROM (
+            SELECT c.*, u.p,
+              CAST(FLOOR(((((c.cx / c.bins) * 360.0 - 180.0)
+                   + ((CAST(u.p % {ts} AS DOUBLE) + 0.5) * c.cellw) / {ts}) - c.minx)
+                   / ((c.maxx - c.minx) / c.width)) AS BIGINT) AS col,
+              CAST(FLOOR(((((c.cy / c.bins) * 360.0 - 180.0)
+                   + ((CAST(u.p // {ts} AS DOUBLE) + 0.5) * c.cellw) / {ts}) - c.miny)
+                   / ((c.maxy - c.miny) / c.height)) AS BIGINT) AS row
+            FROM cells c, LATERAL unnest(range(0, {ts * ts})) AS u(p))),
+        merged AS (
+          SELECT tier, cx, cy, p,
+                 ARG_MAX(val, coverage_id) FILTER (WHERE val <> {nd}) AS mval
+          FROM px GROUP BY tier, cx, cy, p),
+        srcs AS (
+          SELECT tier, cx, cy, CAST(COUNT(DISTINCT coverage_id) AS BIGINT) AS n_sources
+          FROM px GROUP BY tier, cx, cy)
+        SELECT CAST(m.tier AS INT) AS tier, m.cx AS xb, m.cy AS yb, s.n_sources,
+               CAST(SUM(CASE WHEN m.mval IS NULL THEN 0 ELSE m.mval END) AS BIGINT) AS checksum,
+               CAST(SUM(CASE WHEN m.mval IS NULL THEN 1 ELSE 0 END) AS INT) AS n_nodata
+        FROM merged m JOIN srcs s USING (tier, cx, cy)
+        GROUP BY m.tier, m.cx, m.cy, s.n_sources"""
+
+
+def _docs_polygon_oracle() -> str:
+    """Exact per-kind intersects in pure SQL: point range check; segment and
+    convex-polygon vs box via the separating-axis test (same formulas, same
+    op order as geometry/predicates.py).  Data rings are CCW by construction
+    (datagen `_convex_ring`: ascending angles)."""
+    docs = f"'{GEO_SF001}/docs.parquet'"
+    minx, miny, maxx, maxy = BOX
+    # segment i spans verts[i] -> verts[i+1] (1-indexed DuckDB lists)
+    sa = "(-(verts[i+1].y - verts[i].y))"
+    sb = "(verts[i+1].x - verts[i].x)"
+    sc = f"({sa} * verts[i].x + {sb} * verts[i].y)"
+    sprojs = ", ".join(
+        f"{sa} * ({X}) + {sb} * ({Y})"
+        for X, Y in ((minx, miny), (minx, maxy), (maxx, miny), (maxx, maxy))
+    )
+    seg_sat = f"""len(list_filter(range(1, len(verts)), i ->
+        GREATEST(verts[i].x, verts[i+1].x) >= {minx} AND LEAST(verts[i].x, verts[i+1].x) <= {maxx}
+        AND GREATEST(verts[i].y, verts[i+1].y) >= {miny} AND LEAST(verts[i].y, verts[i+1].y) <= {maxy}
+        AND LEAST({sprojs}) <= {sc} AND {sc} <= GREATEST({sprojs}))) > 0"""
+    # polygon edge i: CCW half-plane a*x + b*y <= c is the interior side
+    pa = "(verts[i+1].y - verts[i].y)"
+    pb = "(-(verts[i+1].x - verts[i].x))"
+    pc = f"({pa} * verts[i].x + {pb} * verts[i].y)"
+    pprojs = ", ".join(
+        f"{pa} * ({X}) + {pb} * ({Y})"
+        for X, Y in ((minx, miny), (minx, maxy), (maxx, miny), (maxx, maxy))
+    )
+    poly_sat = f"""
+        len(list_filter(verts, v -> v.x >= {minx})) > 0 AND len(list_filter(verts, v -> v.x <= {maxx})) > 0
+        AND len(list_filter(verts, v -> v.y >= {miny})) > 0 AND len(list_filter(verts, v -> v.y <= {maxy})) > 0
+        AND len(list_filter(range(1, len(verts)), i -> LEAST({pprojs}) > {pc})) = 0"""
+    verts_expr = (
+        "list_transform(string_split({body}, ', '), "
+        "p -> struct_pack(x := CAST(string_split(p, ' ')[1] AS DOUBLE), "
+        "y := CAST(string_split(p, ' ')[2] AS DOUBLE)))"
+    )
+    line_body = "replace(replace(wkt, 'LINESTRING (', ''), ')', '')"
+    poly_body = "replace(replace(wkt, 'POLYGON ((', ''), '))', '')"
+    return f"""
+        WITH d AS (
+          SELECT doc_id, CAST(len(spans) AS INT) AS n_spans,
+                 list_filter(spans, s -> s.kind = 'geo')[1].text AS wkt,
+                 string_split(list_filter(spans, s -> s.kind = 'geo')[1].text, ' ')[1] AS gkind
+          FROM {docs}),
+        pts AS (
+          SELECT doc_id, n_spans, gkind FROM d,
+          LATERAL (SELECT
+            TRY_CAST(regexp_extract(wkt, '^POINT \\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)$', 1) AS DOUBLE) AS lon,
+            TRY_CAST(regexp_extract(wkt, '^POINT \\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)$', 2) AS DOUBLE) AS lat)
+          WHERE gkind = 'POINT'
+            AND lon >= {minx} AND lon <= {maxx} AND lat >= {miny} AND lat <= {maxy}),
+        lines AS (
+          SELECT doc_id, n_spans, gkind FROM (
+            SELECT doc_id, n_spans, gkind, {verts_expr.format(body=line_body)} AS verts
+            FROM d WHERE gkind = 'LINESTRING')
+          WHERE {seg_sat}),
+        polys AS (
+          SELECT doc_id, n_spans, gkind FROM (
+            SELECT doc_id, n_spans, gkind, {verts_expr.format(body=poly_body)} AS verts
+            FROM d WHERE gkind = 'POLYGON')
+          WHERE {poly_sat})
+        SELECT * FROM pts UNION ALL SELECT * FROM lines UNION ALL SELECT * FROM polys"""
 
 
 def _kmeans_oracle() -> str:
@@ -984,6 +1162,8 @@ def build_oracles() -> dict[str, str]:
             FROM sess GROUP BY user_id, sid
         """,
         "knn_haversine": _knn_haversine_oracle(),
+        "docs_polygon_query": _docs_polygon_oracle(),
+        "raster_tiling": _raster_oracle(),
         "kmeans_clusters": _kmeans_oracle(),
         "dbscan_clusters": _dbscan_oracle(),
         "dbscan_hulls": _dbscan_hulls_oracle(),
@@ -1056,6 +1236,8 @@ QUERIES = {
     "dbscan_hulls": q_dbscan_hulls,
     "tracks_box_temporal": q_tracks_box_temporal,
     "docs_extent_query": q_docs_extent_query,
+    "docs_polygon_query": q_docs_polygon_query,
+    "raster_tiling": q_raster_tiling,
     "events_sessionization": q_events_sessionization,
     "subsample_zorder": q_subsample_zorder,
     "cms_category_sketch": q_cms_category_sketch,

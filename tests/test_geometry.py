@@ -196,3 +196,74 @@ class TestSpatioTemporalKeys:
             bins = (int(t64[i].astype("datetime64[Y]").astype(int)), int(xb[i]), int(yb[i]), int(tb[i]))
             assert trip.setdefault(key, bins) == bins  # key -> one bin triple
         assert len({v for v in trip.values()}) == len(trip)  # bins -> one key
+
+
+class TestArealPredicates:
+    """Exact per-kind vs-box intersects (SpatialQueryFilter accept semantics
+    for polygon/line-valued data) — cases chosen so the coarse bbox pass
+    WOULD accept but the exact test must reject, and vice versa."""
+
+    def test_diagonal_segment_bbox_overlaps_but_misses(self):
+        from geowave_spark.geometry.predicates import geom_intersects_box
+
+        # segment from (0,2.5) to (2.5,0): its bbox covers the unit box at
+        # origin, but the segment passes outside the corner (x+y=2.5 > 2)
+        assert not geom_intersects_box("LINESTRING (0.0 2.5, 2.5 0.0)", 0, 0, 1, 1)
+        # pull it inward -> crosses
+        assert geom_intersects_box("LINESTRING (0.0 1.5, 1.5 0.0)", 0, 0, 1, 1)
+        # fully inside
+        assert geom_intersects_box("LINESTRING (0.2 0.2, 0.8 0.9)", 0, 0, 1, 1)
+        # crossing straight through without a vertex inside
+        assert geom_intersects_box("LINESTRING (-1.0 0.5, 2.0 0.5)", 0, 0, 1, 1)
+
+    def test_triangle_bbox_overlaps_but_misses(self):
+        from geowave_spark.geometry.predicates import geom_intersects_box
+
+        # CCW triangle whose bbox covers the box corner but whose hypotenuse
+        # keeps the box outside
+        tri = "POLYGON ((1.5 0.0, 3.0 3.0, 0.0 1.5, 1.5 0.0))"
+        assert not geom_intersects_box(tri, 0, 0, 0.5, 0.5)
+        assert geom_intersects_box(tri, 0, 0, 1.2, 1.2)  # corner pokes in
+        # box entirely inside the polygon (no vertex of either in the other's
+        # boundary cells)
+        assert geom_intersects_box(tri, 1.2, 1.2, 1.4, 1.4)
+        # polygon entirely inside the box
+        assert geom_intersects_box(tri, -1, -1, 4, 4)
+        # CW input must be normalized (engine side accepts either winding)
+        tri_cw = "POLYGON ((1.5 0.0, 0.0 1.5, 3.0 3.0, 1.5 0.0))"
+        assert not geom_intersects_box(tri_cw, 0, 0, 0.5, 0.5)
+        assert geom_intersects_box(tri_cw, 0, 0, 1.2, 1.2)
+
+    def test_within_box(self):
+        from geowave_spark.geometry.predicates import geom_within_box
+
+        tri = "POLYGON ((1.5 0.0, 3.0 3.0, 0.0 1.5, 1.5 0.0))"
+        assert geom_within_box(tri, 0, 0, 3, 3)
+        assert not geom_within_box(tri, 0, 0, 2.9, 3)
+        assert geom_within_box("LINESTRING (0.2 0.2, 0.8 0.9)", 0, 0, 1, 1)
+        assert not geom_within_box("LINESTRING (0.2 0.2, 1.8 0.9)", 0, 0, 1, 1)
+
+    def test_polygon_polygon_intersects_and_within(self):
+        from geowave_spark.geometry.predicates import (
+            PreparedGeometry,
+            polygon_intersects_polygon,
+            polygon_within_polygon,
+        )
+
+        q = PreparedGeometry("POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))")
+        inside = "POLYGON ((1.0 1.0, 2.0 1.0, 2.0 2.0, 1.0 2.0, 1.0 1.0))"
+        overlap = "POLYGON ((3.0 3.0, 5.0 3.0, 5.0 5.0, 3.0 5.0, 3.0 3.0))"
+        outside = "POLYGON ((6.0 6.0, 7.0 6.0, 7.0 7.0, 6.0 7.0, 6.0 6.0))"
+        # data polygon CONTAINING the whole query (no vertex of data in q):
+        around = "POLYGON ((-10.0 -10.0, 10.0 -10.0, 10.0 10.0, -10.0 10.0, -10.0 -10.0))"
+        # edge-crossing plus-sign arm: crosses without containing vertices
+        arm = "POLYGON ((1.0 -6.0, 3.0 -6.0, 3.0 6.0, 1.0 6.0, 1.0 -6.0))"
+        assert polygon_intersects_polygon(inside, q)
+        assert polygon_intersects_polygon(overlap, q)
+        assert not polygon_intersects_polygon(outside, q)
+        assert polygon_intersects_polygon(around, q)
+        assert polygon_intersects_polygon(arm, q)
+        assert polygon_within_polygon(inside, q)
+        assert not polygon_within_polygon(overlap, q)
+        assert not polygon_within_polygon(around, q)
+        assert not polygon_within_polygon(arm, q)

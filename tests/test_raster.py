@@ -1,0 +1,111 @@
+"""Raster coverage tiling (R5) + no-data mosaic merge (R6).
+
+Mirrors the RasterDataAdapter contract: tier selection from resolution,
+cell-aligned chop, nearest-neighbor resample, latest-wins merge with
+hole-filling from earlier tiles (`RasterDataAdapter.java:391-516`,
+`NoDataMergeStrategy.java:36-100`)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geowave_spark.operators.raster import (
+    NODATA,
+    TILE_SIZE,
+    mosaic_summary,
+    mosaic_tiles,
+    pyramid_tiers,
+    raster_tiles,
+    select_raster_tier,
+)
+
+
+def _cov_row(cid, k, gx0, gy0, nx, ny, fill):
+    """Aligned coverage at tier k: one tile per cell by construction."""
+    cell = 360.0 / 2**k
+    minx = -180.0 + gx0 * cell
+    miny = -180.0 + gy0 * cell
+    w, h = nx * TILE_SIZE, ny * TILE_SIZE
+    pix = fill(np.arange(w * h)).astype(np.int32).tolist()
+    return (cid, minx, miny, minx + nx * cell, miny + ny * cell, w, h, pix)
+
+
+_SCHEMA = (
+    "coverage_id string, minx double, miny double, maxx double, maxy double,"
+    " width int, height int, pixels array<int>"
+)
+
+
+class TestRasterTiling:
+    def test_tier_selection_matches_resolution(self):
+        # aligned coverage at tier 6: tile world size == cell size at 6
+        cell6 = 360.0 / 2**6
+        assert select_raster_tier(0, 0, 2 * cell6, cell6, 64, 32) == 6
+        # slightly coarser pixels -> tile world bigger than cell7, <= cell6
+        assert select_raster_tier(0, 0, 1.5 * cell6, 1.5 * cell6, 32, 32) == 6
+        # pyramid: full res + coarser levels while a tile can hold the span
+        tiers = pyramid_tiers(0, 0, 2 * cell6, 2 * cell6, 64, 64)
+        assert tiers[0] == 6 and all(t < 6 for t in tiers[1:]) and 5 in tiers
+
+    def test_aligned_chop_is_exact_slicing(self, spark):
+        k, gx0, gy0 = 6, 40, 33
+        df = spark.createDataFrame(
+            [_cov_row("c0", k, gx0, gy0, 2, 1, lambda i: i % 251)], _SCHEMA
+        )
+        tiles = raster_tiles(df).collect()
+        assert len(tiles) == 2 and all(t.tier == k for t in tiles)
+        src = (np.arange(2 * TILE_SIZE * TILE_SIZE) % 251).reshape(TILE_SIZE, 2 * TILE_SIZE)
+        by_x = {t.xb - gx0: np.array(t.pixels).reshape(TILE_SIZE, TILE_SIZE) for t in tiles}
+        assert np.array_equal(by_x[0], src[:, :TILE_SIZE])
+        assert np.array_equal(by_x[1], src[:, TILE_SIZE:])
+
+    def test_misaligned_chop_pads_nodata(self, spark):
+        k = 6
+        cell = 360.0 / 2**k
+        minx = -180.0 + 40 * cell + 0.25 * cell  # shifted east by 1/4 cell
+        miny = -180.0 + 33 * cell
+        row = ("c0", minx, miny, minx + cell, miny + cell, TILE_SIZE, TILE_SIZE,
+               list(range(1, TILE_SIZE * TILE_SIZE + 1)))
+        tiles = raster_tiles(spark.createDataFrame([row], _SCHEMA)).collect()
+        # envelope straddles two cells in x
+        assert sorted(t.xb for t in tiles) == [40, 41]
+        west = next(t for t in tiles if t.xb == 40)
+        arr = np.array(west.pixels).reshape(TILE_SIZE, TILE_SIZE)
+        q = TILE_SIZE // 4
+        assert (arr[:, :q] == NODATA).all()  # west quarter uncovered
+        assert (arr[:, q:] != NODATA).all()  # rest sampled from source
+
+    def test_mosaic_latest_wins_earlier_fills_holes(self, spark):
+        k, gx0, gy0 = 6, 40, 33
+        n = TILE_SIZE * TILE_SIZE
+        old = _cov_row("cov_000", k, gx0, gy0, 1, 1, lambda i: np.full(len(i), 7))
+        # newer tile: nodata on even pixels, 9 elsewhere
+        new = _cov_row(
+            "cov_001", k, gx0, gy0, 1, 1, lambda i: np.where(i % 2 == 0, NODATA, 9)
+        )
+        df = spark.createDataFrame([old, new], _SCHEMA)
+        out = mosaic_tiles(raster_tiles(df)).collect()
+        assert len(out) == 1 and out[0].n_sources == 2
+        merged = np.array(out[0].merged)
+        assert (merged[1::2] == 9).all()  # latest wins where it has data
+        assert (merged[0::2] == 7).all()  # earlier fills the holes
+        summ = mosaic_summary(mosaic_tiles(raster_tiles(df))).collect()[0]
+        assert summ.checksum == 9 * (n // 2) + 7 * (n // 2)
+        assert summ.n_nodata == 0
+
+    def test_fixture_pipeline_no_python_in_merge_plan(self, spark):
+        from geowave_spark.datagen import ensure_coverages
+
+        d = ensure_coverages("sf0.001")
+        covs = spark.read.parquet(str(d / "coverages.parquet"))
+        merged = mosaic_summary(mosaic_tiles(raster_tiles(covs)))
+        rows = merged.collect()
+        assert len(rows) > 0
+        assert all(r.n_sources >= 1 and r.n_nodata <= TILE_SIZE * TILE_SIZE for r in rows)
+        # some cell must actually exercise the multi-source merge
+        assert any(r.n_sources >= 2 for r in rows)
+        # the merge stage itself is JVM higher-order functions: the only
+        # Arrow/Python evaluation in the plan is the chop (mapInPandas)
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "MapInPandas" in plan  # the chop stage, nothing else
