@@ -197,6 +197,39 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _burn(_):
+    s = 0
+    for i in range(12_000_000):
+        s += i * i
+    return s
+
+
+def run_cpu_probe() -> None:
+    """Engine-independent host-ceiling probe for the scaling protocol: an
+    embarrassingly parallel pure-python workload (no Spark, no IO, no
+    shuffle) at 8 and 32 processes.  Whatever weak-scaling efficiency THIS
+    shows is the physical ceiling the sandbox VM grants any engine at that
+    pair — Spark numbers are judged relative to it (BENCH/BASELINE.md)."""
+    from multiprocessing import Pool
+
+    out = {}
+    for procs, tasks in ((8, 32), (32, 128)):
+        with Pool(procs) as p:
+            p.map(_burn, range(procs))  # warm forks
+            t = min(_timed(lambda: p.map(_burn, range(tasks))) for _ in range(3))
+        out[procs] = tasks / t
+    print(
+        json.dumps(
+            {
+                "job": "cpu-probe",
+                "throughput_8": round(out[8], 2),
+                "throughput_32": round(out[32], 2),
+                "host_ceiling_8_to_32": round(out[32] / (4 * out[8]), 3),
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -250,5 +283,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-job":
         run_scaling_job(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--cpu-probe":
+        run_cpu_probe()
     else:
         main()

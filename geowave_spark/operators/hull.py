@@ -48,6 +48,172 @@ def hull_wkt(xy: np.ndarray) -> str:
     return "POLYGON ((" + ", ".join(f"{x!r} {y!r}" for x, y in ring) + "))"
 
 
+def _seg_point_dist(ax, ay, bx, by, px, py) -> float:
+    """Perpendicular distance from point to segment, or -1 when the
+    projection falls outside the segment (GeometryHullTool.calcDistance:900-909
+    — candidates must project onto the edge being dug)."""
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    if L2 == 0.0:
+        return -1.0
+    t = ((px - ax) * dx + (py - ay) * dy) / L2
+    if t < 0.0 or t > 1.0:
+        return -1.0
+    ex, ey = ax + t * dx - px, ay + t * dy - py
+    return float(np.hypot(ex, ey))
+
+
+def _proper_cross(ax, ay, bx, by, cx, cy, dx, dy) -> bool:
+    def orient(ox, oy, px, py, qx, qy):
+        return np.sign((px - ox) * (qy - oy) - (py - oy) * (qx - ox))
+
+    d1 = orient(cx, cy, dx, dy, ax, ay)
+    d2 = orient(cx, cy, dx, dy, bx, by)
+    d3 = orient(ax, ay, bx, by, cx, cy)
+    d4 = orient(ax, ay, bx, by, dx, dy)
+    return bool(d1 * d2 < 0 and d3 * d4 < 0)
+
+
+def concave_hull(xy: np.ndarray, threshold: float = 1.8) -> np.ndarray:
+    """Park-Oh "dig" concave hull (GeometryHullTool.concaveHullParkOhMethod,
+    `analytics/api/.../GeometryHullTool.java:268-380`): start from the convex
+    hull, repeatedly take the longest live edge and, when its nearest
+    projecting inner point digs deep enough (edge_len / min(dist to endpoints)
+    > threshold, the paper's N), split the edge through that point — skipping
+    digs that would self-intersect or steal a point closer to another edge.
+    Deterministic: ties break lexicographically; returns ring vertices in
+    order without repeating the first.
+    """
+    import heapq
+
+    hull = monotone_chain(xy)
+    if len(hull) <= 3:
+        return hull
+    hull_set = {(float(x), float(y)) for x, y in hull}
+    inner = sorted(
+        {(float(x), float(y)) for x, y in np.unique(xy, axis=0)} - hull_set
+    )
+    nxt: dict[tuple, tuple] = {}
+    heap: list = []
+    queued: set[tuple] = set()  # the reference's live TreeSet working set
+    ring = [tuple(map(float, p)) for p in hull]
+
+    def push(a, b, length):
+        heapq.heappush(heap, (-length, a, b))
+        queued.add((a, b))
+
+    for a, b in zip(ring, ring[1:] + ring[:1]):
+        nxt[a] = b
+        push(a, b, float(np.hypot(b[0] - a[0], b[1] - a[1])))
+    start = ring[0]
+
+    def alive_edges():
+        a = start
+        while True:
+            b = nxt[a]
+            yield a, b
+            a = b
+            if a == start:
+                return
+
+    while heap and inner:
+        neg_len, a, b = heapq.heappop(heap)
+        if nxt.get(a) != b or (a, b) not in queued:
+            continue  # stale entry (edge already split)
+        queued.discard((a, b))
+        eh = -neg_len
+        score, cand = np.inf, None
+        for p in inner:
+            d = _seg_point_dist(a[0], a[1], b[0], b[1], p[0], p[1])
+            if abs(d) <= 1e-9 and d >= 0.0:
+                score, cand = 0.0, p
+                break
+            if d > 0.0 and d < score:
+                score, cand = d, p
+        if cand is None:
+            continue  # edge retired: nothing projects onto it
+        if score == 0.0:
+            inner.remove(cand)  # already on the boundary
+            push(a, b, eh)
+            continue
+        # the reference checks closer-ness against the REMAINING working set
+        # only (`isCandidateCloserToAnotherEdge`, :550-571): a retired edge no
+        # longer claims candidates, so digging migrates to the closer edge
+        closer_elsewhere = any(
+            _seg_point_dist(ea[0], ea[1], eb[0], eb[1], cand[0], cand[1]) >= 0
+            and _seg_point_dist(ea[0], ea[1], eb[0], eb[1], cand[0], cand[1]) < score
+            for (ea, eb) in queued
+            if nxt.get(ea) == eb
+        )
+        if closer_elsewhere:
+            continue  # edge retired, candidate stays available
+        inner.remove(cand)  # consumed whether or not the dig proceeds (:335)
+        d1 = float(np.hypot(cand[0] - a[0], cand[1] - a[1]))
+        d2 = float(np.hypot(cand[0] - b[0], cand[1] - b[1]))
+        if eh / max(min(d1, d2), 1e-300) <= threshold:
+            continue  # not concave enough to dig; edge retired
+        crosses = any(
+            (ea, eb) != (a, b)
+            and (
+                _proper_cross(a[0], a[1], cand[0], cand[1], ea[0], ea[1], eb[0], eb[1])
+                or _proper_cross(cand[0], cand[1], b[0], b[1], ea[0], ea[1], eb[0], eb[1])
+            )
+            for ea, eb in alive_edges()
+        )
+        if crosses:
+            continue
+        nxt[a] = cand
+        nxt[cand] = b
+        push(a, cand, d1)
+        push(cand, b, d2)
+
+    out = []
+    p = start
+    while True:
+        out.append(p)
+        p = nxt[p]
+        if p == start:
+            break
+    return np.array(out)
+
+
+def concave_hull_wkt(xy: np.ndarray, threshold: float = 1.8) -> str:
+    h = concave_hull(xy, threshold)
+    if len(h) == 1:
+        return f"POINT ({h[0, 0]!r} {h[0, 1]!r})"
+    if len(h) == 2:
+        return "LINESTRING (" + ", ".join(f"{x!r} {y!r}" for x, y in h) + ")"
+    ring = np.vstack([h, h[:1]])
+    return "POLYGON ((" + ", ".join(f"{x!r} {y!r}" for x, y in ring) + "))"
+
+
+def group_concave_hulls(
+    df: DataFrame,
+    group_col: str = "cluster",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    threshold: float = 1.8,
+) -> DataFrame:
+    """One Park-Oh concave hull row per group — the DBSCAN hull stage the
+    reference runs through ConvexHullMapReduce with GeometryHullTool."""
+
+    def _hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        xy = pdf[[lon_col, lat_col]].to_numpy(np.float64)
+        h = concave_hull(xy, threshold)
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "hull_wkt": [concave_hull_wkt(xy, threshold)],
+                "n_points": [len(pdf)],
+                "n_vertices": [len(h)],
+            }
+        )
+
+    gtype = dict(df.dtypes)[group_col]
+    schema = f"{group_col} {gtype}, hull_wkt string, n_points bigint, n_vertices bigint"
+    return df.groupBy(group_col).applyInPandas(_hull, schema)
+
+
 def group_hulls(
     df: DataFrame,
     group_col: str = "cluster",

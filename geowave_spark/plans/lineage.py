@@ -44,12 +44,15 @@ def _fingerprint(obj) -> str:
 
 
 def partition_counters(path: Path) -> dict[str, int]:
-    """Per-partition (per-file) row counts from parquet footers."""
+    """Per-partition (per-file) row counts from parquet footers, recursing
+    into hive-style partition directories (stages written with partition_by
+    put files under ``key=value/`` subtrees); keys are paths relative to the
+    stage root so nested partitions stay distinguishable."""
     import pyarrow.parquet as pq
 
     out: dict[str, int] = {}
-    for f in sorted(path.glob("*.parquet")):
-        out[f.name] = pq.read_metadata(f).num_rows
+    for f in sorted(path.rglob("*.parquet")):
+        out[str(f.relative_to(path))] = pq.read_metadata(f).num_rows
     return out
 
 

@@ -521,6 +521,22 @@ def q_dbscan_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_hulls(members).select("cluster", "n_points", "n_vertices")
 
 
+def q_dbscan_concave_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 hull stage, concave variant (GeometryHullTool.concaveHullParkOhMethod
+    — the hull the reference's DBSCAN actually emits).  No SQL oracle: the
+    greedy dig loop is not SQL-expressible; semantics are pytest-verified
+    (invariants + excavation) in tests/test_hull_stateful.py; the convex
+    sibling `dbscan_hulls` carries the exact driver oracle."""
+    from geowave_spark.operators.clustering import dbscan
+    from geowave_spark.operators.hull import group_concave_hulls
+
+    pts = _dbscan_subset(spark, sf_dir)
+    members = dbscan(pts, eps=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS).join(
+        pts.select("fid", "lon", "lat"), "fid"
+    )
+    return group_concave_hulls(members).select("cluster", "n_points", "n_vertices")
+
+
 def q_spatiotemporal_3d_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6 proper: 3D (lon, lat, time-in-year) Z-order keys with YEAR bin-id
     prefix; per-year cell/point statistics.  Oracle re-bins with the same
@@ -1234,6 +1250,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "dbscan_clusters": q_dbscan_clusters,
     "dbscan_hulls": q_dbscan_hulls,
+    "dbscan_concave_hulls": q_dbscan_concave_hulls,
     "tracks_box_temporal": q_tracks_box_temporal,
     "docs_extent_query": q_docs_extent_query,
     "docs_polygon_query": q_docs_polygon_query,

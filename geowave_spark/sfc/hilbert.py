@@ -7,11 +7,18 @@ Skilling transpose algorithm ("Programming the Hilbert curve", J. Skilling,
 AIP Conf. Proc. 707, 2004) — a public, equal-precision Hilbert curve that is
 bijective, locality-preserving, and (crucially for the tiered index) has the
 *prefix property*: the key of a point at `bits` precision, shifted right by
-`ndims*(bits-t)`, equals its key at precision `t`.  Key values reproduce the
-reference's own HilbertSFCTest ID vectors bit-for-bit (31 bits/dim: corner
-cells -> 0 and 3074457345618258602, center -> 768614336404564650; pinned in
-tests/test_sfc.py::TestReferenceHilbertVectors), so the Skilling transform
-agrees with uzaygezen's compact Hilbert conventions on equal-precision 2D.
+`ndims*(bits-t)`, equals its key at precision `t`.  Key values reproduce
+every ID vector the reference's HilbertSFCTest publishes (31 bits/dim:
+corner cells -> 0 and 3074457345618258602, center -> 768614336404564650;
+pinned in tests/test_sfc.py::TestReferenceHilbertVectors).  Caveat: those
+published vectors all lie on the main diagonal, so they verify the curve
+family but cannot distinguish dimension-order or reflection conventions
+from uzaygezen's; the reference publishes no asymmetric vectors.  Off-
+diagonal behavior is pinned by the engine's own regression vectors plus
+prefix/bijectivity properties (same test class) — any future convention
+change breaks those loudly.  Since every key in this engine is produced AND
+consumed by this module (never compared to externally-produced keys),
+convention choice does not affect query results.
 
 All functions are vectorized over numpy arrays (no per-row Python), suitable
 for Arrow-batched pandas UDFs per the engine's "no per-row Python" contract.

@@ -22,10 +22,16 @@ class TestDocsPipeline:
         assert len(r1) > 0
         assert [s["skipped"] for s in pipe1.summary()] == [False] * 4
 
-        # every manifest carries per-partition counters that sum to rows
+        # every manifest carries per-partition counters that sum to rows —
+        # and actually counted something (a glob that misses hive-partition
+        # subdirectories would record 0 == 0 vacuously)
         for stage in ("10_extract", "20_index", "30_pip_join", "40_zonal_rollup"):
             m = json.loads((root / stage / "_manifest.json").read_text())
+            assert m["rows"] > 0 and len(m["partitions"]) > 0
             assert sum(m["partitions"].values()) == m["rows"]
+        # the partition_by stage records one counter per hive directory file
+        m20 = json.loads((root / "20_index" / "_manifest.json").read_text())
+        assert any("=" in k for k in m20["partitions"])
 
         # full resume: all four stages skip, same results
         pipe2, rollup2 = run_docs_pipeline(

@@ -279,6 +279,36 @@ class TestReferenceHilbertVectors:
             )
             assert h == want
 
+    def test_asymmetric_convention_pins(self):
+        """The reference publishes only diagonal vectors (HilbertSFCTest),
+        which cannot distinguish dimension order / reflection.  These
+        OFF-diagonal values are the engine's own convention pins (computed
+        once from this implementation): they freeze dimension order
+        (dim 0 = lon = most significant per SpatialDimensionalityTypeProvider
+        ordering) and reflection, so any convention drift fails loudly."""
+        import numpy as np
+        from geowave_spark.sfc import hilbert_decode, hilbert_encode
+
+        def enc(a, b, bits):
+            return int(
+                hilbert_encode(
+                    [np.array([a], dtype=np.uint64), np.array([b], dtype=np.uint64)], bits
+                )[0]
+            )
+
+        # dimension order matters: (x, y) != (y, x) off the diagonal
+        assert enc(5, 2, 4) != enc(2, 5, 4)
+        pins = {(5, 2, 4): None, (2, 5, 4): None, (100, 7, 8): None, (7, 100, 8): None}
+        got = {k: enc(*k) for k in pins}
+        # frozen values from the current implementation (regression pins)
+        assert got == {(5, 2, 4): 29, (2, 5, 4): 55, (100, 7, 8): 5167, (7, 100, 8): 15397}
+        # bijectivity + prefix property at the asymmetric points
+        for (a, b, bits), h in got.items():
+            xs = hilbert_decode(np.array([h], dtype=np.uint64), 2, bits)
+            assert (int(xs[0][0]), int(xs[1][0])) == (a, b)
+            coarse = enc(a >> 2, b >> 2, bits - 2)
+            assert h >> 4 == coarse
+
     def test_lexicographic_ordering(self):
         """testGetId_2DSpatialLexicographicOrdering: id(min) < id(max)."""
         import numpy as np
