@@ -154,6 +154,71 @@ def with_spatiotemporal_cells(
     )
 
 
+def st_cell_ranges(
+    minx: float,
+    miny: float,
+    maxx: float,
+    maxy: float,
+    frac_lo: float,
+    frac_hi: float,
+    xy_bits: int = 10,
+    t_bits: int = 10,
+    max_ranges: int = 5000,
+) -> list[tuple[int, int]]:
+    """K2 for the 3D spatio-temporal layout: (bbox, fraction-of-year window)
+    -> contiguous inclusive `st_cell` z-order key ranges.  Octant descent —
+    the 3D twin of `decompose_query_ranges` — over-inclusive when the range
+    budget binds, never under-inclusive.  Time is the within-year fraction
+    (the year itself is the separate `time_bin` prefix column)."""
+    from geowave_spark.sfc import lat_bins, lon_bins, value_bins
+    from geowave_spark.sfc.zorder import zorder_decode
+
+    assert xy_bits == t_bits, "equal-precision interleave (BALANCED) only"
+    bits = xy_bits
+    xlo = int(lon_bins(np.array([minx]), bits, is_min=True)[0])
+    xhi = int(lon_bins(np.array([maxx]), bits, is_min=False)[0])
+    ylo = int(lat_bins(np.array([miny]), bits, is_min=True)[0])
+    yhi = int(lat_bins(np.array([maxy]), bits, is_min=False)[0])
+    tlo = int(value_bins(np.array([frac_lo]), bits, is_min=True)[0])
+    thi = int(value_bins(np.array([frac_hi]), bits, is_min=False)[0])
+    xhi, yhi, thi = max(xhi, xlo), max(yhi, ylo), max(thi, tlo)
+
+    ranges: list[tuple[int, int]] = []
+    frontier = np.array([0], dtype=np.uint64)
+    for level in range(1, bits + 1):
+        children = (
+            (frontier[:, None] << np.uint64(3)) | np.arange(8, dtype=np.uint64)
+        ).ravel()
+        cx, cy, ct = zorder_decode(children, 3, level)
+        sh = np.uint64(bits - level)
+        lo = [(c << sh).astype(np.int64) for c in (cx, cy, ct)]
+        hi = [(((c + np.uint64(1)) << sh) - np.uint64(1)).astype(np.int64) for c in (cx, cy, ct)]
+        tgt = ((xlo, xhi), (ylo, yhi), (tlo, thi))
+        inter = np.ones(len(children), dtype=bool)
+        inside = np.ones(len(children), dtype=bool)
+        for d in range(3):
+            inter &= (hi[d] >= tgt[d][0]) & (lo[d] <= tgt[d][1])
+            inside &= (lo[d] >= tgt[d][0]) & (hi[d] <= tgt[d][1])
+        kshift = np.uint64(3 * (bits - level))
+        for c in children[inter & inside]:
+            ranges.append((int(c << kshift), int(((c + np.uint64(1)) << kshift) - np.uint64(1))))
+        frontier = children[inter & ~inside]
+        if len(ranges) + len(frontier) >= max_ranges or level == bits:
+            for c in frontier:
+                ranges.append(
+                    (int(c << kshift), int(((c + np.uint64(1)) << kshift) - np.uint64(1)))
+                )
+            break
+    ranges.sort()
+    merged: list[tuple[int, int]] = []
+    for lo_, hi_ in ranges:
+        if merged and lo_ <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi_))
+        else:
+            merged.append((lo_, hi_))
+    return merged
+
+
 def cell_at_tier(cell: Column | str, from_bits: int, to_bits: int) -> Column:
     """Ancestor cell at a coarser tier — pure JVM bit shift (prefix property),
     the replacement for re-encoding when joining across tiers."""

@@ -79,6 +79,8 @@ def knn_join(
     point_cell_col: str | None = None,
     margin_bits: int = 2,
     salt_buckets: int = 16,
+    broadcast_queries: bool | None = None,
+    max_broadcast_queries: int = 50_000,
 ) -> DataFrame:
     """For each query point: its k nearest data points within max_distance.
 
@@ -93,7 +95,18 @@ def knn_join(
     ``upperBoundPerPartition`` bound (`NNProcessor.java:69,111-116`)
     re-expressed as bounded-depth windows, and keeps the heavy sort spread
     over salt_buckets x queries partitions instead of one per query.
+
+    Broadcast planning: query sets defined as corpus fractions grow with the
+    corpus, silently breaking a hard-coded broadcast.  ``broadcast_queries=
+    None`` (default) probes the query side with a bounded limit+count and
+    falls back to a cell-shuffle equi-join (both sides shuffle on the cell
+    key — the correct plan once the query side outgrows executor memory)
+    above ``max_broadcast_queries``.
     """
+    if broadcast_queries is None:
+        broadcast_queries = (
+            queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries
+        )
     bits = tier_for_distance(max_distance_deg, cfg, margin_bits)
     q = queries.withColumn(
         "_qcell",
@@ -114,8 +127,9 @@ def knn_join(
 
     dx = F.col(lon_col) - F.col(query_lon_col)
     dy = F.col(lat_col) - F.col(query_lat_col)
+    build = F.broadcast(q) if broadcast_queries else q
     joined = (
-        probe.join(F.broadcast(q), probe["_jcell"] == q["_qcell"], "inner")
+        probe.join(build, probe["_jcell"] == q["_qcell"], "inner")
         .withColumn("dist_sq", dx * dx + dy * dy)
         .filter(F.col("dist_sq") <= max_distance_deg * max_distance_deg)
         # shed every payload column before the topk shuffle: the window sees
@@ -184,6 +198,10 @@ def knn_join_adaptive(
     probe = with_point_cells(points, lon_col, lat_col, cfg, cell_col="_pcell").drop("tier")
     probe = probe.select(id_col, lon_col, lat_col, "_pcell").cache()
 
+    # resolve the broadcast decision once on the full query set (rounds only
+    # shrink it, so a broadcastable start stays broadcastable)
+    bq = queries.limit(50_001).count() <= 50_000
+
     remaining = queries
     chunks = []
     for i, radius in enumerate(radii):
@@ -201,6 +219,7 @@ def knn_join_adaptive(
             lat_col=lat_col,
             cfg=cfg,
             point_cell_col="_pcell",
+            broadcast_queries=bq,
         ).localCheckpoint()  # materialize (<= k*|queries| rows), cut lineage
         if is_last:
             chunks.append(out)

@@ -53,12 +53,26 @@ def cosine_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """Brute-force cosine top-k: (qid, vec_id, rank); self-matches excluded.
 
     cosine = dot / sqrt(|a|^2 * |b|^2); ranking on (-cosine, vec_id).  The
     score column is intentionally not emitted (rank is the contract — float
-    formatting differs across engines; ordering does not)."""
+    formatting differs across engines; ordering does not).
+
+    Scale guard: the broadcast-NL shape is only correct while the query side
+    fits in executor memory.  Query sets defined as corpus fractions outgrow
+    that silently, so the plan is refused (not silently degraded) above
+    ``max_broadcast_queries`` — route large query sets through
+    :func:`lsh_bucketed_topk`, whose bucket equi-join shuffles both sides."""
+    n_q = queries.limit(max_broadcast_queries + 1).count()
+    if n_q > max_broadcast_queries:
+        raise ValueError(
+            f"cosine_topk query side exceeds {max_broadcast_queries} rows; "
+            "broadcast-NL would OOM executors — use lsh_bucketed_topk (or "
+            "raise max_broadcast_queries deliberately)"
+        )
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col(id_col) != F.col(qid_col))

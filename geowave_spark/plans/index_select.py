@@ -1,0 +1,148 @@
+"""Cost-based index selection across multiple index layouts.
+
+Re-expresses `ChooseBestMatchIndexQueryStrategy.java:51-118` + the row-range
+histogram cardinality estimate (`DataStoreUtils.cardinality`,
+`RowRangeHistogramStatistics`) as a driver-side planner over table layouts:
+
+- every candidate layout decomposes the query constraints into SFC key
+  ranges (K2, capped like the reference's 5000);
+- a constraint leaving any of the layout's dimensions unbounded means full
+  table scan for that layout — kept only as the fallback default;
+- per-layout cardinality = sum of histogram mass overlapping the ranges
+  (histogram built once per layout from the table's key column — the analog
+  of per-tablet row-range statistics);
+- the layout with the minimum estimated cardinality wins.
+
+The planner is driver-side arithmetic over tiny histograms (one bounded
+aggregation per layout at build time, zero Spark jobs at choose time) —
+exactly the role the reference's strategy plays ahead of the scan.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left, bisect_right
+from dataclasses import dataclass
+from typing import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FULL_SCAN = float("inf")
+
+
+@dataclass(frozen=True)
+class RangeHistogram:
+    """Equi-depth row-range histogram over an index's key space: sorted key
+    samples plus total row count (the RowRangeHistogramStatistics shape)."""
+
+    bounds: np.ndarray  # sorted key quantile boundaries, len = n_buckets + 1
+    total_rows: int
+
+    def cardinality(self, ranges: list[tuple[int, int]]) -> float:
+        """Estimated rows intersecting the inclusive key ranges: full buckets
+        inside the range count fully, boundary buckets fractionally
+        (uniform-within-bucket, the reference's estimate)."""
+        if not len(self.bounds) or self.total_rows == 0:
+            return 0.0
+        per_bucket = self.total_rows / (len(self.bounds) - 1)
+        est = 0.0
+        for lo, hi in ranges:
+            i = bisect_right(self.bounds.tolist(), lo) - 1
+            j = bisect_left(self.bounds.tolist(), hi)
+            i = max(i, 0)
+            j = min(j, len(self.bounds) - 1)
+            if i >= j:
+                continue
+            for b in range(i, j):
+                blo, bhi = float(self.bounds[b]), float(self.bounds[b + 1])
+                width = max(bhi - blo, 1.0)
+                ov = max(0.0, min(float(hi), bhi) - max(float(lo), blo))
+                est += per_bucket * min(ov / width, 1.0)
+        return est
+
+
+def build_range_histogram(
+    df: DataFrame, key_col: str, n_buckets: int = 64
+) -> RangeHistogram:
+    """One bounded aggregation: approx key quantiles + count (the ingest-time
+    statistics pass; at cluster scale this is the same partial-agg shape the
+    engine's stats_summary uses)."""
+    total = df.count()
+    if total == 0:
+        return RangeHistogram(np.array([]), 0)
+    qs = df.approxQuantile(key_col, [i / n_buckets for i in range(n_buckets + 1)], 0.001)
+    return RangeHistogram(np.array(qs, dtype=np.float64), total)
+
+
+@dataclass(frozen=True)
+class CandidateIndex:
+    """A table layout: name + constraint decomposer returning inclusive key
+    ranges, or None when the constraints leave one of the layout's dimensions
+    unbounded (-> full table scan for this layout)."""
+
+    name: str
+    decompose: Callable[[dict], list[tuple[int, int]] | None]
+    histogram: RangeHistogram
+
+
+def choose_best_index(
+    candidates: list[CandidateIndex], constraints: dict
+) -> tuple[str, dict[str, float]]:
+    """The reference's getIndices loop: full-scan layouts are kept only as
+    the default when every layout is a full scan; otherwise the minimum
+    estimated cardinality wins.  Returns (winner, per-layout estimates)."""
+    estimates: dict[str, float] = {}
+    best_name, best_est = None, float("inf")
+    default = None
+    for cand in candidates:
+        ranges = cand.decompose(constraints)
+        if ranges is None:
+            estimates[cand.name] = FULL_SCAN
+            if default is None:
+                default = cand.name
+            continue
+        est = cand.histogram.cardinality(ranges)
+        estimates[cand.name] = est
+        if est < best_est:
+            best_name, best_est = cand.name, est
+    return (best_name if best_name is not None else default), estimates
+
+
+# ---------------------------------------------------------------------------
+# standard decomposers for the engine's layouts
+# ---------------------------------------------------------------------------
+
+
+def spatial_2d_decomposer(bits: int, max_ranges: int = 5000, cfg=None):
+    """2D tiered-SFC layout: needs a bbox; time constraints are ignored
+    (refined post-scan).  ``cfg`` must be the SpatialConfig the table's key
+    column was actually encoded with (backend mismatch = nonsense ranges)."""
+    from geowave_spark.sfc import DEFAULT_CONFIG
+    from geowave_spark.sfc.tiered import decompose_query_ranges
+
+    cfg = cfg or DEFAULT_CONFIG
+
+    def _d(c: dict):
+        if "bbox" not in c:
+            return None  # spatially unbounded -> full scan on this layout
+        minx, miny, maxx, maxy = c["bbox"]
+        return decompose_query_ranges(minx, miny, maxx, maxy, bits, max_ranges, cfg)
+
+    return _d
+
+
+def spatiotemporal_3d_decomposer(xy_bits: int, t_bits: int, max_ranges: int = 5000):
+    """3D (x, y, time) Z-order layout (K6): needs BOTH a bbox and a
+    fraction-of-year time window; an unbounded time dimension makes this
+    layout a full scan (`isFullTableScan`: ANY unbounded dimension)."""
+    from geowave_spark.operators.indexing import st_cell_ranges
+
+    def _d(c: dict):
+        if "bbox" not in c or "t_range" not in c:
+            return None
+        minx, miny, maxx, maxy = c["bbox"]
+        tlo, thi = c["t_range"]
+        return st_cell_ranges(minx, miny, maxx, maxy, tlo, thi, xy_bits, t_bits, max_ranges)
+
+    return _d

@@ -1,0 +1,121 @@
+"""Cost-based index selection (ChooseBestMatchIndexQueryStrategy analog):
+range-histogram cardinality estimates + min-cost layout choice, and the 3D
+spatio-temporal range decomposition behind it."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestStCellRanges:
+    def test_ranges_cover_exactly_the_target_cells(self):
+        """Octant descent == brute-force bin enumeration (small bits)."""
+        from geowave_spark.operators.indexing import st_cell_ranges
+        from geowave_spark.sfc import lat_bins, lon_bins, value_bins
+        from geowave_spark.sfc.zorder import zorder_encode
+
+        bits = 5
+        bbox = (-20.0, 10.0, 35.0, 40.0)
+        frac = (0.25, 0.4)
+        ranges = st_cell_ranges(*bbox, *frac, bits, bits, max_ranges=100000)
+        covered = set()
+        for lo, hi in ranges:
+            covered.update(range(lo, hi + 1))
+        xlo = int(lon_bins(np.array([bbox[0]]), bits, is_min=True)[0])
+        xhi = int(lon_bins(np.array([bbox[2]]), bits)[0])
+        ylo = int(lat_bins(np.array([bbox[1]]), bits, is_min=True)[0])
+        yhi = int(lat_bins(np.array([bbox[3]]), bits)[0])
+        tlo = int(value_bins(np.array([frac[0]]), bits, True)[0])
+        thi = int(value_bins(np.array([frac[1]]), bits, False)[0])
+        want = set()
+        for x in range(xlo, xhi + 1):
+            for y in range(ylo, yhi + 1):
+                for t in range(tlo, thi + 1):
+                    want.add(
+                        int(
+                            zorder_encode(
+                                [np.array([v], dtype=np.uint64) for v in (x, y, t)], bits
+                            )[0]
+                        )
+                    )
+        assert covered == want
+
+    def test_budget_is_over_inclusive(self):
+        from geowave_spark.operators.indexing import st_cell_ranges
+
+        full = st_cell_ranges(-20, 10, 35, 40, 0.25, 0.4, 6, 6, max_ranges=100000)
+        capped = st_cell_ranges(-20, 10, 35, 40, 0.25, 0.4, 6, 6, max_ranges=16)
+        assert len(capped) <= 16 * 2  # merged post-cap
+        fullset, capset = set(), set()
+        for lo, hi in full:
+            fullset.update(range(lo, hi + 1))
+        for lo, hi in capped:
+            capset.update(range(lo, hi + 1))
+        assert fullset <= capset
+
+
+class TestChooseBestIndex:
+    def _candidates(self, spark, geo001):
+        from geowave_spark.operators.indexing import (
+            with_point_cells,
+            with_spatiotemporal_cells,
+        )
+        from geowave_spark.plans.index_select import (
+            CandidateIndex,
+            build_range_histogram,
+            spatial_2d_decomposer,
+            spatiotemporal_3d_decomposer,
+        )
+        from geowave_spark.sfc import SpatialConfig
+
+        pts = spark.read.parquet(str(geo001 / "points.parquet"))
+        cfg10 = SpatialConfig(tiers=(0, 10), backend="zorder")
+        flat = with_point_cells(pts, cfg=cfg10, cell_col="cell2d")
+        st = with_spatiotemporal_cells(pts, spatial_bits=10, time_bits=10)
+        h2d = build_range_histogram(flat, "cell2d")
+        h3d = build_range_histogram(st.filter(F.col("time_bin") == 2012), "st_cell")
+        return (
+            [
+                CandidateIndex("spatial_2d", spatial_2d_decomposer(10, cfg=cfg10), h2d),
+                CandidateIndex("spatiotemporal_3d", spatiotemporal_3d_decomposer(10, 10), h3d),
+            ],
+            flat,
+            st,
+        )
+
+    def test_bbox_only_picks_2d(self, spark, geo001):
+        from geowave_spark.plans.index_select import FULL_SCAN, choose_best_index
+
+        cands, _, _ = self._candidates(spark, geo001)
+        winner, est = choose_best_index(cands, {"bbox": (-75.0, 39.5, -72.0, 42.5)})
+        # no time constraint -> the 3D layout is a full scan; 2D must win
+        assert winner == "spatial_2d"
+        assert est["spatiotemporal_3d"] == FULL_SCAN
+
+    def test_tight_time_window_picks_3d(self, spark, geo001):
+        from geowave_spark.plans.index_select import choose_best_index
+
+        cands, _, _ = self._candidates(spark, geo001)
+        # loose bbox + very tight time window: the 3D layout prunes harder
+        winner, est = choose_best_index(
+            cands, {"bbox": (-120.0, -60.0, 150.0, 70.0), "t_range": (0.10, 0.12)}
+        )
+        assert winner == "spatiotemporal_3d"
+        assert est["spatiotemporal_3d"] < est["spatial_2d"]
+
+    def test_estimates_track_true_counts(self, spark, geo001):
+        """The histogram estimate is within 3x of the true matching rows for
+        a selective box (uniform-within-bucket assumption holds loosely)."""
+        from geowave_spark.plans.index_select import choose_best_index
+
+        cands, flat, _ = self._candidates(spark, geo001)
+        bbox = (-75.0, 39.5, -72.0, 42.5)
+        _, est = choose_best_index(cands, {"bbox": bbox})
+        true = flat.filter(
+            (F.col("lon") >= bbox[0])
+            & (F.col("lon") <= bbox[2])
+            & (F.col("lat") >= bbox[1])
+            & (F.col("lat") <= bbox[3])
+        ).count()
+        assert true > 0
+        assert est["spatial_2d"] >= true * 0.33  # never wildly under
