@@ -116,7 +116,15 @@ def run_scaling_job(cpus: str, replicas: int = 80, repeats: int = 3) -> None:
     extra = {}
     if os.path.isdir("/dev/shm"):
         extra["spark.local.dir"] = "/dev/shm/geowave-spark-local"
-    spark = get_spark("geowave-scaling", master=f"local[{cpus}]", extra=extra)
+    # 4 shuffle partitions per core AT EVERY LEVEL (same rule both runs):
+    # multiple waves absorb stragglers, which otherwise dominate the
+    # single-wave high-core run and corrupt the scaling ratio
+    spark = get_spark(
+        "geowave-scaling",
+        master=f"local[{cpus}]",
+        shuffle_partitions=4 * max(int(cpus), 1),
+        extra=extra,
+    )
     spark.sparkContext.setLogLevel("ERROR")
     raw, zones = _scaling_input(spark, replicas=replicas)
     zones = zones.filter(F.col("zclass") == "convex")
@@ -282,7 +290,10 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-job":
-        run_scaling_job(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        run_scaling_job(
+            os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            replicas=int(os.environ.get("SPARK_GRAFT_REPLICAS", "80")),
+        )
     elif len(sys.argv) > 1 and sys.argv[1] == "--cpu-probe":
         run_cpu_probe()
     else:

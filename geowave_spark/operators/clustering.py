@@ -44,6 +44,7 @@ def kmeans(
     id_col: str = "fid",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    init: list[tuple[float, float]] | None = None,
 ) -> tuple[DataFrame, list[tuple[float, float]]]:
     """Lloyd iterations with broadcast centroids.
 
@@ -57,14 +58,18 @@ def kmeans(
     from geowave_spark.functions.text import md5_long
 
     pts = points.select(id_col, lon_col, lat_col).cache()
-    init = (
-        pts.withColumn("_h", md5_long(F.col(id_col)))
-        .orderBy("_h")
-        .limit(k)
-        .select(lon_col, lat_col)
-        .collect()
-    )
-    centroids = [(float(r[0]), float(r[1])) for r in init]
+    if init is None:
+        rows = (
+            pts.withColumn("_h", md5_long(F.col(id_col)))
+            .orderBy("_h")
+            .limit(k)
+            .select(lon_col, lat_col)
+            .collect()
+        )
+        centroids = [(float(r[0]), float(r[1])) for r in rows]
+    else:
+        assert len(init) == k
+        centroids = [(float(x), float(y)) for x, y in init]
 
     assign = None
     for _ in range(max_iters):
@@ -100,6 +105,154 @@ def kmeans(
             break
     pts.unpersist()
     return assign.select(id_col, "cluster", "dist_sq"), centroids
+
+
+def kmeans_parallel_init(
+    points: DataFrame,
+    k: int,
+    rounds: int = 5,
+    oversample: float | None = None,
+    id_col: str = "fid",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> list[tuple[float, float]]:
+    """k-means|| initialization (Bahman et al., VLDB 2012) — the reference's
+    KSamplerMapReduce + BahmanEtAlSampleProbabilityFn
+    (`analytics/mapreduce/.../kmeans/runner/KMeansParallelJobRunner.java`):
+
+    seed with one deterministic point, then for ``rounds`` passes sample
+    each point independently with probability min(1, l * d^2(x, C) / cost)
+    (l = oversample, default 2k), then weight the O(l * rounds) candidates by
+    how many points they are closest to and Lloyd the candidates down to k
+    on the driver (they are tiny).  Determinism: the sampling coin is the
+    md5 hash of (round, id) — a seeded uniform, reproducible anywhere.
+    """
+    from geowave_spark.functions.text import md5_long
+
+    if oversample is None:
+        oversample = 2.0 * k
+    pts = points.select(id_col, lon_col, lat_col).cache()
+    first = (
+        pts.withColumn("_h", md5_long(F.col(id_col))).orderBy("_h").limit(1).collect()[0]
+    )
+    centers: list[tuple[float, float]] = [(float(first[lon_col]), float(first[lat_col]))]
+
+    HMOD = float(1 << 60)
+    for r in range(rounds):
+        spark = pts.sparkSession
+        cdf = F.array(*[F.struct(F.lit(cx).alias("cx"), F.lit(cy).alias("cy")) for cx, cy in centers])
+        d2 = F.aggregate(
+            cdf,
+            F.lit(float("inf")),
+            lambda acc, c: F.least(
+                acc,
+                (F.col(lon_col) - c["cx"]) * (F.col(lon_col) - c["cx"])
+                + (F.col(lat_col) - c["cy"]) * (F.col(lat_col) - c["cy"]),
+            ),
+        )
+        scored = pts.withColumn("_d2", d2)
+        cost = scored.agg(F.sum("_d2")).collect()[0][0] or 0.0
+        if cost <= 0.0:
+            break
+        coin = md5_long(F.concat_ws(":", F.lit(r), F.col(id_col))) / F.lit(HMOD)
+        picked = scored.filter(
+            coin < F.lit(float(oversample)) * F.col("_d2") / F.lit(float(cost))
+        ).select(lon_col, lat_col).collect()
+        centers.extend((float(p[0]), float(p[1])) for p in picked)
+
+    # weight candidates by |closest points| — one distributed pass (the
+    # candidate array rides the closure; O(rounds * l) entries, tiny)
+    import numpy as np
+
+    cand = np.array(centers, dtype=np.float64)
+    cdf = F.array(*[F.struct(F.lit(cx).alias("cx"), F.lit(cy).alias("cy")) for cx, cy in centers])
+    dists = F.transform(
+        cdf,
+        lambda c: (F.col(lon_col) - c["cx"]) * (F.col(lon_col) - c["cx"])
+        + (F.col(lat_col) - c["cy"]) * (F.col(lat_col) - c["cy"]),
+    )
+    idx = F.array_position(
+        dists, F.array_min(dists)
+    )  # 1-based index of the nearest candidate
+    wrows = pts.withColumn("_ci", idx).groupBy("_ci").count().collect()
+    weights = np.zeros(len(cand))
+    for rw in wrows:
+        weights[int(rw["_ci"]) - 1] = rw["count"]
+    pts.unpersist()
+
+    # reduce candidates to k: deterministic weighted k-means++-style greedy
+    # (heaviest first, then argmax of weight * d^2 to the chosen set — the
+    # MAP variant of the ++ sampling step), refined by weighted Lloyd.
+    chosen = [int(np.argmax(weights))]
+    for _ in range(1, k):
+        d = ((cand[:, None, :] - cand[chosen][None, :, :]) ** 2).sum(axis=2).min(axis=1)
+        score = weights * d
+        score[chosen] = -1.0
+        chosen.append(int(np.argmax(score)))
+    cent = cand[chosen].copy()
+    for _ in range(20):
+        d = ((cand[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        new = np.array(
+            [
+                np.average(cand[a == j], axis=0, weights=weights[a == j])
+                if (weights[a == j].sum() > 0)
+                else cent[j]
+                for j in range(k)
+            ]
+        )
+        if np.allclose(new, cent):
+            break
+        cent = new
+    return [(float(x), float(y)) for x, y in cent]
+
+
+def strip_weak_centroids(
+    assign: DataFrame, keep: int, cluster_col: str = "cluster"
+) -> DataFrame:
+    """StripWeakCentroidsRunner analog (`analytics/mapreduce/.../kmeans/
+    runner/StripWeakCentroidsRunner.java`): keep only the ``keep`` largest
+    clusters' assignments — the weakest centroids (fewest members) are
+    dropped between iterations of the multi-level clustering driver."""
+    strong = (
+        assign.groupBy(cluster_col)
+        .count()
+        .orderBy(F.col("count").desc(), F.col(cluster_col))
+        .limit(keep)
+        .select(cluster_col)
+    )
+    return assign.join(F.broadcast(strong), cluster_col, "left_semi")
+
+
+def kmeans_jump(
+    points: DataFrame,
+    k_range: tuple[int, int] = (2, 8),
+    max_iters: int = 8,
+    id_col: str = "fid",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> tuple[int, dict[int, float]]:
+    """Choose k by the distortion jump method (Sugar & James), the
+    reference's KMeansJumpJobRunner: run Lloyd for each k in range (seeded
+    with the k-means|| sampler, exactly as the reference's jump runner runs
+    the sampled pipeline per k), compute the average per-point distortion
+    D_k = mean(min d^2)/dims, transform J_k = D_k^(-dims/2) (dims=2 ->
+    1/D_k), and pick the k with the largest jump J_k - J_{k-1}.  Returns
+    (best_k, transformed distortions)."""
+    dims = 2.0
+    js: dict[int, float] = {}
+    for k in range(max(k_range[0] - 1, 1), k_range[1] + 1):
+        init = kmeans_parallel_init(points, k, id_col=id_col, lon_col=lon_col, lat_col=lat_col)
+        assign, _ = kmeans(points, k, max_iters=max_iters, id_col=id_col,
+                           lon_col=lon_col, lat_col=lat_col, init=init)
+        d = assign.agg(F.avg("dist_sq")).collect()[0][0] or 1e-300
+        js[k] = float((d / dims) ** (-dims / 2.0))
+    best_k, best_jump = k_range[0], -float("inf")
+    for k in range(k_range[0], k_range[1] + 1):
+        jump = js[k] - js.get(k - 1, 0.0)
+        if jump > best_jump:
+            best_k, best_jump = k, jump
+    return best_k, js
 
 
 def _eps_edges(

@@ -91,3 +91,66 @@ class TestDBSCAN:
         assert got_core == ref_core
         assert got == ref
         assert len({c for c in ref.values()}) > 1  # clustered fixture -> several
+
+
+class TestKMeansRunners:
+    """k-means|| init, jump-method choose-k, StripWeakCentroids — the
+    reference's KMeansParallelJobRunner / KMeansJumpJobRunner /
+    StripWeakCentroidsRunner analogs."""
+
+    def _blobs(self, spark, k=4, n=150):
+        rng = np.random.RandomState(11)
+        centers = [(-60.0, -30.0), (10.0, 40.0), (80.0, -10.0), (-120.0, 55.0)][:k]
+        rows = []
+        for ci, (cx, cy) in enumerate(centers):
+            for j in range(n):
+                rows.append(
+                    (
+                        f"b{ci}_{j:04d}",
+                        float(cx + rng.normal(0, 1.0)),
+                        float(cy + rng.normal(0, 1.0)),
+                    )
+                )
+        return spark.createDataFrame(rows, "fid string, lon double, lat double"), centers
+
+    def test_parallel_init_recovers_blob_centers(self, spark):
+        from geowave_spark.operators.clustering import kmeans, kmeans_parallel_init
+
+        df, centers = self._blobs(spark)
+        init = kmeans_parallel_init(df, k=4, rounds=4)
+        assert len(init) == 4
+        assign, final = kmeans(df, k=4, max_iters=10, init=init)
+        # each true blob center has exactly one centroid within 1 degree
+        claimed = set()
+        for cx, cy in centers:
+            near = [
+                i
+                for i, (fx, fy) in enumerate(final)
+                if (fx - cx) ** 2 + (fy - cy) ** 2 < 1.0
+            ]
+            assert len(near) == 1 and near[0] not in claimed
+            claimed.add(near[0])
+        # deterministic: same init on a second run
+        assert kmeans_parallel_init(df, k=4, rounds=4) == init
+
+    def test_jump_method_finds_true_k(self, spark):
+        from geowave_spark.operators.clustering import kmeans_jump
+
+        df, _ = self._blobs(spark, k=4)
+        best_k, js = kmeans_jump(df, k_range=(2, 6), max_iters=6)
+        assert best_k == 4
+        assert js[4] > js[3]
+
+    def test_strip_weak_centroids(self, spark):
+        from geowave_spark.operators.clustering import kmeans, strip_weak_centroids
+
+        df, _ = self._blobs(spark)
+        assign, _ = kmeans(df, k=6, max_iters=6)
+        sizes = {r.cluster: r["count"] for r in assign.groupBy("cluster").count().collect()}
+        kept = strip_weak_centroids(assign, keep=3)
+        kept_ids = {r.cluster for r in kept.select("cluster").distinct().collect()}
+        assert len(kept_ids) == 3
+        # exactly the 3 largest survive (ties broken by cluster id)
+        want = set(sorted(sizes, key=lambda c: (-sizes[c], c))[:3])
+        assert kept_ids == want
+        assert kept.count() == sum(sizes[c] for c in want)
