@@ -56,6 +56,29 @@ def parse_wkt(wkt: str):
     raise ValueError(f"unsupported WKT: {s[:40]}")
 
 
+def geom_to_wkt(geom) -> str:
+    """Inverse of :func:`parse_wkt` with shortest-round-trip float repr
+    (bit-exact double round-trips, the engine-wide formatting convention)."""
+    kind, data = geom
+
+    def coords(arr) -> str:
+        return ", ".join(f"{x!r} {y!r}" for x, y in np.asarray(arr))
+
+    if kind == "point":
+        return f"POINT ({data[0]!r} {data[1]!r})"
+    if kind == "linestring":
+        return f"LINESTRING ({coords(data)})"
+    if kind == "polygon":
+        return "POLYGON (" + ", ".join(f"({coords(r)})" for r in data) + ")"
+    if kind == "multipolygon":
+        return (
+            "MULTIPOLYGON ("
+            + ", ".join("(" + ", ".join(f"({coords(r)})" for r in p) + ")" for p in data)
+            + ")"
+        )
+    raise ValueError(kind)
+
+
 def points_from_wkt(series) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized fast path: pandas Series of 'POINT (x y)' -> (x, y) arrays."""
     ext = series.str.extract(r"POINT\s*\(\s*([-+0-9.eE]+)\s+([-+0-9.eE]+)\s*\)")
