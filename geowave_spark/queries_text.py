@@ -114,6 +114,40 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(_embs(spark, sf_dir), _ann_queries(spark, sf_dir), k=ANN_K)
 
 
+# near-dup threshold: corpus-dependent; the synthetic embeddings are
+# near-orthogonal (max pairwise cosine ~0.51 at sf0.01), so the exact query
+# pins the tail above 0.44.  Real near-dup corpora run the LSH variant at
+# >= 0.95 (see operators/similarity.py recall math).
+EMB_DUP_THRESHOLD = 0.44
+
+# BPE-ish subword tokenization regex: letter runs, digit runs, single
+# non-alphanumeric marks — the pre-tokenizer split every byte-pair encoder
+# applies before merges.  Pattern deliberately uses only constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB).
+SUBWORD_RX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact twin; the LSH-bucketed variant
+    is the 100 TB path, pytest-verified against this one on corpora that
+    actually contain near-dups)."""
+    from geowave_spark.operators.similarity import embedding_dup_pairs_exact
+
+    return embedding_dup_pairs_exact(_embs(spark, sf_dir), EMB_DUP_THRESHOLD)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (brief §text-analysis): whitespace tokens +
+    BPE-ish regex subword count + chars, all JVM-side."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(SUBWORD_RX)).alias("n_subwords"),
+        F.length("text").alias("n_chars"),
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(_embs(spark, sf_dir), _ann_queries(spark, sf_dir), k=ANN_K)
 
@@ -309,6 +343,18 @@ def build_text_oracles() -> dict[str, str]:
               WHERE e.vec_id <> q.vec_id)
             WHERE rank <= {ANN_K}
         """,
+        "dedup_embedding_cosine": f"""
+            SELECT e.vec_id AS id_a, q.vec_id AS id_b
+            FROM embeddings e, embeddings q
+            WHERE e.vec_id < q.vec_id AND {cos} >= {EMB_DUP_THRESHOLD}
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS INT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '{SUBWORD_RX}')) AS INT) AS n_subwords,
+                   CAST(length(text) AS INT) AS n_chars
+            FROM documents
+        """,
     }
 
 
@@ -323,4 +369,6 @@ TEXT_QUERIES = {
     "lang_id": q_lang_id,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "token_stats": q_token_stats,
 }

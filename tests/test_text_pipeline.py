@@ -148,6 +148,40 @@ class TestSimilarity:
         assert recall >= 0.3
 
 
+class TestEmbeddingDedup:
+    def test_lsh_finds_planted_near_dups(self, spark):
+        """On a corpus with genuine near-dups (small perturbations), the
+        bucketed path recovers the exact pair set at the near-dup regime."""
+        import numpy as np
+
+        from geowave_spark.operators.similarity import (
+            embedding_dup_pairs_exact,
+            embedding_dup_pairs_lsh,
+        )
+
+        rng = np.random.RandomState(3)
+        base = rng.normal(0, 1, (40, 64))
+        rows = []
+        vid = 0
+        for i in range(40):
+            rows.append((vid, base[i].tolist())); vid += 1
+            if i % 4 == 0:  # plant a near-dup: tiny perturbation
+                rows.append((vid, (base[i] + rng.normal(0, 0.02, 64)).tolist())); vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        exact = {(r.id_a, r.id_b) for r in embedding_dup_pairs_exact(df, 0.95).collect()}
+        lsh = {(r.id_a, r.id_b) for r in embedding_dup_pairs_lsh(df, 0.95).collect()}
+        assert len(exact) >= 10  # the planted pairs are found
+        assert lsh <= exact  # verify stage guarantees no false positives
+        assert len(lsh) >= 0.8 * len(exact)  # near-dup recall is high
+
+    def test_lsh_plan_no_cartesian(self, spark):
+        from geowave_spark.operators.similarity import embedding_dup_pairs_lsh
+
+        df = spark.createDataFrame([(1, [0.1] * 64)], "vec_id long, embedding array<double>")
+        plan = embedding_dup_pairs_lsh(df)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 class TestTextFunctions:
     def test_fingerprint_is_order_sensitive(self, spark):
         from geowave_spark.functions.text import doc_fingerprint, tokens
