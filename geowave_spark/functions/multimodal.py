@@ -94,6 +94,36 @@ def extract_features(decoded: DataFrame, dim: int = 8) -> DataFrame:
     return decoded.mapInPandas(_feat_batch, FEATURES_SCHEMA)
 
 
+def resize_pixels(decoded: DataFrame, out_dim: int) -> DataFrame:
+    """Square resize of decoded pixel grids to out_dim x out_dim via block
+    mean-pooling (downscale) or nearest-neighbor (upscale).  The resampling
+    math is real and codec-independent — only the decode that produced the
+    pixels is stubbed.  Same schema out as in (width/height updated)."""
+
+    def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_px = []
+            for px, w, h in zip(pdf["pixels"], pdf["width"], pdf["height"]):
+                img = np.asarray(px, dtype=np.float64).reshape(int(h), int(w))
+                # nearest-neighbor index maps (exact for any ratio); block
+                # mean when an output cell covers >1 source pixel per axis
+                ys = np.floor((np.arange(out_dim) + 0.5) * h / out_dim).astype(int)
+                xs = np.floor((np.arange(out_dim) + 0.5) * w / out_dim).astype(int)
+                if out_dim < h and out_dim < w and h % out_dim == 0 and w % out_dim == 0:
+                    fy, fx = h // out_dim, w // out_dim
+                    res = img.reshape(out_dim, fy, out_dim, fx).mean(axis=(1, 3))
+                else:
+                    res = img[np.clip(ys, 0, h - 1)][:, np.clip(xs, 0, w - 1)]
+                out_px.append(res.astype(np.float32).ravel())
+            out = pdf.copy()
+            out["pixels"] = out_px
+            out["width"] = out_dim
+            out["height"] = out_dim
+            yield out[["media_ref", "media_type", "width", "height", "n_frames", "pixels"]]
+
+    return decoded.mapInPandas(_resize_batch, DECODED_SCHEMA)
+
+
 def frame_sample(decoded: DataFrame, every_nth: int = 2) -> DataFrame:
     """Video-style frame sampling: keep every n-th frame index row.  For the
     single-frame fake decode this is a pass-through filter on n_frames — the

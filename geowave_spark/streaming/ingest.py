@@ -48,6 +48,46 @@ def read_docs_stream(
     return reader.parquet(input_dir)
 
 
+def read_docs_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka twin of :func:`read_docs_stream` — the real
+    `IngestFromKafkaDriver` replacement: subscribe, deserialize the JSON
+    value into the docs schema, and hand the SAME columns to the same
+    downstream operators (`indexed_docs_stream` neither knows nor cares
+    which source produced them).
+
+    The kafka connector jar ships with Spark distributions but not this
+    sandbox, so constructing the source raises at load() here; the
+    format-swap compatibility is what tests/test_streaming.py pins — the
+    post-source plan is built from one shared code path."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    raw = reader.load()
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), DOCS_SCHEMA).alias("d")
+    ).select("d.doc_id", "d.spans")
+
+
+def parse_docs_payload(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """The Kafka value-deserialization step alone (JSON payload -> docs
+    schema) — separated so it can be plan-tested without a broker: feed it
+    any DataFrame bearing a binary/string `value` column."""
+    return raw.select(
+        F.from_json(F.col(value_col).cast("string"), DOCS_SCHEMA).alias("d")
+    ).select("d.doc_id", "d.spans")
+
+
 def indexed_docs_stream(docs: DataFrame, cfg: SpatialConfig = DEFAULT_CONFIG) -> DataFrame:
     """Streaming extraction + indexing — the batch operators applied 1:1;
     spans pass through untouched (the per-row invariant)."""

@@ -57,3 +57,44 @@ class TestMultimodal:
         # single-frame fakes: every row keeps exactly frame 0
         assert sampled.count() == decoded.count()
         assert sampled.filter(F.col("frame_idx") != 0).count() == 0
+
+
+class TestResize:
+    def test_downscale_is_block_mean(self, spark, geo001):
+        import numpy as np
+
+        from geowave_spark.functions.multimodal import (
+            FAKE_DECODE_DIM,
+            decode_media,
+            resize_pixels,
+            synth_media_table,
+        )
+
+        docs = spark.read.parquet(str(geo001 / "docs.parquet")).limit(200)
+        media = synth_media_table(spark, docs)
+        decoded = decode_media(media).limit(5).cache()
+        out = {r.media_ref: r for r in resize_pixels(decoded, FAKE_DECODE_DIM // 2).collect()}
+        for r in decoded.collect():
+            img = np.asarray(r.pixels, dtype=np.float64).reshape(r.height, r.width)
+            half = FAKE_DECODE_DIM // 2
+            want = img.reshape(half, 2, half, 2).mean(axis=(1, 3)).astype(np.float32)
+            got = np.asarray(out[r.media_ref].pixels, dtype=np.float32).reshape(half, half)
+            assert out[r.media_ref].width == half and out[r.media_ref].height == half
+            assert np.allclose(got, want)
+
+    def test_upscale_nearest(self, spark, geo001):
+        import numpy as np
+
+        from geowave_spark.functions.multimodal import (
+            FAKE_DECODE_DIM,
+            decode_media,
+            resize_pixels,
+            synth_media_table,
+        )
+
+        docs = spark.read.parquet(str(geo001 / "docs.parquet")).limit(50)
+        decoded = decode_media(synth_media_table(spark, docs)).limit(2)
+        up = resize_pixels(decoded, FAKE_DECODE_DIM * 2).collect()
+        for r in up:
+            assert r.width == FAKE_DECODE_DIM * 2
+            assert len(r.pixels) == (FAKE_DECODE_DIM * 2) ** 2

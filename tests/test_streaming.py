@@ -125,3 +125,33 @@ class TestWindowedCounts:
         )
         expect = {(r.win.start, r.cell4, r.n) for r in expect_df.collect()}
         assert got == expect and len(got) > 0
+
+
+class TestKafkaTwin:
+    def test_payload_parse_feeds_same_pipeline(self, spark, geo001):
+        """The Kafka value-deserialization step produces rows the shared
+        indexing pipeline consumes identically to the file source: encode
+        docs as JSON 'value' payloads (what a producer would publish), parse,
+        index, and compare against indexing the table directly."""
+        from pyspark.sql import functions as F
+
+        from geowave_spark.streaming.ingest import indexed_docs_stream, parse_docs_payload
+
+        docs = spark.read.parquet(str(geo001 / "docs.parquet")).limit(300)
+        payloads = docs.select(F.to_json(F.struct("doc_id", "spans")).alias("value"))
+        via_kafka_shape = indexed_docs_stream(parse_docs_payload(payloads))
+        direct = indexed_docs_stream(docs)
+        a = {(r.doc_id, r.cell) for r in via_kafka_shape.select("doc_id", "cell").collect()}
+        b = {(r.doc_id, r.cell) for r in direct.select("doc_id", "cell").collect()}
+        assert a == b and len(a) > 0
+
+    def test_kafka_source_constructs_until_connector_load(self, spark):
+        """The kafka reader builds its full option set; only the final
+        load() needs the connector jar (absent in this sandbox)."""
+        import pytest
+
+        from geowave_spark.streaming.ingest import read_docs_kafka_stream
+
+        with pytest.raises(Exception) as ei:
+            read_docs_kafka_stream(spark, "broker:9092", "docs")
+        assert "kafka" in str(ei.value).lower()
