@@ -45,6 +45,9 @@ HEADLINE = [
     # training-data pipeline headliners (documents/embeddings tables)
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    # round-2 additions: raster ingest path + exact areal refine
+    "raster_tiling",
+    "docs_polygon_query",
 ]
 
 

@@ -203,7 +203,10 @@ def mosaic_tiles(
             F.collect_list(F.struct(F.col(priority_col).alias("p"), F.col("pixels").alias("px"))),
             asc=False,
         ).alias("ts"),
-        F.countDistinct(priority_col).alias("n_sources"),
+        # size(collect_set) instead of countDistinct: a distinct aggregate
+        # alongside collect_list forces a second Exchange (keys + source in
+        # the partial stage); the set materializes in the same single pass
+        F.size(F.collect_set(F.col(priority_col))).cast("long").alias("n_sources"),
     )
     merged = grouped.withColumn(
         "merged",

@@ -22,6 +22,8 @@ are broken by vector id so results are deterministic.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -207,4 +209,112 @@ def embedding_dup_pairs_lsh(
         .withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + nprobe search
+# ---------------------------------------------------------------------------
+
+
+def ivf_train_centroids(
+    embs: DataFrame,
+    n_centroids: int = 64,
+    sample_size: int = 10_000,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train the IVF coarse quantizer: deterministic bounded sample (smallest
+    md5-hashed ids — reproducible in any engine), driver-side numpy Lloyd.
+    The sample is capped, so driver memory is bounded regardless of corpus
+    size; at 100 TB the quantizer trains on the same fixed-size sample."""
+    import numpy as np
+
+    from geowave_spark.functions.text import md5_long
+
+    rows = (
+        embs.withColumn("_h", md5_long(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    k = min(n_centroids, len(X))
+    cent = X[:k].copy()  # md5-order head: a deterministic uniform draw
+    for _ in range(iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        new = np.array(
+            [X[a == j].mean(axis=0) if (a == j).any() else cent[j] for j in range(k)]
+        )
+        if np.allclose(new, cent):
+            break
+        cent = new
+    return [c.tolist() for c in cent]
+
+
+def _nearest_centroids_udf(centroids: list, nprobe: int):
+    """pandas UDF: vector -> the nprobe nearest centroid ids (vectorized
+    matmul per Arrow batch; the centroid matrix rides the closure once per
+    worker)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.array(centroids, dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _probe(vec: pd.Series) -> pd.Series:
+        X = np.array(vec.tolist(), dtype=np.float64)
+        d = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    return _probe
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    centroids: list | None = None,
+    n_centroids: int = 64,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF ANN: corpus vectors live in their nearest-centroid list (one int
+    key column — the inverted file); each query probes its nprobe nearest
+    lists.  The search is an equi-join on the list id (shuffle both sides,
+    no broadcast requirement, no driver traffic), exact cosine + window
+    top-k inside the probed lists.  Output schema matches cosine_topk.
+
+    Scale shape: candidates per query ~= nprobe/n_centroids of the corpus;
+    list ids are balanced by construction (k-means cells); skew from hot
+    lists is AQE's skew-join case.  Pass pre-trained ``centroids`` to share
+    one quantizer across queries (train once at ingest, like the index)."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    assign1 = _nearest_centroids_udf(centroids, 1)
+    probeN = _nearest_centroids_udf(centroids, nprobe)
+    c = corpus.withColumn("_list", F.element_at(assign1(F.col(vec_col)), 1))
+    q = queries.withColumn("_list", F.explode(probeN(F.col(qvec_col))))
+    scored = (
+        c.join(q, "_list")
+        .filter(F.col(id_col) != F.col(qid_col))
+        .withColumn(
+            "cos",
+            _dot(F.col(vec_col), F.col(qvec_col))
+            / F.sqrt(_norm_sq(F.col(vec_col)) * _norm_sq(F.col(qvec_col))),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col(qid_col), F.col(id_col), F.col("rank"))
     )

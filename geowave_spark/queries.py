@@ -216,8 +216,13 @@ def q_docs_polygon_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("cy") >= BOX[1])
         & (F.col("cy") <= BOX[3])
     )
+    # ArrowEvalPython computes the UDF for every batch row regardless of the
+    # surrounding when(); gating the INPUT (NULL for the point fast path,
+    # the with_geometry pattern) keeps the per-row parse on the ~10% minority
     refined = coarse.filter(
-        F.when(is_point, point_ok).otherwise(_refine(F.col("geom_wkt")))
+        F.when(is_point, point_ok).otherwise(
+            _refine(F.when(~is_point, F.col("geom_wkt")))
+        )
     )
     return refined.select(
         "doc_id",

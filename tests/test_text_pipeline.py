@@ -148,6 +148,52 @@ class TestSimilarity:
         assert recall >= 0.3
 
 
+class TestIvf:
+    def test_recall_on_clustered_vectors(self, spark):
+        """IVF with a healthy nprobe recovers most true neighbors on
+        clustered data (its design regime); plan is an equi-join."""
+        import numpy as np
+
+        from geowave_spark.operators.similarity import cosine_topk, ivf_topk
+
+        rng = np.random.RandomState(5)
+        centers = rng.normal(0, 5, (8, 64))
+        rows = []
+        vid = 0
+        for c in range(8):
+            for _ in range(100):
+                rows.append((vid, (centers[c] + rng.normal(0, 0.5, 64)).tolist()))
+                vid += 1
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        queries = (
+            corpus.filter(F.col("vec_id") % 40 == 0)
+            .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        )
+        brute = {
+            (r.qid, r.vec_id) for r in cosine_topk(corpus, queries, k=5).collect()
+        }
+        ivf = {
+            (r.qid, r.vec_id)
+            for r in ivf_topk(corpus, queries, k=5, n_centroids=16, nprobe=4).collect()
+        }
+        assert len(ivf & brute) >= 0.9 * len(brute)
+        plan = (
+            ivf_topk(corpus, queries, k=5, n_centroids=16, nprobe=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+    def test_quantizer_deterministic(self, spark):
+        from geowave_spark.operators.similarity import ivf_train_centroids
+
+        embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        a = ivf_train_centroids(embs, n_centroids=8, sample_size=200)
+        b = ivf_train_centroids(embs, n_centroids=8, sample_size=200)
+        assert a == b and len(a) == 8
+
+
 class TestEmbeddingDedup:
     def test_lsh_finds_planted_near_dups(self, spark):
         """On a corpus with genuine near-dups (small perturbations), the
