@@ -36,6 +36,20 @@ BANDS = 4
 ROWS_PER_BAND = NUM_PERM // BANDS
 SHINGLE_N = 3
 
+# persisted shingle tables from prior minhash_lsh_pairs calls (released on
+# the next call — same lifetime pattern as spatial_join._LIVE_CACHES: the
+# cache must outlive this lazy plan, so the NEXT call frees it)
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
 # deterministic multiplier/offset pairs for the NUM_PERM universal hashes
 # h_i(x) = (A[i] * x + B[i]) mod (2^31-1); constants < 2^20 (overflow-safe)
 _A = [(17 + 13 * i * i + 7 * i) % 1_000_003 + 11 for i in range(NUM_PERM)]
@@ -81,14 +95,19 @@ def _shingles(
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature (NUM_PERM mins) + per-band hashes.
 
     One aggregation: explode shingles, min over NUM_PERM affine hashes.
     Docs with fewer than SHINGLE_N tokens hash the empty shingle set to the
-    sentinel MOD (no shingles -> signature of all-MOD)."""
-    sh = _shingles(docs, text_col, id_col)
+    sentinel MOD (no shingles -> signature of all-MOD).  Pass a pre-built
+    ``shingles`` table to share the tokenize/explode work with a verify
+    stage."""
+    sh = shingles if shingles is not None else _shingles(docs, text_col, id_col)
     mins = sh.groupBy("sid").agg(
         *[
             F.min((F.lit(_A[i]) * F.col("sh") + F.lit(_B[i])) % MOD).alias(f"m{i}")
@@ -118,8 +137,14 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     The band join shuffles on band_hash (uniform); verification joins the
     candidate pairs back to the shingle table (two more uniform shuffles).
+    The shingle table is built ONCE and persisted across the signature and
+    verify stages (it is the dominant cost: tokenize + n-gram explode + md5
+    over every document); the cache is released on the next call.
     """
-    sig = minhash_signatures(docs, text_col, id_col)
+    release_caches()
+    sh = _shingles(docs, text_col, id_col).persist()
+    _LIVE_CACHES.append(sh)
+    sig = minhash_signatures(docs, text_col, id_col, shingles=sh)
     bands = sig.select(
         "sid",
         F.explode(
@@ -134,13 +159,18 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _verify_jaccard(docs, cands, text_col, id_col, threshold)
+    return _verify_jaccard(docs, cands, text_col, id_col, threshold, shingles=sh)
 
 
 def _verify_jaccard(
-    docs: DataFrame, pairs: DataFrame, text_col: str, id_col: str, threshold: float
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    sh = _shingles(docs, text_col, id_col)
+    sh = shingles if shingles is not None else _shingles(docs, text_col, id_col)
     sizes = sh.groupBy("sid").agg(F.count("*").alias("n_sh"))
     inter = (
         pairs.join(sh.withColumnRenamed("sid", "id_a"), "id_a")
