@@ -154,6 +154,105 @@ def with_spatiotemporal_cells(
     )
 
 
+def with_s2_bins(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    bits: int = 6,
+) -> DataFrame:
+    """S2-style cube-face bins as PURE Catalyst expressions (no Python):
+    unit-sphere xyz -> largest-axis face -> gnomonic (u, v) -> quadratic
+    area-correcting st -> (face, ib, jb) grid bins.  Mirrors
+    `sfc/s2cube.py` (whose Hilbert key is the bijective storage form of the
+    same triple); the triple itself is what SQL oracles can re-derive.
+    """
+    lam = F.radians(F.col(lon_col))
+    phi = F.radians(F.col(lat_col))
+    x = F.cos(phi) * F.cos(lam)
+    y = F.cos(phi) * F.sin(lam)
+    z = F.sin(phi)
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    face = (
+        F.when((ax >= ay) & (ax >= az), F.when(x >= 0, F.lit(0)).otherwise(F.lit(3)))
+        .when(ay >= az, F.when(y >= 0, F.lit(1)).otherwise(F.lit(4)))
+        .otherwise(F.when(z >= 0, F.lit(2)).otherwise(F.lit(5)))
+    )
+    num_u = (
+        F.when(face == 0, y)
+        .when(face == 1, -x)
+        .when(face == 2, -x)
+        .when(face == 3, z)
+        .when(face == 4, z)
+        .otherwise(-y)
+    )
+    num_v = (
+        F.when(face == 0, z)
+        .when(face == 1, z)
+        .when(face == 2, -y)
+        .when(face == 3, y)
+        .when(face == 4, -x)
+        .otherwise(-x)
+    )
+    den = (
+        F.when(face == 0, x)
+        .when(face == 1, y)
+        .when(face == 2, z)
+        .when(face == 3, -x)
+        .when(face == 4, -y)
+        .otherwise(-z)
+    )
+    u = num_u / den
+    v = num_v / den
+
+    def st(c):
+        return F.when(c >= 0, 0.5 * F.sqrt(1.0 + 3.0 * c)).otherwise(
+            1.0 - 0.5 * F.sqrt(1.0 - 3.0 * c)
+        )
+
+    n = float(2**bits)
+    last = 2**bits - 1
+    ib = F.least(F.floor(st(u) * F.lit(n)), F.lit(last)).cast("long")
+    jb = F.least(F.floor(st(v) * F.lit(n)), F.lit(last)).cast("long")
+    return (
+        df.withColumn("s2_face", face.cast("int"))
+        .withColumn("s2_ib", ib)
+        .withColumn("s2_jb", jb)
+    )
+
+
+def s2_bins_sql(lon: str, lat: str, bits: int = 6) -> str:
+    """DuckDB twin of :func:`with_s2_bins`: emits
+    ``(s2_face, s2_ib, s2_jb)`` select expressions via a LATERAL chain."""
+    n = float(2**bits)
+    last = 2**bits - 1
+    return f"""
+      LATERAL (SELECT radians({lon}) AS lam, radians({lat}) AS phi) t0,
+      LATERAL (SELECT cos(phi) * cos(lam) AS x, cos(phi) * sin(lam) AS y,
+                      sin(phi) AS z) t1,
+      LATERAL (SELECT CASE
+                 WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+                   THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+                 WHEN abs(y) >= abs(z) THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+                 ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END AS s2_face) t2,
+      LATERAL (SELECT
+        CASE s2_face WHEN 0 THEN y WHEN 1 THEN -x WHEN 2 THEN -x
+                     WHEN 3 THEN z WHEN 4 THEN z ELSE -y END /
+        CASE s2_face WHEN 0 THEN x WHEN 1 THEN y WHEN 2 THEN z
+                     WHEN 3 THEN -x WHEN 4 THEN -y ELSE -z END AS u,
+        CASE s2_face WHEN 0 THEN z WHEN 1 THEN z WHEN 2 THEN -y
+                     WHEN 3 THEN y WHEN 4 THEN -x ELSE -x END /
+        CASE s2_face WHEN 0 THEN x WHEN 1 THEN y WHEN 2 THEN z
+                     WHEN 3 THEN -x WHEN 4 THEN -y ELSE -z END AS v) t3,
+      LATERAL (SELECT
+        CASE WHEN u >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * u)
+             ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END AS su,
+        CASE WHEN v >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * v)
+             ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * v) END AS sv) t4,
+      LATERAL (SELECT CAST(LEAST(FLOOR(su * {n}), {last}) AS BIGINT) AS s2_ib,
+                      CAST(LEAST(FLOOR(sv * {n}), {last}) AS BIGINT) AS s2_jb) t5
+    """
+
+
 def st_cell_ranges(
     minx: float,
     miny: float,

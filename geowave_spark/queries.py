@@ -630,6 +630,25 @@ def q_cms_category_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+S2_BITS = 6
+
+
+def q_s2_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3/S2-family cell backend (sfc/s2cube.py): per-cube-face-cell point
+    counts at resolution 6.  The binning chain (sphere -> face -> gnomonic
+    -> quadratic st -> grid) runs as pure Catalyst expressions; the Hilbert
+    key is the bijective storage form of the (face, i, j) triple emitted
+    here, which is what the SQL oracle re-derives."""
+    from geowave_spark.operators.indexing import with_s2_bins
+
+    pts = _geo(spark, sf_dir, "points")
+    return (
+        with_s2_bins(pts, bits=S2_BITS)
+        .groupBy("s2_face", "s2_ib", "s2_jb")
+        .agg(F.count("*").alias("n"), F.min("fid").alias("first_fid"))
+    )
+
+
 def q_raster_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R5+R6: coverage -> tier selection (convertToIndex floorEntry rule) ->
     per-cell tileSize^2 chop with nearest-neighbor resample -> no-data mosaic
@@ -679,6 +698,17 @@ def _knn_haversine_oracle() -> str:
           WHERE p.fid <> q.fid AND {hav} <= {HAVERSINE_RADIUS_KM})
         WHERE rank <= {HAVERSINE_K}
     """
+
+
+def _s2_oracle() -> str:
+    from geowave_spark.operators.indexing import s2_bins_sql
+
+    return f"""
+        SELECT s2_face, s2_ib, s2_jb,
+               CAST(count(*) AS BIGINT) AS n, MIN(fid) AS first_fid
+        FROM '{GEO_SF001}/points.parquet' p,
+        {s2_bins_sql("p.lon", "p.lat", S2_BITS)}
+        GROUP BY s2_face, s2_ib, s2_jb"""
 
 
 def _raster_oracle() -> str:
@@ -1185,6 +1215,7 @@ def build_oracles() -> dict[str, str]:
         "knn_haversine": _knn_haversine_oracle(),
         "docs_polygon_query": _docs_polygon_oracle(),
         "raster_tiling": _raster_oracle(),
+        "s2_cell_counts": _s2_oracle(),
         "kmeans_clusters": _kmeans_oracle(),
         "dbscan_clusters": _dbscan_oracle(),
         "dbscan_hulls": _dbscan_hulls_oracle(),
@@ -1260,6 +1291,7 @@ QUERIES = {
     "docs_extent_query": q_docs_extent_query,
     "docs_polygon_query": q_docs_polygon_query,
     "raster_tiling": q_raster_tiling,
+    "s2_cell_counts": q_s2_cell_counts,
     "events_sessionization": q_events_sessionization,
     "subsample_zorder": q_subsample_zorder,
     "cms_category_sketch": q_cms_category_sketch,

@@ -371,3 +371,80 @@ class TestReferenceTieredVectors:
                 cfg,
             )
             assert (len(rows), int(out_tiers[0])) == (1, t), f"tier {t}"
+
+
+class TestS2Cube:
+    """S2-style cube-face Hilbert cells (sfc/s2cube.py): the H3/S2-family
+    backend — round-trips, prefix property, area-skew bound vs lat/lon."""
+
+    def _sphere_sample(self, n=20000):
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+        lon = rng.uniform(-180, 180, n)
+        lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))  # uniform on sphere
+        return lon, lat
+
+    def test_roundtrip_and_prefix(self):
+        import numpy as np
+
+        from geowave_spark.sfc.s2cube import s2_cell_center, s2_cell_ids, s2_parent
+
+        lon, lat = self._sphere_sample()
+        bits = 12
+        c = s2_cell_ids(lon, lat, bits)
+        clon, clat = s2_cell_center(c, bits)
+        # center re-encodes to the same cell (projection chain is consistent)
+        assert (s2_cell_ids(clon, clat, bits) == c).all()
+        # prefix property incl. the face prefix: ancestor = shift
+        assert (s2_parent(c, bits, bits - 3) == (c >> 6)).all()
+        # centers lie inside the cell's angular footprint
+        d = np.hypot(
+            (np.minimum(np.abs(clon - lon), 360 - np.abs(clon - lon)))
+            * np.cos(np.radians(lat)),
+            clat - lat,
+        )
+        assert d.max() < 90.0 / 2**bits * 2.0
+
+    def test_occupancy_more_uniform_than_latlon(self):
+        """The whole point of the cube backend: polar skew bounded.  Compare
+        max-cell occupancy of s2 cells vs an equirect grid with MORE cells
+        on a polar-heavy sample."""
+        import numpy as np
+
+        from geowave_spark.sfc.s2cube import s2_cell_ids
+
+        rng = np.random.RandomState(1)
+        lon = rng.uniform(-180, 180, 30000)
+        lat = np.degrees(np.arcsin(rng.uniform(0.8, 1.0, 30000)))  # polar cap
+        c = s2_cell_ids(lon, lat, 6)
+        from collections import Counter
+
+        s2_max = max(Counter(c.tolist()).values())
+        xb = np.floor((lon + 180) / 360 * 128).astype(int)
+        yb = np.floor((lat + 90) / 180 * 128).astype(int)
+        eq_max = max(Counter((xb * 1000 + yb).tolist()).values())
+        # near the pole, lat/lon cells collapse to slivers -> one lat row
+        # hoards the mass; cube cells stay comparable in area
+        assert s2_max < eq_max
+
+    def test_jvm_bins_match_numpy_key_decode(self, spark, geo001):
+        """The Catalyst bin expressions and the numpy Hilbert-key path are
+        the same cell system: (face, i, j) from with_s2_bins equals the
+        decode of s2_cell_ids."""
+        import numpy as np
+
+        from geowave_spark.operators.indexing import with_s2_bins
+        from geowave_spark.sfc.hilbert import hilbert_decode
+        from geowave_spark.sfc.s2cube import s2_cell_ids
+
+        pts = spark.read.parquet(str(geo001 / "points.parquet")).limit(2000)
+        rows = with_s2_bins(pts, bits=8).select("fid", "lon", "lat", "s2_face", "s2_ib", "s2_jb").collect()
+        lon = np.array([r.lon for r in rows])
+        lat = np.array([r.lat for r in rows])
+        keys = s2_cell_ids(lon, lat, 8).astype(np.uint64)
+        face = (keys >> np.uint64(16)).astype(int)
+        h = keys & np.uint64((1 << 16) - 1)
+        i, j = hilbert_decode(h, 2, 8)
+        for idx, r in enumerate(rows):
+            assert (r.s2_face, r.s2_ib, r.s2_jb) == (face[idx], int(i[idx]), int(j[idx]))
