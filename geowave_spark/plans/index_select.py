@@ -132,6 +132,95 @@ def spatial_2d_decomposer(bits: int, max_ranges: int = 5000, cfg=None):
     return _d
 
 
+def routed_points_query(
+    pts: DataFrame,
+    bbox: tuple[float, float, float, float],
+    ts_lo,
+    ts_hi,
+    xy_bits: int = 10,
+    t_bits: int = 10,
+    ts_col: str = "event_ts",
+) -> tuple[DataFrame, str]:
+    """End-to-end cost-based routing: materialize both layouts' key columns,
+    estimate each layout's scan cardinality for the constraints, execute the
+    winner's key-range predicate, then refine exactly — so the OUTPUT is
+    route-independent (plain box+time semantics) while the SCAN is the
+    chosen index's.  This is the reference's getIndices -> query loop
+    (`ChooseBestMatchIndexQueryStrategy` feeding `AccumuloDataStore.query`)
+    as one function.  Returns (rows, winning layout name)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from geowave_spark.operators.indexing import (
+        st_cell_ranges,
+        with_point_cells,
+        with_spatiotemporal_cells,
+    )
+    from geowave_spark.sfc import SpatialConfig
+
+    cfg = SpatialConfig(tiers=(0, xy_bits), backend="zorder")
+    flat = with_point_cells(pts, cfg=cfg, cell_col="_cell2d").drop("tier")
+    st = with_spatiotemporal_cells(pts, spatial_bits=xy_bits, time_bits=t_bits)
+
+    # fraction-of-year window (mirrors the st key's microsecond-exact rule);
+    # multi-year windows would route per year bin — the fixtures' window is
+    # within one year, matching the reference's per-bin decomposition
+    year = ts_lo.year
+    y0 = dt.datetime(year, 1, 1)
+    y1 = dt.datetime(year + 1, 1, 1)
+    span = (y1 - y0).total_seconds()
+    frac_lo = (ts_lo - y0).total_seconds() / span
+    frac_hi = min((ts_hi - y0).total_seconds() / span, 1.0)
+
+    candidates = [
+        CandidateIndex(
+            "spatial_2d",
+            spatial_2d_decomposer(xy_bits, cfg=cfg),
+            build_range_histogram(flat, "_cell2d"),
+        ),
+        CandidateIndex(
+            "spatiotemporal_3d",
+            spatiotemporal_3d_decomposer(xy_bits, t_bits),
+            build_range_histogram(st.filter(F.col("time_bin") == year), "st_cell"),
+        ),
+    ]
+    constraints = {"bbox": bbox, "t_range": (frac_lo, frac_hi)}
+    winner, _ = choose_best_index(candidates, constraints)
+
+    minx, miny, maxx, maxy = bbox
+    exact = (
+        (F.col("lon") >= minx)
+        & (F.col("lon") <= maxx)
+        & (F.col("lat") >= miny)
+        & (F.col("lat") <= maxy)
+        & (F.col(ts_col) >= F.lit(ts_lo))
+        & (F.col(ts_col) < F.lit(ts_hi))
+    )
+    # predicate range budget: 64 ranges keeps the OR-chain expression tree
+    # shallow (Catalyst recurses per node — thousands of ranges overflow the
+    # planner stack); the decomposers stay over-inclusive under the cap and
+    # the exact refine restores precision
+    if winner == "spatiotemporal_3d":
+        ranges = st_cell_ranges(
+            minx, miny, maxx, maxy, frac_lo, frac_hi, xy_bits, t_bits, max_ranges=64
+        )
+        pred = None
+        for lo, hi in ranges:
+            p = (F.col("st_cell") >= lo) & (F.col("st_cell") <= hi)
+            pred = p if pred is None else (pred | p)
+        routed = st.filter((F.col("time_bin") == year) & pred)
+    else:
+        from geowave_spark.sfc.tiered import decompose_query_ranges
+
+        pred = None
+        for lo, hi in decompose_query_ranges(minx, miny, maxx, maxy, xy_bits, 64, cfg):
+            p = (F.col("_cell2d") >= lo) & (F.col("_cell2d") <= hi)
+            pred = p if pred is None else (pred | p)
+        routed = flat.filter(pred)
+    return routed.filter(exact), winner
+
+
 def spatiotemporal_3d_decomposer(xy_bits: int, t_bits: int, max_ranges: int = 5000):
     """3D (x, y, time) Z-order layout (K6): needs BOTH a bbox and a
     fraction-of-year time window; an unbounded time dimension makes this

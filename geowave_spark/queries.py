@@ -630,6 +630,24 @@ def q_cms_category_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_routed_box_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based index routing end-to-end: the chooser picks the cheaper
+    layout (2D tiered vs 3D spatio-temporal) for the box+time constraints
+    and the scan runs through that layout's key ranges; exact refine makes
+    the result route-independent, so the oracle is the plain SQL filter."""
+    import datetime as dt
+
+    from geowave_spark.plans.index_select import routed_points_query
+
+    pts = _geo(spark, sf_dir, "points")
+    lo = dt.datetime.fromisoformat(TS_LO)
+    hi = dt.datetime.fromisoformat(TS_HI)
+    out, _winner = routed_points_query(pts, BOX, lo, hi)
+    return out.select(
+        "fid", "lon", "lat", F.unix_millis(F.col("event_ts").cast("timestamp")).alias("event_ms")
+    )
+
+
 S2_BITS = 6
 
 
@@ -1216,6 +1234,11 @@ def build_oracles() -> dict[str, str]:
         "docs_polygon_query": _docs_polygon_oracle(),
         "raster_tiling": _raster_oracle(),
         "s2_cell_counts": _s2_oracle(),
+        "routed_box_temporal": f"""
+            SELECT fid, lon, lat, epoch_ms(event_ts) AS event_ms FROM {pts}
+            WHERE lon >= {BOX[0]} AND lon <= {BOX[2]} AND lat >= {BOX[1]} AND lat <= {BOX[3]}
+              AND event_ts >= TIMESTAMP '{TS_LO}' AND event_ts < TIMESTAMP '{TS_HI}'
+        """,
         "kmeans_clusters": _kmeans_oracle(),
         "dbscan_clusters": _dbscan_oracle(),
         "dbscan_hulls": _dbscan_hulls_oracle(),
@@ -1292,6 +1315,7 @@ QUERIES = {
     "docs_polygon_query": q_docs_polygon_query,
     "raster_tiling": q_raster_tiling,
     "s2_cell_counts": q_s2_cell_counts,
+    "routed_box_temporal": q_routed_box_temporal,
     "events_sessionization": q_events_sessionization,
     "subsample_zorder": q_subsample_zorder,
     "cms_category_sketch": q_cms_category_sketch,

@@ -119,3 +119,37 @@ class TestChooseBestIndex:
         ).count()
         assert true > 0
         assert est["spatial_2d"] >= true * 0.33  # never wildly under
+
+
+class TestRoutedQuery:
+    def test_routes_agree_and_chooser_runs(self, spark, geo001):
+        """The routed box+time query returns identical rows whichever layout
+        wins (exact refine makes routing invisible in the output)."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from geowave_spark.plans.index_select import routed_points_query
+
+        pts = spark.read.parquet(str(geo001 / "points.parquet"))
+        bbox = (-75.0, 39.5, -72.0, 42.5)
+        lo, hi = dt.datetime(2012, 6, 1), dt.datetime(2013, 1, 1)
+        out, winner = routed_points_query(pts, bbox, lo, hi)
+        got = {r.fid for r in out.select("fid").collect()}
+        want = {
+            r.fid
+            for r in pts.filter(
+                (F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+                & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3])
+                & (F.col("event_ts") >= F.lit(lo)) & (F.col("event_ts") < F.lit(hi))
+            ).select("fid").collect()
+        }
+        assert got == want and len(got) > 0
+        assert winner in ("spatial_2d", "spatiotemporal_3d")
+
+        # a razor-thin time window over a huge box must route 3D
+        out2, winner2 = routed_points_query(
+            pts, (-179.0, -85.0, 179.0, 85.0), dt.datetime(2012, 3, 1), dt.datetime(2012, 3, 3)
+        )
+        assert winner2 == "spatiotemporal_3d"
+        assert out2.count() > 0
