@@ -45,9 +45,10 @@ HEADLINE = [
     # training-data pipeline headliners (documents/embeddings tables)
     "dedup_minhash_lsh",
     "ann_cosine_topk",
-    # round-2 additions: raster ingest path + exact areal refine
+    # round-2 additions: raster ingest path + exact areal refine + s2 cells
     "raster_tiling",
     "docs_polygon_query",
+    "s2_cell_counts",
 ]
 
 

@@ -63,3 +63,31 @@ class TestIndexedLayout:
         ddl = iceberg_ddl("geo.points", {"fid": "string", "cell": "bigint", "tier": "int"})
         assert "PARTITIONED BY (tier)" in ddl
         assert "WRITE ORDERED BY (tier, cell)" in ddl
+
+
+class TestWkbStorage:
+    def test_indexed_write_with_wkb_codec_roundtrips(self, spark, geo001, tmp_path):
+        from pyspark.sql import functions as F
+
+        from geowave_spark.extract import with_geometry
+        from geowave_spark.geometry.wkb import wkb_to_wkt
+        from geowave_spark.operators.indexing import with_insertion_cells
+        from geowave_spark.sources.tables import read_indexed, write_indexed
+
+        docs = with_geometry(spark.read.parquet(str(geo001 / "docs.parquet")).limit(400))
+        indexed = with_insertion_cells(
+            docs.select("doc_id", "geom_wkt", "minx", "miny", "maxx", "maxy")
+        )
+        path = str(tmp_path / "wkb_idx")
+        write_indexed(indexed, path, geometry_codec="wkb")
+        back = read_indexed(spark, path)
+        assert "geom_wkb" in back.columns and "geom_wkt" not in back.columns
+        decoded = back.withColumn("wkt", wkb_to_wkt(F.col("geom_wkb")))
+        orig = docs.select("doc_id", F.col("geom_wkt").alias("wkt_orig"))
+        bad = (
+            decoded.select("doc_id", "wkt").distinct()
+            .join(orig, "doc_id")
+            .filter(F.col("wkt") != F.col("wkt_orig"))
+            .count()
+        )
+        assert bad == 0
