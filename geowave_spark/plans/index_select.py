@@ -169,6 +169,14 @@ def routed_points_query(
     year = ts_lo.year
     y0 = dt.datetime(year, 1, 1)
     y1 = dt.datetime(year + 1, 1, 1)
+    if ts_hi > y1:
+        # correctness guard, not a limitation of the layout: a multi-year
+        # window needs one range set per year bin (union over bins); routing
+        # a truncated window silently would DROP later-year rows
+        raise ValueError(
+            f"time window {ts_lo}..{ts_hi} spans multiple year bins; split "
+            "per year (time_bin) and union, or use the 2D layout"
+        )
     span = (y1 - y0).total_seconds()
     frac_lo = (ts_lo - y0).total_seconds() / span
     frac_hi = min((ts_hi - y0).total_seconds() / span, 1.0)

@@ -153,3 +153,16 @@ class TestRoutedQuery:
         )
         assert winner2 == "spatiotemporal_3d"
         assert out2.count() > 0
+
+    def test_multi_year_window_refuses(self, spark, geo001):
+        import datetime as dt
+
+        import pytest
+
+        from geowave_spark.plans.index_select import routed_points_query
+
+        pts = spark.read.parquet(str(geo001 / "points.parquet"))
+        with pytest.raises(ValueError, match="year bins"):
+            routed_points_query(
+                pts, (-75.0, 39.5, -72.0, 42.5), dt.datetime(2012, 6, 1), dt.datetime(2013, 6, 1)
+            )
