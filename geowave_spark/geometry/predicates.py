@@ -252,6 +252,23 @@ def _rings_of(geom) -> list[np.ndarray]:
     raise ValueError(f"not an areal geometry: {kind}")
 
 
+def geom_intersects_prepared(data_geom, query: PreparedGeometry) -> bool:
+    """Per-kind exact intersects of ANY data geometry against a prepared
+    query polygon — the full `SpatialQueryFilter.java:182-228` accept
+    dispatch (points: containment; lines: vertex-in or edge-cross; areal:
+    polygon-polygon)."""
+    if isinstance(data_geom, str):
+        data_geom = parse_wkt(data_geom)
+    kind, data = data_geom
+    if kind == "point":
+        return bool(query.contains_points(np.array([data[0]]), np.array([data[1]]))[0])
+    if kind == "linestring":
+        return linestring_intersects_polygon(data, query)
+    if kind in ("polygon", "multipolygon"):
+        return polygon_intersects_polygon(data_geom, query)
+    raise ValueError(f"unsupported geometry kind {kind}")
+
+
 def polygon_intersects_polygon(data_geom, query: PreparedGeometry) -> bool:
     """Exact areal-vs-areal intersects (general simple polygons, holes on the
     query side honored by the even-odd containment): any data vertex inside

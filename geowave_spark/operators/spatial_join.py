@@ -335,6 +335,94 @@ def pip_join(
     return refined.drop(*drop)
 
 
+def areal_join(
+    features: DataFrame,
+    zones: DataFrame,
+    *,
+    feature_wkt_col: str = "geom_wkt",
+    feature_bbox_cols: tuple[str, str, str, str] = ("minx", "miny", "maxx", "maxy"),
+    zone_wkt_col: str = "geom_wkt",
+    feature_id_col: str = "doc_id",
+    zone_id_col: str = "zone_id",
+    cfg: SpatialConfig = DEFAULT_CONFIG,
+    cover_bits: int | None = None,
+) -> DataFrame:
+    """Geometry-vs-geometry intersects join: features of ANY kind (point /
+    line / polygon WKT + bbox columns) x polygon zones.
+
+    Extends the J1 pattern to areal probe geometries: BOTH sides explode to
+    covering cells at one planner-chosen tier (feature covers are bounded by
+    extent/cell ratio — at the zone-derived tier a typical feature touches
+    1-4 cells), so a pair can meet in several cells; candidate pairs dedup
+    with a distinct on ids BEFORE the (expensive) exact refine, which runs
+    the per-kind dispatch `geometry/predicates.geom_intersects_prepared` in
+    one Arrow batch per partition, query zones prepared once per batch.
+    Mirrors the reference's any-geometry join semantics
+    (`SpatialQueryFilter.java:182-228` applied pairwise)."""
+    release_caches()
+    if cover_bits is None:
+        cover_bits = choose_cover_tier(
+            zones.withColumnRenamed(zone_wkt_col, "_zwkt"), "_zwkt", cfg
+        )
+    zones = zones.withColumnRenamed(zone_wkt_col, "_zwkt")
+    zcells = zones.withColumn(
+        "_cell", F.explode(cover_cells_udf(cover_bits, cfg)(F.col("_zwkt")))
+    )
+
+    fminx, fminy, fmaxx, fmaxy = (F.col(c) for c in feature_bbox_cols)
+    fcover = cover_cells_bbox_udf(cover_bits, cfg)(fminx, fminy, fmaxx, fmaxy)
+    fcells = features.withColumn("_cell", F.explode(fcover))
+
+    cand = (
+        fcells.join(F.broadcast(zcells.select("_cell", zone_id_col, "_zwkt")), "_cell")
+        .drop("_cell")
+        .dropDuplicates([feature_id_col, zone_id_col])  # pairs can meet in >1 cell
+    )
+
+    @F.pandas_udf("boolean")
+    def _refine(wkt: pd.Series, zwkt: pd.Series) -> pd.Series:
+        from geowave_spark.geometry.predicates import geom_intersects_prepared
+
+        out = np.zeros(len(wkt), dtype=bool)
+        codes, uniques = pd.factorize(zwkt)
+        for u, zw in enumerate(uniques):
+            pg = _prepared(zw)
+            m = codes == u
+            for i in np.nonzero(m)[0]:
+                w = wkt.iloc[i]
+                out[i] = bool(w is not None and geom_intersects_prepared(w, pg))
+        return pd.Series(out)
+
+    refined = cand.filter(_refine(F.col(feature_wkt_col), F.col("_zwkt")))
+    return refined.drop("_zwkt")
+
+
+def cover_cells_bbox_udf(bits: int, cfg: SpatialConfig = DEFAULT_CONFIG, max_cells: int = 4096):
+    """pandas UDF: bbox columns -> covering cells at a fixed tier (the
+    feature-side twin of cover_cells_udf, skipping the WKT re-parse when the
+    bbox columns already exist)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _cover(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.Series:
+        out = []
+        for a, b, c, d in zip(
+            minx.to_numpy(np.float64),
+            miny.to_numpy(np.float64),
+            maxx.to_numpy(np.float64),
+            maxy.to_numpy(np.float64),
+        ):
+            cells = cells_covering_bbox(a, b, c, d, bits, cfg)
+            if len(cells) > max_cells:
+                raise ValueError(
+                    f"feature cover exceeds {max_cells} cells at tier {bits}"
+                )
+            out.append(cells.tolist())
+        return pd.Series(out)
+
+    return _cover
+
+
 def zonal_stats(
     points: DataFrame,
     zones: DataFrame,

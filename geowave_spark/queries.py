@@ -630,6 +630,23 @@ def q_cms_category_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_zone_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 extended to areal probe geometries: documents of EVERY geometry
+    kind (point/line/polygon) joined to convex zones on exact intersects —
+    both sides cell-bucketed, pairs deduped before the per-kind refine
+    (`SpatialQueryFilter.java:182-228` applied pairwise)."""
+    from geowave_spark.operators.spatial_join import areal_join
+
+    docs = with_geometry(_geo(spark, sf_dir, "docs")).select(
+        "doc_id", "geom_wkt", "minx", "miny", "maxx", "maxy"
+    )
+    zones = _geo(spark, sf_dir, "zones").filter(F.col("zclass") == "convex")
+    out = areal_join(docs, zones)
+    return out.select(
+        "doc_id", "zone_id", F.split("geom_wkt", " ")[0].alias("gkind")
+    )
+
+
 def q_routed_box_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cost-based index routing end-to-end: the chooser picks the cheaper
     layout (2D tiered vs 3D spatio-temporal) for the box+time constraints
@@ -716,6 +733,82 @@ def _knn_haversine_oracle() -> str:
           WHERE p.fid <> q.fid AND {hav} <= {HAVERSINE_RADIUS_KM})
         WHERE rank <= {HAVERSINE_K}
     """
+
+
+def _docs_zone_join_oracle() -> str:
+    """Exact any-geometry x convex-zone intersects by independent algorithms:
+    points by half-plane conjunction; segments by Cyrus-Beck parametric
+    clipping against the zone half-planes; convex data polygons by the
+    two-sided separating-axis test (zone half-planes vs data vertices, data
+    edge half-planes vs zone ring vertices)."""
+    docs = f"'{GEO_SF001}/docs.parquet'"
+    hp = f"'{GEO_SF001}/zone_halfplanes.parquet'"
+    zones = f"'{GEO_SF001}/zones.parquet'"
+    verts_of = (
+        "list_transform(string_split({body}, ', '), "
+        "p -> struct_pack(x := CAST(string_split(p, ' ')[1] AS DOUBLE), "
+        "y := CAST(string_split(p, ' ')[2] AS DOUBLE)))"
+    )
+    line_body = "replace(replace(wkt, 'LINESTRING (', ''), ')', '')"
+    poly_body = "replace(replace(wkt, 'POLYGON ((', ''), '))', '')"
+    zring_body = "replace(replace(geom_wkt, 'POLYGON ((', ''), '))', '')"
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(spans, s -> s.kind = 'geo')[1].text AS wkt,
+                 string_split(list_filter(spans, s -> s.kind = 'geo')[1].text, ' ')[1] AS gkind
+          FROM {docs}),
+        z AS (SELECT zone_id, {verts_of.format(body=zring_body)} AS zverts
+              FROM {zones} WHERE zclass = 'convex'),
+        pts AS (
+          SELECT d.doc_id, h.zone_id, d.gkind
+          FROM (SELECT doc_id, gkind,
+                  TRY_CAST(regexp_extract(wkt, '^POINT \\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)$', 1) AS DOUBLE) AS px,
+                  TRY_CAST(regexp_extract(wkt, '^POINT \\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)$', 2) AS DOUBLE) AS py
+                FROM d WHERE gkind = 'POINT') d,
+               (SELECT DISTINCT zone_id FROM {hp}) h
+          WHERE NOT EXISTS (
+            SELECT 1 FROM {hp} q
+            WHERE q.zone_id = h.zone_id AND q.a * d.px + q.b * d.py > q.c)),
+        lsegs AS (
+          SELECT doc_id, gkind, i,
+                 verts[i].x AS x1, verts[i].y AS y1,
+                 verts[i+1].x - verts[i].x AS dx, verts[i+1].y - verts[i].y AS dy
+          FROM (SELECT doc_id, gkind, {verts_of.format(body=line_body)} AS verts
+                FROM d WHERE gkind = 'LINESTRING'),
+               LATERAL unnest(range(1, len(verts))) AS u(i)),
+        lclip AS (
+          -- Cyrus-Beck: clip t in [0,1] against every half-plane
+          SELECT s.doc_id, s.gkind, q.zone_id, s.i,
+                 GREATEST(0.0, COALESCE(MAX(CASE WHEN q.a * s.dx + q.b * s.dy < 0
+                   THEN -(q.a * s.x1 + q.b * s.y1 - q.c) / (q.a * s.dx + q.b * s.dy) END), 0.0)) AS tlo,
+                 LEAST(1.0, COALESCE(MIN(CASE WHEN q.a * s.dx + q.b * s.dy > 0
+                   THEN -(q.a * s.x1 + q.b * s.y1 - q.c) / (q.a * s.dx + q.b * s.dy) END), 1.0)) AS thi,
+                 SUM(CASE WHEN q.a * s.dx + q.b * s.dy = 0
+                          AND q.a * s.x1 + q.b * s.y1 > q.c THEN 1 ELSE 0 END) AS n_bad
+          FROM lsegs s, {hp} q
+          GROUP BY s.doc_id, s.gkind, q.zone_id, s.i),
+        lines AS (
+          SELECT DISTINCT doc_id, zone_id, gkind
+          FROM lclip WHERE n_bad = 0 AND tlo <= thi),
+        dpoly AS (
+          SELECT doc_id, gkind, {verts_of.format(body=poly_body)} AS verts
+          FROM d WHERE gkind = 'POLYGON'),
+        polys AS (
+          SELECT p.doc_id, z.zone_id, p.gkind
+          FROM dpoly p, z
+          -- (a) no zone half-plane has every data vertex strictly outside
+          WHERE NOT EXISTS (
+            SELECT 1 FROM {hp} q WHERE q.zone_id = z.zone_id
+              AND len(list_filter(p.verts, v -> q.a * v.x + q.b * v.y <= q.c)) = 0)
+          -- (b) no data edge (CCW half-plane) has every zone vertex outside
+            AND len(list_filter(range(1, len(p.verts)), i ->
+              len(list_filter(z.zverts, v ->
+                (p.verts[i+1].y - p.verts[i].y) * v.x
+                + (-(p.verts[i+1].x - p.verts[i].x)) * v.y
+                <= (p.verts[i+1].y - p.verts[i].y) * p.verts[i].x
+                + (-(p.verts[i+1].x - p.verts[i].x)) * p.verts[i].y)) = 0)) = 0)
+        SELECT * FROM pts UNION ALL SELECT * FROM lines UNION ALL SELECT * FROM polys"""
 
 
 def _s2_oracle() -> str:
@@ -1234,6 +1327,7 @@ def build_oracles() -> dict[str, str]:
         "docs_polygon_query": _docs_polygon_oracle(),
         "raster_tiling": _raster_oracle(),
         "s2_cell_counts": _s2_oracle(),
+        "docs_zone_join": _docs_zone_join_oracle(),
         "routed_box_temporal": f"""
             SELECT fid, lon, lat, epoch_ms(event_ts) AS event_ms FROM {pts}
             WHERE lon >= {BOX[0]} AND lon <= {BOX[2]} AND lat >= {BOX[1]} AND lat <= {BOX[3]}
@@ -1316,6 +1410,7 @@ QUERIES = {
     "raster_tiling": q_raster_tiling,
     "s2_cell_counts": q_s2_cell_counts,
     "routed_box_temporal": q_routed_box_temporal,
+    "docs_zone_join": q_docs_zone_join,
     "events_sessionization": q_events_sessionization,
     "subsample_zorder": q_subsample_zorder,
     "cms_category_sketch": q_cms_category_sketch,

@@ -228,3 +228,39 @@ class TestKdeScalable:
             assert e[k][0] == a[k][0]          # sums identical (exact ints)
             assert abs(e[k][1] - a[k][1]) < 1e-12   # normalized identical
             assert abs(e[k][2] - a[k][2]) <= 0.02   # percentile within 2%
+
+
+class TestArealJoin:
+    def test_matches_bruteforce_all_kinds_incl_concave(self, spark, geo001):
+        """areal_join == brute-force per-pair exact predicate over every
+        geometry kind, including concave zones the SQL oracle can't express."""
+        from geowave_spark.extract import with_geometry
+        from geowave_spark.geometry.predicates import PreparedGeometry, geom_intersects_prepared
+        from geowave_spark.operators.spatial_join import areal_join
+
+        docs = with_geometry(
+            spark.read.parquet(str(geo001 / "docs.parquet")).limit(600)
+        ).select("doc_id", "geom_wkt", "minx", "miny", "maxx", "maxy")
+        zones = spark.read.parquet(str(geo001 / "zones.parquet")).filter(
+            F.col("zclass").isin("convex", "concave")
+        )
+        got = {
+            (r.doc_id, r.zone_id)
+            for r in areal_join(docs, zones).select("doc_id", "zone_id").collect()
+        }
+        want = set()
+        zlist = [(z.zone_id, PreparedGeometry(z.geom_wkt)) for z in zones.collect()]
+        for d in docs.collect():
+            for zid, pg in zlist:
+                if geom_intersects_prepared(d.geom_wkt, pg):
+                    want.add((d.doc_id, zid))
+        assert got == want and len(got) > 0
+        # all three kinds participate
+        kinds = {
+            r.gk
+            for r in areal_join(docs, zones)
+            .select(F.split("geom_wkt", " ")[0].alias("gk"))
+            .distinct()
+            .collect()
+        }
+        assert {"POINT", "LINESTRING", "POLYGON"} <= kinds
