@@ -702,6 +702,24 @@ def q_raster_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_raster_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 with buildPyramid=true: each coverage ingests at its full-res tier
+    PLUS every coarser tier while one tile can still hold the span
+    (`RasterDataAdapter.java:470-480` tailMap walk) — per-tier mosaic
+    summaries."""
+    from pathlib import Path
+
+    from geowave_spark.datagen import SCALES, ensure_coverages
+    from geowave_spark.operators.raster import mosaic_summary, mosaic_tiles, raster_tiles
+
+    sf = Path(sf_dir).name
+    d = ensure_coverages(sf if sf in SCALES else "sf0.01")
+    covs = spark.read.parquet(str(d / "coverages.parquet"))
+    return mosaic_summary(mosaic_tiles(raster_tiles(covs, build_pyramid=True))).select(
+        "tier", "xb", "yb", "n_sources", "checksum", "n_nodata"
+    )
+
+
 def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3-A5 analog: per-category ingest statistics (count, bbox, range)."""
     pts = _geo(spark, sf_dir, "points")
@@ -822,9 +840,10 @@ def _s2_oracle() -> str:
         GROUP BY s2_face, s2_ib, s2_jb"""
 
 
-def _raster_oracle() -> str:
+def _raster_oracle(pyramid: bool = False) -> str:
     """Independent SQL re-derivation of the raster pipeline: tier selection
-    (coarsest cell <= tile world size), bbox->bin spans with the engine's
+    (coarsest cell <= tile world size; with ``pyramid`` also every coarser
+    level while one tile holds the span), bbox->bin spans with the engine's
     edge rules, nearest-neighbor resample with the identical FP expressions,
     and the latest-wins merge as ARG_MAX over non-nodata contributions."""
     from geowave_spark.datagen import ensure_coverages
@@ -835,16 +854,32 @@ def _raster_oracle() -> str:
     tiers = "[0,1,2,3,4,5,6,7,8,9,10,11,13,18,31]"
     ts = TILE_SIZE
     nd = NODATA
-    return f"""
-        WITH cov AS (
-          SELECT coverage_id, minx, miny, maxx, maxy, width, height, pixels,
-                 LEAST((maxx - minx) * {ts} / width, (maxy - miny) * {ts} / height) AS tworld
-          FROM '{g}/coverages.parquet'),
+    if pyramid:
+        tiered_cte = f"""
+        full_t AS (
+          SELECT c.*, COALESCE((
+            SELECT MIN(t) FROM unnest({tiers}) AS u(t)
+            WHERE 360.0 / POWER(2.0, t) <= c.tworld * (1.0 + {_REL_EPS!r})), 31) AS full_tier
+          FROM cov c),
+        tiered AS (
+          SELECT c.* EXCLUDE (full_tier), u.t AS tier
+          FROM full_t c, unnest({tiers}) AS u(t)
+          WHERE u.t = c.full_tier
+             OR (u.t < c.full_tier
+                 AND (360.0 / POWER(2.0, u.t)) / c.tworld
+                     <= GREATEST(c.width, c.height) / {ts}.0)),"""
+    else:
+        tiered_cte = f"""
         tiered AS (
           SELECT c.*, COALESCE((
             SELECT MIN(t) FROM unnest({tiers}) AS u(t)
             WHERE 360.0 / POWER(2.0, t) <= c.tworld * (1.0 + {_REL_EPS!r})), 31) AS tier
-          FROM cov c),
+          FROM cov c),"""
+    return f"""
+        WITH cov AS (
+          SELECT coverage_id, minx, miny, maxx, maxy, width, height, pixels,
+                 LEAST((maxx - minx) * {ts} / width, (maxy - miny) * {ts} / height) AS tworld
+          FROM '{g}/coverages.parquet'),{tiered_cte}
         binned AS (
           SELECT *, POWER(2.0, tier) AS bins, 360.0 / POWER(2.0, tier) AS cellw,
             CAST(LEAST(FLOOR(((LEAST(GREATEST(minx, -180.0), 180.0) + 180.0) / 360.0) * POWER(2.0, tier)), POWER(2.0, tier) - 1) AS BIGINT) AS xlo,
@@ -1326,6 +1361,7 @@ def build_oracles() -> dict[str, str]:
         "knn_haversine": _knn_haversine_oracle(),
         "docs_polygon_query": _docs_polygon_oracle(),
         "raster_tiling": _raster_oracle(),
+        "raster_pyramid": _raster_oracle(pyramid=True),
         "s2_cell_counts": _s2_oracle(),
         "docs_zone_join": _docs_zone_join_oracle(),
         "routed_box_temporal": f"""
@@ -1408,6 +1444,7 @@ QUERIES = {
     "docs_extent_query": q_docs_extent_query,
     "docs_polygon_query": q_docs_polygon_query,
     "raster_tiling": q_raster_tiling,
+    "raster_pyramid": q_raster_pyramid,
     "s2_cell_counts": q_s2_cell_counts,
     "routed_box_temporal": q_routed_box_temporal,
     "docs_zone_join": q_docs_zone_join,
