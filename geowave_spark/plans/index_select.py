@@ -163,24 +163,25 @@ def routed_points_query(
     flat = with_point_cells(pts, cfg=cfg, cell_col="_cell2d").drop("tier")
     st = with_spatiotemporal_cells(pts, spatial_bits=xy_bits, time_bits=t_bits)
 
-    # fraction-of-year window (mirrors the st key's microsecond-exact rule);
-    # multi-year windows would route per year bin — the fixtures' window is
-    # within one year, matching the reference's per-bin decomposition
-    year = ts_lo.year
-    y0 = dt.datetime(year, 1, 1)
-    y1 = dt.datetime(year + 1, 1, 1)
-    if ts_hi > y1:
-        # correctness guard, not a limitation of the layout: a multi-year
-        # window needs one range set per year bin (union over bins); routing
-        # a truncated window silently would DROP later-year rows
-        raise ValueError(
-            f"time window {ts_lo}..{ts_hi} spans multiple year bins; split "
-            "per year (time_bin) and union, or use the 2D layout"
-        )
-    span = (y1 - y0).total_seconds()
-    frac_lo = (ts_lo - y0).total_seconds() / span
-    frac_hi = min((ts_hi - y0).total_seconds() / span, 1.0)
+    # per-year-bin windows (TemporalBinningStrategy.getNormalizedRanges —
+    # the 3D route scans one key-range set per bin, full-extent bins at the
+    # whole [0, 1] fraction window)
+    from geowave_spark.functions.temporal import temporal_bin_ranges
 
+    tbins = temporal_bin_ranges(ts_lo, ts_hi - dt.timedelta(microseconds=1), "year")
+    windows: list[tuple[int, float, float]] = []
+    for tb in tbins:
+        y0 = tb.bin_start
+        y1 = dt.datetime(y0.year + 1, 1, 1)
+        span = (y1 - y0).total_seconds()
+        if tb.full_extent:
+            windows.append((y0.year, 0.0, 1.0))
+        else:
+            flo = (tb.lo - y0).total_seconds() / span
+            fhi = min(((tb.hi - y0).total_seconds() + 1e-3) / span, 1.0)
+            windows.append((y0.year, flo, fhi))
+
+    years = [w[0] for w in windows]
     candidates = [
         CandidateIndex(
             "spatial_2d",
@@ -190,10 +191,12 @@ def routed_points_query(
         CandidateIndex(
             "spatiotemporal_3d",
             spatiotemporal_3d_decomposer(xy_bits, t_bits),
-            build_range_histogram(st.filter(F.col("time_bin") == year), "st_cell"),
+            build_range_histogram(st.filter(F.col("time_bin").isin(years)), "st_cell"),
         ),
     ]
-    constraints = {"bbox": bbox, "t_range": (frac_lo, frac_hi)}
+    # estimate with the first bin's window (bins are structurally alike);
+    # the histogram already spans only the touched years
+    constraints = {"bbox": bbox, "t_range": (windows[0][1], windows[0][2])}
     winner, _ = choose_best_index(candidates, constraints)
 
     minx, miny, maxx, maxy = bbox
@@ -210,14 +213,19 @@ def routed_points_query(
     # planner stack); the decomposers stay over-inclusive under the cap and
     # the exact refine restores precision
     if winner == "spatiotemporal_3d":
-        ranges = st_cell_ranges(
-            minx, miny, maxx, maxy, frac_lo, frac_hi, xy_bits, t_bits, max_ranges=64
-        )
-        pred = None
-        for lo, hi in ranges:
-            p = (F.col("st_cell") >= lo) & (F.col("st_cell") <= hi)
-            pred = p if pred is None else (pred | p)
-        routed = st.filter((F.col("time_bin") == year) & pred)
+        parts = []
+        for year, flo, fhi in windows:
+            ranges = st_cell_ranges(
+                minx, miny, maxx, maxy, flo, fhi, xy_bits, t_bits, max_ranges=64
+            )
+            pred = None
+            for lo, hi in ranges:
+                p = (F.col("st_cell") >= lo) & (F.col("st_cell") <= hi)
+                pred = p if pred is None else (pred | p)
+            parts.append(st.filter((F.col("time_bin") == year) & pred))
+        routed = parts[0]
+        for p in parts[1:]:
+            routed = routed.unionByName(p)
     else:
         from geowave_spark.sfc.tiered import decompose_query_ranges
 

@@ -154,15 +154,76 @@ class TestRoutedQuery:
         assert winner2 == "spatiotemporal_3d"
         assert out2.count() > 0
 
-    def test_multi_year_window_refuses(self, spark, geo001):
+    def test_multi_year_window_unions_per_bin(self, spark, geo001):
+        """A window crossing year bins scans one key-range set per bin
+        (TemporalBinningStrategy semantics) and still matches the plain
+        filter exactly — including rows from the later year."""
         import datetime as dt
 
-        import pytest
+        from pyspark.sql import functions as F
 
         from geowave_spark.plans.index_select import routed_points_query
 
         pts = spark.read.parquet(str(geo001 / "points.parquet"))
-        with pytest.raises(ValueError, match="year bins"):
-            routed_points_query(
-                pts, (-75.0, 39.5, -72.0, 42.5), dt.datetime(2012, 6, 1), dt.datetime(2013, 6, 1)
-            )
+        bbox = (-75.0, 39.5, -72.0, 42.5)
+        lo, hi = dt.datetime(2012, 6, 1), dt.datetime(2013, 6, 1)
+        out, _ = routed_points_query(pts, bbox, lo, hi)
+        got = {r.fid for r in out.select("fid").collect()}
+        want_df = pts.filter(
+            (F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+            & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3])
+            & (F.col("event_ts") >= F.lit(lo)) & (F.col("event_ts") < F.lit(hi))
+        )
+        want = {r.fid for r in want_df.select("fid").collect()}
+        assert got == want and len(got) > 0
+        # both years genuinely contribute
+        years = {r.y for r in want_df.select(F.year("event_ts").alias("y")).distinct().collect()}
+        assert years == {2012, 2013}
+
+
+class TestTemporalBinning:
+    """TemporalBinningStrategyTest behavioral vectors
+    (`TemporalBinningStrategyTest.java:50-140`), ported to datetimes."""
+
+    def test_bins_match_expected_count(self):
+        import datetime as dt
+
+        from geowave_spark.functions.temporal import temporal_bin_ranges
+
+        # epoch-aligned start, +N units, inclusive end -> exactly N bins,
+        # all full extent (internalTestBinsMatchExpectedCount)
+        for unit, n in (("day", 500), ("month", 240), ("year", 120)):
+            start = {"day": dt.datetime(2003, 11, 2),
+                     "month": dt.datetime(2003, 11, 1),
+                     "year": dt.datetime(1903, 1, 1)}[unit]
+            end = start
+            for _ in range(n):
+                from geowave_spark.functions.temporal import _next_bin
+                end = _next_bin(end, unit)
+            bins = temporal_bin_ranges(start, end - dt.timedelta(milliseconds=1), unit)
+            assert len(bins) == n
+            assert all(b.full_extent for b in bins)
+
+    def test_full_extent_on_single_bin(self):
+        import datetime as dt
+
+        from geowave_spark.functions.temporal import temporal_bin_ranges
+
+        bins = temporal_bin_ranges(
+            dt.datetime(2007, 3, 1), dt.datetime(2007, 3, 31, 23, 59, 59, 999000), "month"
+        )
+        assert len(bins) == 1 and bins[0].full_extent
+
+    def test_full_extent_on_multiple_bins(self):
+        """The 3-bin day split: mid-day start -> [partial, full, partial];
+        epoch-aligned start -> [full, full, partial]."""
+        import datetime as dt
+
+        from geowave_spark.functions.temporal import temporal_bin_ranges
+
+        t = dt.datetime(2012, 7, 4, 13, 45, 7)
+        bins = temporal_bin_ranges(t, t + dt.timedelta(days=2), "day")
+        assert [b.full_extent for b in bins] == [False, True, False]
+        t0 = dt.datetime(2012, 7, 4)
+        bins2 = temporal_bin_ranges(t0, t0 + dt.timedelta(days=2), "day")
+        assert [b.full_extent for b in bins2] == [True, True, False]
