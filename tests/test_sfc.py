@@ -123,6 +123,15 @@ class TestNormalization:
         # single value clamps, never wraps (LongitudeDefinition.java:41-45)
         assert normalize_lon_range(190.0, 190.0) == [(180.0, 180.0)]
 
+    def test_reference_longitude_vectors(self):
+        """LongitudeDefinitionTest's own vectors
+        (`LongitudeDefinitionTest.java:38-120`): east/west dateline-crossing
+        ranges split into the exact published bin pairs; out-of-bounds
+        endpoints wrap by the ceil-mod formula (+-200 -> -+160)."""
+        assert normalize_lon_range(150.0, 200.0) == [(-180.0, -160.0), (150.0, 180.0)]
+        assert normalize_lon_range(-200.0, -170.0) == [(-180.0, -170.0), (160.0, 180.0)]
+        assert normalize_lon_range(10.0, 100.0) == [(10.0, 100.0)]
+
 
 class TestTierSelection:
     def test_points_go_finest(self):
