@@ -292,6 +292,29 @@ def polygon_intersects_polygon(data_geom, query: PreparedGeometry) -> bool:
     return False
 
 
+def geom_within_prepared(data_geom, query: PreparedGeometry) -> bool:
+    """Per-kind exact CONTAINS (feature fully within the query polygon):
+    points containment; lines all-vertices-in plus no boundary crossing;
+    areal via polygon_within_polygon."""
+    if isinstance(data_geom, str):
+        data_geom = parse_wkt(data_geom)
+    kind, data = data_geom
+    if kind == "point":
+        return bool(query.contains_points(np.array([data[0]]), np.array([data[1]]))[0])
+    if kind == "linestring":
+        if not query.contains_points(data[:, 0], data[:, 1]).all():
+            return False
+        ax1, ay1, ax2, ay2 = data[:-1, 0], data[:-1, 1], data[1:, 0], data[1:, 1]
+        for x1, y1, x2, y2 in query._rings:
+            for i in range(len(x1)):
+                if segments_intersect(ax1, ay1, ax2, ay2, x1[i], y1[i], x2[i], y2[i]).any():
+                    return False
+        return True
+    if kind in ("polygon", "multipolygon"):
+        return polygon_within_polygon(data_geom, query)
+    raise ValueError(f"unsupported geometry kind {kind}")
+
+
 def polygon_within_polygon(data_geom, query: PreparedGeometry) -> bool:
     """Exact areal-within-areal: every data vertex inside the query and no
     boundary crossing (sufficient for simple rings)."""

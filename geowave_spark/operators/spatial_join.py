@@ -346,6 +346,7 @@ def areal_join(
     zone_id_col: str = "zone_id",
     cfg: SpatialConfig = DEFAULT_CONFIG,
     cover_bits: int | None = None,
+    compare_op: str = "OVERLAPS",
 ) -> DataFrame:
     """Geometry-vs-geometry intersects join: features of ANY kind (point /
     line / polygon WKT + bbox columns) x polygon zones.
@@ -379,10 +380,16 @@ def areal_join(
         .dropDuplicates([feature_id_col, zone_id_col])  # pairs can meet in >1 cell
     )
 
+    within = compare_op == "CONTAINS"
+
     @F.pandas_udf("boolean")
     def _refine(wkt: pd.Series, zwkt: pd.Series) -> pd.Series:
-        from geowave_spark.geometry.predicates import geom_intersects_prepared
+        from geowave_spark.geometry.predicates import (
+            geom_intersects_prepared,
+            geom_within_prepared,
+        )
 
+        pred = geom_within_prepared if within else geom_intersects_prepared
         out = np.zeros(len(wkt), dtype=bool)
         codes, uniques = pd.factorize(zwkt)
         for u, zw in enumerate(uniques):
@@ -390,7 +397,7 @@ def areal_join(
             m = codes == u
             for i in np.nonzero(m)[0]:
                 w = wkt.iloc[i]
-                out[i] = bool(w is not None and geom_intersects_prepared(w, pg))
+                out[i] = bool(w is not None and pred(w, pg))
         return pd.Series(out)
 
     refined = cand.filter(_refine(F.col(feature_wkt_col), F.col("_zwkt")))

@@ -647,6 +647,22 @@ def q_docs_zone_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_zone_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTAINS twin of docs_zone_join: documents whose whole geometry
+    lies inside a convex zone (for convex regions, all-vertices-inside is
+    exact for every kind — the oracle checks exactly that)."""
+    from geowave_spark.operators.spatial_join import areal_join
+
+    docs = with_geometry(_geo(spark, sf_dir, "docs")).select(
+        "doc_id", "geom_wkt", "minx", "miny", "maxx", "maxy"
+    )
+    zones = _geo(spark, sf_dir, "zones").filter(F.col("zclass") == "convex")
+    out = areal_join(docs, zones, compare_op="CONTAINS")
+    return out.select(
+        "doc_id", "zone_id", F.split("geom_wkt", " ")[0].alias("gkind")
+    )
+
+
 def q_routed_box_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cost-based index routing end-to-end: the chooser picks the cheaper
     layout (2D tiered vs 3D spatio-temporal) for the box+time constraints
@@ -827,6 +843,43 @@ def _docs_zone_join_oracle() -> str:
                 <= (p.verts[i+1].y - p.verts[i].y) * p.verts[i].x
                 + (-(p.verts[i+1].x - p.verts[i].x)) * p.verts[i].y)) = 0)) = 0)
         SELECT * FROM pts UNION ALL SELECT * FROM lines UNION ALL SELECT * FROM polys"""
+
+
+def _docs_zone_within_oracle() -> str:
+    """CONTAINS vs a convex zone is exactly all-vertices-satisfy-every-
+    half-plane (vertices inside a convex region imply the hull — and so the
+    whole geometry — inside)."""
+    docs = f"'{GEO_SF001}/docs.parquet'"
+    hp = f"'{GEO_SF001}/zone_halfplanes.parquet'"
+    verts_of = (
+        "list_transform(string_split({body}, ', '), "
+        "p -> struct_pack(x := CAST(string_split(p, ' ')[1] AS DOUBLE), "
+        "y := CAST(string_split(p, ' ')[2] AS DOUBLE)))"
+    )
+    line_body = "replace(replace(wkt, 'LINESTRING (', ''), ')', '')"
+    poly_body = "replace(replace(wkt, 'POLYGON ((', ''), '))', '')"
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(spans, s -> s.kind = 'geo')[1].text AS wkt,
+                 string_split(list_filter(spans, s -> s.kind = 'geo')[1].text, ' ')[1] AS gkind
+          FROM {docs}),
+        dv AS (
+          SELECT doc_id, gkind,
+                 CASE gkind
+                   WHEN 'POINT' THEN [struct_pack(
+                     x := TRY_CAST(regexp_extract(wkt, '^POINT \\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)$', 1) AS DOUBLE),
+                     y := TRY_CAST(regexp_extract(wkt, '^POINT \\(([-+0-9.eE]+) ([-+0-9.eE]+)\\)$', 2) AS DOUBLE))]
+                   WHEN 'LINESTRING' THEN {verts_of.format(body=line_body)}
+                   ELSE {verts_of.format(body=poly_body)}
+                 END AS verts
+          FROM d)
+        SELECT v.doc_id, z.zone_id, v.gkind
+        FROM dv v, (SELECT DISTINCT zone_id FROM {hp}) z
+        WHERE NOT EXISTS (
+          SELECT 1 FROM {hp} q
+          WHERE q.zone_id = z.zone_id
+            AND len(list_filter(v.verts, p -> q.a * p.x + q.b * p.y > q.c)) > 0)"""
 
 
 def _s2_oracle() -> str:
@@ -1364,6 +1417,7 @@ def build_oracles() -> dict[str, str]:
         "raster_pyramid": _raster_oracle(pyramid=True),
         "s2_cell_counts": _s2_oracle(),
         "docs_zone_join": _docs_zone_join_oracle(),
+        "docs_zone_within": _docs_zone_within_oracle(),
         "routed_box_temporal": f"""
             SELECT fid, lon, lat, epoch_ms(event_ts) AS event_ms FROM {pts}
             WHERE lon >= {BOX[0]} AND lon <= {BOX[2]} AND lat >= {BOX[1]} AND lat <= {BOX[3]}
@@ -1448,6 +1502,7 @@ QUERIES = {
     "s2_cell_counts": q_s2_cell_counts,
     "routed_box_temporal": q_routed_box_temporal,
     "docs_zone_join": q_docs_zone_join,
+    "docs_zone_within": q_docs_zone_within,
     "events_sessionization": q_events_sessionization,
     "subsample_zorder": q_subsample_zorder,
     "cms_category_sketch": q_cms_category_sketch,

@@ -264,3 +264,33 @@ class TestArealJoin:
             .collect()
         }
         assert {"POINT", "LINESTRING", "POLYGON"} <= kinds
+
+    def test_contains_matches_bruteforce(self, spark, geo001):
+        from geowave_spark.extract import with_geometry
+        from geowave_spark.geometry.predicates import PreparedGeometry, geom_within_prepared
+        from geowave_spark.operators.spatial_join import areal_join
+
+        docs = with_geometry(
+            spark.read.parquet(str(geo001 / "docs.parquet")).limit(500)
+        ).select("doc_id", "geom_wkt", "minx", "miny", "maxx", "maxy")
+        zones = spark.read.parquet(str(geo001 / "zones.parquet")).filter(
+            F.col("zclass").isin("convex", "concave")
+        )
+        within = {
+            (r.doc_id, r.zone_id)
+            for r in areal_join(docs, zones, compare_op="CONTAINS")
+            .select("doc_id", "zone_id")
+            .collect()
+        }
+        inter = {
+            (r.doc_id, r.zone_id)
+            for r in areal_join(docs, zones).select("doc_id", "zone_id").collect()
+        }
+        assert within <= inter and len(within) > 0
+        want = set()
+        zlist = [(z.zone_id, PreparedGeometry(z.geom_wkt)) for z in zones.collect()]
+        for d in docs.collect():
+            for zid, pg in zlist:
+                if geom_within_prepared(d.geom_wkt, pg):
+                    want.add((d.doc_id, zid))
+        assert within == want
