@@ -214,10 +214,25 @@ def geom_intersects_box(geom, minx, miny, maxx, maxy) -> bool:
             segment_intersects_box(x[:-1], y[:-1], x[1:], y[1:], minx, miny, maxx, maxy).any()
         )
     if kind == "polygon":
-        return convex_polygon_intersects_box(data[0], minx, miny, maxx, maxy)
+        if len(data) == 1:
+            return convex_polygon_intersects_box(data[0], minx, miny, maxx, maxy)
+        # holed polygons: the SAT shortcut sees only the shell (a box fully
+        # inside a hole would false-positive) — use the general even-odd
+        # polygon-polygon test, whose raycast XORs holes correctly
+        return polygon_intersects_polygon(geom, _box_prepared(minx, miny, maxx, maxy))
     if kind == "multipolygon":
-        return any(convex_polygon_intersects_box(p[0], minx, miny, maxx, maxy) for p in data)
+        return any(
+            geom_intersects_box(("polygon", p), minx, miny, maxx, maxy) for p in data
+        )
     raise ValueError(f"unsupported geometry kind {kind}")
+
+
+def _box_prepared(minx, miny, maxx, maxy) -> "PreparedGeometry":
+    ring = np.array(
+        [[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy], [minx, miny]],
+        dtype=np.float64,
+    )
+    return PreparedGeometry(("polygon", [ring]))
 
 
 def geom_within_box(geom, minx, miny, maxx, maxy) -> bool:
@@ -316,8 +331,10 @@ def geom_within_prepared(data_geom, query: PreparedGeometry) -> bool:
 
 
 def polygon_within_polygon(data_geom, query: PreparedGeometry) -> bool:
-    """Exact areal-within-areal: every data vertex inside the query and no
-    boundary crossing (sufficient for simple rings)."""
+    """Exact areal-within-areal: every data vertex inside the query, no
+    boundary crossing, and no query HOLE buried inside the data polygon (a
+    hole strictly interior to the data passes the first two checks yet
+    carves query-exterior area out of the data's footprint)."""
     if isinstance(data_geom, str):
         data_geom = parse_wkt(data_geom)
     for ring in _rings_of(data_geom):
@@ -329,6 +346,13 @@ def polygon_within_polygon(data_geom, query: PreparedGeometry) -> bool:
             for i in range(len(x1)):
                 if segments_intersect(ax1, ay1, ax2, ay2, x1[i], y1[i], x2[i], y2[i]).any():
                     return False
+    # query holes: any hole vertex inside the data polygon means the hole
+    # (query-exterior) overlaps the data interior
+    if query.kind == "polygon" and len(query.data) > 1:
+        dp = PreparedGeometry(data_geom)
+        for hole in query.data[1:]:
+            if dp.contains_points(hole[:, 0], hole[:, 1]).any():
+                return False
     return True
 
 

@@ -122,7 +122,7 @@ def wkb_to_wkt(b: pd.Series) -> pd.Series:
     return pd.Series([None if v is None else wkb_to_wkt_str(bytes(v)) for v in b])
 
 
-def with_wkb_geometry(df, wkt_col: str = "geom_wkt", wkb_col: str = "geom_wkb") -> Column:
+def with_wkb_geometry(df, wkt_col: str = "geom_wkt", wkb_col: str = "geom_wkb"):
     """Storage-path helper: add the binary geometry column (keep or drop the
     WKT at the caller's discretion)."""
     return df.withColumn(wkb_col, wkt_to_wkb(F.col(wkt_col)))

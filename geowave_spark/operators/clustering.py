@@ -101,7 +101,11 @@ def kmeans(
             (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2 for a, b in zip(centroids, new_centroids)
         )
         centroids = new_centroids
-        if moved < 1e-12:
+        # exact-zero test, not a tolerance: identical assignments reproduce
+        # identical means bit-for-bit, so convergence is moved == 0.0 — and
+        # the unrolled-iteration SQL oracle's no-op argument needs exactly
+        # that (a sub-tolerance drift would keep moving in the oracle)
+        if moved == 0.0:
             break
     pts.unpersist()
     return assign.select(id_col, "cluster", "dist_sq"), centroids

@@ -36,19 +36,15 @@ BANDS = 4
 ROWS_PER_BAND = NUM_PERM // BANDS
 SHINGLE_N = 3
 
-# persisted shingle tables from prior minhash_lsh_pairs calls (released on
-# the next call — same lifetime pattern as spatial_join._LIVE_CACHES: the
-# cache must outlive this lazy plan, so the NEXT call frees it)
-_LIVE_CACHES: list[DataFrame] = []
+from geowave_spark.cache import CacheRegistry
+
+# persisted shingle tables from prior minhash_lsh_pairs calls — released on
+# the next call (see geowave_spark/cache.py for the lifetime contract)
+_CACHES = CacheRegistry()
 
 
 def release_caches() -> None:
-    while _LIVE_CACHES:
-        df = _LIVE_CACHES.pop()
-        try:
-            df.unpersist()
-        except Exception:
-            pass
+    _CACHES.release()
 
 # deterministic multiplier/offset pairs for the NUM_PERM universal hashes
 # h_i(x) = (A[i] * x + B[i]) mod (2^31-1); constants < 2^20 (overflow-safe)
@@ -142,8 +138,7 @@ def minhash_lsh_pairs(
     over every document); the cache is released on the next call.
     """
     release_caches()
-    sh = _shingles(docs, text_col, id_col).persist()
-    _LIVE_CACHES.append(sh)
+    sh = _CACHES.add(_shingles(docs, text_col, id_col).persist())
     sig = minhash_signatures(docs, text_col, id_col, shingles=sh)
     bands = sig.select(
         "sid",

@@ -178,7 +178,11 @@ def concave_hull(xy: np.ndarray, threshold: float = 1.8) -> np.ndarray:
 
 
 def concave_hull_wkt(xy: np.ndarray, threshold: float = 1.8) -> str:
-    h = concave_hull(xy, threshold)
+    return hull_ring_wkt(concave_hull(xy, threshold))
+
+
+def hull_ring_wkt(h: np.ndarray) -> str:
+    """Format an already-computed hull ring (avoids re-running the dig)."""
     if len(h) == 1:
         return f"POINT ({h[0, 0]!r} {h[0, 1]!r})"
     if len(h) == 2:
@@ -199,11 +203,11 @@ def group_concave_hulls(
 
     def _hull(pdf: pd.DataFrame) -> pd.DataFrame:
         xy = pdf[[lon_col, lat_col]].to_numpy(np.float64)
-        h = concave_hull(xy, threshold)
+        h = concave_hull(xy, threshold)  # ONE dig; WKT formats the result
         return pd.DataFrame(
             {
                 group_col: [pdf[group_col].iloc[0]],
-                "hull_wkt": [concave_hull_wkt(xy, threshold)],
+                "hull_wkt": [hull_ring_wkt(h)],
                 "n_points": [len(pdf)],
                 "n_vertices": [len(h)],
             }

@@ -167,6 +167,7 @@ def knn_join_adaptive(
     cfg: SpatialConfig = DEFAULT_CONFIG,
     start_fraction: float = 1.0 / 8.0,
     expansion_factor: float = 8.0,
+    max_broadcast_queries: int = 50_000,
 ) -> DataFrame:
     """Ring-expansion kNN: identical output to :func:`knn_join`, but the
     search radius starts at ``max_distance * start_fraction`` and expands
@@ -200,7 +201,7 @@ def knn_join_adaptive(
 
     # resolve the broadcast decision once on the full query set (rounds only
     # shrink it, so a broadcastable start stays broadcastable)
-    bq = queries.limit(50_001).count() <= 50_000
+    bq = queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries
 
     remaining = queries
     chunks = []

@@ -100,6 +100,22 @@ def sign_bucket(vec, bits: int = SIGN_BITS):
     return b
 
 
+def probe_masks(bits: int, hamming_radius: int) -> list[int]:
+    """All XOR masks within the Hamming radius: identity, single-bit flips,
+    and (radius 2) bit pairs — 1 + b + b(b-1)/2 probes.  Radius > 2 is
+    refused rather than silently truncated: the probe count grows
+    combinatorially and a wider radius usually means `bits` is too large for
+    the corpus density."""
+    if hamming_radius > 2:
+        raise ValueError("hamming_radius > 2 unsupported; reduce bits instead")
+    masks = [0]
+    if hamming_radius >= 1:
+        masks += [1 << j for j in range(bits)]
+    if hamming_radius >= 2:
+        masks += [(1 << i) | (1 << j) for i in range(bits) for j in range(i + 1, bits)]
+    return masks
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -116,9 +132,7 @@ def lsh_bucketed_topk(
     the probed candidate set — approximate by design).  ``bits`` sizes the
     bucket space: pick ~log2(N / target_candidates_per_bucket)."""
     c = corpus.withColumn("bucket", sign_bucket(F.col(vec_col), bits))
-    probes = [F.lit(0)] + [F.lit(1 << j) for j in range(bits)] if hamming_radius >= 1 else [
-        F.lit(0)
-    ]
+    probes = [F.lit(m) for m in probe_masks(bits, hamming_radius)]
     q = (
         queries.withColumn("qbucket", sign_bucket(F.col(qvec_col), bits))
         .withColumn("flip", F.explode(F.array(*probes)))
@@ -187,9 +201,7 @@ def embedding_dup_pairs_lsh(
     c = embs.select(F.col(id_col), F.col(vec_col)).withColumn(
         "bucket", sign_bucket(F.col(vec_col), bits)
     )
-    probes = [F.lit(0)]
-    if hamming_radius >= 1:
-        probes += [F.lit(1 << j) for j in range(bits)]
+    probes = [F.lit(m) for m in probe_masks(bits, hamming_radius)]
     probed = (
         c.withColumn("flip", F.explode(F.array(*probes)))
         .withColumn("bucket", F.col("bucket").bitwiseXOR(F.col("flip")))

@@ -45,22 +45,16 @@ from .indexing import cell_at_tier, with_point_cells
 
 _PREPARED_CACHE: dict[str, object] = {}
 
-# Persisted DataFrames from prior pip_join calls (tiered probe cache, zcells).
-# They cannot be unpersisted inside the call that creates them — the returned
-# plan is lazy and the cache must survive until the caller materializes it —
-# so each new pip_join call releases the previous call's caches, and
-# `release_caches()` lets a long-running session drop the last ones.
-_LIVE_CACHES: list[DataFrame] = []
+from geowave_spark.cache import CacheRegistry
+
+# Persisted DataFrames from prior pip_join calls (tiered probe cache, zcells)
+# live until the NEXT call releases them (see geowave_spark/cache.py).
+_CACHES = CacheRegistry()
 
 
 def release_caches() -> None:
     """Unpersist DataFrames cached by earlier pip_join calls."""
-    while _LIVE_CACHES:
-        df = _LIVE_CACHES.pop()
-        try:
-            df.unpersist()
-        except Exception:
-            pass
+    _CACHES.release()
 
 
 def _prepared(wkt: str):
@@ -240,8 +234,7 @@ def pip_join(
         if mode == "tiered":
             # the tier loop unions one probe scan per tier: cache the encoded
             # probe so the (Python) encode UDF runs once, not once per tier
-            points = points.persist()
-            _LIVE_CACHES.append(points)
+            points = _CACHES.add(points.persist())
 
     # avoid name collisions with the probe side (points may carry their own
     # geom_wkt); the zone geometry travels as _zwkt through the join
@@ -255,13 +248,14 @@ def pip_join(
     # (same rows, refine via Arrow UDF) instead of OOMing the driver.
     catalog: list[str] | None = None
     if broadcast_zones:
-        fetched = [
-            r[0]
-            for r in zones.select("_zwkt").distinct().limit(max_broadcast_zones + 1).collect()
-        ]
-        if len(fetched) > max_broadcast_zones:
+        # cheap scalar probe FIRST: an oversized layer must not pull tens of
+        # thousands of WKT payloads into the driver just to learn it is
+        # oversized
+        n_zones = zones.select("_zwkt").distinct().limit(max_broadcast_zones + 1).count()
+        if n_zones > max_broadcast_zones:
             broadcast_zones = False
         else:
+            fetched = [r[0] for r in zones.select("_zwkt").distinct().collect()]
             from geowave_spark.geometry.pip_expr import EDGES_SCHEMA, edges_rows
 
             catalog = sorted(fetched)
@@ -282,8 +276,7 @@ def pip_join(
         )
         if catalog is not None:
             zcells = zcells.drop("_zwkt")
-        zcells = zcells.persist()
-        _LIVE_CACHES.append(zcells)
+        zcells = _CACHES.add(zcells.persist())
         tiers = [r[0] for r in zcells.select("_ztier").distinct().collect()]
         parts = []
         for t in sorted(tiers, reverse=True):
@@ -347,6 +340,7 @@ def areal_join(
     cfg: SpatialConfig = DEFAULT_CONFIG,
     cover_bits: int | None = None,
     compare_op: str = "OVERLAPS",
+    max_broadcast_zones: int = 65536,
 ) -> DataFrame:
     """Geometry-vs-geometry intersects join: features of ANY kind (point /
     line / polygon WKT + bbox columns) x polygon zones.
@@ -369,13 +363,22 @@ def areal_join(
     zcells = zones.withColumn(
         "_cell", F.explode(cover_cells_udf(cover_bits, cfg)(F.col("_zwkt")))
     )
+    # broadcast gate (same contract as pip_join): an oversized zone layer
+    # falls back to the shuffle equi-join on the cell key instead of OOMing
+    broadcast_ok = (
+        zones.select("_zwkt").distinct().limit(max_broadcast_zones + 1).count()
+        <= max_broadcast_zones
+    )
 
     fminx, fminy, fmaxx, fmaxy = (F.col(c) for c in feature_bbox_cols)
     fcover = cover_cells_bbox_udf(cover_bits, cfg)(fminx, fminy, fmaxx, fmaxy)
     fcells = features.withColumn("_cell", F.explode(fcover))
 
+    build = zcells.select("_cell", zone_id_col, "_zwkt")
+    if broadcast_ok:
+        build = F.broadcast(build)
     cand = (
-        fcells.join(F.broadcast(zcells.select("_cell", zone_id_col, "_zwkt")), "_cell")
+        fcells.join(build, "_cell")
         .drop("_cell")
         .dropDuplicates([feature_id_col, zone_id_col])  # pairs can meet in >1 cell
     )

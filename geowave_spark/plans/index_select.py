@@ -132,6 +132,32 @@ def spatial_2d_decomposer(bits: int, max_ranges: int = 5000, cfg=None):
     return _d
 
 
+def prepare_layouts(
+    pts: DataFrame, xy_bits: int = 10, t_bits: int = 10
+) -> dict:
+    """Ingest-time layout preparation: materialize both layouts' key columns
+    and their range histograms ONCE (the reference computes row-range stats
+    at ingest, not per query).  Pass the result to routed_points_query so
+    query planning is pure driver arithmetic over the cached histograms."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark.operators.indexing import with_point_cells, with_spatiotemporal_cells
+    from geowave_spark.sfc import SpatialConfig
+
+    cfg = SpatialConfig(tiers=(0, xy_bits), backend="zorder")
+    flat = with_point_cells(pts, cfg=cfg, cell_col="_cell2d").drop("tier").cache()
+    st = with_spatiotemporal_cells(pts, spatial_bits=xy_bits, time_bits=t_bits).cache()
+    return {
+        "cfg": cfg,
+        "flat": flat,
+        "st": st,
+        "h2d": build_range_histogram(flat, "_cell2d"),
+        "h3d_by_years": {},  # filled lazily per queried year set
+        "xy_bits": xy_bits,
+        "t_bits": t_bits,
+    }
+
+
 def routed_points_query(
     pts: DataFrame,
     bbox: tuple[float, float, float, float],
@@ -140,6 +166,7 @@ def routed_points_query(
     xy_bits: int = 10,
     t_bits: int = 10,
     ts_col: str = "event_ts",
+    layouts: dict | None = None,
 ) -> tuple[DataFrame, str]:
     """End-to-end cost-based routing: materialize both layouts' key columns,
     estimate each layout's scan cardinality for the constraints, execute the
@@ -152,16 +179,17 @@ def routed_points_query(
 
     from pyspark.sql import functions as F
 
-    from geowave_spark.operators.indexing import (
-        st_cell_ranges,
-        with_point_cells,
-        with_spatiotemporal_cells,
-    )
-    from geowave_spark.sfc import SpatialConfig
+    from geowave_spark.operators.indexing import st_cell_ranges
 
-    cfg = SpatialConfig(tiers=(0, xy_bits), backend="zorder")
-    flat = with_point_cells(pts, cfg=cfg, cell_col="_cell2d").drop("tier")
-    st = with_spatiotemporal_cells(pts, spatial_bits=xy_bits, time_bits=t_bits)
+    # layouts + histograms come from prepare_layouts (ingest-time) when
+    # provided; the self-contained default builds them per call, which costs
+    # several full-table passes of planning overhead — fine for one-shot
+    # exploration, wrong for a query service
+    if layouts is None:
+        layouts = prepare_layouts(pts, xy_bits, t_bits)
+    cfg = layouts["cfg"]
+    flat = layouts["flat"]
+    st = layouts["st"]
 
     # per-year-bin windows (TemporalBinningStrategy.getNormalizedRanges —
     # the 3D route scans one key-range set per bin, full-extent bins at the
@@ -182,16 +210,21 @@ def routed_points_query(
             windows.append((y0.year, flo, fhi))
 
     years = [w[0] for w in windows]
+    ykey = tuple(years)
+    if ykey not in layouts["h3d_by_years"]:
+        layouts["h3d_by_years"][ykey] = build_range_histogram(
+            st.filter(F.col("time_bin").isin(years)), "st_cell"
+        )
     candidates = [
         CandidateIndex(
             "spatial_2d",
             spatial_2d_decomposer(xy_bits, cfg=cfg),
-            build_range_histogram(flat, "_cell2d"),
+            layouts["h2d"],
         ),
         CandidateIndex(
             "spatiotemporal_3d",
             spatiotemporal_3d_decomposer(xy_bits, t_bits),
-            build_range_histogram(st.filter(F.col("time_bin").isin(years)), "st_cell"),
+            layouts["h3d_by_years"][ykey],
         ),
     ]
     # estimate with the first bin's window (bins are structurally alike);

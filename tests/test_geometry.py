@@ -312,3 +312,31 @@ class TestWkbCodec:
         ).collect()
         nonpt = [(r.lw, r.lb) for r in rows if not r.is_pt]
         assert nonpt and sum(lb for _, lb in nonpt) < sum(lw for lw, _ in nonpt)
+
+
+class TestHoledPolygons:
+    """Review-found gaps: interior rings must count everywhere."""
+
+    HOLED = "POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 10.0, 0.0 0.0), (2.0 2.0, 8.0 2.0, 8.0 8.0, 2.0 8.0, 2.0 2.0))"
+
+    def test_box_inside_hole_does_not_intersect(self):
+        from geowave_spark.geometry.predicates import geom_intersects_box
+
+        assert not geom_intersects_box(self.HOLED, 4, 4, 6, 6)  # inside the hole
+        assert geom_intersects_box(self.HOLED, 0.5, 0.5, 1.5, 1.5)  # in the rim
+        assert geom_intersects_box(self.HOLED, 1.0, 1.0, 3.0, 3.0)  # straddles
+        assert geom_intersects_box(self.HOLED, -2, -2, 12, 12)  # contains all
+
+    def test_query_hole_inside_data_breaks_within(self):
+        from geowave_spark.geometry.predicates import (
+            PreparedGeometry,
+            polygon_within_polygon,
+        )
+
+        q = PreparedGeometry(self.HOLED)
+        rim = "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))"
+        swallows_hole = "POLYGON ((1.0 1.0, 9.0 1.0, 9.0 9.0, 1.0 9.0, 1.0 1.0))"
+        assert polygon_within_polygon(rim, q)
+        # all vertices inside the rim region, no boundary crossing... but the
+        # hole sits inside the data polygon -> NOT within
+        assert not polygon_within_polygon(swallows_hole, q)
