@@ -16,6 +16,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 EARTH_RADIUS_KM = 6371.0087714  # IUGG mean radius
+# km per degree of a great circle (2*pi*R/360 = 111.195) rounded DOWN — the
+# partitioner's bbox-inflation scale: dividing km by a smaller constant
+# yields slightly larger degree radii, so candidate balls are supersets
+KM_PER_DEG = 111.19
 
 
 def euclidean_deg_sq(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:

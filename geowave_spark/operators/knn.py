@@ -248,6 +248,103 @@ def knn_join_adaptive(
     return result
 
 
+def geodesic_expansion_cells_udf(
+    radius_km: float, bits: int, cfg: SpatialConfig = DEFAULT_CONFIG
+):
+    """pandas UDF: query point -> expansion cells of its GEODESIC ball:
+    the lat half-width is radius/111.19 km-per-degree; the lon half-width
+    divides by cos(lat) (meridians converge), clamped near the poles where
+    the ball wraps all longitudes."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _cells(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        from geowave_spark.functions.distance import KM_PER_DEG
+
+        dlat = radius_km / KM_PER_DEG
+        out = []
+        for x, y in zip(lon.to_numpy(np.float64), lat.to_numpy(np.float64)):
+            c = np.cos(np.radians(min(abs(y) + dlat, 89.9999)))
+            dlon = radius_km / (KM_PER_DEG * max(c, 1e-9))
+            if dlon >= 180.0 or abs(y) + dlat >= 90.0:
+                # the ball wraps the pole (or all longitudes): cover every
+                # meridian explicitly — x +- 180 would wrap to a DEGENERATE
+                # range in normalize_lon_range (full circle folds onto one
+                # line), silently dropping candidates
+                cells = cells_covering_bbox(-180.0, y - dlat, 180.0, y + dlat, bits, cfg)
+            else:
+                cells = cells_covering_bbox(
+                    x - dlon, y - dlat, x + dlon, y + dlat, bits, cfg
+                )
+            out.append(cells.tolist())
+        return pd.Series(out)
+
+    return _cells
+
+
+def knn_join_geodesic(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    max_distance_km: float,
+    *,
+    query_id_col: str = "qid",
+    query_lon_col: str = "qlon",
+    query_lat_col: str = "qlat",
+    id_col: str = "fid",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cfg: SpatialConfig = DEFAULT_CONFIG,
+    point_cell_col: str | None = None,
+    margin_bits: int = 2,
+    broadcast_queries: bool | None = None,
+    max_broadcast_queries: int = 50_000,
+) -> DataFrame:
+    """Great-circle kNN at scale: the cell-bucketed shape of :func:`knn_join`
+    with a geodesic candidate ball (lat-aware lon inflation) and an exact
+    haversine refine + top-k — replacing the broadcast-NL `knn_haversine`
+    baseline once the corpus or query set outgrows a crossJoin.  Output:
+    (qid, fid, hav_km, rank), rank ordered by (distance, id)."""
+    from geowave_spark.functions.distance import KM_PER_DEG, haversine_km
+
+    if broadcast_queries is None:
+        broadcast_queries = (
+            queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries
+        )
+    # grid resolution from the WORST-case degree extent of the ball (the
+    # equatorial lat width; lon widths are handled per query in the cover)
+    dist_deg = max_distance_km / KM_PER_DEG
+    bits = tier_for_distance(dist_deg, cfg, margin_bits)
+    q = queries.withColumn(
+        "_qcell",
+        F.explode(
+            geodesic_expansion_cells_udf(max_distance_km, bits, cfg)(
+                F.col(query_lon_col), F.col(query_lat_col)
+            )
+        ),
+    )
+    if point_cell_col is None:
+        points = with_point_cells(points, lon_col, lat_col, cfg, cell_col="_pcell").drop("tier")
+        point_cell_col = "_pcell"
+    probe = points.withColumn(
+        "_jcell", F.coalesce(cell_at_tier(F.col(point_cell_col), cfg.finest, bits), F.lit(-1))
+    )
+    build = F.broadcast(q) if broadcast_queries else q
+    hav = haversine_km(F.col(lon_col), F.col(lat_col), F.col(query_lon_col), F.col(query_lat_col))
+    joined = (
+        probe.join(build, probe["_jcell"] == q["_qcell"], "inner")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("hav_km", hav)
+        .filter(F.col("hav_km") <= max_distance_km)
+        .select(query_id_col, id_col, "hav_km")
+    )
+    w = Window.partitionBy(query_id_col).orderBy("hav_km", id_col)
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "hav_km", "rank")
+    )
+
+
 def knn_join_brute(
     queries: DataFrame,
     points: DataFrame,

@@ -590,6 +590,20 @@ CMS_DEPTH = 4
 CMS_WIDTH = 1024
 
 
+def q_knn_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 under great-circle distance, scale path: cell-bucketed candidate
+    balls with lat-aware lon inflation + exact haversine refine — replaces
+    the broadcast-NL `knn_haversine` baseline at corpus scale; identical
+    results, so it shares that query's oracle."""
+    from geowave_spark.operators.knn import knn_join_geodesic
+
+    pts = _geo(spark, sf_dir, "points")
+    q = _knn_queries(spark, sf_dir)
+    return knn_join_geodesic(
+        q, pts, k=HAVERSINE_K, max_distance_km=HAVERSINE_RADIUS_KM
+    ).select("qid", "fid", "rank")
+
+
 def q_cms_category_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: count-min sketch per attribute (FeatureCountMinSketchStatistics
     analog, `core/store/.../statistics/CountMinSketchStatistics`).
@@ -1412,6 +1426,7 @@ def build_oracles() -> dict[str, str]:
             FROM sess GROUP BY user_id, sid
         """,
         "knn_haversine": _knn_haversine_oracle(),
+        "knn_geodesic": _knn_haversine_oracle(),
         "docs_polygon_query": _docs_polygon_oracle(),
         "raster_tiling": _raster_oracle(),
         "raster_pyramid": _raster_oracle(pyramid=True),
@@ -1508,4 +1523,5 @@ QUERIES = {
     "cms_category_sketch": q_cms_category_sketch,
     "spatiotemporal_3d_cells": q_spatiotemporal_3d_cells,
     "knn_haversine": q_knn_haversine,
+    "knn_geodesic": q_knn_geodesic,
 }

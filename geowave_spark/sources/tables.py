@@ -28,6 +28,7 @@ def write_indexed(
     files_per_tier: int | None = None,
     geometry_codec: str | None = None,
     wkt_col: str = "geom_wkt",
+    stats: bool = False,
 ) -> None:
     """Write an indexed table: tier partition dirs, cell-sorted files.
 
@@ -48,6 +49,33 @@ def write_indexed(
         out = out.repartition(files_per_tier, "tier", "cell")
     out = out.sortWithinPartitions("tier", "cell")
     out.write.mode(mode).partitionBy("tier").parquet(path)
+    if stats:
+        # ingest-time row-range statistics (RowRangeHistogramStatistics
+        # analog): the key-space histogram persists beside the table so
+        # query planning (plans/index_select) is pure driver arithmetic —
+        # no per-query full scans
+        import json
+        from pathlib import Path
+
+        from geowave_spark.plans.index_select import build_range_histogram
+
+        h = build_range_histogram(out, "cell")
+        (Path(path) / "_stats.json").write_text(
+            json.dumps({"bounds": h.bounds.tolist(), "total_rows": h.total_rows})
+        )
+
+
+def read_index_stats(path: str):
+    """Load the ingest-time key histogram written by write_indexed(stats=True)."""
+    import json
+    from pathlib import Path
+
+    import numpy as np
+
+    from geowave_spark.plans.index_select import RangeHistogram
+
+    m = json.loads((Path(path) / "_stats.json").read_text())
+    return RangeHistogram(np.array(m["bounds"], dtype=np.float64), m["total_rows"])
 
 
 def read_indexed(spark: SparkSession, path: str) -> DataFrame:

@@ -294,3 +294,49 @@ class TestArealJoin:
                 if geom_within_prepared(d.geom_wkt, pg):
                     want.add((d.doc_id, zid))
         assert within == want
+
+
+class TestGeodesicKnn:
+    def test_matches_brute_haversine_incl_high_latitude(self, spark):
+        """The cell-bucketed geodesic kNN equals the crossJoin baseline —
+        including polar-adjacent queries where the lon inflation by
+        1/cos(lat) is what keeps candidates complete."""
+        import numpy as np
+
+        from geowave_spark.functions.distance import haversine_km
+        from geowave_spark.operators.knn import knn_join_geodesic
+        from pyspark.sql.window import Window
+
+        rng = np.random.RandomState(9)
+        rows = [
+            (f"p{i:04d}", float(lon), float(lat))
+            for i, (lon, lat) in enumerate(
+                zip(rng.uniform(-180, 180, 3000), rng.uniform(60, 85, 3000))
+            )
+        ]
+        pts = spark.createDataFrame(rows, "fid string, lon double, lat double")
+        q = (
+            pts.filter(F.col("fid").endswith("0"))
+            .limit(60)
+            .select(F.col("fid").alias("qid"), F.col("lon").alias("qlon"), F.col("lat").alias("qlat"))
+        )
+        got = {
+            (r.qid, r.fid, r.rank)
+            for r in knn_join_geodesic(q, pts, k=5, max_distance_km=300.0).collect()
+        }
+        hav = haversine_km(F.col("lon"), F.col("lat"), F.col("qlon"), F.col("qlat"))
+        scored = (
+            pts.crossJoin(F.broadcast(q))
+            .filter(F.col("fid") != F.col("qid"))
+            .withColumn("hav_km", hav)
+            .filter(F.col("hav_km") <= 300.0)
+        )
+        w = Window.partitionBy("qid").orderBy("hav_km", "fid")
+        want = {
+            (r.qid, r.fid, r.rank)
+            for r in scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("qid", "fid", "rank")
+            .collect()
+        }
+        assert got == want and len(got) > 0

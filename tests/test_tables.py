@@ -91,3 +91,21 @@ class TestWkbStorage:
             .count()
         )
         assert bad == 0
+
+
+class TestIngestStats:
+    def test_stats_sidecar_roundtrips_and_estimates(self, spark, geo001, tmp_path):
+        from geowave_spark.sources.tables import ingest_points, read_index_stats
+
+        pts = spark.read.parquet(str(geo001 / "points.parquet"))
+        path = str(tmp_path / "stat_idx")
+        ingest_points(pts, path, stats=True)
+        h = read_index_stats(path)
+        assert h.total_rows == pts.count()
+        # full-key-space estimate recovers ~all rows
+        full = h.cardinality([(int(h.bounds[0]), int(h.bounds[-1]) + 1)])
+        assert full >= 0.9 * h.total_rows
+        # a half-space range estimates roughly half (equi-depth bounds)
+        mid = int(h.bounds[len(h.bounds) // 2])
+        half = h.cardinality([(int(h.bounds[0]), mid)])
+        assert 0.3 * h.total_rows <= half <= 0.7 * h.total_rows
