@@ -115,6 +115,10 @@ def normalize_lon_range(lo: float, hi: float) -> list[tuple[float, float]]:
     """
     if lo == hi:
         return [(min(max(lo, LON_MIN), LON_MAX),) * 2]
+    if hi - lo >= 360.0:
+        # a full (or over-full) circle must not fold onto one meridian when
+        # both endpoints wrap to the same value — it IS the whole range
+        return [(LON_MIN, LON_MAX)]
 
     def wrap(lon: float) -> float:
         if -180.0 <= lon <= 180.0:

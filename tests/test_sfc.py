@@ -131,6 +131,10 @@ class TestNormalization:
         assert normalize_lon_range(150.0, 200.0) == [(-180.0, -160.0), (150.0, 180.0)]
         assert normalize_lon_range(-200.0, -170.0) == [(-180.0, -170.0), (160.0, 180.0)]
         assert normalize_lon_range(10.0, 100.0) == [(10.0, 100.0)]
+        # a full circle is the whole range, not a degenerate fold onto one
+        # meridian (x-180 and x+180 wrap to the same value)
+        assert normalize_lon_range(-281.6, 78.4) == [(-180.0, 180.0)]
+        assert normalize_lon_range(-180.0, 180.0) == [(-180.0, 180.0)]
 
 
 class TestTierSelection:
