@@ -152,6 +152,64 @@ def knn_join(
     return out
 
 
+def distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_distance_deg: float,
+    *,
+    left_id_col: str = "qid",
+    left_lon_col: str = "qlon",
+    left_lat_col: str = "qlat",
+    right_id_col: str = "fid",
+    right_lon_col: str = "lon",
+    right_lat_col: str = "lat",
+    cfg: SpatialConfig = DEFAULT_CONFIG,
+    right_cell_col: str | None = None,
+    margin_bits: int = 2,
+    broadcast_left: bool | None = None,
+    max_broadcast_left: int = 50_000,
+) -> DataFrame:
+    """Every (left, right) pair within the planar distance — the full
+    epsilon-neighborhood join (NNMapReduce's actual output before any top-k:
+    `NNMapReduce.java:119-291`), of which kNN is the truncated special case
+    and DBSCAN's edge set is the self-join special case.
+
+    Same cell-bucketed shape as :func:`knn_join`: the left side explodes to
+    expansion cells of its distance ball, the right side derives one
+    ancestor cell per row by bit shift; pair-uniqueness holds (one home cell
+    per right row), so no dedup shuffle.  Output: (left_id, right_id,
+    dist_sq), unbounded per left row — callers own the output-sensitivity
+    (bound the distance, not the result)."""
+    if broadcast_left is None:
+        broadcast_left = left.limit(max_broadcast_left + 1).count() <= max_broadcast_left
+    bits = tier_for_distance(max_distance_deg, cfg, margin_bits)
+    l = left.withColumn(
+        "_qcell",
+        F.explode(
+            expansion_cells_udf(max_distance_deg, bits, cfg)(
+                F.col(left_lon_col), F.col(left_lat_col)
+            )
+        ),
+    )
+    if right_cell_col is None:
+        right = with_point_cells(
+            right, right_lon_col, right_lat_col, cfg, cell_col="_pcell"
+        ).drop("tier")
+        right_cell_col = "_pcell"
+    probe = right.withColumn(
+        "_jcell", F.coalesce(cell_at_tier(F.col(right_cell_col), cfg.finest, bits), F.lit(-1))
+    )
+    dx = F.col(right_lon_col) - F.col(left_lon_col)
+    dy = F.col(right_lat_col) - F.col(left_lat_col)
+    build = F.broadcast(l) if broadcast_left else l
+    return (
+        probe.join(build, probe["_jcell"] == l["_qcell"], "inner")
+        .withColumn("dist_sq", dx * dx + dy * dy)
+        .filter(F.col("dist_sq") <= max_distance_deg * max_distance_deg)
+        .select(left_id_col, right_id_col, "dist_sq")
+    )
+
+
 def knn_join_adaptive(
     queries: DataFrame,
     points: DataFrame,

@@ -339,6 +339,20 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_adaptive(_knn_queries(spark, sf_dir), pts, k=KNN_K, max_distance_deg=KNN_DIST)
 
 
+DIST_JOIN_DEG = 0.25
+
+
+def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 without the top-k: the FULL epsilon-neighborhood join (every pair
+    within distance — NNMapReduce's raw output).  Distance kept small: the
+    output is pair-count-sensitive by definition."""
+    from geowave_spark.operators.knn import distance_join
+
+    pts = _geo(spark, sf_dir, "points")
+    out = distance_join(_knn_queries(spark, sf_dir), pts, DIST_JOIN_DEG)
+    return out.filter(F.col("qid") != F.col("fid")).select("qid", "fid", "dist_sq")
+
+
 KDE_MIN_LEVEL, KDE_MAX_LEVEL, KDE_TILE_SIZE = 4, 6, 4
 
 
@@ -1425,6 +1439,15 @@ def build_oracles() -> dict[str, str]:
                    count(*) AS n_events
             FROM sess GROUP BY user_id, sid
         """,
+        "distance_join": f"""
+            SELECT qid, fid, dist_sq FROM (
+              SELECT q.fid AS qid, p.fid AS fid,
+                     (p.lon - q.lon) * (p.lon - q.lon)
+                   + (p.lat - q.lat) * (p.lat - q.lat) AS dist_sq
+              FROM (SELECT * FROM {pts} WHERE fid LIKE '%00') q, {pts} p
+              WHERE p.fid <> q.fid)
+            WHERE dist_sq <= {DIST_JOIN_DEG * DIST_JOIN_DEG!r}
+        """,
         "knn_haversine": _knn_haversine_oracle(),
         "knn_geodesic": _knn_haversine_oracle(),
         "docs_polygon_query": _docs_polygon_oracle(),
@@ -1524,4 +1547,5 @@ QUERIES = {
     "spatiotemporal_3d_cells": q_spatiotemporal_3d_cells,
     "knn_haversine": q_knn_haversine,
     "knn_geodesic": q_knn_geodesic,
+    "distance_join": q_distance_join,
 }
