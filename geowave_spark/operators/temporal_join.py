@@ -1,0 +1,103 @@
+"""Temporal joins Spark lacks as built-ins: as-of and interval (range) join.
+
+The brief's custom-operator family ("as-of join, range join") expressed as
+compositions of existing DataFrame ops — no Python anywhere:
+
+- **as-of join**: for each probe (key, t), the latest build row with
+  ``ts <= t`` on the same key.  Implemented with the union + ordered-window
+  trick: tag both sides, union on (key, ts), carry build values forward
+  with ``last_value(..., ignoreNulls)`` over the time order, keep probe
+  rows.  One shuffle on the key; no inequality join, no explosion.
+- **interval join**: probes with a timestamp against builds carrying
+  [start, end] ranges — the 1D twin of the spatial cell join: intervals
+  explode to fixed time buckets (bounded by span/bucket), probes derive one
+  bucket, equi-join + exact refine.  Buckets play the role of SFC cells;
+  AQE handles hot buckets.
+
+Both are exactly SQL-expressible (DuckDB window / inequality join), so the
+driver oracle checks them end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    probes: DataFrame,
+    builds: DataFrame,
+    key_col: str,
+    probe_ts_col: str = "ts",
+    build_ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """For each probe row: the latest build row at or before its timestamp,
+    per key.  Output = probe columns + build value columns (NULL when no
+    prior build row exists).
+
+    Ties: a build row AT the probe instant matches (``<=``); among equal
+    build timestamps the union order breaks toward the build row seen last
+    in the sort, made deterministic by the side tag (builds sort before
+    probes at equal ts, so an equal-ts build IS visible to the probe)."""
+    if value_cols is None:
+        value_cols = [c for c in builds.columns if c not in (key_col, build_ts_col)]
+    b = builds.select(
+        F.col(key_col).alias("_k"),
+        F.col(build_ts_col).alias("_t"),
+        F.lit(0).alias("_side"),  # builds first at equal timestamps
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    p = probes.withColumn("_k", F.col(key_col)).withColumn(
+        "_t", F.col(probe_ts_col)
+    ).withColumn("_side", F.lit(1))
+    for c in value_cols:
+        p = p.withColumn(f"_v_{c}", F.lit(None).cast(dict(b.dtypes)[f"_v_{c}"]))
+    u = p.select(b.columns + [c for c in p.columns if c not in b.columns]).unionByName(
+        b, allowMissingColumns=True
+    )
+    w = Window.partitionBy("_k").orderBy("_t", "_side").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    for c in value_cols:
+        u = u.withColumn(f"_v_{c}", F.last(f"_v_{c}", ignorenulls=True).over(w))
+    out = u.filter(F.col("_side") == 1)
+    keep = [c for c in probes.columns]
+    return out.select(
+        *keep, *[F.col(f"_v_{c}").alias(f"asof_{c}") for c in value_cols]
+    )
+
+
+def interval_join(
+    probes: DataFrame,
+    intervals: DataFrame,
+    probe_ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket: str = "7 days",
+) -> DataFrame:
+    """Every (probe, interval) pair with ``start <= ts <= end`` — as an
+    equi-join on time buckets plus exact refine, never an inequality join.
+
+    The interval side explodes to its covering buckets (bounded by
+    span/bucket — pick the bucket near the median interval length, exactly
+    like choose_cover_tier picks the cell size); the probe side derives one
+    bucket.  A pair meets in exactly one bucket (the probe's), so no dedup
+    shuffle is needed."""
+    b_expr = f"INTERVAL {bucket}"
+    ivals = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("week", F.col(start_col)),
+                F.date_trunc("week", F.col(end_col)),
+                F.expr(b_expr),
+            )
+        ),
+    )
+    p = probes.withColumn("_bucket", F.date_trunc("week", F.col(probe_ts_col)))
+    joined = p.join(ivals, "_bucket").filter(
+        (F.col(probe_ts_col) >= F.col(start_col)) & (F.col(probe_ts_col) <= F.col(end_col))
+    )
+    return joined.drop("_bucket")

@@ -339,6 +339,40 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_adaptive(_knn_queries(spark, sf_dir), pts, k=KNN_K, max_distance_deg=KNN_DIST)
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (brief's custom-operator family): for each probe event,
+    the latest 'click' by the same user at or before it — union + ordered
+    window, one shuffle on the key, no inequality join.  DuckDB's native
+    ASOF JOIN is the independent oracle."""
+    from geowave_spark.operators.temporal_join import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probes = ev.filter(F.col("event_id") % 20 == 0).select("event_id", "user_id", "ts")
+    builds = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(probes, builds, key_col="user_id", value_cols=["event_id", "value"])
+    return out.select("event_id", "asof_event_id", "asof_value")
+
+
+def q_points_track_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: points whose timestamp falls inside a track's
+    [start, end] window — time buckets as 1D cells + exact refine, never an
+    inequality join."""
+    from geowave_spark.operators.temporal_join import interval_join
+
+    pts = (
+        _geo(spark, sf_dir, "points")
+        .filter(F.col("fid").endswith("0"))
+        .select(F.col("fid").alias("point_fid"), F.col("event_ts"))
+    )
+    tracks = _geo(spark, sf_dir, "tracks").select(
+        F.col("fid").alias("track_fid"), "start_ts", "end_ts"
+    )
+    out = interval_join(pts, tracks, probe_ts_col="event_ts")
+    return out.select("point_fid", "track_fid")
+
+
 DIST_JOIN_DEG = 0.25
 
 
@@ -1439,6 +1473,19 @@ def build_oracles() -> dict[str, str]:
                    count(*) AS n_events
             FROM sess GROUP BY user_id, sid
         """,
+        "events_asof_join": """
+            SELECT p.event_id,
+                   b.event_id AS asof_event_id,
+                   b.value AS asof_value
+            FROM (SELECT * FROM events WHERE event_id % 20 = 0) p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+              ON p.user_id = b.user_id AND p.ts >= b.ts
+        """,
+        "points_track_interval_join": f"""
+            SELECT p.fid AS point_fid, t.fid AS track_fid
+            FROM (SELECT * FROM {pts} WHERE fid LIKE '%0') p, {tracks} t
+            WHERE p.event_ts >= t.start_ts AND p.event_ts <= t.end_ts
+        """,
         "distance_join": f"""
             SELECT qid, fid, dist_sq FROM (
               SELECT q.fid AS qid, p.fid AS fid,
@@ -1548,4 +1595,6 @@ QUERIES = {
     "knn_haversine": q_knn_haversine,
     "knn_geodesic": q_knn_geodesic,
     "distance_join": q_distance_join,
+    "events_asof_join": q_events_asof_join,
+    "points_track_interval_join": q_points_track_interval_join,
 }

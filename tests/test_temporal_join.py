@@ -1,0 +1,90 @@
+"""As-of and interval joins (the brief's custom-operator family)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def test_semantics(self, spark):
+        from geowave_spark.operators.temporal_join import asof_join
+
+        builds = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-01T10:00"), 100.0),
+                (1, _ts("2024-01-01T12:00"), 120.0),
+                (2, _ts("2024-01-01T11:00"), 200.0),
+            ],
+            "user_id long, ts timestamp, value double",
+        )
+        probes = spark.createDataFrame(
+            [
+                (10, 1, _ts("2024-01-01T11:30")),  # -> 100.0 (latest prior)
+                (11, 1, _ts("2024-01-01T12:00")),  # -> 120.0 (equal ts matches)
+                (12, 1, _ts("2024-01-01T09:00")),  # -> NULL (no prior)
+                (13, 2, _ts("2024-01-02T00:00")),  # -> 200.0
+                (14, 3, _ts("2024-01-01T12:00")),  # -> NULL (key unseen)
+            ],
+            "event_id long, user_id long, ts timestamp",
+        )
+        got = {
+            r.event_id: r.asof_value
+            for r in asof_join(probes, builds, key_col="user_id", value_cols=["value"]).collect()
+        }
+        assert got == {10: 100.0, 11: 120.0, 12: None, 13: 200.0, 14: None}
+
+    def test_no_inequality_join_in_plan(self, spark):
+        from geowave_spark.operators.temporal_join import asof_join
+
+        b = spark.createDataFrame([(1, _ts("2024-01-01"), 1.0)], "user_id long, ts timestamp, value double")
+        p = spark.createDataFrame([(9, 1, _ts("2024-01-02"))], "event_id long, user_id long, ts timestamp")
+        plan = (
+            asof_join(p, b, key_col="user_id", value_cols=["value"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestIntervalJoin:
+    def test_boundaries_inclusive_and_multiweek(self, spark):
+        from geowave_spark.operators.temporal_join import interval_join
+
+        ivals = spark.createDataFrame(
+            [("t1", _ts("2024-01-03T00:00"), _ts("2024-01-20T00:00"))],
+            "track_fid string, start_ts timestamp, end_ts timestamp",
+        )
+        probes = spark.createDataFrame(
+            [
+                ("p_start", _ts("2024-01-03T00:00")),   # inclusive start
+                ("p_mid", _ts("2024-01-10T12:00")),     # middle week
+                ("p_end", _ts("2024-01-20T00:00")),     # inclusive end
+                ("p_before", _ts("2024-01-02T23:59")),
+                ("p_after", _ts("2024-01-20T00:01")),
+            ],
+            "point_fid string, event_ts timestamp",
+        )
+        got = {
+            r.point_fid
+            for r in interval_join(probes, ivals, probe_ts_col="event_ts").collect()
+        }
+        assert got == {"p_start", "p_mid", "p_end"}
+
+    def test_no_inequality_join_in_plan(self, spark):
+        from geowave_spark.operators.temporal_join import interval_join
+
+        ivals = spark.createDataFrame(
+            [("t1", _ts("2024-01-03"), _ts("2024-01-20"))],
+            "track_fid string, start_ts timestamp, end_ts timestamp",
+        )
+        probes = spark.createDataFrame(
+            [("p", _ts("2024-01-10"))], "point_fid string, event_ts timestamp"
+        )
+        plan = (
+            interval_join(probes, ivals, probe_ts_col="event_ts")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
