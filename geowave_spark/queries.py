@@ -339,6 +339,47 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_adaptive(_knn_queries(spark, sf_dir), pts, k=KNN_K, max_distance_deg=KNN_DIST)
 
 
+def q_events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: hour rollup from raw,
+    day rollup FROM THE HOUR LEVEL, week from the day level — coarser tiers
+    never touch raw rows (the KDE-pyramid pattern applied to time; at
+    10^12 rows the day rollup reads ~24 rows per bucket instead of
+    millions).  Metrics chosen exact under re-aggregation (count sums,
+    min-of-mins, max-of-maxes), so every level equals the direct rollup the
+    oracle computes from raw."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hour = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    day = (
+        hour.groupBy(F.date_trunc("day", F.col("bucket")).alias("bucket"))
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    week = (
+        day.groupBy(F.date_trunc("week", F.col("bucket")).alias("bucket"))
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    return (
+        hour.withColumn("level", F.lit("hour"))
+        .unionByName(day.withColumn("level", F.lit("day")))
+        .unionByName(week.withColumn("level", F.lit("week")))
+        .select("level", "bucket", "n", "min_value", "max_value")
+    )
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (brief's custom-operator family): for each probe event,
     the latest 'click' by the same user at or before it — union + ordered
@@ -1473,6 +1514,20 @@ def build_oracles() -> dict[str, str]:
                    count(*) AS n_events
             FROM sess GROUP BY user_id, sid
         """,
+        "events_rollup_cascade": """
+            SELECT 'hour' AS level, date_trunc('hour', ts) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   MIN(value) AS min_value, MAX(value) AS max_value
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'day', date_trunc('day', ts),
+                   CAST(count(*) AS BIGINT), MIN(value), MAX(value)
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'week', date_trunc('week', ts),
+                   CAST(count(*) AS BIGINT), MIN(value), MAX(value)
+            FROM events GROUP BY 2
+        """,
         "events_asof_join": """
             SELECT p.event_id,
                    b.event_id AS asof_event_id,
@@ -1596,5 +1651,6 @@ QUERIES = {
     "knn_geodesic": q_knn_geodesic,
     "distance_join": q_distance_join,
     "events_asof_join": q_events_asof_join,
+    "events_rollup_cascade": q_events_rollup_cascade,
     "points_track_interval_join": q_points_track_interval_join,
 }
