@@ -339,6 +339,25 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_adaptive(_knn_queries(spark, sf_dir), pts, k=KNN_K, max_distance_deg=KNN_DIST)
 
 
+def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over the driver's relational tables —
+    the A-family statistics operators applied to a non-spatial corpus (same
+    partial-agg shapes, integer-exact quantity sums, min/max prices).
+    Demonstrates the engine's stats surface is not geometry-bound."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cutoff = F.lit("1998-09-02")
+    return (
+        li.filter(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.count("*").alias("count_order"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+
+
 def q_events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous-aggregate cascade: hour rollup from raw,
     day rollup FROM THE HOUR LEVEL, week from the day level — coarser tiers
@@ -1514,6 +1533,16 @@ def build_oracles() -> dict[str, str]:
                    count(*) AS n_events
             FROM sess GROUP BY user_id, sid
         """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS count_order,
+                   MIN(l_extendedprice) AS min_price,
+                   MAX(l_extendedprice) AS max_price
+            FROM lineitem
+            WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
         "events_rollup_cascade": """
             SELECT 'hour' AS level, date_trunc('hour', ts) AS bucket,
                    CAST(count(*) AS BIGINT) AS n,
@@ -1652,5 +1681,6 @@ QUERIES = {
     "distance_join": q_distance_join,
     "events_asof_join": q_events_asof_join,
     "events_rollup_cascade": q_events_rollup_cascade,
+    "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "points_track_interval_join": q_points_track_interval_join,
 }
