@@ -103,38 +103,24 @@ def knn_join(
     key — the correct plan once the query side outgrows executor memory)
     above ``max_broadcast_queries``.
     """
-    if broadcast_queries is None:
-        broadcast_queries = (
-            queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries
-        )
-    bits = tier_for_distance(max_distance_deg, cfg, margin_bits)
-    q = queries.withColumn(
-        "_qcell",
-        F.explode(
-            expansion_cells_udf(max_distance_deg, bits, cfg)(
-                F.col(query_lon_col), F.col(query_lat_col)
-            )
-        ),
-    )
-    if point_cell_col is None:
-        points = with_point_cells(points, lon_col, lat_col, cfg, cell_col="_pcell").drop("tier")
-        point_cell_col = "_pcell"
-    # non-nullable join key (coalesce w/ sentinel) so the encode UDF is not
-    # re-evaluated by an inferred isnotnull pre-filter
-    probe = points.withColumn(
-        "_jcell", F.coalesce(cell_at_tier(F.col(point_cell_col), cfg.finest, bits), F.lit(-1))
-    )
-
-    dx = F.col(lon_col) - F.col(query_lon_col)
-    dy = F.col(lat_col) - F.col(query_lat_col)
-    build = F.broadcast(q) if broadcast_queries else q
-    joined = (
-        probe.join(build, probe["_jcell"] == q["_qcell"], "inner")
-        .withColumn("dist_sq", dx * dx + dy * dy)
-        .filter(F.col("dist_sq") <= max_distance_deg * max_distance_deg)
-        # shed every payload column before the topk shuffle: the window sees
-        # 12-byte rows, not WKT strings
-        .select(query_id_col, id_col, "dist_sq")
+    # the candidate stage IS the epsilon-neighborhood join — one shared
+    # implementation (distance_join) serves kNN, DBSCAN edges, and the raw
+    # pair query; kNN adds only the salted two-phase top-k below
+    joined = distance_join(
+        queries,
+        points,
+        max_distance_deg,
+        left_id_col=query_id_col,
+        left_lon_col=query_lon_col,
+        left_lat_col=query_lat_col,
+        right_id_col=id_col,
+        right_lon_col=lon_col,
+        right_lat_col=lat_col,
+        cfg=cfg,
+        right_cell_col=point_cell_col,
+        margin_bits=margin_bits,
+        broadcast_left=broadcast_queries,
+        max_broadcast_left=max_broadcast_queries,
     )
     if salt_buckets > 1:
         partial = Window.partitionBy(query_id_col, "_salt").orderBy("dist_sq", id_col)

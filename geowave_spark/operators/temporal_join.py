@@ -43,29 +43,33 @@ def asof_join(
     probes at equal ts, so an equal-ts build IS visible to the probe)."""
     if value_cols is None:
         value_cols = [c for c in builds.columns if c not in (key_col, build_ts_col)]
+    # the build row travels as ONE struct so the carried-forward values are
+    # atomic: a build row whose value column is NULL still wins as the
+    # latest row (the struct itself is non-null), and every asof_* column
+    # comes from the SAME build row — last(ignorenulls) over separate
+    # columns would stitch a composite row together and skip NULL values
     b = builds.select(
         F.col(key_col).alias("_k"),
         F.col(build_ts_col).alias("_t"),
         F.lit(0).alias("_side"),  # builds first at equal timestamps
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_bv"),
     )
     p = probes.withColumn("_k", F.col(key_col)).withColumn(
         "_t", F.col(probe_ts_col)
-    ).withColumn("_side", F.lit(1))
-    for c in value_cols:
-        p = p.withColumn(f"_v_{c}", F.lit(None).cast(dict(b.dtypes)[f"_v_{c}"]))
+    ).withColumn("_side", F.lit(1)).withColumn(
+        "_bv", F.lit(None).cast(dict(b.dtypes)["_bv"])
+    )
     u = p.select(b.columns + [c for c in p.columns if c not in b.columns]).unionByName(
         b, allowMissingColumns=True
     )
     w = Window.partitionBy("_k").orderBy("_t", "_side").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    for c in value_cols:
-        u = u.withColumn(f"_v_{c}", F.last(f"_v_{c}", ignorenulls=True).over(w))
+    u = u.withColumn("_bv", F.last("_bv", ignorenulls=True).over(w))
     out = u.filter(F.col("_side") == 1)
     keep = [c for c in probes.columns]
     return out.select(
-        *keep, *[F.col(f"_v_{c}").alias(f"asof_{c}") for c in value_cols]
+        *keep, *[F.col("_bv")[c].alias(f"asof_{c}") for c in value_cols]
     )
 
 
@@ -75,28 +79,32 @@ def interval_join(
     probe_ts_col: str = "ts",
     start_col: str = "start_ts",
     end_col: str = "end_ts",
-    bucket: str = "7 days",
+    bucket: str = "week",
 ) -> DataFrame:
     """Every (probe, interval) pair with ``start <= ts <= end`` — as an
     equi-join on time buckets plus exact refine, never an inequality join.
 
-    The interval side explodes to its covering buckets (bounded by
-    span/bucket — pick the bucket near the median interval length, exactly
-    like choose_cover_tier picks the cell size); the probe side derives one
-    bucket.  A pair meets in exactly one bucket (the probe's), so no dedup
-    shuffle is needed."""
-    b_expr = f"INTERVAL {bucket}"
-    ivals = intervals.withColumn(
+    ``bucket`` is a date_trunc unit ("day" | "week" | "month"): BOTH sides
+    truncate to it and the interval side steps one calendar unit at a time
+    (calendar-aware, so DST-shifted local-midnight boundaries still align
+    in non-UTC sessions) — pick the unit near the median interval length,
+    exactly like choose_cover_tier picks the cell size.  A pair meets in
+    exactly one bucket (the probe's), so no dedup shuffle is needed.
+    Malformed rows with ``end < start`` match nothing instead of crashing
+    the sequence generator."""
+    if bucket not in ("day", "week", "month"):
+        raise ValueError("bucket must be one of day/week/month")
+    ivals = intervals.filter(F.col(end_col) >= F.col(start_col)).withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                F.date_trunc("week", F.col(start_col)),
-                F.date_trunc("week", F.col(end_col)),
-                F.expr(b_expr),
+                F.date_trunc(bucket, F.col(start_col)),
+                F.date_trunc(bucket, F.col(end_col)),
+                F.expr(f"INTERVAL 1 {bucket}"),
             )
         ),
     )
-    p = probes.withColumn("_bucket", F.date_trunc("week", F.col(probe_ts_col)))
+    p = probes.withColumn("_bucket", F.date_trunc(bucket, F.col(probe_ts_col)))
     joined = p.join(ivals, "_bucket").filter(
         (F.col(probe_ts_col) >= F.col(start_col)) & (F.col(probe_ts_col) <= F.col(end_col))
     )

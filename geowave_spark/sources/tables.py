@@ -53,28 +53,57 @@ def write_indexed(
         # ingest-time row-range statistics (RowRangeHistogramStatistics
         # analog): the key-space histogram persists beside the table so
         # query planning (plans/index_select) is pure driver arithmetic —
-        # no per-query full scans
+        # no per-query full scans.  Built from the just-WRITTEN parquet (a
+        # cheap columnar scan of one column), not the pre-write plan, which
+        # would re-execute every upstream UDF/sort two more times.
         import json
-        from pathlib import Path
 
         from geowave_spark.plans.index_select import build_range_histogram
 
-        h = build_range_histogram(out, "cell")
-        (Path(path) / "_stats.json").write_text(
-            json.dumps({"bounds": h.bounds.tolist(), "total_rows": h.total_rows})
+        spark = df.sparkSession
+        h = build_range_histogram(spark.read.parquet(path).select("cell"), "cell")
+        _fs_write_text(
+            spark,
+            f"{path}/_stats.json",
+            json.dumps({"bounds": h.bounds.tolist(), "total_rows": h.total_rows}),
         )
 
 
-def read_index_stats(path: str):
-    """Load the ingest-time key histogram written by write_indexed(stats=True)."""
+def _fs_write_text(spark: SparkSession, uri: str, text: str) -> None:
+    """Write a small sidecar through the Hadoop FileSystem API so every
+    scheme the table itself supports (s3a://, hdfs://, local) works —
+    pathlib would silently mangle URIs into bogus local paths."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def _fs_read_text(spark: SparkSession, uri: str) -> str:
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream)).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def read_index_stats(spark: SparkSession, path: str):
+    """Load the ingest-time key histogram written by write_indexed(stats=True)
+    (any Hadoop-supported scheme)."""
     import json
-    from pathlib import Path
 
     import numpy as np
 
     from geowave_spark.plans.index_select import RangeHistogram
 
-    m = json.loads((Path(path) / "_stats.json").read_text())
+    m = json.loads(_fs_read_text(spark, f"{path}/_stats.json"))
     return RangeHistogram(np.array(m["bounds"], dtype=np.float64), m["total_rows"])
 
 

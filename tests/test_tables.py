@@ -100,7 +100,7 @@ class TestIngestStats:
         pts = spark.read.parquet(str(geo001 / "points.parquet"))
         path = str(tmp_path / "stat_idx")
         ingest_points(pts, path, stats=True)
-        h = read_index_stats(path)
+        h = read_index_stats(spark, path)
         assert h.total_rows == pts.count()
         # full-key-space estimate recovers ~all rows
         full = h.cardinality([(int(h.bounds[0]), int(h.bounds[-1]) + 1)])
