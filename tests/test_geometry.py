@@ -340,3 +340,35 @@ class TestHoledPolygons:
         # all vertices inside the rim region, no boundary crossing... but the
         # hole sits inside the data polygon -> NOT within
         assert not polygon_within_polygon(swallows_hole, q)
+
+
+class TestSpatioTemporalSingleEntry:
+    def test_bin_prefix_contract(self, spark):
+        """TieredSFCIndexStrategyTest.testSingleEntry ported to the engine's
+        key shape: a point emits exactly one (time_bin, st_cell) id; the same
+        point earlier in the SAME year shares the bin (and its spatial bits),
+        while the prior year lands in a different bin."""
+        import datetime as dt
+
+        import numpy as np
+
+        from geowave_spark.operators.indexing import with_spatiotemporal_cells
+        from geowave_spark.sfc.zorder import zorder_decode
+
+        rows = [
+            (1, 45.0, 45.0, dt.datetime(2013, 6, 15, 11, 1, 1)),
+            (2, 45.0, 45.0, dt.datetime(2013, 1, 1, 0, 0, 1)),   # same bin
+            (3, 45.0, 45.0, dt.datetime(2012, 6, 15, 11, 1, 1)),  # prior bin
+        ]
+        df = spark.createDataFrame(rows, "fid long, lon double, lat double, event_ts timestamp")
+        out = {r.fid: (r.time_bin, r.st_cell) for r in with_spatiotemporal_cells(df).collect()}
+        assert len(out) == 3  # exactly one id per entry
+        assert out[1][0] == out[2][0]          # same year -> same bin prefix
+        assert out[1][0] != out[3][0]          # prior year -> different bin
+        # the spatial bits inside the key are identical for the same point
+        xs, ys, ts = zorder_decode(
+            np.array([out[f][1] for f in (1, 2, 3)], dtype=np.uint64), 3, 10
+        )
+        assert xs[0] == xs[1] == xs[2] and ys[0] == ys[1] == ys[2]
+        # within-year times land in different time slots for 1 vs 2
+        assert ts[0] != ts[1]
