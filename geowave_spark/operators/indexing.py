@@ -154,6 +154,111 @@ def with_spatiotemporal_cells(
     )
 
 
+ST_TIERS = tuple(range(0, 11))
+ST_MAX_DUP = 8  # 2^ndims for 3 dims (TieredSFCIndexStrategy.java:44 rule)
+
+
+def st_range_insertion_cells(
+    minx: float,
+    miny: float,
+    maxx: float,
+    maxy: float,
+    ts_lo,
+    ts_hi,
+    tiers: tuple[int, ...] = ST_TIERS,
+    max_dup: int = ST_MAX_DUP,
+) -> list[tuple[int, int, int]]:
+    """Tiered 3D insertion ids for a (bbox, time-range) entry — K6 for
+    extent data (`TieredSFCIndexStrategyTest.testRegions` semantics): the
+    range first splits per YEAR bin (TemporalBinningStrategy), then within
+    each bin the finest tier whose span product fits ``max_dup`` (= 2^3)
+    emits the covered 3D z-order cells.  Returns [(year_bin, tier, cell)].
+    """
+    import datetime as dt
+
+    from geowave_spark.functions.temporal import temporal_bin_ranges
+    from geowave_spark.sfc import lat_bins, lon_bins, value_bins
+    from geowave_spark.sfc.zorder import zorder_encode
+
+    out: list[tuple[int, int, int]] = []
+    us = dt.timedelta(microseconds=1)
+    for tb in temporal_bin_ranges(ts_lo, ts_hi - us, "year"):
+        y0 = tb.bin_start
+        y1 = dt.datetime(y0.year + 1, 1, 1)
+        span_us = (y1 - y0) // us
+        if tb.full_extent:
+            flo, fhi = 0.0, 1.0
+        else:
+            # integer-microsecond ratios: the identical division the SQL
+            # oracle performs (CAST(us AS DOUBLE) / CAST(us AS DOUBLE))
+            flo = ((tb.lo - y0) // us) / span_us
+            fhi = min(((min(ts_hi, y1) - y0) // us) / span_us, 1.0)
+        chosen = min(tiers)
+        for t in sorted(tiers, reverse=True):
+            if t == 0:
+                continue
+            xlo = int(lon_bins(np.array([minx]), t, is_min=True)[0])
+            xhi = max(int(lon_bins(np.array([maxx]), t, is_min=False)[0]), xlo)
+            ylo = int(lat_bins(np.array([miny]), t, is_min=True)[0])
+            yhi = max(int(lat_bins(np.array([maxy]), t, is_min=False)[0]), ylo)
+            tlo = int(value_bins(np.array([flo]), t, True)[0])
+            thi = max(int(value_bins(np.array([fhi]), t, False)[0]), tlo)
+            if (xhi - xlo + 1) * (yhi - ylo + 1) * (thi - tlo + 1) <= max_dup:
+                chosen = t
+                break
+        if chosen == 0:
+            out.append((y0.year, 0, 0))
+            continue
+        t = chosen
+        xlo = int(lon_bins(np.array([minx]), t, is_min=True)[0])
+        xhi = max(int(lon_bins(np.array([maxx]), t, is_min=False)[0]), xlo)
+        ylo = int(lat_bins(np.array([miny]), t, is_min=True)[0])
+        yhi = max(int(lat_bins(np.array([maxy]), t, is_min=False)[0]), ylo)
+        tlo = int(value_bins(np.array([flo]), t, True)[0])
+        thi = max(int(value_bins(np.array([fhi]), t, False)[0]), tlo)
+        for xb in range(xlo, xhi + 1):
+            for yb in range(ylo, yhi + 1):
+                for zb in range(tlo, thi + 1):
+                    key = zorder_encode(
+                        [np.array([v], dtype=np.uint64) for v in (xb, yb, zb)], t
+                    )[0]
+                    out.append((y0.year, t, int(key)))
+    return out
+
+
+def st_range_insertion_udf(tiers: tuple[int, ...] = ST_TIERS, max_dup: int = ST_MAX_DUP):
+    """pandas UDF: (bbox cols, start_ts, end_ts) -> exploded 3D insertion
+    id structs (the K1 UDF's spatio-temporal twin)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = ArrayType(
+        StructType(
+            [
+                StructField("time_bin", IntegerType()),
+                StructField("tier", ByteType()),
+                StructField("cell", LongType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(schema)
+    def _enc(
+        minx: pd.Series,
+        miny: pd.Series,
+        maxx: pd.Series,
+        maxy: pd.Series,
+        ts_lo: pd.Series,
+        ts_hi: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for a, b, c, d, lo, hi in zip(minx, miny, maxx, maxy, ts_lo, ts_hi):
+            cells = st_range_insertion_cells(a, b, c, d, lo, hi, tiers, max_dup)
+            out.append([{"time_bin": y, "tier": t, "cell": k} for y, t, k in cells])
+        return pd.Series(out)
+
+    return _enc
+
+
 def with_s2_bins(
     df: DataFrame,
     lon_col: str = "lon",

@@ -339,6 +339,49 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_adaptive(_knn_queries(spark, sf_dir), pts, k=KNN_K, max_distance_deg=KNN_DIST)
 
 
+def q_tracks_st_insertion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 for EXTENT data (TieredSFCIndexStrategyTest.testRegions semantics):
+    each track's (bbox, time range) splits per year bin, then the finest 3D
+    tier whose span product fits 2^3 duplicates emits the covered cells.
+    Output: (fid, time_bin, tier, n_cells) — the oracle re-derives the bin
+    split, fraction windows, and tier selection in pure SQL arithmetic."""
+    from geowave_spark.operators.indexing import st_range_insertion_udf
+
+    tracks = _geo(spark, sf_dir, "tracks")
+    body = F.regexp_replace(F.col("geom_wkt"), r"LINESTRING \(|\)", "")
+    verts = F.transform(
+        F.split(body, ", "),
+        lambda p: F.struct(
+            F.split(p, " ")[0].cast("double").alias("x"),
+            F.split(p, " ")[1].cast("double").alias("y"),
+        ),
+    )
+    bb = tracks.select(
+        "fid",
+        "start_ts",
+        "end_ts",
+        F.array_min(F.transform(verts, lambda v: v["x"])).alias("minx"),
+        F.array_max(F.transform(verts, lambda v: v["x"])).alias("maxx"),
+        F.array_min(F.transform(verts, lambda v: v["y"])).alias("miny"),
+        F.array_max(F.transform(verts, lambda v: v["y"])).alias("maxy"),
+    )
+    exploded = bb.withColumn(
+        "_c",
+        F.explode(
+            st_range_insertion_udf()(
+                F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"),
+                F.col("start_ts"), F.col("end_ts"),
+            )
+        ),
+    )
+    return (
+        exploded.groupBy(
+            "fid", F.col("_c.time_bin").alias("time_bin"), F.col("_c.tier").alias("tier")
+        )
+        .agg(F.count("*").alias("n_cells"))
+    )
+
+
 def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary over the driver's relational tables —
     the A-family statistics operators applied to a non-spatial corpus (same
@@ -967,6 +1010,73 @@ def _docs_zone_join_oracle() -> str:
         SELECT * FROM pts UNION ALL SELECT * FROM lines UNION ALL SELECT * FROM polys"""
 
 
+def _tracks_st_insertion_oracle() -> str:
+    """Independent SQL re-derivation of the 3D ranged insertion: per-year
+    bin split with the engine's microsecond conventions, fraction windows,
+    the standard bin edge rules per dimension, finest tier with span
+    product <= 8, n_cells = the product at the chosen tier."""
+    tracks = f"'{GEO_SF001}/tracks.parquet'"
+    verts = (
+        "list_transform(string_split(replace(replace(geom_wkt, 'LINESTRING (', ''), ')', ''), ', '), "
+        "p -> struct_pack(x := CAST(string_split(p, ' ')[1] AS DOUBLE), "
+        "y := CAST(string_split(p, ' ')[2] AS DOUBLE)))"
+    )
+    return f"""
+        WITH bb AS (
+          SELECT fid, start_ts, end_ts,
+                 list_min(list_transform({verts}, v -> v.x)) AS minx,
+                 list_max(list_transform({verts}, v -> v.x)) AS maxx,
+                 list_min(list_transform({verts}, v -> v.y)) AS miny,
+                 list_max(list_transform({verts}, v -> v.y)) AS maxy
+          FROM {tracks}),
+        bins AS (
+          SELECT b.*, y.y AS time_bin,
+                 make_timestamp(y.y, 1, 1, 0, 0, 0) AS y0,
+                 make_timestamp(y.y + 1, 1, 1, 0, 0, 0) AS y1
+          FROM bb b,
+               LATERAL unnest(generate_series(
+                 CAST(date_part('year', b.start_ts) AS INT),
+                 CAST(date_part('year', b.end_ts - INTERVAL 1 microsecond) AS INT))) AS y(y)),
+        frac AS (
+          SELECT *,
+            CASE WHEN GREATEST(start_ts, y0) = y0
+                  AND LEAST(end_ts - INTERVAL 1 microsecond, y1 - INTERVAL 1 millisecond)
+                      = y1 - INTERVAL 1 millisecond
+                 THEN 0.0
+                 ELSE CAST(datediff('microsecond', y0, GREATEST(start_ts, y0)) AS DOUBLE)
+                    / CAST(datediff('microsecond', y0, y1) AS DOUBLE) END AS flo,
+            CASE WHEN GREATEST(start_ts, y0) = y0
+                  AND LEAST(end_ts - INTERVAL 1 microsecond, y1 - INTERVAL 1 millisecond)
+                      = y1 - INTERVAL 1 millisecond
+                 THEN 1.0
+                 ELSE LEAST(CAST(datediff('microsecond', y0, LEAST(end_ts, y1)) AS DOUBLE)
+                          / CAST(datediff('microsecond', y0, y1) AS DOUBLE), 1.0) END AS fhi
+          FROM bins),
+        spans AS (
+          SELECT f.fid, f.time_bin, u.t AS tier,
+                 (GREATEST(s.xh, s.xl) - s.xl + 1)
+               * (GREATEST(s.yh, s.yl) - s.yl + 1)
+               * (GREATEST(s.th, s.tl) - s.tl + 1) AS prod
+          FROM frac f,
+               unnest([1,2,3,4,5,6,7,8,9,10]) AS u(t),
+               LATERAL (SELECT POWER(2.0, u.t) AS n) nn,
+               LATERAL (SELECT
+                 CAST(LEAST(FLOOR(((LEAST(GREATEST(f.minx, -180.0), 180.0) + 180.0) / 360.0) * n), n - 1) AS BIGINT) AS xl,
+                 CAST(GREATEST(CEIL(((LEAST(GREATEST(f.maxx, -180.0), 180.0) + 180.0) / 360.0) * n) - 1, 0) AS BIGINT) AS xh,
+                 CAST(LEAST(FLOOR(((LEAST(GREATEST(f.miny, -90.0), 90.0) + 180.0) / 360.0) * n), n - 1) AS BIGINT) AS yl,
+                 CAST(GREATEST(CEIL(((LEAST(GREATEST(f.maxy, -90.0), 90.0) + 180.0) / 360.0) * n) - 1, 0) AS BIGINT) AS yh,
+                 CAST(LEAST(FLOOR(f.flo * n), n - 1) AS BIGINT) AS tl,
+                 CAST(GREATEST(CEIL(f.fhi * n) - 1, 0) AS BIGINT) AS th) s),
+        chosen AS (
+          SELECT fid, time_bin,
+                 COALESCE(MAX(tier) FILTER (WHERE prod <= 8), 0) AS tier
+          FROM spans GROUP BY fid, time_bin)
+        SELECT c.fid, c.time_bin, CAST(c.tier AS TINYINT) AS tier,
+               CAST(COALESCE(s.prod, 1) AS BIGINT) AS n_cells
+        FROM chosen c
+        LEFT JOIN spans s ON s.fid = c.fid AND s.time_bin = c.time_bin AND s.tier = c.tier"""
+
+
 def _docs_zone_within_oracle() -> str:
     """CONTAINS vs a convex zone is exactly all-vertices-satisfy-every-
     half-plane (vertices inside a convex region imply the hull — and so the
@@ -1587,6 +1697,7 @@ def build_oracles() -> dict[str, str]:
         "s2_cell_counts": _s2_oracle(),
         "docs_zone_join": _docs_zone_join_oracle(),
         "docs_zone_within": _docs_zone_within_oracle(),
+        "tracks_st_insertion": _tracks_st_insertion_oracle(),
         "routed_box_temporal": f"""
             SELECT fid, lon, lat, epoch_ms(event_ts) AS event_ms FROM {pts}
             WHERE lon >= {BOX[0]} AND lon <= {BOX[2]} AND lat >= {BOX[1]} AND lat <= {BOX[3]}
@@ -1682,5 +1793,6 @@ QUERIES = {
     "events_asof_join": q_events_asof_join,
     "events_rollup_cascade": q_events_rollup_cascade,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "tracks_st_insertion": q_tracks_st_insertion,
     "points_track_interval_join": q_points_track_interval_join,
 }
