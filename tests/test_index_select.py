@@ -227,3 +227,57 @@ class TestTemporalBinning:
         t0 = dt.datetime(2012, 7, 4)
         bins2 = temporal_bin_ranges(t0, t0 + dt.timedelta(days=2), "day")
         assert [b.full_extent for b in bins2] == [True, True, False]
+
+
+class TestStRangeInsertion:
+    def test_cover_invariant(self):
+        """The join correctness invariant for ranged 3D entries: any point
+        event inside the entry's (bbox, time range) shares a cell with the
+        entry at the entry's tier (ancestor-derived from the point's finest
+        3D key)."""
+        import datetime as dt
+
+        import numpy as np
+
+        from geowave_spark.operators.indexing import st_range_insertion_cells
+        from geowave_spark.sfc import lat_bins, lon_bins, value_bins
+        from geowave_spark.sfc.zorder import zorder_encode
+
+        rng = np.random.RandomState(4)
+        for _ in range(25):
+            minx = rng.uniform(-170, 160)
+            miny = rng.uniform(-80, 70)
+            maxx = minx + rng.uniform(0.01, 8)
+            maxy = miny + rng.uniform(0.01, 8)
+            t0 = dt.datetime(2012, 1, 1) + dt.timedelta(seconds=int(rng.uniform(0, 3.0e7)))
+            t1 = t0 + dt.timedelta(seconds=int(rng.uniform(3600, 2.0e7)))
+            cells = st_range_insertion_cells(minx, miny, maxx, maxy, t0, t1)
+            assert 1 <= len(cells) <= 8 * 3  # <= max_dup per touched bin
+            have = {(y, t, k) for y, t, k in cells}
+            # sample interior events and re-encode at the entry's tier(s)
+            for _ in range(15):
+                px = rng.uniform(minx, maxx)
+                py = rng.uniform(miny, maxy)
+                pt = t0 + dt.timedelta(
+                    seconds=rng.uniform(0, (t1 - t0).total_seconds() * 0.999)
+                )
+                y0 = dt.datetime(pt.year, 1, 1)
+                y1 = dt.datetime(pt.year + 1, 1, 1)
+                frac = ((pt - y0) / dt.timedelta(microseconds=1)) / (
+                    (y1 - y0) / dt.timedelta(microseconds=1)
+                )
+                tiers_here = {t for (y, t, k) in cells if y == pt.year}
+                assert tiers_here, f"no bin for {pt.year}"
+                for t in tiers_here:
+                    if t == 0:
+                        assert (pt.year, 0, 0) in have
+                        continue
+                    xb = int(lon_bins(np.array([px]), t)[0])
+                    yb = int(lat_bins(np.array([py]), t)[0])
+                    zb = int(value_bins(np.array([frac]), t, False)[0])
+                    key = int(
+                        zorder_encode(
+                            [np.array([v], dtype=np.uint64) for v in (xb, yb, zb)], t
+                        )[0]
+                    )
+                    assert (pt.year, t, key) in have
