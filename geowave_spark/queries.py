@@ -339,6 +339,30 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_adaptive(_knn_queries(spark, sf_dir), pts, k=KNN_K, max_distance_deg=KNN_DIST)
 
 
+def q_orders_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table relational rollup across four driver tables (TPC-H
+    Q5-lite): orders joined through customer -> nation -> region with the
+    dimension chain broadcast (three sub-MB build sides — the star-join
+    shape every warehouse plan wants), exact count + integer-safe order
+    count per region/status."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    dims = customer.join(
+        F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+    ).join(F.broadcast(region), F.col("n_regionkey") == region["r_regionkey"])
+    joined = orders.join(
+        F.broadcast(dims.select("c_custkey", "r_name")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    )
+    return joined.groupBy("r_name", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
 def q_tracks_st_insertion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6 for EXTENT data (TieredSFCIndexStrategyTest.testRegions semantics):
     each track's (bbox, time range) splits per year bin, then the finest 3D
@@ -1698,6 +1722,17 @@ def build_oracles() -> dict[str, str]:
         "docs_zone_join": _docs_zone_join_oracle(),
         "docs_zone_within": _docs_zone_within_oracle(),
         "tracks_st_insertion": _tracks_st_insertion_oracle(),
+        "orders_by_region": """
+            SELECT r.r_name, o.o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   MIN(o.o_totalprice) AS min_price,
+                   MAX(o.o_totalprice) AS max_price
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, o.o_orderstatus
+        """,
         "routed_box_temporal": f"""
             SELECT fid, lon, lat, epoch_ms(event_ts) AS event_ms FROM {pts}
             WHERE lon >= {BOX[0]} AND lon <= {BOX[2]} AND lat >= {BOX[1]} AND lat <= {BOX[3]}
@@ -1794,5 +1829,6 @@ QUERIES = {
     "events_rollup_cascade": q_events_rollup_cascade,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "tracks_st_insertion": q_tracks_st_insertion,
+    "orders_by_region": q_orders_by_region,
     "points_track_interval_join": q_points_track_interval_join,
 }
