@@ -152,6 +152,38 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(_embs(spark, sf_dir), _ann_queries(spark, sf_dir), k=ANN_K)
 
 
+MIN_TOKENS = 5
+
+
+def q_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data selection pipeline composed from the
+    individual operators: keep documents that are (1) detected English,
+    (2) above the token floor, (3) the canonical representative of their
+    exact-duplicate group, and (4) not the dropped side of any MinHash
+    near-duplicate pair.  Every stage is the already-oracle-checked
+    operator; the composition itself is what this query verifies."""
+    from geowave_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        lang_id(toks).alias("pred_lang"),
+        F.size(toks).alias("n_tokens"),
+    ).filter((F.col("pred_lang") == "en") & (F.col("n_tokens") >= MIN_TOKENS))
+    reps = exact_dedup(docs).select(F.col("rep_id").alias("doc_id"))
+    near_dropped = (
+        minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        scored.join(reps, "doc_id", "left_semi")
+        .join(near_dropped, "doc_id", "left_anti")
+        .select("doc_id", "pred_lang", "n_tokens")
+    )
+
+
 # --- oracle SQL -------------------------------------------------------------
 
 _TOKS = "string_split(text, ' ')"
@@ -254,6 +286,17 @@ def build_text_oracles() -> dict[str, str]:
 
     stopword_list = ", ".join(f"'{w}'" for w in STOPWORDS)
 
+    lsh_sql = f"""
+            WITH {_minhash_cte()},
+            sig AS (SELECT sid, {mins_cols}, {bands} FROM mins),
+            bandrows AS ({band_rows}),
+            cands AS (
+              SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+              FROM bandrows a JOIN bandrows b
+                ON a.band = b.band AND a.bh = b.bh AND a.sid < b.sid),
+            {jaccard_tail}
+        """
+
     return {
         "dedup_exact": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS rep_id,
@@ -265,15 +308,18 @@ def build_text_oracles() -> dict[str, str]:
             sig AS (SELECT sid, {mins_cols} FROM mins)
             SELECT sid AS doc_id, {mins_cols}, {bands} FROM sig
         """,
-        "dedup_minhash_lsh": f"""
-            WITH {_minhash_cte()},
-            sig AS (SELECT sid, {mins_cols}, {bands} FROM mins),
-            bandrows AS ({band_rows}),
-            cands AS (
-              SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
-              FROM bandrows a JOIN bandrows b
-                ON a.band = b.band AND a.bh = b.bh AND a.sid < b.sid),
-            {jaccard_tail}
+        "dedup_minhash_lsh": lsh_sql,
+        "training_data_filter": f"""
+            WITH reps AS (
+              SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+              FROM documents),
+            dropped AS (SELECT DISTINCT id_b FROM ({lsh_sql}) pairs)
+            SELECT d.doc_id, {pred} AS pred_lang,
+                   CAST(len({_TOKS}) AS INT) AS n_tokens
+            FROM documents d
+            JOIN reps r ON r.doc_id = d.doc_id AND r.doc_id = r.rep
+            WHERE {pred} = 'en' AND len({_TOKS}) >= {MIN_TOKENS}
+              AND d.doc_id NOT IN (SELECT id_b FROM dropped)
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_shingle_cte()},
@@ -370,5 +416,6 @@ TEXT_QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "training_data_filter": q_training_data_filter,
     "token_stats": q_token_stats,
 }
