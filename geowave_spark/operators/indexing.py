@@ -173,6 +173,13 @@ def st_range_insertion_cells(
     range first splits per YEAR bin (TemporalBinningStrategy), then within
     each bin the finest tier whose span product fits ``max_dup`` (= 2^3)
     emits the covered 3D z-order cells.  Returns [(year_bin, tier, cell)].
+
+    Conventions: an instantaneous range (``ts_hi <= ts_lo``) is treated as
+    the instant ``ts_lo`` (no crash, its bin's cells emit as a point-like
+    entry).  The coarsest tier in ``tiers`` accepts unconditionally — the
+    tier-0 fallback of the reference; with a CUSTOM tier set whose coarsest
+    tier is fine, that fallback can legitimately exceed ``max_dup`` (the
+    spill is the caller's explicit trade, mirroring tier-limited layouts).
     """
     import datetime as dt
 
@@ -182,6 +189,17 @@ def st_range_insertion_cells(
 
     out: list[tuple[int, int, int]] = []
     us = dt.timedelta(microseconds=1)
+    ts_hi = max(ts_hi, ts_lo + us)  # degenerate range -> the instant ts_lo
+
+    def spans(t: int, flo: float, fhi: float):
+        xlo = int(lon_bins(np.array([minx]), t, is_min=True)[0])
+        xhi = max(int(lon_bins(np.array([maxx]), t, is_min=False)[0]), xlo)
+        ylo = int(lat_bins(np.array([miny]), t, is_min=True)[0])
+        yhi = max(int(lat_bins(np.array([maxy]), t, is_min=False)[0]), ylo)
+        tlo = int(value_bins(np.array([flo]), t, True)[0])
+        thi = max(int(value_bins(np.array([fhi]), t, False)[0]), tlo)
+        return xlo, xhi, ylo, yhi, tlo, thi
+
     for tb in temporal_bin_ranges(ts_lo, ts_hi - us, "year"):
         y0 = tb.bin_start
         y1 = dt.datetime(y0.year + 1, 1, 1)
@@ -193,44 +211,38 @@ def st_range_insertion_cells(
             # oracle performs (CAST(us AS DOUBLE) / CAST(us AS DOUBLE))
             flo = ((tb.lo - y0) // us) / span_us
             fhi = min(((min(ts_hi, y1) - y0) // us) / span_us, 1.0)
-        chosen = min(tiers)
+        chosen, sp = min(tiers), None
         for t in sorted(tiers, reverse=True):
             if t == 0:
                 continue
-            xlo = int(lon_bins(np.array([minx]), t, is_min=True)[0])
-            xhi = max(int(lon_bins(np.array([maxx]), t, is_min=False)[0]), xlo)
-            ylo = int(lat_bins(np.array([miny]), t, is_min=True)[0])
-            yhi = max(int(lat_bins(np.array([maxy]), t, is_min=False)[0]), ylo)
-            tlo = int(value_bins(np.array([flo]), t, True)[0])
-            thi = max(int(value_bins(np.array([fhi]), t, False)[0]), tlo)
+            s = spans(t, flo, fhi)
+            xlo, xhi, ylo, yhi, tlo, thi = s
             if (xhi - xlo + 1) * (yhi - ylo + 1) * (thi - tlo + 1) <= max_dup:
-                chosen = t
+                chosen, sp = t, s
                 break
         if chosen == 0:
             out.append((y0.year, 0, 0))
             continue
-        t = chosen
-        xlo = int(lon_bins(np.array([minx]), t, is_min=True)[0])
-        xhi = max(int(lon_bins(np.array([maxx]), t, is_min=False)[0]), xlo)
-        ylo = int(lat_bins(np.array([miny]), t, is_min=True)[0])
-        yhi = max(int(lat_bins(np.array([maxy]), t, is_min=False)[0]), ylo)
-        tlo = int(value_bins(np.array([flo]), t, True)[0])
-        thi = max(int(value_bins(np.array([fhi]), t, False)[0]), tlo)
-        for xb in range(xlo, xhi + 1):
-            for yb in range(ylo, yhi + 1):
-                for zb in range(tlo, thi + 1):
-                    key = zorder_encode(
-                        [np.array([v], dtype=np.uint64) for v in (xb, yb, zb)], t
-                    )[0]
-                    out.append((y0.year, t, int(key)))
+        if sp is None:  # coarsest non-zero tier accepts unconditionally
+            sp = spans(chosen, flo, fhi)
+        xlo, xhi, ylo, yhi, tlo, thi = sp
+        # one vectorized encode over the covered grid (no per-cell calls)
+        gx, gy, gz = np.meshgrid(
+            np.arange(xlo, xhi + 1, dtype=np.uint64),
+            np.arange(ylo, yhi + 1, dtype=np.uint64),
+            np.arange(tlo, thi + 1, dtype=np.uint64),
+            indexing="ij",
+        )
+        keys = zorder_encode([gx.ravel(), gy.ravel(), gz.ravel()], chosen)
+        out.extend((y0.year, chosen, int(k)) for k in keys)
     return out
 
 
 def st_range_insertion_udf(tiers: tuple[int, ...] = ST_TIERS, max_dup: int = ST_MAX_DUP):
     """pandas UDF: (bbox cols, start_ts, end_ts) -> exploded 3D insertion
-    id structs (the K1 UDF's spatio-temporal twin)."""
-    from pyspark.sql.types import StructField, StructType
-
+    id structs (the K1 UDF's spatio-temporal twin).  The per-row loop stands
+    (bins and tier choice are row-dependent); the inner cell enumeration is
+    one vectorized z-order encode per bin."""
     schema = ArrayType(
         StructType(
             [

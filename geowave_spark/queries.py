@@ -1095,7 +1095,7 @@ def _tracks_st_insertion_oracle() -> str:
           SELECT fid, time_bin,
                  COALESCE(MAX(tier) FILTER (WHERE prod <= 8), 0) AS tier
           FROM spans GROUP BY fid, time_bin)
-        SELECT c.fid, c.time_bin, CAST(c.tier AS TINYINT) AS tier,
+        SELECT c.fid, CAST(c.time_bin AS INT) AS time_bin, CAST(c.tier AS TINYINT) AS tier,
                CAST(COALESCE(s.prod, 1) AS BIGINT) AS n_cells
         FROM chosen c
         LEFT JOIN spans s ON s.fid = c.fid AND s.time_bin = c.time_bin AND s.tier = c.tier"""

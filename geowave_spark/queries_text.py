@@ -162,8 +162,6 @@ def q_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-duplicate group, and (4) not the dropped side of any MinHash
     near-duplicate pair.  Every stage is the already-oracle-checked
     operator; the composition itself is what this query verifies."""
-    from geowave_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
-
     docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
     scored = docs.select(
