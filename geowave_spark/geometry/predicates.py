@@ -184,6 +184,18 @@ def segment_intersects_box(x1, y1, x2, y2, minx, miny, maxx, maxy) -> np.ndarray
     return bbox_ok & (lo <= c) & (c <= hi)
 
 
+def ring_is_convex(ring: np.ndarray) -> bool:
+    """True iff the closed ring is convex: every cross product of consecutive
+    edges has the same sign (zeros — collinear vertices — are allowed)."""
+    x, y = ring[:, 0], ring[:, 1]
+    # consecutive edge vectors, wrapping past the closing vertex
+    ex, ey = np.diff(x), np.diff(y)
+    ex = np.concatenate([ex, ex[:1]])
+    ey = np.concatenate([ey, ey[:1]])
+    cross = ex[:-1] * ey[1:] - ey[:-1] * ex[1:]
+    return bool((cross >= 0).all() or (cross <= 0).all())
+
+
 def convex_polygon_intersects_box(ring: np.ndarray, minx, miny, maxx, maxy) -> bool:
     """Exact convex-polygon-vs-box intersects (SAT: bbox axes + every edge's
     outward half-plane must keep at least one box corner on the inner side)."""
@@ -214,10 +226,12 @@ def geom_intersects_box(geom, minx, miny, maxx, maxy) -> bool:
             segment_intersects_box(x[:-1], y[:-1], x[1:], y[1:], minx, miny, maxx, maxy).any()
         )
     if kind == "polygon":
-        if len(data) == 1:
+        if len(data) == 1 and ring_is_convex(data[0]):
             return convex_polygon_intersects_box(data[0], minx, miny, maxx, maxy)
-        # holed polygons: the SAT shortcut sees only the shell (a box fully
-        # inside a hole would false-positive) — use the general even-odd
+        # SAT on edge normals is exact only for convex rings (a concave ring
+        # can overlap the box with no vertex inside and no edge half-plane
+        # separating), and the shortcut sees only the shell of a holed
+        # polygon — both route through the general even-odd
         # polygon-polygon test, whose raycast XORs holes correctly
         return polygon_intersects_polygon(geom, _box_prepared(minx, miny, maxx, maxy))
     if kind == "multipolygon":
@@ -267,11 +281,14 @@ def _rings_of(geom) -> list[np.ndarray]:
     raise ValueError(f"not an areal geometry: {kind}")
 
 
-def geom_intersects_prepared(data_geom, query: PreparedGeometry) -> bool:
+def geom_intersects_prepared(
+    data_geom, query: PreparedGeometry, dp: "PreparedGeometry | None" = None
+) -> bool:
     """Per-kind exact intersects of ANY data geometry against a prepared
     query polygon — the full `SpatialQueryFilter.java:182-228` accept
     dispatch (points: containment; lines: vertex-in or edge-cross; areal:
-    polygon-polygon)."""
+    polygon-polygon).  ``dp``: optional pre-prepared form of an areal
+    ``data_geom`` (batch refines prepare each distinct feature once)."""
     if isinstance(data_geom, str):
         data_geom = parse_wkt(data_geom)
     kind, data = data_geom
@@ -280,18 +297,21 @@ def geom_intersects_prepared(data_geom, query: PreparedGeometry) -> bool:
     if kind == "linestring":
         return linestring_intersects_polygon(data, query)
     if kind in ("polygon", "multipolygon"):
-        return polygon_intersects_polygon(data_geom, query)
+        return polygon_intersects_polygon(data_geom, query, dp=dp)
     raise ValueError(f"unsupported geometry kind {kind}")
 
 
-def polygon_intersects_polygon(data_geom, query: PreparedGeometry) -> bool:
+def polygon_intersects_polygon(
+    data_geom, query: PreparedGeometry, dp: "PreparedGeometry | None" = None
+) -> bool:
     """Exact areal-vs-areal intersects (general simple polygons, holes on the
     query side honored by the even-odd containment): any data vertex inside
     the query, any query vertex inside the data polygon, or any edge pair
     crossing."""
     if isinstance(data_geom, str):
         data_geom = parse_wkt(data_geom)
-    dp = PreparedGeometry(data_geom)
+    if dp is None:
+        dp = PreparedGeometry(data_geom)
     for ring in _rings_of(data_geom):
         if query.contains_points(ring[:, 0], ring[:, 1]).any():
             return True
@@ -307,10 +327,13 @@ def polygon_intersects_polygon(data_geom, query: PreparedGeometry) -> bool:
     return False
 
 
-def geom_within_prepared(data_geom, query: PreparedGeometry) -> bool:
+def geom_within_prepared(
+    data_geom, query: PreparedGeometry, dp: "PreparedGeometry | None" = None
+) -> bool:
     """Per-kind exact CONTAINS (feature fully within the query polygon):
     points containment; lines all-vertices-in plus no boundary crossing;
-    areal via polygon_within_polygon."""
+    areal via polygon_within_polygon.  ``dp``: optional pre-prepared areal
+    data geometry (only consulted for holed query polygons)."""
     if isinstance(data_geom, str):
         data_geom = parse_wkt(data_geom)
     kind, data = data_geom
@@ -326,11 +349,13 @@ def geom_within_prepared(data_geom, query: PreparedGeometry) -> bool:
                     return False
         return True
     if kind in ("polygon", "multipolygon"):
-        return polygon_within_polygon(data_geom, query)
+        return polygon_within_polygon(data_geom, query, dp=dp)
     raise ValueError(f"unsupported geometry kind {kind}")
 
 
-def polygon_within_polygon(data_geom, query: PreparedGeometry) -> bool:
+def polygon_within_polygon(
+    data_geom, query: PreparedGeometry, dp: "PreparedGeometry | None" = None
+) -> bool:
     """Exact areal-within-areal: every data vertex inside the query, no
     boundary crossing, and no query HOLE buried inside the data polygon (a
     hole strictly interior to the data passes the first two checks yet
@@ -349,7 +374,8 @@ def polygon_within_polygon(data_geom, query: PreparedGeometry) -> bool:
     # query holes: any hole vertex inside the data polygon means the hole
     # (query-exterior) overlaps the data interior
     if query.kind == "polygon" and len(query.data) > 1:
-        dp = PreparedGeometry(data_geom)
+        if dp is None:
+            dp = PreparedGeometry(data_geom)
         for hole in query.data[1:]:
             if dp.contains_points(hole[:, 0], hole[:, 1]).any():
                 return False

@@ -82,7 +82,13 @@ def wkb_loads(buf: bytes):
     if endian != 1:
         raise ValueError("only little-endian WKB supported")
     (gtype,) = read("<I")
-    gtype &= 0xFF  # mask any SRID/Z flags
+    if gtype & 0x20000000:  # EWKB SRID flag: consume the 4-byte SRID word
+        gtype &= ~0x20000000
+        read("<I")
+    if gtype & 0xC0000000:  # EWKB Z/M flags: coordinate stride would differ
+        raise ValueError("Z/M WKB coordinates not supported")
+    if gtype > 6:  # ISO 1001+/2001+/3001+ (Z/M/ZM) or unknown types
+        raise ValueError(f"unsupported WKB geometry type {gtype}")
     if gtype == _POINT:
         x, y = read("<dd")
         return ("point", (x, y))  # tuple, matching parse_wkt's convention

@@ -62,10 +62,11 @@ def geom_to_wkt(geom) -> str:
     kind, data = geom
 
     def coords(arr) -> str:
-        return ", ".join(f"{x!r} {y!r}" for x, y in np.asarray(arr))
+        # float() before !r: numpy >= 2.0 reprs scalars as 'np.float64(x)'
+        return ", ".join(f"{float(x)!r} {float(y)!r}" for x, y in np.asarray(arr))
 
     if kind == "point":
-        return f"POINT ({data[0]!r} {data[1]!r})"
+        return f"POINT ({float(data[0])!r} {float(data[1])!r})"
     if kind == "linestring":
         return f"LINESTRING ({coords(data)})"
     if kind == "polygon":

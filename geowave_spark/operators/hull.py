@@ -41,11 +41,11 @@ def monotone_chain(xy: np.ndarray) -> np.ndarray:
 def hull_wkt(xy: np.ndarray) -> str:
     h = monotone_chain(xy)
     if len(h) == 1:
-        return f"POINT ({h[0,0]!r} {h[0,1]!r})"
+        return f"POINT ({float(h[0, 0])!r} {float(h[0, 1])!r})"
     if len(h) == 2:
-        return "LINESTRING (" + ", ".join(f"{x!r} {y!r}" for x, y in h) + ")"
+        return "LINESTRING (" + ", ".join(f"{float(x)!r} {float(y)!r}" for x, y in h) + ")"
     ring = np.vstack([h, h[:1]])
-    return "POLYGON ((" + ", ".join(f"{x!r} {y!r}" for x, y in ring) + "))"
+    return "POLYGON ((" + ", ".join(f"{float(x)!r} {float(y)!r}" for x, y in ring) + "))"
 
 
 def _seg_point_dist(ax, ay, bx, by, px, py) -> float:
@@ -184,11 +184,11 @@ def concave_hull_wkt(xy: np.ndarray, threshold: float = 1.8) -> str:
 def hull_ring_wkt(h: np.ndarray) -> str:
     """Format an already-computed hull ring (avoids re-running the dig)."""
     if len(h) == 1:
-        return f"POINT ({h[0, 0]!r} {h[0, 1]!r})"
+        return f"POINT ({float(h[0, 0])!r} {float(h[0, 1])!r})"
     if len(h) == 2:
-        return "LINESTRING (" + ", ".join(f"{x!r} {y!r}" for x, y in h) + ")"
+        return "LINESTRING (" + ", ".join(f"{float(x)!r} {float(y)!r}" for x, y in h) + ")"
     ring = np.vstack([h, h[:1]])
-    return "POLYGON ((" + ", ".join(f"{x!r} {y!r}" for x, y in ring) + "))"
+    return "POLYGON ((" + ", ".join(f"{float(x)!r} {float(y)!r}" for x, y in ring) + "))"
 
 
 def group_concave_hulls(

@@ -147,17 +147,14 @@ def refine_pip_catalog_udf(catalog: list[str]):
     return _refine
 
 
-def choose_cover_tier(zones: DataFrame, wkt_col: str, cfg: SpatialConfig, target_cells: int = 16) -> int:
-    """Pick the fixed join resolution from the polygon layer's median extent:
-    cell size ~ median_extent / sqrt(target_cells).  Driver-side tiny agg
-    (the engine's cost-based planning analog of
-    ChooseBestMatchIndexQueryStrategy)."""
-    # extents from a bounded sample (zones tables are small dims; cap work)
-    sample = [r[0] for r in zones.select(wkt_col).limit(10_000).collect()]
+def _tier_from_wkts(wkts: list[str], cfg: SpatialConfig, target_cells: int = 16) -> int:
+    """Fixed join resolution from the polygon layer's median extent:
+    cell size ~ median_extent / sqrt(target_cells) (the engine's cost-based
+    planning analog of ChooseBestMatchIndexQueryStrategy)."""
     from geowave_spark.geometry.wkt import geom_bbox, parse_wkt
 
     exts = []
-    for w in sample:
+    for w in wkts:
         minx, miny, maxx, maxy = geom_bbox(parse_wkt(w))
         exts.append(max(maxx - minx, maxy - miny, 1e-9))
     med = float(np.median(exts)) if exts else 1.0
@@ -165,6 +162,51 @@ def choose_cover_tier(zones: DataFrame, wkt_col: str, cfg: SpatialConfig, target
     bits = int(np.clip(np.floor(np.log2(360.0 / cell_deg)), 1, cfg.finest - 1))
     usable = [t for t in cfg.tiers if 0 < t < cfg.finest]
     return min(usable, key=lambda t: abs(t - bits)) if usable else bits
+
+
+def choose_cover_tier(zones: DataFrame, wkt_col: str, cfg: SpatialConfig, target_cells: int = 16) -> int:
+    """Driver-side tiny sample -> :func:`_tier_from_wkts` (kept for callers
+    that only need the tier; the join paths use :func:`_plan_zone_layer` to
+    fold this sample into the broadcast gate's single driver job)."""
+    sample = [r[0] for r in zones.select(wkt_col).limit(10_000).collect()]
+    return _tier_from_wkts(sample, cfg, target_cells)
+
+
+def _plan_zone_layer(
+    zones: DataFrame,
+    wkt_col: str,
+    cfg: SpatialConfig,
+    max_broadcast_zones: int,
+    sample_cap: int = 10_000,
+) -> tuple[int, bool, list[str] | None]:
+    """ONE bounded driver job plans the whole zone side: collect distinct
+    WKTs up to ``sample_cap + 1`` rows, yielding
+
+    - the cover tier (median-extent rule over the sample),
+    - the broadcast gate (a short read means the full distinct set is known),
+    - the WKT catalog when the layer is broadcastable.
+
+    Only a layer with more than ``sample_cap`` distinct geometries pays a
+    second, count-only probe (bounded by ``limit``) to settle the gate — and
+    only a broadcastable one then pays the full catalog fetch.  Replaces the
+    three separate driver jobs (tier sample, gate count, catalog collect)
+    that round 2 ran per call."""
+    sample = [
+        r[0] for r in zones.select(wkt_col).distinct().limit(sample_cap + 1).collect()
+    ]
+    if len(sample) <= sample_cap:
+        broadcast_ok = len(sample) <= max_broadcast_zones
+        catalog = sorted(sample) if broadcast_ok else None
+    else:
+        n = zones.select(wkt_col).distinct().limit(max_broadcast_zones + 1).count()
+        broadcast_ok = n <= max_broadcast_zones
+        catalog = (
+            sorted(r[0] for r in zones.select(wkt_col).distinct().collect())
+            if broadcast_ok
+            else None
+        )
+    tier = _tier_from_wkts(sample[:sample_cap], cfg)
+    return tier, broadcast_ok, catalog
 
 
 def zone_insertion_cells_udf(cfg: SpatialConfig = DEFAULT_CONFIG):
@@ -247,25 +289,23 @@ def pip_join(
     # distinct geometries; a larger build side falls back to the shuffle path
     # (same rows, refine via Arrow UDF) instead of OOMing the driver.
     catalog: list[str] | None = None
+    planned_tier: int | None = None
     if broadcast_zones:
-        # cheap scalar probe FIRST: an oversized layer must not pull tens of
-        # thousands of WKT payloads into the driver just to learn it is
-        # oversized
-        n_zones = zones.select("_zwkt").distinct().limit(max_broadcast_zones + 1).count()
-        if n_zones > max_broadcast_zones:
-            broadcast_zones = False
-        else:
-            fetched = [r[0] for r in zones.select("_zwkt").distinct().collect()]
-            from geowave_spark.geometry.pip_expr import EDGES_SCHEMA, edges_rows
+        # one bounded driver job: tier + gate + catalog (oversized layers
+        # never pull WKT payloads into the driver beyond the tier sample)
+        planned_tier, broadcast_zones, catalog = _plan_zone_layer(
+            zones, "_zwkt", cfg, max_broadcast_zones
+        )
+    if catalog is not None:
+        from geowave_spark.geometry.pip_expr import EDGES_SCHEMA, edges_rows
 
-            catalog = sorted(fetched)
-            edge_data = edges_rows(catalog)
-            spark = zones.sparkSession
-            cat_df = spark.createDataFrame(
-                [(w, i, edge_data[i]) for i, w in enumerate(catalog)],
-                f"_zwkt string, _zid int, _zedges {EDGES_SCHEMA}",
-            )
-            zones = zones.join(F.broadcast(cat_df), "_zwkt")
+        edge_data = edges_rows(catalog)
+        spark = zones.sparkSession
+        cat_df = spark.createDataFrame(
+            [(w, i, edge_data[i]) for i, w in enumerate(catalog)],
+            f"_zwkt string, _zid int, _zedges {EDGES_SCHEMA}",
+        )
+        zones = zones.join(F.broadcast(cat_df), "_zwkt")
 
     if mode == "tiered":
         zcells = zones.withColumn("_zc", F.explode(zone_insertion_cells_udf(cfg)(F.col("_zwkt"))))
@@ -295,7 +335,11 @@ def pip_join(
             joined = joined.unionByName(p)
     else:
         if cover_bits is None:
-            cover_bits = choose_cover_tier(zones, "_zwkt", cfg)
+            cover_bits = (
+                planned_tier
+                if planned_tier is not None
+                else choose_cover_tier(zones, "_zwkt", cfg)
+            )
         zcells = zones.withColumn(
             "_zcell", F.explode(cover_cells_udf(cover_bits, cfg)(F.col("_zwkt")))
         )
@@ -328,6 +372,73 @@ def pip_join(
     return refined.drop(*drop)
 
 
+def refine_areal_udf(within: bool, catalog: list[str] | None = None):
+    """Vectorized any-geometry-vs-zone refine over joined candidate pairs.
+
+    Both sides are factorized per Arrow batch: each distinct feature WKT is
+    parsed ONCE (features repeat across zones), areal data geometries are
+    prepared once (reused by the polygon-polygon kernels), and each distinct
+    zone is prepared once.  Point-kind features — the bulk of a mixed corpus
+    — evaluate fully vectorized per zone group via the prepared ray-cast;
+    line/areal features run one pre-parsed kernel call per distinct
+    (feature, zone) pair (pairs are already deduped upstream, so there is no
+    per-candidate re-parse anywhere).
+
+    ``catalog``: when the zone side is broadcastable the candidates carry a
+    small int zone index and the WKT catalog ships once per worker in the
+    closure (the same contract as :func:`refine_pip_catalog_udf`); otherwise
+    the second argument is the zone WKT string itself.
+    """
+
+    @F.pandas_udf(BooleanType())
+    def _refine(wkt: pd.Series, zkey: pd.Series) -> pd.Series:
+        from geowave_spark.geometry.predicates import (
+            PreparedGeometry,
+            geom_intersects_prepared,
+            geom_within_prepared,
+        )
+        from geowave_spark.geometry.wkt import parse_wkt
+
+        pred = geom_within_prepared if within else geom_intersects_prepared
+        out = np.zeros(len(wkt), dtype=bool)
+        fcodes, funiq = pd.factorize(wkt)
+        parsed = [None if w is None else parse_wkt(w) for w in funiq]
+        dprep = [
+            PreparedGeometry(g)
+            if g is not None and g[0] in ("polygon", "multipolygon")
+            else None
+            for g in parsed
+        ]
+        is_point = np.array(
+            [g is not None and g[0] == "point" for g in parsed], dtype=bool
+        )
+        px = np.array([g[1][0] if g is not None and g[0] == "point" else 0.0 for g in parsed])
+        py = np.array([g[1][1] if g is not None and g[0] == "point" else 0.0 for g in parsed])
+
+        if catalog is not None:
+            zcodes = zkey.to_numpy(np.int64)
+            zuniq_keys = np.unique(zcodes)
+            groups = [(catalog[int(u)], np.nonzero(zcodes == u)[0]) for u in zuniq_keys]
+        else:
+            zcodes, zuniq = pd.factorize(zkey)
+            groups = [(zw, np.nonzero(zcodes == u)[0]) for u, zw in enumerate(zuniq)]
+
+        for zw, idx in groups:
+            pg = _prepared(zw)
+            fc = fcodes[idx]
+            pts = is_point[fc]
+            if pts.any():
+                pfc = fc[pts]
+                out[idx[pts]] = pg.contains_points(px[pfc], py[pfc])
+            for j in idx[~pts]:
+                g = parsed[fcodes[j]]
+                if g is not None:
+                    out[j] = pred(g, pg, dp=dprep[fcodes[j]])
+        return pd.Series(out)
+
+    return _refine
+
+
 def areal_join(
     features: DataFrame,
     zones: DataFrame,
@@ -349,62 +460,69 @@ def areal_join(
     covering cells at one planner-chosen tier (feature covers are bounded by
     extent/cell ratio — at the zone-derived tier a typical feature touches
     1-4 cells), so a pair can meet in several cells; candidate pairs dedup
-    with a distinct on ids BEFORE the (expensive) exact refine, which runs
-    the per-kind dispatch `geometry/predicates.geom_intersects_prepared` in
-    one Arrow batch per partition, query zones prepared once per batch.
-    Mirrors the reference's any-geometry join semantics
-    (`SpatialQueryFilter.java:182-228` applied pairwise)."""
+    with a distinct on ids BEFORE the (expensive) exact refine
+    (:func:`refine_areal_udf` — per-kind dispatch, both sides parsed and
+    prepared once per Arrow batch).  Mirrors the reference's any-geometry
+    join semantics (`SpatialQueryFilter.java:182-228` applied pairwise).
+
+    Broadcast discipline: the exploded build side carries only
+    ``(cell, zone_id[, zone index])`` — never WKT — so the broadcast payload
+    is bounded by zones x cells_per_zone x 16 bytes plus ONE catalog of
+    distinct zone WKTs shipped per worker in the refine closure; the gate on
+    ``max_broadcast_zones`` therefore gauges the true payload.  Zone
+    attribute columns rejoin after the refine on ``zone_id`` (broadcast when
+    gated on, shuffle otherwise)."""
     release_caches()
-    if cover_bits is None:
-        cover_bits = choose_cover_tier(
-            zones.withColumnRenamed(zone_wkt_col, "_zwkt"), "_zwkt", cfg
-        )
     zones = zones.withColumnRenamed(zone_wkt_col, "_zwkt")
+    planned_tier, broadcast_ok, catalog = _plan_zone_layer(
+        zones, "_zwkt", cfg, max_broadcast_zones
+    )
+    if cover_bits is None:
+        cover_bits = planned_tier
     zcells = zones.withColumn(
         "_cell", F.explode(cover_cells_udf(cover_bits, cfg)(F.col("_zwkt")))
-    )
-    # broadcast gate (same contract as pip_join): an oversized zone layer
-    # falls back to the shuffle equi-join on the cell key instead of OOMing
-    broadcast_ok = (
-        zones.select("_zwkt").distinct().limit(max_broadcast_zones + 1).count()
-        <= max_broadcast_zones
     )
 
     fminx, fminy, fmaxx, fmaxy = (F.col(c) for c in feature_bbox_cols)
     fcover = cover_cells_bbox_udf(cover_bits, cfg)(fminx, fminy, fmaxx, fmaxy)
     fcells = features.withColumn("_cell", F.explode(fcover))
 
+    within = compare_op == "CONTAINS"
+    zattrs = zones.drop("_zwkt")  # one row per zone: id + attribute columns
+    if catalog is not None:
+        cat_df = zones.sparkSession.createDataFrame(
+            [(w, i) for i, w in enumerate(catalog)], "_zwkt string, _zidx int"
+        )
+        build = F.broadcast(
+            zcells.join(F.broadcast(cat_df), "_zwkt").select(
+                "_cell", zone_id_col, "_zidx"
+            )
+        )
+        cand = (
+            fcells.join(build, "_cell")
+            .drop("_cell")
+            .dropDuplicates([feature_id_col, zone_id_col])
+        )
+        refined = cand.filter(
+            refine_areal_udf(within, catalog)(F.col(feature_wkt_col), F.col("_zidx"))
+        ).drop("_zidx")
+        if len(zattrs.columns) > 1:
+            refined = refined.join(F.broadcast(zattrs), zone_id_col)
+        return refined
+    # shuffle path (oversized zone layer): cell equi-join with WKT riding the
+    # build side — no catalog fits a worker, the refine factorizes per batch
     build = zcells.select("_cell", zone_id_col, "_zwkt")
-    if broadcast_ok:
-        build = F.broadcast(build)
     cand = (
         fcells.join(build, "_cell")
         .drop("_cell")
-        .dropDuplicates([feature_id_col, zone_id_col])  # pairs can meet in >1 cell
+        .dropDuplicates([feature_id_col, zone_id_col])
     )
-
-    within = compare_op == "CONTAINS"
-
-    @F.pandas_udf("boolean")
-    def _refine(wkt: pd.Series, zwkt: pd.Series) -> pd.Series:
-        from geowave_spark.geometry.predicates import (
-            geom_intersects_prepared,
-            geom_within_prepared,
-        )
-
-        pred = geom_within_prepared if within else geom_intersects_prepared
-        out = np.zeros(len(wkt), dtype=bool)
-        codes, uniques = pd.factorize(zwkt)
-        for u, zw in enumerate(uniques):
-            pg = _prepared(zw)
-            m = codes == u
-            for i in np.nonzero(m)[0]:
-                w = wkt.iloc[i]
-                out[i] = bool(w is not None and pred(w, pg))
-        return pd.Series(out)
-
-    refined = cand.filter(_refine(F.col(feature_wkt_col), F.col("_zwkt")))
-    return refined.drop("_zwkt")
+    refined = cand.filter(
+        refine_areal_udf(within)(F.col(feature_wkt_col), F.col("_zwkt"))
+    ).drop("_zwkt")
+    if len(zattrs.columns) > 1:
+        refined = refined.join(zattrs, zone_id_col)
+    return refined
 
 
 def cover_cells_bbox_udf(bits: int, cfg: SpatialConfig = DEFAULT_CONFIG, max_cells: int = 4096):

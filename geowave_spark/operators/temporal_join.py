@@ -37,10 +37,12 @@ def asof_join(
     per key.  Output = probe columns + build value columns (NULL when no
     prior build row exists).
 
-    Ties: a build row AT the probe instant matches (``<=``); among equal
-    build timestamps the union order breaks toward the build row seen last
-    in the sort, made deterministic by the side tag (builds sort before
-    probes at equal ts, so an equal-ts build IS visible to the probe)."""
+    Ties: a build row AT the probe instant matches (``<=``); builds sort
+    before probes at equal ts (side tag), so an equal-ts build IS visible to
+    the probe.  Among several build rows with identical (key, ts) the one
+    with the greatest value struct (field-wise lexicographic over
+    ``value_cols``) wins — a deterministic tie-break independent of
+    partition layout."""
     if value_cols is None:
         value_cols = [c for c in builds.columns if c not in (key_col, build_ts_col)]
     # the build row travels as ONE struct so the carried-forward values are
@@ -62,7 +64,13 @@ def asof_join(
     u = p.select(b.columns + [c for c in p.columns if c not in b.columns]).unionByName(
         b, allowMissingColumns=True
     )
-    w = Window.partitionBy("_k").orderBy("_t", "_side").rowsBetween(
+    # tertiary key: the build-value struct itself (field-wise lexicographic),
+    # so duplicate (key, ts) build rows tie-break deterministically — the
+    # LAST struct in sort order wins, matching an ORDER BY ... LAST_VALUE
+    # oracle.  (Requires orderable value columns; maps are not.)  Probes sort
+    # among themselves arbitrarily, which is harmless: their _bv is NULL and
+    # last(ignorenulls) skips them.
+    w = Window.partitionBy("_k").orderBy("_t", "_side", "_bv").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     u = u.withColumn("_bv", F.last("_bv", ignorenulls=True).over(w))

@@ -1231,8 +1231,11 @@ def _raster_oracle(pyramid: bool = False) -> str:
 def _docs_polygon_oracle() -> str:
     """Exact per-kind intersects in pure SQL: point range check; segment and
     convex-polygon vs box via the separating-axis test (same formulas, same
-    op order as geometry/predicates.py).  Data rings are CCW by construction
-    (datagen `_convex_ring`: ascending angles)."""
+    op order as geometry/predicates.py).  Data rings are CCW AND convex by
+    construction (datagen `_convex_ring`: ascending angles) — SAT on edge
+    normals is exact only under that convexity; the engine itself now checks
+    `ring_is_convex` and routes concave rings through the general even-odd
+    polygon-polygon test, which this SQL twin deliberately does not model."""
     docs = f"'{GEO_SF001}/docs.parquet'"
     minx, miny, maxx, maxy = BOX
     # segment i spans verts[i] -> verts[i+1] (1-indexed DuckDB lists)

@@ -234,6 +234,27 @@ class TestArealPredicates:
         assert not geom_intersects_box(tri_cw, 0, 0, 0.5, 0.5)
         assert geom_intersects_box(tri_cw, 0, 0, 1.2, 1.2)
 
+    def test_concave_ring_routes_past_sat(self):
+        from geowave_spark.geometry.predicates import (
+            geom_intersects_box,
+            ring_is_convex,
+        )
+        from geowave_spark.geometry.wkt import parse_wkt
+
+        # concave single ring: SAT on edge normals false-negatives here (the
+        # notch edge's half-plane excludes every box corner even though the
+        # shapes overlap) — the dispatch must detect non-convexity and fall
+        # through to the general even-odd polygon-polygon test
+        notched = "POLYGON ((0.0 0.0, 4.0 0.0, 2.0 1.8, 4.0 4.0, 0.0 4.0, 0.0 0.0))"
+        assert not ring_is_convex(parse_wkt(notched)[1][0])
+        assert geom_intersects_box(notched, 3.5, -0.5, 4.5, 2.5)  # overlaps near (3.9, 0.05)
+        # a box fully inside the notch (outside the polygon) must stay False
+        assert not geom_intersects_box(notched, 2.6, 1.6, 2.9, 2.0)
+        # convex rings still take the SAT fast path and agree
+        square = "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))"
+        assert ring_is_convex(parse_wkt(square)[1][0])
+        assert geom_intersects_box(square, 3.5, -0.5, 4.5, 2.5)
+
     def test_within_box(self):
         from geowave_spark.geometry.predicates import geom_within_box
 
@@ -294,6 +315,25 @@ class TestWkbCodec:
             assert wkb_to_wkt_str(wkb_dumps(w)) == w
             kind, _ = wkb_loads(wkb_dumps(w))
             assert w.startswith(kind.upper().replace("STRING", "STRING"))
+
+    def test_flagged_wkb_rejected_or_consumed(self):
+        import struct
+
+        import pytest as _pytest
+
+        from geowave_spark.geometry.wkb import wkb_dumps, wkb_loads
+
+        base = wkb_dumps("POINT (1.5 2.5)")
+        # EWKB SRID flag: the 4-byte SRID word is consumed, not misparsed as
+        # coordinate bytes
+        ewkb = struct.pack("<bI", 1, 1 | 0x20000000) + struct.pack("<I", 4326) + base[5:]
+        assert wkb_loads(ewkb) == ("point", (1.5, 2.5))
+        # EWKB Z/M flags and ISO Z/M/ZM types: explicit rejection (silently
+        # masking them would read garbage coordinates)
+        for gtype in (1 | 0x80000000, 1 | 0x40000000, 1001, 2001, 3001):
+            bad = struct.pack("<bI", 1, gtype) + base[5:]
+            with _pytest.raises(ValueError):
+                wkb_loads(bad)
 
     def test_spark_column_codec_roundtrip(self, spark, geo001):
         from pyspark.sql import functions as F

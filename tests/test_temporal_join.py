@@ -37,6 +37,25 @@ class TestAsofJoin:
         }
         assert got == {10: 100.0, 11: 120.0, 12: None, 13: 200.0, 14: None}
 
+    def test_duplicate_build_ts_tie_breaks_deterministically(self, spark):
+        from geowave_spark.operators.temporal_join import asof_join
+
+        # three build rows with IDENTICAL (key, ts): the greatest value
+        # struct must win, on every run, regardless of input partitioning
+        rows = [(1, _ts("2024-01-01T10:00"), v) for v in (7.0, 3.0, 9.0)]
+        probes = spark.createDataFrame(
+            [(10, 1, _ts("2024-01-01T11:00"))],
+            "event_id long, user_id long, ts timestamp",
+        )
+        for parts in (1, 3):
+            builds = spark.createDataFrame(
+                rows, "user_id long, ts timestamp, value double"
+            ).repartition(parts)
+            got = asof_join(
+                probes, builds, key_col="user_id", value_cols=["value"]
+            ).collect()
+            assert [r.asof_value for r in got] == [9.0]
+
     def test_no_inequality_join_in_plan(self, spark):
         from geowave_spark.operators.temporal_join import asof_join
 
