@@ -44,20 +44,16 @@ def _offsets_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "dx int, dy int, w long")
 
 
-def kde_pyramid(
+def _splat_cells(
     points: DataFrame,
-    min_level: int = 1,
-    max_level: int = 25,
-    tile_size: int = 1,
-    lon_col: str = "lon",
-    lat_col: str = "lat",
+    min_level: int,
+    max_level: int,
+    tile_size: int,
+    lon_col: str,
+    lat_col: str,
 ) -> DataFrame:
-    """points -> per-(level, cell) KDE weights with normalized + percentile
-    bands and tile assignment columns.
-
-    Output columns: level, cell_id, tile_x, tile_y, px, py, weight_scaled
-    (exact int, kernel x 10^6), normalized, percentile, tile_west, tile_south.
-    """
+    """Shared stage: Gaussian splat (broadcast 49-row kernel join) + exact
+    per-(level, cell) integer sums — identical for every percentile mode."""
     spark = points.sparkSession
     levels = spark.createDataFrame([(lv,) for lv in range(min_level, max_level + 1)], "level int")
     offsets = _offsets_df(spark)
@@ -79,16 +75,15 @@ def kde_pyramid(
         .filter((F.col("x") >= 0) & (F.col("x") < F.col("nx")) & (F.col("y") >= 0) & (F.col("y") < F.col("ny")))
         .withColumn("cell_id", F.col("x") * F.col("ny") + F.col("y"))
     )
-    cells = splat.groupBy("level", "cell_id").agg(F.sum("w").alias("weight_scaled"))
+    return splat.groupBy("level", "cell_id").agg(F.sum("w").alias("weight_scaled"))
 
-    # scale note: normalized/percentile need per-level global context, so
-    # these windows gather each level into one partition (pyramids have few
-    # levels but many cells).  At 100 TB swap the exact percent-rank for a
-    # two-pass approx: per-level max/total via agg (tiny broadcast) +
-    # approx_percentile bucketing — same bands, bounded partition sizes.
+
+def _exact_bands(cells: DataFrame) -> DataFrame:
+    """Bit-exact normalized/percentile via per-level windows — each level
+    gathers into one partition, so this is the small-pyramid/oracle path."""
     by_level = Window.partitionBy("level")
     rank_w = Window.partitionBy("level").orderBy("weight_scaled")
-    cells = (
+    return (
         cells.withColumn("_max", F.max("weight_scaled").over(by_level))
         .withColumn("_total", F.count("*").over(by_level))
         .withColumn("normalized", F.col("weight_scaled") / F.col("_max"))
@@ -96,7 +91,76 @@ def kde_pyramid(
         .drop("_max", "_total")
     )
 
-    return with_tile_columns(cells, tile_size)
+
+def _approx_bands(cells: DataFrame, quantile_buckets: int) -> DataFrame:
+    """Scale-path normalized/percentile: per-level max + quantile sketch via
+    partial/final aggregation broadcast back — no per-level window, partition
+    sizes stay bounded at any scale."""
+    probs = [i / quantile_buckets for i in range(1, quantile_buckets + 1)]
+    stats = cells.groupBy("level").agg(
+        F.max("weight_scaled").alias("_max"),
+        F.percentile_approx(
+            "weight_scaled", F.array(*[F.lit(p) for p in probs]), F.lit(100_000)
+        ).alias("_qs"),
+    )
+    return (
+        cells.join(F.broadcast(stats), "level")
+        .withColumn("normalized", F.col("weight_scaled") / F.col("_max"))
+        .withColumn(
+            "percentile",
+            F.size(F.filter(F.col("_qs"), lambda q: q <= F.col("weight_scaled")))
+            / F.lit(float(quantile_buckets)),
+        )
+        .drop("_max", "_qs")
+    )
+
+
+# above this many occupied cells (upper-bounded without running a job when
+# possible) the exact per-level rank window would hold one oversized task
+# per level — auto mode switches to the sketch path
+MAX_EXACT_CELLS = 50_000_000
+
+
+def kde_pyramid(
+    points: DataFrame,
+    min_level: int = 1,
+    max_level: int = 25,
+    tile_size: int = 1,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    percentile_mode: str = "auto",  # 'auto' | 'exact' | 'approx'
+    max_exact_cells: int = MAX_EXACT_CELLS,
+    quantile_buckets: int = 1000,
+) -> DataFrame:
+    """points -> per-(level, cell) KDE weights with normalized + percentile
+    bands and tile assignment columns.
+
+    Output columns: level, cell_id, tile_x, tile_y, px, py, weight_scaled
+    (exact int, kernel x 10^6), normalized, percentile, tile_west, tile_south.
+
+    ``percentile_mode='auto'`` picks the percentile plan from an occupied-cell
+    upper bound: the largest level holds at most
+    ``min(n_points * 49, 2^(2L+1) * tile_size^2)`` non-empty cells.  The post
+    grid bound is pure arithmetic (no job); only when it alone exceeds
+    ``max_exact_cells`` does auto pay one ``count()`` to test the splat bound.
+    Under the threshold: bit-exact per-level rank windows (the reference's
+    `AccumuloKDEReducer.reduce` contract).  Over it: the sketch path
+    (:func:`_approx_bands`, error <= 1/quantile_buckets + sketch error) —
+    at level 25 the exact window would gather every non-empty cell of the
+    level into ONE task, which no executor holds at 100 TB.
+    """
+    cells = _splat_cells(points, min_level, max_level, tile_size, lon_col, lat_col)
+    if percentile_mode == "auto":
+        grid_bound = 2 ** (2 * max_level + 1) * tile_size * tile_size
+        if grid_bound > max_exact_cells:
+            splat_bound = points.count() * len(KERNEL_X1000) ** 2
+            exact = min(grid_bound, splat_bound) <= max_exact_cells
+        else:
+            exact = True
+    else:
+        exact = percentile_mode == "exact"
+    banded = _exact_bands(cells) if exact else _approx_bands(cells, quantile_buckets)
+    return with_tile_columns(banded, tile_size)
 
 
 def with_tile_columns(cells: DataFrame, tile_size: int) -> DataFrame:
@@ -167,46 +231,11 @@ def kde_pyramid_scalable(
 
     Error <= 1/buckets + sketch error; every stage is partial/final
     aggregation or broadcast join — no per-level window, partitions stay
-    bounded at any scale.
+    bounded at any scale.  (Equivalent to
+    ``kde_pyramid(..., percentile_mode='approx')``; kept as an explicit API.)
     """
-    spark = points.sparkSession
-    levels = spark.createDataFrame([(lv,) for lv in range(min_level, max_level + 1)], "level int")
-    offsets = _offsets_df(spark)
-    num_x_posts = F.expr(f"shiftleft(2L, level) * {tile_size}")
-    num_y_posts = F.expr(f"shiftleft(1L, level) * {tile_size}")
-    splat = (
-        points.select(lon_col, lat_col)
-        .crossJoin(F.broadcast(levels))
-        .withColumn("nx", num_x_posts)
-        .withColumn("ny", num_y_posts)
-        .withColumn("xbin", F.floor((F.col(lon_col) + 180.0) / 360.0 * F.col("nx")))
-        .withColumn("ybin", F.floor((F.col(lat_col) + 90.0) / 180.0 * F.col("ny")))
-        .crossJoin(F.broadcast(offsets))
-        .withColumn("x", F.col("xbin") + F.col("dx"))
-        .withColumn("y", F.col("ybin") + F.col("dy"))
-        .filter((F.col("x") >= 0) & (F.col("x") < F.col("nx")) & (F.col("y") >= 0) & (F.col("y") < F.col("ny")))
-        .withColumn("cell_id", F.col("x") * F.col("ny") + F.col("y"))
-    )
-    cells = splat.groupBy("level", "cell_id").agg(F.sum("w").alias("weight_scaled"))
-
-    probs = [i / quantile_buckets for i in range(1, quantile_buckets + 1)]
-    stats = cells.groupBy("level").agg(
-        F.max("weight_scaled").alias("_max"),
-        F.percentile_approx(
-            "weight_scaled", F.array(*[F.lit(p) for p in probs]), F.lit(100_000)
-        ).alias("_qs"),
-    )
-    out = (
-        cells.join(F.broadcast(stats), "level")
-        .withColumn("normalized", F.col("weight_scaled") / F.col("_max"))
-        .withColumn(
-            "percentile",
-            F.size(F.filter(F.col("_qs"), lambda q: q <= F.col("weight_scaled")))
-            / F.lit(float(quantile_buckets)),
-        )
-        .drop("_max", "_qs")
-    )
-    return with_tile_columns(out, tile_size)
+    cells = _splat_cells(points, min_level, max_level, tile_size, lon_col, lat_col)
+    return with_tile_columns(_approx_bands(cells, quantile_buckets), tile_size)
 
 
 def kde_oracle_sql(points_path: str, min_level: int, max_level: int, tile_size: int) -> str:

@@ -229,6 +229,32 @@ class TestKdeScalable:
             assert abs(e[k][1] - a[k][1]) < 1e-12   # normalized identical
             assert abs(e[k][2] - a[k][2]) <= 0.02   # percentile within 2%
 
+    def test_auto_mode_switches_on_cell_bound(self, spark):
+        """percentile_mode='auto' must ship the sketch plan (no per-level
+        window sort) once the occupied-cell bound crosses max_exact_cells,
+        and keep the bit-exact window plan under it."""
+        from geowave_spark.operators.kde import kde_pyramid
+
+        pts = spark.createDataFrame(
+            [(i * 0.7 - 90.0, i * 0.3 - 40.0) for i in range(200)], "lon double, lat double"
+        )
+
+        def plan(df):
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        # deep pyramid: grid bound at level 25 (2^51 cells) >> threshold and
+        # 200*49 splat bound only under a generous threshold -> exact only if
+        # the splat bound is consulted; force the switch with a tiny threshold
+        deep = kde_pyramid(pts, min_level=20, max_level=25, max_exact_cells=1000)
+        assert "Window" not in plan(deep)
+        # shallow pyramid: grid bound alone settles it, no count() job needed,
+        # exact window plan retained (the oracle contract)
+        shallow = kde_pyramid(pts, min_level=4, max_level=6, tile_size=4)
+        assert "Window" in plan(shallow)
+        # the splat bound rescues a deep-but-sparse pyramid back to exact
+        sparse = kde_pyramid(pts, min_level=20, max_level=25, max_exact_cells=10_000)
+        assert "Window" in plan(sparse)
+
 
 class TestArealJoin:
     def test_matches_bruteforce_all_kinds_incl_concave(self, spark, geo001):
