@@ -218,6 +218,94 @@ def group_concave_hulls(
     return df.groupBy(group_col).applyInPandas(_hull, schema)
 
 
+def _ring_area(ring: np.ndarray) -> float:
+    """Shoelace area of an open ring (absolute value)."""
+    x, y = ring[:, 0], ring[:, 1]
+    return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0)
+
+
+def group_concave_hull_invariants(
+    df: DataFrame,
+    group_col: str = "cluster",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    threshold: float = 1.8,
+) -> DataFrame:
+    """Concave hull per group + machine-checked invariants — the checkable
+    surface for the Park-Oh dig (`GeometryHullTool.java:268-380`), whose
+    greedy loop is not SQL-expressible.  Per group the hull is computed AND
+    verified with the engine's independent ray-cast/area kernels:
+
+    - ``members_inside``: every member is strictly inside the hull ring, IS a
+      hull vertex, or lies within eps of a hull edge;
+    - ``vertices_are_members``: every hull vertex is one of the group's own
+      points (the dig only ever inserts data points);
+    - ``area_le_convex``: shoelace area of the concave ring <= the convex
+      hull's (digging only removes area).
+
+    A SQL oracle can then independently derive the group structure
+    (cluster -> n_points) and assert the three booleans are all TRUE.
+    """
+
+    def _check(pdf: pd.DataFrame) -> pd.DataFrame:
+        from geowave_spark.geometry.predicates import PreparedGeometry
+
+        xy = pdf[[lon_col, lat_col]].to_numpy(np.float64)
+        h = concave_hull(xy, threshold)
+        conv = monotone_chain(xy)
+        if len(h) < 3:
+            # degenerate groups (point/segment): every member IS a vertex
+            verts = {(float(x), float(y)) for x, y in h}
+            inside = all((float(x), float(y)) in verts for x, y in xy)
+            return pd.DataFrame(
+                {
+                    group_col: [pdf[group_col].iloc[0]],
+                    "n_points": [len(pdf)],
+                    "members_inside": [inside],
+                    "vertices_are_members": [True],
+                    "area_le_convex": [True],
+                }
+            )
+        ring = np.vstack([h, h[:1]])
+        pg = PreparedGeometry(("polygon", [ring]))
+        inside = pg.contains_points(xy[:, 0], xy[:, 1])
+        hull_set = {(float(x), float(y)) for x, y in h}
+        span = float(max(np.ptp(xy[:, 0]), np.ptp(xy[:, 1]), 1e-12))
+        eps = 1e-9 * span
+        members_inside = True
+        for (x, y), ok in zip(xy, inside):
+            if ok or (float(x), float(y)) in hull_set:
+                continue
+            # boundary tolerance: ray-cast half-open edges can classify a
+            # point ON a dug edge as outside
+            on_edge = any(
+                0.0 <= _seg_point_dist(a[0], a[1], b[0], b[1], x, y) <= eps
+                for a, b in zip(ring[:-1], ring[1:])
+            )
+            if not on_edge:
+                members_inside = False
+                break
+        pts_set = {(float(x), float(y)) for x, y in xy}
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n_points": [len(pdf)],
+                "members_inside": [members_inside],
+                "vertices_are_members": [hull_set <= pts_set],
+                "area_le_convex": [
+                    _ring_area(h) <= _ring_area(conv) * (1.0 + 1e-12)
+                ],
+            }
+        )
+
+    gtype = dict(df.dtypes)[group_col]
+    schema = (
+        f"{group_col} {gtype}, n_points bigint, members_inside boolean, "
+        "vertices_are_members boolean, area_le_convex boolean"
+    )
+    return df.groupBy(group_col).applyInPandas(_check, schema)
+
+
 def group_hulls(
     df: DataFrame,
     group_col: str = "cluster",

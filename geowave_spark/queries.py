@@ -703,18 +703,28 @@ def q_dbscan_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dbscan_concave_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 hull stage, concave variant (GeometryHullTool.concaveHullParkOhMethod
-    — the hull the reference's DBSCAN actually emits).  No SQL oracle: the
-    greedy dig loop is not SQL-expressible; semantics are pytest-verified
-    (invariants + excavation) in tests/test_hull_stateful.py; the convex
-    sibling `dbscan_hulls` carries the exact driver oracle."""
+    — the hull the reference's DBSCAN actually emits).  The greedy dig loop
+    is not SQL-expressible, so the checkable surface is its INVARIANTS: per
+    cluster the engine computes the hull and self-verifies (independent
+    ray-cast containment of every member, vertices-subset-of-members,
+    concave-area <= convex-area); the oracle independently re-derives the
+    cluster structure (recursive-CTE DBSCAN -> per-cluster counts) and
+    asserts the three invariants all hold.  Dig-shape semantics beyond the
+    invariants stay pytest-pinned in tests/test_hull_stateful.py."""
     from geowave_spark.operators.clustering import dbscan
-    from geowave_spark.operators.hull import group_concave_hulls
+    from geowave_spark.operators.hull import group_concave_hull_invariants
 
     pts = _dbscan_subset(spark, sf_dir)
     members = dbscan(pts, eps=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS).join(
         pts.select("fid", "lon", "lat"), "fid"
     )
-    return group_concave_hulls(members).select("cluster", "n_points", "n_vertices")
+    return group_concave_hull_invariants(members).select(
+        "cluster",
+        "n_points",
+        "members_inside",
+        "vertices_are_members",
+        "area_le_convex",
+    )
 
 
 def q_spatiotemporal_3d_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1415,6 +1425,25 @@ def _dbscan_hulls_oracle() -> str:
     )
 
 
+def _dbscan_concave_hulls_oracle() -> str:
+    """Invariant oracle for the Park-Oh concave hull: the cluster structure
+    (label -> member count) re-derived independently via the recursive-CTE
+    DBSCAN, and the three hull invariants asserted TRUE — the Spark side
+    self-verifies them per cluster with independent ray-cast/area kernels
+    (hull.py group_concave_hull_invariants), so any violation hash-mismatches
+    here."""
+    return (
+        _dbscan_members_cte()
+        + """
+        SELECT label AS cluster,
+               CAST(count(*) AS BIGINT) AS n_points,
+               TRUE AS members_inside,
+               TRUE AS vertices_are_members,
+               TRUE AS area_le_convex
+        FROM members GROUP BY label"""
+    )
+
+
 def _cms_oracle() -> str:
     from geowave_spark.functions.text import md5_long_sql
 
@@ -1744,6 +1773,7 @@ def build_oracles() -> dict[str, str]:
         "kmeans_clusters": _kmeans_oracle(),
         "dbscan_clusters": _dbscan_oracle(),
         "dbscan_hulls": _dbscan_hulls_oracle(),
+        "dbscan_concave_hulls": _dbscan_concave_hulls_oracle(),
         "cms_category_sketch": _cms_oracle(),
         "spatiotemporal_3d_cells": f"""
             WITH binned AS (
