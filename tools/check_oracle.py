@@ -37,9 +37,19 @@ def main() -> int:
     import __spark_entry__ as e
     from geowave_spark.session import get_spark
 
-    wanted = sys.argv[1:]
-    qs = e.queries()
-    oracles = e.oracle_sql()
+    wanted = [a for a in sys.argv[1:] if a != "--driver-surface"]
+    if "--driver-surface" in sys.argv[1:]:
+        qs = e.queries()  # exactly what the driver gate sees (<= 50 entries)
+        oracles = e.oracle_sql()
+    else:
+        # default: the FULL library surface, including the redundant variants
+        # kept out of the driver's 50-row gate (queries.DRIVER_EXCLUDED)
+        from geowave_spark.datagen import ensure_geo_tables
+        from geowave_spark.queries import ALL_QUERIES, build_oracles
+
+        ensure_geo_tables("sf0.01")
+        qs = ALL_QUERIES
+        oracles = build_oracles()
     spark = get_spark("check-oracle", master="local[8]", shuffle_partitions=8)
 
     con = duckdb.connect()
