@@ -3,14 +3,16 @@
 Media payloads are opaque ``binary`` columns with typed metadata — the
 pattern the docs table's ``media`` spans point at via ``media_ref``.  The
 Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas signatures,
-partitioning) is real and tested; the actual codec step is STUBBED because
-this container ships no image/audio libraries:
+partitioning) is real and tested end-to-end:
 
 - ``decode_media(..., codec="fake")`` produces a deterministic fake decode
   (seeded by the payload hash) with the same schema a real decoder would
   emit — tests and downstream feature extraction run against it;
-- ``codec="real"`` raises ``NotImplementedError`` with the exact integration
-  point documented (swap in PIL/libav inside ``_decode_batch``).
+- ``codec="real"`` ACTUALLY decodes BMP (24-bit) and PPM (P6) payloads via
+  the dependency-free numpy codecs in
+  :mod:`geowave_spark.functions.imagecodec` (this container ships no image
+  libraries, so only these header+pixels formats are in scope; other
+  formats raise with the PIL/libav integration point documented).
 
 Scale shape: decode and feature extraction run in ``mapInPandas`` so one
 Arrow batch amortizes per-batch model/codec setup; media rows are
@@ -52,21 +54,44 @@ def _fake_pixels(content: bytes, n: int) -> np.ndarray:
 
 
 def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
-    """Binary payload -> pixel array rows (mapInPandas, Arrow-batched)."""
-    if codec == "real":
-        raise NotImplementedError(
-            "real codecs are not available in this environment; plug a "
-            "PIL/libav call into _decode_batch (same schema, same batching)"
-        )
-    if codec != "fake":
+    """Binary payload -> pixel array rows (mapInPandas, Arrow-batched).
+
+    ``codec="real"`` decodes actual image payloads — BMP (24-bit BI_RGB) and
+    PPM (P6) via the dependency-free numpy codecs in
+    :mod:`geowave_spark.functions.imagecodec`, dispatched on magic bytes.
+    Pixels come out as grayscale floats in [0, 1] (RGB mean / 255) and
+    width/height are taken from the image header, overriding the metadata
+    columns.  Other formats (JPEG/PNG/...) still need a library this
+    container doesn't ship; their payloads raise with the integration point
+    documented (plug PIL/libav into ``imagecodec.decode_image`` — same
+    schema, same batching).
+    """
+    if codec not in ("fake", "real"):
         raise ValueError(f"unknown codec {codec!r}")
 
     n_px = FAKE_DECODE_DIM * FAKE_DECODE_DIM
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from geowave_spark.functions.imagecodec import decode_image
+
         for pdf in batches:
             out = pdf[["media_ref", "media_type", "width", "height", "n_frames"]].copy()
-            out["pixels"] = [_fake_pixels(c, n_px) for c in pdf["content"]]
+            if codec == "fake":
+                out["pixels"] = [_fake_pixels(c, n_px) for c in pdf["content"]]
+            else:
+                px, ws, hs = [], [], []
+                for c in pdf["content"]:
+                    rgb = decode_image(bytes(c))
+                    px.append(
+                        (rgb.mean(axis=2, dtype=np.float64) / 255.0)
+                        .astype(np.float32)
+                        .ravel()
+                    )
+                    hs.append(rgb.shape[0])
+                    ws.append(rgb.shape[1])
+                out["pixels"] = px
+                out["width"] = np.asarray(ws, dtype=np.int32)
+                out["height"] = np.asarray(hs, dtype=np.int32)
             yield out
 
     return media.repartition(F.col("media_ref")).mapInPandas(_decode_batch, DECODED_SCHEMA)
@@ -152,3 +177,43 @@ def synth_media_table(spark, docs: DataFrame) -> DataFrame:
         F.lit(FAKE_DECODE_DIM).cast("int").alias("height"),
         F.lit(1).cast("int").alias("n_frames"),
     )
+
+
+def synth_image_media_table(spark, docs: DataFrame, fmt: str = "bmp", dim: int = 8) -> DataFrame:
+    """Media table whose payloads are REAL encoded images (BMP or PPM),
+    deterministic per media_ref — fixtures for the ``codec="real"`` path.
+    Encoding runs Arrow-batched in mapInPandas, same as decode."""
+    from geowave_spark.functions.imagecodec import bmp_bytes, ppm_bytes
+
+    if fmt not in ("bmp", "ppm"):
+        raise ValueError(f"unknown format {fmt!r}")
+    enc = bmp_bytes if fmt == "bmp" else ppm_bytes
+
+    refs = (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for ref in pdf["media_ref"]:
+                seed = int.from_bytes(hashlib.md5(ref.encode()).digest()[:4], "big")
+                rgb = np.random.RandomState(seed).randint(
+                    0, 256, (dim, dim, 3), dtype=np.uint8
+                )
+                payloads.append(enc(rgb))
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": f"image/{fmt}",
+                    "content": payloads,
+                    "width": np.int32(dim),
+                    "height": np.int32(dim),
+                    "n_frames": np.int32(1),
+                }
+            )
+
+    return refs.mapInPandas(_encode, MEDIA_SCHEMA)

@@ -36,11 +36,15 @@ class TestMultimodal:
         one = decode_media(media).limit(1).collect()[0]
         assert len(one.pixels) == n_px
 
-    def test_real_codec_is_an_explicit_stub(self, media):
+    def test_real_codec_rejects_unknown_payloads(self, spark, media):
+        """The fake table's payloads are sha256 bytes, not images — the real
+        codec must refuse them loudly, never emit garbage pixels."""
+        from pyspark.errors.exceptions.captured import PythonException
+
         from geowave_spark.functions.multimodal import decode_media
 
-        with pytest.raises(NotImplementedError):
-            decode_media(media, codec="real")
+        with pytest.raises(PythonException, match="unrecognized image payload"):
+            decode_media(media, codec="real").collect()
 
     def test_feature_extraction_shapes(self, spark, media):
         from geowave_spark.functions.multimodal import decode_media, extract_features
@@ -57,6 +61,81 @@ class TestMultimodal:
         # single-frame fakes: every row keeps exactly frame 0
         assert sampled.count() == decoded.count()
         assert sampled.filter(F.col("frame_idx") != 0).count() == 0
+
+
+class TestImageCodec:
+    """Dependency-free BMP/PPM codecs: numpy round-trips + the real decode
+    path end-to-end through mapInPandas."""
+
+    def test_bmp_roundtrip_including_row_padding(self):
+        import numpy as np
+
+        from geowave_spark.functions.imagecodec import bmp_bytes, bmp_decode
+
+        for h, w in ((8, 8), (5, 3), (2, 7)):  # odd widths exercise padding
+            rgb = np.random.RandomState(h * 10 + w).randint(
+                0, 256, (h, w, 3), dtype=np.uint8
+            )
+            buf = bmp_bytes(rgb)
+            assert buf[:2] == b"BM"
+            assert (bmp_decode(buf) == rgb).all()
+
+    def test_bmp_topdown_and_bad_inputs(self):
+        import struct
+
+        import numpy as np
+
+        from geowave_spark.functions.imagecodec import bmp_bytes, bmp_decode
+
+        rgb = np.random.RandomState(0).randint(0, 256, (4, 4, 3), dtype=np.uint8)
+        buf = bytearray(bmp_bytes(rgb))
+        # flip to top-down (negative height) and pre-invert the body rows
+        struct.pack_into("<i", buf, 14 + 8, -4)
+        body = bytes(buf[54:])
+        rows = [body[i * 12 : (i + 1) * 12] for i in range(4)]
+        buf[54:] = b"".join(reversed(rows))
+        assert (bmp_decode(bytes(buf)) == rgb).all()
+        with pytest.raises(ValueError):
+            bmp_decode(b"XX" + bytes(60))
+        with pytest.raises(ValueError):
+            bmp_decode(bmp_bytes(rgb)[:30])
+
+    def test_ppm_roundtrip_and_comments(self):
+        import numpy as np
+
+        from geowave_spark.functions.imagecodec import ppm_bytes, ppm_decode
+
+        rgb = np.random.RandomState(1).randint(0, 256, (6, 5, 3), dtype=np.uint8)
+        assert (ppm_decode(ppm_bytes(rgb)) == rgb).all()
+        # header comments are legal PPM
+        commented = b"P6\n# synthetic\n5 6\n255\n" + rgb.tobytes()
+        assert (ppm_decode(commented) == rgb).all()
+        with pytest.raises(ValueError):
+            ppm_decode(b"P5\n1 1\n255\n\x00")
+
+    @pytest.mark.parametrize("fmt", ["bmp", "ppm"])
+    def test_real_decode_end_to_end(self, spark, geo001, fmt):
+        """codec='real' over genuinely-encoded payloads: header dims win,
+        pixels equal the known grayscale of the synthesized image."""
+        import hashlib
+
+        import numpy as np
+
+        from geowave_spark.functions.multimodal import (
+            decode_media,
+            synth_image_media_table,
+        )
+
+        docs = spark.read.parquet(str(geo001 / "docs.parquet"))
+        table = synth_image_media_table(spark, docs, fmt=fmt, dim=8)
+        rows = decode_media(table, codec="real").collect()
+        assert rows
+        for r in rows[:10]:
+            assert (r.width, r.height) == (8, 8)
+            seed = int.from_bytes(hashlib.md5(r.media_ref.encode()).digest()[:4], "big")
+            rgb = np.random.RandomState(seed).randint(0, 256, (8, 8, 3), dtype=np.uint8)
+            want = (rgb.mean(axis=2, dtype=np.float64) / 255.0).astype(np.float32).ravel()
+            assert np.allclose(np.asarray(r.pixels, dtype=np.float32), want)
 
 
 class TestResize:
