@@ -130,7 +130,12 @@ def lsh_bucketed_topk(
     """Bucketed ANN: equi-join on sign-LSH bucket with Hamming<=radius
     multi-probe.  Output schema matches :func:`cosine_topk` (ranks are within
     the probed candidate set — approximate by design).  ``bits`` sizes the
-    bucket space: pick ~log2(N / target_candidates_per_bucket)."""
+    bucket space: pick ~log2(N / target_candidates_per_bucket).
+
+    Measured recall (tests/test_ann_recall.py): high in the near-dup regime
+    the sign family targets, but recall@10 is only ~0.33 (radius 2, 16 bits)
+    when the true neighbors are near-orthogonal (cos 0.3-0.5 -> 5-7 expected
+    bit flips).  For general-regime top-k use :func:`ivf_topk`."""
     c = corpus.withColumn("bucket", sign_bucket(F.col(vec_col), bits))
     probes = [F.lit(m) for m in probe_masks(bits, hamming_radius)]
     q = (
@@ -192,12 +197,14 @@ def embedding_dup_pairs_lsh(
     """Embedding-cosine near-dup pairs at corpus scale: sign-LSH bucket
     equi-join (Hamming <= radius multi-probe) + exact cosine verify.
 
-    Recall math: a pair at cosine c lands at expected sign-Hamming distance
-    bits * acos(c) / pi — at the near-dup regime (c >= 0.95 -> ~1.6 of 16
-    bits) radius 1-2 probes recover nearly all pairs; at low thresholds this
-    is NOT a substitute for the exact join.  The join key is the bucket
-    (uniform for centered data): one shuffle, no driver traffic, candidates
-    bounded by bucket occupancy."""
+    Recall: a pair at cosine c lands at expected sign-Hamming distance
+    bits * acos(c) / pi (~1.6 of 16 bits in the near-dup regime).  MEASURED
+    against the exact twin on a planted near-dup corpus (500 pairs at cos
+    0.969-0.995, 16 bits — tests/test_ann_recall.py): radius 1 -> 0.926,
+    radius 2 -> 0.992, precision 1.0 by construction (exact-cosine verify).
+    At low thresholds this is NOT a substitute for the exact join.  The join
+    key is the bucket (uniform for centered data): one shuffle, no driver
+    traffic, candidates bounded by bucket occupancy."""
     c = embs.select(F.col(id_col), F.col(vec_col)).withColumn(
         "bucket", sign_bucket(F.col(vec_col), bits)
     )
