@@ -257,6 +257,8 @@ def pip_join(
     broadcast_zones: bool = True,
     point_cell_col: str | None = None,
     max_broadcast_zones: int = 65536,
+    salt_hot: tuple[int, int] | None = None,  # (hot_threshold, buckets)
+    salt_id_col: str | None = None,
 ) -> DataFrame:
     """Inner join: every (point, zone) pair where the point lies inside the
     zone geometry.  Output = point columns + zone columns (minus working
@@ -352,7 +354,27 @@ def pip_join(
             "_zcell",
             F.coalesce(cell_at_tier(F.col(point_cell_col), cfg.finest, cover_bits), F.lit(-1)),
         )
-        joined = probe.join(build, "_zcell", "inner")
+        if salt_hot is not None and not broadcast_zones:
+            # K7 explicit skew salting for the shuffle join: hot probe cells
+            # spread over `buckets` reducers, the build side replicates its
+            # rows for hot cells only (cold cells pay nothing) — mirrors
+            # HashKeyIndexStrategy's key prefixing
+            threshold, buckets = salt_hot
+            salted_probe, hot = with_hot_cell_salt(
+                probe, "_zcell", threshold, buckets, id_col=salt_id_col
+            )
+            hot_cells = F.broadcast(hot.select("_zcell"))
+            build_hot = zcells.join(hot_cells, "_zcell", "left_semi").withColumn(
+                "salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+            )
+            build_cold = zcells.join(hot_cells, "_zcell", "left_anti").withColumn(
+                "salt", F.lit(0)
+            )
+            joined = salted_probe.join(
+                build_hot.unionByName(build_cold), ["_zcell", "salt"], "inner"
+            ).drop("salt")
+        else:
+            joined = probe.join(build, "_zcell", "inner")
 
     if catalog is not None:
         # pure-JVM refine: ray-cast fold over the edge array riding the
@@ -582,10 +604,17 @@ def with_hot_cell_salt(
     counts = points.groupBy(cell_col).count()
     hot = counts.filter(F.col("count") >= hot_threshold).select(cell_col, "count")
     salt_src = F.xxhash64(F.col(id_col)) if id_col else F.monotonically_increasing_id()
-    salted = points.join(F.broadcast(hot.select(cell_col)), cell_col, "left_semi").withColumn(
-        "salt", F.pmod(salt_src, F.lit(buckets)).cast("int")
+    # ONE scan: broadcast-left-join the (tiny) hot-cell list and salt
+    # conditionally — a semi/anti pair would read the probe twice
+    flag = hot.select(cell_col).withColumn("_is_hot", F.lit(True))
+    salted = (
+        points.join(F.broadcast(flag), cell_col, "left")
+        .withColumn(
+            "salt",
+            F.when(F.col("_is_hot"), F.pmod(salt_src, F.lit(buckets)))
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("_is_hot")
     )
-    cold = points.join(F.broadcast(hot.select(cell_col)), cell_col, "left_anti").withColumn(
-        "salt", F.lit(0)
-    )
-    return salted.unionByName(cold), hot
+    return salted, hot

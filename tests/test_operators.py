@@ -213,6 +213,34 @@ class TestSkew:
         )
         assert spread > 1
 
+    def test_salted_shuffle_join_matches_unsalted(self, spark, geo001):
+        """pip_join(salt_hot=...) must return byte-identical pairs to the
+        plain shuffle join — salting changes the shuffle layout, never the
+        result."""
+        from geowave_spark.operators.spatial_join import pip_join
+
+        pts = _pts(spark, geo001)
+        zones = _zones(spark, geo001)
+        plain = {
+            (r.fid, r.zone_id)
+            for r in pip_join(pts, zones, broadcast_zones=False)
+            .select("fid", "zone_id")
+            .collect()
+        }
+        salted = {
+            (r.fid, r.zone_id)
+            for r in pip_join(
+                pts,
+                zones,
+                broadcast_zones=False,
+                salt_hot=(50, 4),
+                salt_id_col="fid",
+            )
+            .select("fid", "zone_id")
+            .collect()
+        }
+        assert plain == salted and plain
+
 
 class TestKdeScalable:
     def test_approx_bands_close_to_exact(self, spark, geo001):
