@@ -7,9 +7,11 @@ import pytest
 
 
 def _all_queries():
-    import __spark_entry__ as e
+    # the FULL surface, not just the driver's 50-entry dict — the
+    # deregistered twins must stay executable too
+    from geowave_spark.queries import ALL_QUERIES
 
-    return sorted(e.queries().items())
+    return sorted(ALL_QUERIES.items())
 
 
 @pytest.mark.parametrize("name,fn", _all_queries(), ids=[n for n, _ in _all_queries()])
