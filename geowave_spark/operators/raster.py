@@ -100,21 +100,69 @@ _TILE_SCHEMA = (
 )
 
 
+def _resample_bilinear(
+    src: np.ndarray, wx: np.ndarray, wy: np.ndarray, r, pxw: float, pxh: float, nodata: int
+) -> np.ndarray:
+    """Bilinear resample of one tile: fractional source coordinates at the
+    target pixel centers, edge-replicated at the grid border; a target pixel
+    whose 4-neighborhood touches a source NODATA falls back to the nearest
+    sample (the footprint rule — interpolating across nodata would smear the
+    fill value into real data)."""
+    h, w = src.shape
+    fy = (wy - r.miny) / pxh - 0.5
+    fx = (wx - r.minx) / pxw - 0.5
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    ty = (fy - y0)[:, None]
+    tx = (fx - x0)[None, :]
+    y0c, y1c = np.clip(y0, 0, h - 1), np.clip(y0 + 1, 0, h - 1)
+    x0c, x1c = np.clip(x0, 0, w - 1), np.clip(x0 + 1, 0, w - 1)
+    v00 = src[np.ix_(y0c, x0c)].astype(np.float64)
+    v01 = src[np.ix_(y0c, x1c)].astype(np.float64)
+    v10 = src[np.ix_(y1c, x0c)].astype(np.float64)
+    v11 = src[np.ix_(y1c, x1c)].astype(np.float64)
+    out = (
+        v00 * (1 - ty) * (1 - tx)
+        + v01 * (1 - ty) * tx
+        + v10 * ty * (1 - tx)
+        + v11 * ty * tx
+    )
+    tile = np.rint(out).astype(np.int32)
+    touches_nodata = (
+        (v00 == nodata) | (v01 == nodata) | (v10 == nodata) | (v11 == nodata)
+    )
+    if touches_nodata.any():
+        yn = np.clip(np.rint(fy).astype(np.int64), 0, h - 1)
+        xn = np.clip(np.rint(fx).astype(np.int64), 0, w - 1)
+        tile[touches_nodata] = src[np.ix_(yn, xn)][touches_nodata]
+    return tile
+
+
 def raster_tiles(
     coverages: DataFrame,
     tile_size: int = TILE_SIZE,
     cfg: SpatialConfig = DEFAULT_CONFIG,
     build_pyramid: bool = False,
     nodata: int = NODATA,
+    interpolation: str = "nearest",  # 'nearest' | 'bilinear'
 ) -> DataFrame:
     """Chop each coverage into per-cell tileSize^2 tiles at its selected
     tier(s).  Output: one row per (coverage, tier, cell) with the resampled
-    pixel array (row-major, row 0 = southernmost, nearest-neighbor at pixel
-    centers, nodata outside the source grid).
+    pixel array (row-major, row 0 = southernmost, nodata outside the source
+    grid).
+
+    ``interpolation`` mirrors the reference's configurable resampling on
+    re-tiling (`RasterDataAdapter.java:391-516` carries a JAI Interpolation
+    through `MosaicPerPyramidLevelBuilder`): ``nearest`` (the oracle-exact
+    contract) samples the source grid at target pixel centers; ``bilinear``
+    blends the 4-neighborhood with edge replication at the border and a
+    nearest fallback wherever the neighborhood touches source nodata.
 
     Input schema: (coverage_id, minx, miny, maxx, maxy, width, height,
     pixels array<int>) — `pixels` row-major, row 0 = southernmost.
     """
+    if interpolation not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown interpolation {interpolation!r}")
 
     def _chop(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -164,10 +212,15 @@ def raster_tiles(
                             cok = (col_i >= 0) & (col_i < r.width)
                             tile = np.full((tile_size, tile_size), nodata, dtype=np.int32)
                             ok = rok[:, None] & cok[None, :]
-                            tile[ok] = src[
-                                row_i.clip(0, r.height - 1)[:, None].repeat(tile_size, 1)[ok],
-                                col_i.clip(0, r.width - 1)[None, :].repeat(tile_size, 0)[ok],
-                            ]
+                            if interpolation == "bilinear":
+                                tile[ok] = _resample_bilinear(
+                                    src, wx, wy, r, pxw, pxh, nodata
+                                )[ok]
+                            else:
+                                tile[ok] = src[
+                                    row_i.clip(0, r.height - 1)[:, None].repeat(tile_size, 1)[ok],
+                                    col_i.clip(0, r.width - 1)[None, :].repeat(tile_size, 0)[ok],
+                                ]
                             key = cfg.encode(
                                 np.array([cx], dtype=np.uint64),
                                 np.array([cy], dtype=np.uint64),

@@ -75,6 +75,75 @@ class TestRasterTiling:
         assert (arr[:, :q] == NODATA).all()  # west quarter uncovered
         assert (arr[:, q:] != NODATA).all()  # rest sampled from source
 
+    def test_bilinear_constant_equals_nearest(self, spark):
+        """On a constant image, bilinear and nearest are identical — same
+        tiles, same nodata mask."""
+        k, gx0, gy0 = 6, 40, 33
+        df = spark.createDataFrame(
+            [_cov_row("c0", k, gx0, gy0, 1, 1, lambda i: np.full_like(i, 77))], _SCHEMA
+        )
+        near = {t.cell: t.pixels for t in raster_tiles(df).collect()}
+        bil = {
+            t.cell: t.pixels
+            for t in raster_tiles(df, interpolation="bilinear").collect()
+        }
+        assert near.keys() == bil.keys()
+        for c in near:
+            assert near[c] == bil[c]
+
+    def test_bilinear_reproduces_linear_ramp(self, spark):
+        """Bilinear interpolation of a linear ramp is the ramp itself: an
+        aligned 2x-downsample (cell spans 2x2 source pixels) must return the
+        exact average of each 2x2 block, where nearest returns one corner."""
+        k = 6
+        cell = 360.0 / 2**k
+        minx = -180.0 + 40 * cell
+        miny = -180.0 + 33 * cell
+        w = h = 2 * TILE_SIZE  # 2x oversampled source -> one tile out
+        # ramp along x: value = 10 * column index
+        pix = (np.tile(np.arange(w), h) * 10).astype(np.int32).tolist()
+        row = ("c0", minx, miny, minx + cell, miny + cell, w, h, pix)
+        df = spark.createDataFrame([row], _SCHEMA)
+        bil = next(
+            t
+            for t in raster_tiles(
+                df, build_pyramid=True, interpolation="bilinear"
+            ).collect()
+            if t.tier == k  # the 2x-downsampled pyramid level
+        )
+        arr = np.array(bil.pixels).reshape(TILE_SIZE, TILE_SIZE)
+        # target pixel j centers on source columns (2j, 2j+1) -> mean 20j+5
+        want = 20 * np.arange(TILE_SIZE) + 5
+        assert np.array_equal(arr, np.tile(want, (TILE_SIZE, 1)))
+        near = next(
+            t
+            for t in raster_tiles(df, build_pyramid=True).collect()
+            if t.tier == k
+        )
+        narr = np.array(near.pixels).reshape(TILE_SIZE, TILE_SIZE)
+        assert not np.array_equal(arr, narr)  # genuinely different resample
+
+    def test_bilinear_nodata_mask_matches_nearest(self, spark):
+        """Outside-the-grid pixels are nodata under BOTH modes (the footprint
+        rule is interpolation-independent)."""
+        k = 6
+        cell = 360.0 / 2**k
+        minx = -180.0 + 40 * cell + 0.25 * cell
+        miny = -180.0 + 33 * cell
+        row = ("c0", minx, miny, minx + cell, miny + cell, TILE_SIZE, TILE_SIZE,
+               list(range(1, TILE_SIZE * TILE_SIZE + 1)))
+        df = spark.createDataFrame([row], _SCHEMA)
+        for t_near, t_bil in zip(
+            sorted(raster_tiles(df).collect(), key=lambda t: t.cell),
+            sorted(
+                raster_tiles(df, interpolation="bilinear").collect(),
+                key=lambda t: t.cell,
+            ),
+        ):
+            a = np.array(t_near.pixels) == NODATA
+            b = np.array(t_bil.pixels) == NODATA
+            assert np.array_equal(a, b)
+
     def test_mosaic_latest_wins_earlier_fills_holes(self, spark):
         k, gx0, gy0 = 6, 40, 33
         n = TILE_SIZE * TILE_SIZE
