@@ -80,7 +80,9 @@ def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
                 out["pixels"] = [_fake_pixels(c, n_px) for c in pdf["content"]]
             else:
                 px, ws, hs = [], [], []
-                for c in pdf["content"]:
+                for ref, c in zip(pdf["media_ref"], pdf["content"]):
+                    if c is None:
+                        raise ValueError(f"null media content for media_ref={ref!r}")
                     rgb = decode_image(bytes(c))
                     px.append(
                         (rgb.mean(axis=2, dtype=np.float64) / 255.0)

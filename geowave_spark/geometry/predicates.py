@@ -186,10 +186,17 @@ def segment_intersects_box(x1, y1, x2, y2, minx, miny, maxx, maxy) -> np.ndarray
 
 def ring_is_convex(ring: np.ndarray) -> bool:
     """True iff the closed ring is convex: every cross product of consecutive
-    edges has the same sign (zeros — collinear vertices — are allowed)."""
+    edges has the same sign (zeros — collinear vertices — are allowed).
+    Zero-length edges (repeated consecutive vertices, valid WKT) are dropped
+    first: each contributes two zero cross products that would otherwise mask
+    the sign flip of a reflex turn at the duplicated vertex."""
     x, y = ring[:, 0], ring[:, 1]
-    # consecutive edge vectors, wrapping past the closing vertex
     ex, ey = np.diff(x), np.diff(y)
+    keep = (ex != 0.0) | (ey != 0.0)
+    ex, ey = ex[keep], ey[keep]
+    if len(ex) < 3:
+        return True
+    # wrap past the closing vertex
     ex = np.concatenate([ex, ex[:1]])
     ey = np.concatenate([ey, ey[:1]])
     cross = ex[:-1] * ey[1:] - ey[:-1] * ex[1:]

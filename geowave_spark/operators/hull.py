@@ -39,13 +39,7 @@ def monotone_chain(xy: np.ndarray) -> np.ndarray:
 
 
 def hull_wkt(xy: np.ndarray) -> str:
-    h = monotone_chain(xy)
-    if len(h) == 1:
-        return f"POINT ({float(h[0, 0])!r} {float(h[0, 1])!r})"
-    if len(h) == 2:
-        return "LINESTRING (" + ", ".join(f"{float(x)!r} {float(y)!r}" for x, y in h) + ")"
-    ring = np.vstack([h, h[:1]])
-    return "POLYGON ((" + ", ".join(f"{float(x)!r} {float(y)!r}" for x, y in ring) + "))"
+    return hull_ring_wkt(monotone_chain(xy))
 
 
 def _seg_point_dist(ax, ay, bx, by, px, py) -> float:
@@ -254,9 +248,21 @@ def group_concave_hull_invariants(
         h = concave_hull(xy, threshold)
         conv = monotone_chain(xy)
         if len(h) < 3:
-            # degenerate groups (point/segment): every member IS a vertex
-            verts = {(float(x), float(y)) for x, y in h}
-            inside = all((float(x), float(y)) in verts for x, y in xy)
+            # degenerate groups: a point hull means every member coincides
+            # with it; a segment hull (3+ collinear points) means every
+            # member lies ON the segment, not just at its endpoints
+            if len(h) == 1:
+                verts = {(float(x), float(y)) for x, y in h}
+                inside = all((float(x), float(y)) in verts for x, y in xy)
+            else:
+                span = float(max(np.ptp(xy[:, 0]), np.ptp(xy[:, 1]), 1e-12))
+                eps = 1e-9 * span
+                (ax, ay), (bx, by) = h[0], h[1]
+                inside = all(
+                    (float(x), float(y)) in {(float(ax), float(ay)), (float(bx), float(by))}
+                    or 0.0 <= _seg_point_dist(ax, ay, bx, by, x, y) <= eps
+                    for x, y in xy
+                )
             return pd.DataFrame(
                 {
                     group_col: [pdf[group_col].iloc[0]],

@@ -157,8 +157,12 @@ def kde_pyramid(
             exact = min(grid_bound, splat_bound) <= max_exact_cells
         else:
             exact = True
-    else:
+    elif percentile_mode in ("exact", "approx"):
         exact = percentile_mode == "exact"
+    else:
+        raise ValueError(
+            f"percentile_mode must be 'auto', 'exact' or 'approx', got {percentile_mode!r}"
+        )
     banded = _exact_bands(cells) if exact else _approx_bands(cells, quantile_buckets)
     return with_tile_columns(banded, tile_size)
 

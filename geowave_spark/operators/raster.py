@@ -132,8 +132,10 @@ def _resample_bilinear(
         (v00 == nodata) | (v01 == nodata) | (v10 == nodata) | (v11 == nodata)
     )
     if touches_nodata.any():
-        yn = np.clip(np.rint(fy).astype(np.int64), 0, h - 1)
-        xn = np.clip(np.rint(fx).astype(np.int64), 0, w - 1)
+        # floor(f + 0.5), matching the nearest mode's floor((w-min)/px)
+        # convention exactly (np.rint would round half-to-even)
+        yn = np.clip(np.floor(fy + 0.5).astype(np.int64), 0, h - 1)
+        xn = np.clip(np.floor(fx + 0.5).astype(np.int64), 0, w - 1)
         tile[touches_nodata] = src[np.ix_(yn, xn)][touches_nodata]
     return tile
 

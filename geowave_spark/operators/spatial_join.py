@@ -272,6 +272,14 @@ def pip_join(
     2-4), each a broadcast hash join — mirrors the reference's tiered scan.
     """
     release_caches()  # prior calls' consumers have run; drop their storage
+    if salt_hot is not None and mode == "tiered":
+        # the tier loop would need per-tier hot-cell detection; unsupported
+        # rather than a silent no-op of an explicit skew knob
+        raise ValueError(
+            "salt_hot applies to the mode='fixed' shuffle join only; "
+            "tiered-mode salting is not implemented (broadcast joins have "
+            "no shuffle to skew — drop salt_hot or use mode='fixed')"
+        )
     if point_cell_col is None:
         points = with_point_cells(points, lon_col, lat_col, cfg, cell_col="_pcell").drop("tier")
         point_cell_col = "_pcell"
@@ -446,6 +454,11 @@ def refine_areal_udf(within: bool, catalog: list[str] | None = None):
             groups = [(zw, np.nonzero(zcodes == u)[0]) for u, zw in enumerate(zuniq)]
 
         for zw, idx in groups:
+            # null feature WKT factorizes to code -1, which would otherwise
+            # index the LAST distinct geometry — such rows stay False
+            idx = idx[fcodes[idx] >= 0]
+            if not len(idx):
+                continue
             pg = _prepared(zw)
             fc = fcodes[idx]
             pts = is_point[fc]
@@ -510,7 +523,10 @@ def areal_join(
     fcells = features.withColumn("_cell", F.explode(fcover))
 
     within = compare_op == "CONTAINS"
-    zattrs = zones.drop("_zwkt")  # one row per zone: id + attribute columns
+    # one row per zone id for the post-refine attribute rejoin — without the
+    # dedup a zone layer carrying repeated ids (e.g. a polygon stored as two
+    # rows) would fan each refined (feature, zone) pair out per repeat
+    zattrs = zones.drop("_zwkt").dropDuplicates([zone_id_col])
     if catalog is not None:
         cat_df = zones.sparkSession.createDataFrame(
             [(w, i) for i, w in enumerate(catalog)], "_zwkt string, _zidx int"

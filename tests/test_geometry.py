@@ -255,6 +255,24 @@ class TestArealPredicates:
         assert ring_is_convex(parse_wkt(square)[1][0])
         assert geom_intersects_box(square, 3.5, -0.5, 4.5, 2.5)
 
+    def test_duplicated_reflex_vertex_still_concave(self):
+        from geowave_spark.geometry.predicates import (
+            geom_intersects_box,
+            ring_is_convex,
+        )
+        from geowave_spark.geometry.wkt import parse_wkt
+
+        # valid WKT may repeat a vertex; the zero-length edge yields two zero
+        # cross products that would mask the reflex turn's sign flip if the
+        # convexity check didn't drop degenerate edges first
+        dup = "POLYGON ((0.0 0.0, 4.0 0.0, 2.0 1.8, 2.0 1.8, 4.0 4.0, 0.0 4.0, 0.0 0.0))"
+        assert not ring_is_convex(parse_wkt(dup)[1][0])
+        assert geom_intersects_box(dup, 3.5, -0.5, 4.5, 2.5)  # overlaps near (3.9, 0.05)
+        assert not geom_intersects_box(dup, 2.6, 1.6, 2.9, 2.0)  # inside the notch
+        # a duplicated vertex on a genuinely convex ring stays convex
+        sq_dup = "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))"
+        assert ring_is_convex(parse_wkt(sq_dup)[1][0])
+
     def test_within_box(self):
         from geowave_spark.geometry.predicates import geom_within_box
 

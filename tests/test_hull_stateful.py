@@ -284,3 +284,22 @@ class TestConcaveHull:
         assert len(out) == 1
         assert out[0].n_vertices == len(concave_hull(xy))
         assert out[0].n_points == len(xy)
+
+    def test_invariants_collinear_cluster(self, spark):
+        """A 3+-point collinear cluster hulls to a 2-vertex segment whose
+        interior members are NOT hull vertices — members_inside must still
+        hold (on-segment counts as inside for the degenerate branch)."""
+        from geowave_spark.operators.hull import group_concave_hull_invariants
+
+        rows = [(0, float(i), float(i)) for i in range(4)]  # (0,0)..(3,3)
+        rows += [(1, 5.0, 5.0)]  # single-point cluster stays exact-match
+        df = spark.createDataFrame(rows, "cluster int, lon double, lat double")
+        out = {r.cluster: r for r in group_concave_hull_invariants(df, group_col="cluster").collect()}
+        assert out[0].members_inside and out[0].vertices_are_members
+        assert out[1].members_inside and out[1].vertices_are_members
+        # duplicated-coordinate point cluster: hull is a single point
+        df2 = spark.createDataFrame(
+            [(0, 0.0, 0.0), (0, 0.0, 0.0)], "cluster int, lon double, lat double"
+        )
+        out2 = group_concave_hull_invariants(df2, group_col="cluster").collect()
+        assert out2[0].members_inside

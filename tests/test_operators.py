@@ -241,6 +241,43 @@ class TestSkew:
         }
         assert plain == salted and plain
 
+    def test_salt_hot_tiered_mode_rejected(self, spark, geo001):
+        """salt_hot only applies to the fixed-mode shuffle join; tiered mode
+        must refuse the knob rather than silently no-op an explicit skew
+        mitigation."""
+        import pytest
+
+        from geowave_spark.operators.spatial_join import pip_join
+
+        with pytest.raises(ValueError, match="salt_hot"):
+            pip_join(
+                _pts(spark, geo001), _zones(spark, geo001),
+                mode="tiered", broadcast_zones=False, salt_hot=(50, 4),
+            )
+
+    def test_areal_refine_null_feature_wkt_is_false(self):
+        """A null feature WKT factorizes to code -1; the refine must leave
+        the row False instead of indexing the batch's LAST distinct geometry
+        (which here lies inside the zone and would flip it True)."""
+        import pandas as pd
+
+        from geowave_spark.operators.spatial_join import refine_areal_udf
+
+        zone = "POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 10.0, 0.0 0.0))"
+        fn = refine_areal_udf(False, catalog=[zone]).func
+        out = fn(
+            pd.Series(["POINT (1.0 1.0)", None, "POINT (5.0 5.0)"]),
+            pd.Series([0, 0, 0]),
+        )
+        assert list(out) == [True, False, True]
+        # shuffle-path variant (zone WKT rides the row) behaves the same
+        fn2 = refine_areal_udf(False).func
+        out2 = fn2(
+            pd.Series(["POINT (1.0 1.0)", None, "POINT (5.0 5.0)"]),
+            pd.Series([zone, zone, zone]),
+        )
+        assert list(out2) == [True, False, True]
+
 
 class TestKdeScalable:
     def test_approx_bands_close_to_exact(self, spark, geo001):
@@ -282,6 +319,15 @@ class TestKdeScalable:
         # the splat bound rescues a deep-but-sparse pyramid back to exact
         sparse = kde_pyramid(pts, min_level=20, max_level=25, max_exact_cells=10_000)
         assert "Window" in plan(sparse)
+
+    def test_unknown_percentile_mode_rejected(self, spark):
+        import pytest
+
+        from geowave_spark.operators.kde import kde_pyramid
+
+        pts = spark.createDataFrame([(0.0, 0.0)], "lon double, lat double")
+        with pytest.raises(ValueError, match="percentile_mode"):
+            kde_pyramid(pts, min_level=4, max_level=5, percentile_mode="Exact")
 
 
 class TestArealJoin:

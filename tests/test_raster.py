@@ -144,6 +144,25 @@ class TestRasterTiling:
             b = np.array(t_bil.pixels) == NODATA
             assert np.array_equal(a, b)
 
+    def test_bilinear_nodata_fallback_uses_floor_convention(self):
+        """When the 4-neighborhood touches NODATA, the fallback must sample
+        floor(f + 0.5) — the same convention as nearest mode — not banker's
+        rint: at a boundary-aligned center (f = k.5, k even) rint picks row
+        k, which here is the NODATA row that triggered the fallback."""
+        from types import SimpleNamespace
+
+        from geowave_spark.operators.raster import _resample_bilinear
+
+        src = np.arange(16, dtype=np.int32).reshape(4, 4) * 10 + np.arange(4)
+        src[2, :] = NODATA  # the row rint would (wrongly) fall back to
+        r = SimpleNamespace(minx=0.0, miny=0.0)
+        # fy = 3.0/1.0 - 0.5 = 2.5 (boundary-aligned); fx = 1.0 (tx = 0)
+        out = _resample_bilinear(
+            src, wx=np.array([1.5]), wy=np.array([3.0]), r=r,
+            pxw=1.0, pxh=1.0, nodata=NODATA,
+        )
+        assert out[0, 0] == src[3, 1]  # real value, not NODATA
+
     def test_mosaic_latest_wins_earlier_fills_holes(self, spark):
         k, gx0, gy0 = 6, 40, 33
         n = TILE_SIZE * TILE_SIZE
