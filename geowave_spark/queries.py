@@ -541,6 +541,18 @@ def q_kde_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_pyramid(tiles4, old_tile_size=KDE_TILE_SIZE, new_tile_size=KDE_TILE_SIZE // 2)
 
 
+def q_kde_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8: seasonal comparison KDE — summer/winter percentile pyramids +
+    combined band (`analytics/mapreduce/.../kde/compare/*`), one declarative
+    plan with integer-ppm seasonal weights for cross-engine exactness."""
+    from geowave_spark.operators.kde_compare import kde_comparison
+
+    pts = _geo(spark, sf_dir, "points")
+    return kde_comparison(
+        pts, min_level=KDE_MIN_LEVEL, max_level=KDE_MAX_LEVEL, tile_size=KDE_TILE_SIZE
+    )
+
+
 def q_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: fixed-bin numeric histogram of magnitude (width-10 bins)."""
     pts = _geo(spark, sf_dir, "points")
@@ -1468,6 +1480,7 @@ def _cms_oracle() -> str:
 
 def build_oracles() -> dict[str, str]:
     from geowave_spark.operators.kde import kde_oracle_sql
+    from geowave_spark.operators.kde_compare import kde_comparison_oracle_sql
     from geowave_spark.queries_text import build_text_oracles
 
     g = GEO_SF001
@@ -1597,6 +1610,9 @@ def build_oracles() -> dict[str, str]:
         # 2 on levels shifted by +1 (same post grid)
         "kde_resize": kde_oracle_sql(
             f"{g}/points.parquet", KDE_MIN_LEVEL + 1, KDE_MAX_LEVEL + 1, KDE_TILE_SIZE // 2
+        ),
+        "kde_comparison": kde_comparison_oracle_sql(
+            f"{g}/points.parquet", KDE_MIN_LEVEL, KDE_MAX_LEVEL, KDE_TILE_SIZE
         ),
         "histogram_fixed_bins": f"""
             SELECT CAST(FLOOR(magnitude / 10) AS BIGINT) AS bin,
@@ -1833,6 +1849,7 @@ ALL_QUERIES = {
     "knn_join": q_knn_join,
     "kde_tiles": q_kde_tiles,
     "kde_resize": q_kde_resize,
+    "kde_comparison": q_kde_comparison,
     "histogram_fixed_bins": q_histogram_fixed_bins,
     "percentile_by_category": q_percentile_by_category,
     "distinct_count_stats": q_distinct_count_stats,
@@ -1887,11 +1904,13 @@ DRIVER_EXCLUDED = {
     "orders_by_region": "relational demo, not a SURVEY §2 operator",
     "raster_tiling": "first stage of raster_pyramid (same tier rule + chop)",
     "dbscan_hulls": "convex sibling of dbscan_concave_hulls; hull math shared",
+    "kde_resize": "tile re-decomposition of kde_tiles' cells (R7 invariance pytest + same oracle shape)",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut
 # off at 50, so front-loading guarantees the newest entries get their row)
 _NEW_IN_R03 = [
+    "kde_comparison",
     "subsample_zorder",
     "cms_category_sketch",
     "knn_haversine",
