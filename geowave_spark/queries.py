@@ -553,6 +553,40 @@ def q_kde_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# F9 visibility fixture: 8 policy labels assigned deterministically by fid
+# digits; scanner authorizations {alpha, bravo}.  The oracle hardcodes the
+# hand-derived truth of each expression so it does NOT share the engine's
+# parser (truth table in the oracle SQL).
+VIS_EXPRS = [
+    "alpha",                            # True  (alpha held)
+    "bravo",                            # True  (bravo held)
+    "charlie",                          # False
+    "alpha&bravo",                      # True
+    "alpha&charlie",                    # False (charlie missing)
+    "alpha|charlie",                    # True  (alpha held)
+    "delta|(charlie&bravo)",            # False (delta and charlie missing)
+    '(alpha|charlie)&(bravo|delta)',    # True  (alpha & bravo)
+]
+VIS_AUTHS = ("alpha", "bravo")
+
+
+def q_visibility_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: row visibility — Accumulo-style boolean label expressions against
+    a scanner auth set, evaluated once per DISTINCT expression on the driver
+    and shipped as a Catalyst IN filter (zero per-row Python; the label set
+    is policy-bounded at any corpus scale)."""
+    from geowave_spark.functions.visibility import filter_by_visibility
+
+    pts = _geo(spark, sf_dir, "points")
+    idx = F.substring(F.col("fid"), 4, 8).cast("int") % len(VIS_EXPRS)
+    with_vis = pts.withColumn(
+        "vis", F.element_at(F.array(*[F.lit(e) for e in VIS_EXPRS]), idx + 1)
+    )
+    return filter_by_visibility(with_vis, "vis", set(VIS_AUTHS)).select(
+        "fid", "category", "vis"
+    )
+
+
 def q_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: fixed-bin numeric histogram of magnitude (width-10 bins)."""
     pts = _geo(spark, sf_dir, "points")
@@ -1614,6 +1648,21 @@ def build_oracles() -> dict[str, str]:
         "kde_comparison": kde_comparison_oracle_sql(
             f"{g}/points.parquet", KDE_MIN_LEVEL, KDE_MAX_LEVEL, KDE_TILE_SIZE
         ),
+        # visible set derived BY HAND against auths {alpha, bravo} (comments
+        # in VIS_EXPRS) — independent of the engine's expression parser
+        "visibility_filter": f"""
+            WITH v AS (
+              SELECT fid, category,
+                     (['alpha', 'bravo', 'charlie', 'alpha&bravo',
+                       'alpha&charlie', 'alpha|charlie',
+                       'delta|(charlie&bravo)',
+                       '(alpha|charlie)&(bravo|delta)'])
+                     [CAST(SUBSTR(fid, 4) AS INT) % 8 + 1] AS vis
+              FROM '{g}/points.parquet')
+            SELECT fid, category, vis FROM v
+            WHERE vis IN ('alpha', 'bravo', 'alpha&bravo', 'alpha|charlie',
+                          '(alpha|charlie)&(bravo|delta)')
+        """,
         "histogram_fixed_bins": f"""
             SELECT CAST(FLOOR(magnitude / 10) AS BIGINT) AS bin,
                    count(*) AS n,
@@ -1850,6 +1899,7 @@ ALL_QUERIES = {
     "kde_tiles": q_kde_tiles,
     "kde_resize": q_kde_resize,
     "kde_comparison": q_kde_comparison,
+    "visibility_filter": q_visibility_filter,
     "histogram_fixed_bins": q_histogram_fixed_bins,
     "percentile_by_category": q_percentile_by_category,
     "distinct_count_stats": q_distinct_count_stats,
@@ -1905,12 +1955,14 @@ DRIVER_EXCLUDED = {
     "raster_tiling": "first stage of raster_pyramid (same tier rule + chop)",
     "dbscan_hulls": "convex sibling of dbscan_concave_hulls; hull math shared",
     "kde_resize": "tile re-decomposition of kde_tiles' cells (R7 invariance pytest + same oracle shape)",
+    "spatiotemporal_bins": "single-entry case of tracks_st_insertion's ranged 3D bin contract (K6)",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut
 # off at 50, so front-loading guarantees the newest entries get their row)
 _NEW_IN_R03 = [
     "kde_comparison",
+    "visibility_filter",
     "subsample_zorder",
     "cms_category_sketch",
     "knn_haversine",
