@@ -1,0 +1,241 @@
+"""Property-based hardening (hypothesis) of the pure-Python kernels the
+whole engine stands on: SFC codecs, planner covers/range decomposition,
+WKT/WKB round-trips, convexity dispatch, visibility grammar.  No Spark —
+these run in milliseconds per example."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geowave_spark.sfc.hilbert import hilbert_decode, hilbert_encode
+from geowave_spark.sfc.zorder import zorder_decode, zorder_encode
+
+BITS = st.integers(min_value=1, max_value=16)
+
+
+def _coords(bits: int, n: int, rnd) -> list[np.ndarray]:
+    hi = 2**bits
+    return [
+        np.array([rnd.randrange(hi) for _ in range(n)], dtype=np.uint64)
+        for _ in range(2)
+    ]
+
+
+class TestSFCCodecs:
+    @given(bits=BITS, data=st.data())
+    @settings(max_examples=100, deadline=None)
+    def test_hilbert_inverse(self, bits, data):
+        hi = 2**bits
+        xs = data.draw(st.lists(st.integers(0, hi - 1), min_size=1, max_size=20))
+        ys = data.draw(
+            st.lists(st.integers(0, hi - 1), min_size=len(xs), max_size=len(xs))
+        )
+        cs = [np.array(xs, dtype=np.uint64), np.array(ys, dtype=np.uint64)]
+        keys = hilbert_encode([c.copy() for c in cs], bits)
+        assert (keys < (1 << (2 * bits))).all()
+        back = hilbert_decode(keys.copy(), 2, bits)
+        assert (back[0] == cs[0]).all() and (back[1] == cs[1]).all()
+
+    @given(bits=BITS, data=st.data())
+    @settings(max_examples=100, deadline=None)
+    def test_zorder_inverse(self, bits, data):
+        hi = 2**bits
+        xs = data.draw(st.lists(st.integers(0, hi - 1), min_size=1, max_size=20))
+        ys = data.draw(
+            st.lists(st.integers(0, hi - 1), min_size=len(xs), max_size=len(xs))
+        )
+        cs = [np.array(xs, dtype=np.uint64), np.array(ys, dtype=np.uint64)]
+        keys = zorder_encode(cs, bits)
+        back = zorder_decode(keys.copy(), 2, bits)
+        assert (back[0] == cs[0]).all() and (back[1] == cs[1]).all()
+
+    @given(bits=st.integers(1, 10), start=st.integers(0))
+    @settings(max_examples=60, deadline=None)
+    def test_hilbert_unit_step_locality(self, bits, start):
+        """Consecutive Hilbert keys decode to 4-neighbor grid cells — the
+        locality property the tiered index leans on for range contiguity."""
+        n = 1 << (2 * bits)
+        s = start % (n - 1)
+        ks = np.array([s, s + 1], dtype=np.uint64)
+        xs, ys = hilbert_decode(ks.copy(), 2, bits)
+        manhattan = abs(int(xs[1]) - int(xs[0])) + abs(int(ys[1]) - int(ys[0]))
+        assert manhattan == 1
+
+
+BOXES = st.tuples(
+    st.floats(-180, 179, allow_nan=False),
+    st.floats(-90, 89, allow_nan=False),
+    st.floats(0.001, 40),
+    st.floats(0.001, 40),
+)
+
+
+class TestPlannerCovers:
+    @given(box=BOXES, bits=st.integers(1, 5))
+    @settings(max_examples=60, deadline=None)
+    def test_cover_equals_bruteforce(self, box, bits):
+        """cells_covering_bbox == the brute-force set of cells whose box
+        intersects the query box (small tiers, exhaustive grid)."""
+        from geowave_spark.sfc import DEFAULT_CONFIG
+        from geowave_spark.sfc.tiered import cell_to_box, cells_covering_bbox
+
+        minx, miny, w, h = box
+        maxx, maxy = min(minx + w, 180.0), min(miny + h, 90.0)
+        got = set(
+            cells_covering_bbox(minx, miny, maxx, maxy, bits, wrap_lon=False).tolist()
+        )
+        all_keys = np.arange(1 << (2 * bits), dtype=np.uint64)
+        lo_x, hi_x, lo_y, hi_y = cell_to_box(all_keys, bits, DEFAULT_CONFIG)
+        hit = (lo_x <= maxx) & (hi_x >= minx) & (lo_y <= maxy) & (hi_y >= miny)
+        want = set(all_keys[hit].astype(np.int64).tolist())
+        # the planner cover uses inclusive bin spans: it must never MISS a
+        # genuinely intersecting cell; boundary-touch cells may differ by
+        # closed/half-open convention, so assert superset-of-interior
+        eps = 1e-9
+        strict = (
+            (lo_x < maxx - eps)
+            & (hi_x > minx + eps)
+            & (lo_y < maxy - eps)
+            & (hi_y > miny + eps)
+        )
+        interior = set(all_keys[strict].astype(np.int64).tolist())
+        assert interior <= got <= want
+
+    @given(box=BOXES, bits=st.integers(1, 5))
+    @settings(max_examples=60, deadline=None)
+    def test_decomposed_ranges_cover_all_cells(self, box, bits):
+        """K2 over-inclusive contract: every covering cell's key falls inside
+        some decomposed range (never under-inclusive)."""
+        from geowave_spark.sfc.tiered import cells_covering_bbox, decompose_query_ranges
+
+        minx, miny, w, h = box
+        maxx, maxy = min(minx + w, 180.0), min(miny + h, 90.0)
+        cells = cells_covering_bbox(minx, miny, maxx, maxy, bits, wrap_lon=False)
+        ranges = decompose_query_ranges(minx, miny, maxx, maxy, bits)
+        for k in cells.tolist():
+            assert any(lo <= k <= hi for lo, hi in ranges), (k, ranges)
+
+
+FLOATS = st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False)
+
+
+def _rand_ring(draw):
+    """Closed ring from the convex hull of >= 3 random points."""
+    from geowave_spark.operators.hull import monotone_chain
+
+    pts = draw(
+        st.lists(st.tuples(FLOATS, FLOATS), min_size=3, max_size=12, unique=True)
+    )
+    h = monotone_chain(np.array(pts, dtype=np.float64))
+    if len(h) < 3:
+        return None
+    return np.vstack([h, h[:1]])
+
+
+class TestGeometryRoundTrips:
+    @given(data=st.data())
+    @settings(max_examples=80, deadline=None)
+    def test_wkt_roundtrip_polygon(self, data):
+        from geowave_spark.geometry.wkt import geom_to_wkt, parse_wkt
+
+        ring = _rand_ring(data.draw)
+        if ring is None:
+            return
+        g = ("polygon", [ring])
+        g2 = parse_wkt(geom_to_wkt(g))
+        assert g2[0] == "polygon" and np.array_equal(g2[1][0], ring)
+
+    @given(
+        pts=st.lists(st.tuples(FLOATS, FLOATS), min_size=2, max_size=10),
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_wkb_roundtrip_linestring(self, pts):
+        from geowave_spark.geometry.wkb import wkb_dumps, wkb_loads
+
+        g = ("linestring", np.array(pts, dtype=np.float64))
+        kind, data = wkb_loads(wkb_dumps(g))
+        assert kind == "linestring" and np.array_equal(data, g[1])
+
+    @given(x=FLOATS, y=FLOATS)
+    @settings(max_examples=80, deadline=None)
+    def test_wkb_roundtrip_point(self, x, y):
+        from geowave_spark.geometry.wkb import wkb_dumps, wkb_loads
+
+        kind, data = wkb_loads(wkb_dumps(("point", (x, y))))
+        assert kind == "point" and data == (x, y)
+
+
+class TestConvexityDispatch:
+    @given(data=st.data(), box=st.tuples(FLOATS, FLOATS, st.floats(0.01, 1e5), st.floats(0.01, 1e5)))
+    @settings(max_examples=80, deadline=None)
+    def test_sat_equals_general_path_on_convex_rings(self, data, box):
+        """For genuinely convex rings the SAT fast path and the general
+        even-odd polygon-polygon test must agree on box intersects."""
+        from geowave_spark.geometry.predicates import (
+            _box_prepared,
+            convex_polygon_intersects_box,
+            polygon_intersects_polygon,
+            ring_is_convex,
+        )
+
+        ring = _rand_ring(data.draw)
+        if ring is None or not ring_is_convex(ring):
+            return
+        bx, by, w, h = box
+        minx, miny, maxx, maxy = bx, by, bx + w, by + h
+        fast = convex_polygon_intersects_box(ring, minx, miny, maxx, maxy)
+        general = polygon_intersects_polygon(
+            ("polygon", [ring]), _box_prepared(minx, miny, maxx, maxy)
+        )
+        assert fast == general
+
+    @given(data=st.data())
+    @settings(max_examples=80, deadline=None)
+    def test_convexity_invariant_under_vertex_duplication(self, data):
+        from geowave_spark.geometry.predicates import ring_is_convex
+
+        ring = _rand_ring(data.draw)
+        if ring is None:
+            return
+        i = data.draw(st.integers(0, len(ring) - 2))
+        dup = np.vstack([ring[: i + 1], ring[i : i + 1], ring[i + 1 :]])
+        assert ring_is_convex(dup) == ring_is_convex(ring)
+
+
+class TestVisibilityGrammar:
+    LABELS = ["alpha", "bravo", "charlie", "delta"]
+
+    @st.composite
+    def _expr(draw, self=None, depth=0):
+        labels = TestVisibilityGrammar.LABELS
+        if depth >= 3 or draw(st.booleans()):
+            name = draw(st.sampled_from(labels))
+            return name, name
+        op = draw(st.sampled_from(["&", "|"]))
+        n = draw(st.integers(2, 3))
+        parts = [draw(TestVisibilityGrammar._expr(depth=depth + 1)) for _ in range(n)]
+        text = op.join(f"({t})" for t, _ in parts)
+        if op == "&":
+            val = ("&", [v for _, v in parts])
+        else:
+            val = ("|", [v for _, v in parts])
+        return text, val
+
+    @staticmethod
+    def _eval_ast(ast, auths):
+        if isinstance(ast, str):
+            return ast in auths
+        op, parts = ast
+        vals = [TestVisibilityGrammar._eval_ast(p, auths) for p in parts]
+        return all(vals) if op == "&" else any(vals)
+
+    @given(data=st.data(), auth_mask=st.integers(0, 15))
+    @settings(max_examples=150, deadline=None)
+    def test_random_trees_match_direct_eval(self, data, auth_mask):
+        from geowave_spark.functions.visibility import evaluate_visibility
+
+        text, ast = data.draw(TestVisibilityGrammar._expr())
+        auths = frozenset(
+            l for i, l in enumerate(self.LABELS) if auth_mask & (1 << i)
+        )
+        assert evaluate_visibility(text, auths) == self._eval_ast(ast, auths)
