@@ -553,6 +553,21 @@ def q_kde_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lexicoder_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 codec contract: ranking by the double lexicoder's BYTES must equal
+    ranking by the native value (the oracle orders by magnitude directly) —
+    proof the sort-order-preserving encoding is correct over the whole
+    corpus.  Export-path demo; query-time ordering stays native."""
+    from pyspark.sql.window import Window
+
+    from geowave_spark.functions.lexicoder import lexicoded_double_col
+
+    pts = _geo(spark, sf_dir, "points")
+    lex = pts.withColumn("lex", lexicoded_double_col(F.col("magnitude")))
+    w = Window.orderBy("lex", "fid")
+    return lex.select("fid", F.row_number().over(w).alias("lex_rank"))
+
+
 # F9 visibility fixture: 8 policy labels assigned deterministically by fid
 # digits; scanner authorizations {alpha, bravo}.  The oracle hardcodes the
 # hand-derived truth of each expression so it does NOT share the engine's
@@ -1648,6 +1663,12 @@ def build_oracles() -> dict[str, str]:
         "kde_comparison": kde_comparison_oracle_sql(
             f"{g}/points.parquet", KDE_MIN_LEVEL, KDE_MAX_LEVEL, KDE_TILE_SIZE
         ),
+        # byte order must equal native value order — the oracle never sees
+        # the lexicoder, it ranks by the raw double
+        "lexicoder_rank": f"""
+            SELECT fid, ROW_NUMBER() OVER (ORDER BY magnitude, fid) AS lex_rank
+            FROM '{g}/points.parquet'
+        """,
         # visible set derived BY HAND against auths {alpha, bravo} (comments
         # in VIS_EXPRS) — independent of the engine's expression parser
         "visibility_filter": f"""
@@ -1900,6 +1921,7 @@ ALL_QUERIES = {
     "kde_resize": q_kde_resize,
     "kde_comparison": q_kde_comparison,
     "visibility_filter": q_visibility_filter,
+    "lexicoder_rank": q_lexicoder_rank,
     "histogram_fixed_bins": q_histogram_fixed_bins,
     "percentile_by_category": q_percentile_by_category,
     "distinct_count_stats": q_distinct_count_stats,
@@ -1956,6 +1978,7 @@ DRIVER_EXCLUDED = {
     "dbscan_hulls": "convex sibling of dbscan_concave_hulls; hull math shared",
     "kde_resize": "tile re-decomposition of kde_tiles' cells (R7 invariance pytest + same oracle shape)",
     "spatiotemporal_bins": "single-entry case of tracks_st_insertion's ranged 3D bin contract (K6)",
+    "lexicoder_rank": "K8 codec contract (export path only — query-time ordering is native); oracle-checked via parity tests",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut

@@ -165,24 +165,43 @@ class TestGeometryRoundTrips:
         assert kind == "point" and data == (x, y)
 
 
+DYADIC = st.integers(-2000, 2000).map(lambda v: v / 1024.0)
+
+
 class TestConvexityDispatch:
-    @given(data=st.data(), box=st.tuples(FLOATS, FLOATS, st.floats(0.01, 1e5), st.floats(0.01, 1e5)))
-    @settings(max_examples=80, deadline=None)
+    @given(
+        data=st.data(),
+        box=st.tuples(DYADIC, DYADIC, st.integers(1, 2048), st.integers(1, 2048)),
+    )
+    @settings(max_examples=120, deadline=None)
     def test_sat_equals_general_path_on_convex_rings(self, data, box):
         """For genuinely convex rings the SAT fast path and the general
-        even-odd polygon-polygon test must agree on box intersects."""
+        even-odd polygon-polygon test must agree on box intersects —
+        including exact touch cases (both are inclusive).  Coordinates are
+        dyadic (k/1024) so every projection/orientation product is exact in
+        double and any tie is a TRUE geometric tie: hypothesis previously
+        proved that at sub-ULP degeneracies (a 1e-38 separation at
+        coordinate 1.0) the two float kernels may legitimately differ, which
+        no floating-point formulation resolves."""
         from geowave_spark.geometry.predicates import (
             _box_prepared,
             convex_polygon_intersects_box,
             polygon_intersects_polygon,
             ring_is_convex,
         )
+        from geowave_spark.operators.hull import monotone_chain
 
-        ring = _rand_ring(data.draw)
-        if ring is None or not ring_is_convex(ring):
+        pts = data.draw(
+            st.lists(st.tuples(DYADIC, DYADIC), min_size=3, max_size=12, unique=True)
+        )
+        h = monotone_chain(np.array(pts, dtype=np.float64))
+        if len(h) < 3:
             return
-        bx, by, w, h = box
-        minx, miny, maxx, maxy = bx, by, bx + w, by + h
+        ring = np.vstack([h, h[:1]])
+        if not ring_is_convex(ring):
+            return
+        bx, by, w, h2 = box
+        minx, miny, maxx, maxy = bx, by, bx + w / 1024.0, by + h2 / 1024.0
         fast = convex_polygon_intersects_box(ring, minx, miny, maxx, maxy)
         general = polygon_intersects_polygon(
             ("polygon", [ring]), _box_prepared(minx, miny, maxx, maxy)
@@ -200,6 +219,86 @@ class TestConvexityDispatch:
         i = data.draw(st.integers(0, len(ring) - 2))
         dup = np.vstack([ring[: i + 1], ring[i : i + 1], ring[i + 1 :]])
         assert ring_is_convex(dup) == ring_is_convex(ring)
+
+
+class TestLexicoders:
+    def test_byte_compat_pins(self):
+        """Byte-level pins against the reference transforms (LongLexicoder:
+        sign-bit XOR big-endian; DoubleLexicoder: raw bits, invert if
+        negative else set sign bit)."""
+        from geowave_spark.functions.lexicoder import (
+            encode_double,
+            encode_long,
+        )
+
+        assert encode_long(0) == bytes([0x80, 0, 0, 0, 0, 0, 0, 0])
+        assert encode_long(-1) == bytes([0x7F, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF])
+        assert encode_long(-(2**63)) == bytes(8)
+        assert encode_long(2**63 - 1) == bytes([0xFF] * 8)
+        # 1.0 raw bits 0x3FF0000000000000, non-negative -> XOR sign bit
+        assert encode_double(1.0).hex() == "bff0000000000000"
+        # -2.0 raw bits 0xC000000000000000 (negative) -> bitwise NOT
+        assert encode_double(-2.0).hex() == "3fffffffffffffff"
+        assert encode_double(0.0).hex() == "8000000000000000"
+        assert encode_double(-0.0).hex() == "7fffffffffffffff"  # -0.0 < 0.0
+
+    @given(st.lists(st.integers(-(2**63), 2**63 - 1), min_size=2, max_size=30))
+    @settings(max_examples=100, deadline=None)
+    def test_long_order_and_roundtrip(self, vals):
+        from geowave_spark.functions.lexicoder import decode_long, encode_long
+
+        encs = [encode_long(v) for v in vals]
+        assert [decode_long(e) for e in encs] == vals
+        assert sorted(range(len(vals)), key=lambda i: encs[i]) == sorted(
+            range(len(vals)), key=lambda i: (vals[i], i)
+        ) or sorted(encs) == [e for _, e in sorted(zip(vals, encs))]
+
+    @given(
+        st.lists(
+            st.floats(allow_nan=False, allow_infinity=True, width=64),
+            min_size=2,
+            max_size=30,
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_double_order_and_roundtrip(self, vals):
+        from geowave_spark.functions.lexicoder import (
+            decode_double,
+            double_sort_keys,
+            encode_double,
+        )
+
+        encs = [encode_double(v) for v in vals]
+        back = [decode_double(e) for e in encs]
+        for v, b in zip(vals, back):
+            assert v == b or (v == 0.0 and b == 0.0)  # -0.0 round-trips as itself
+            assert math_copysign(1.0, v) == math_copysign(1.0, b)
+        # byte order == numeric order (ties by index keep it well-defined)
+        by_bytes = sorted(encs)
+        by_value = [e for _, e in sorted(zip(vals, encs), key=lambda t: (t[0], t[1]))]
+        assert by_bytes == by_value
+        # vectorized keys agree with the scalar encoder
+        keys = double_sort_keys(np.array(vals, dtype=np.float64))
+        assert [f"{k:016x}" for k in keys] == [e.hex() for e in encs]
+
+    @given(st.integers(-(2**31), 2**31 - 1), st.integers(-(2**15), 2**15 - 1))
+    @settings(max_examples=100, deadline=None)
+    def test_int_short_roundtrip(self, i, s):
+        from geowave_spark.functions.lexicoder import (
+            decode_int,
+            decode_short,
+            encode_int,
+            encode_short,
+        )
+
+        assert decode_int(encode_int(i)) == i
+        assert decode_short(encode_short(s)) == s
+
+
+def math_copysign(a, b):
+    import math
+
+    return math.copysign(a, b)
 
 
 class TestVisibilityGrammar:
