@@ -49,6 +49,8 @@ HEADLINE = [
     "raster_tiling",
     "docs_polygon_query",
     "s2_cell_counts",
+    # round-3 addition: seasonal comparison KDE (R8)
+    "kde_comparison",
 ]
 
 

@@ -92,6 +92,30 @@ def seasonal_weight_cols(ts: Column) -> tuple[Column, Column]:
     return season, weight_ppm
 
 
+def _year_bounds_df(points: DataFrame, ts_col: str) -> DataFrame:
+    """Tiny per-year table of the six ramp boundaries (microseconds since
+    epoch).  The boundary dates depend only on the year, so computing them
+    once per distinct year and broadcast-joining keeps the giant
+    make_date/unix_micros expression tree OUT of the 49x-exploded splat
+    stage — inlined per-row it blows the generated code past the JIT method
+    limit and the whole fused stage drops to interpreted execution (measured
+    ~7x slowdown on the full bench query at sf0.1)."""
+    y = F.col("_y")
+    return (
+        points.select(F.year(F.col(ts_col).cast("timestamp")).alias("_y"))
+        .distinct()
+        .select(
+            "_y",
+            _ep_us(F.make_date(y - 1, F.lit(12), F.lit(31))).alias("_dec31_prev"),
+            _ep_us(F.make_date(y, F.lit(3), F.lit(31))).alias("_mar31"),
+            _ep_us(F.make_date(y, F.lit(4), F.lit(30))).alias("_apr30"),
+            _ep_us(F.make_date(y, F.lit(8), F.lit(31))).alias("_aug31"),
+            _ep_us(F.make_date(y, F.lit(9), F.lit(30))).alias("_sep30"),
+            _ep_us(F.make_date(y, F.lit(12), F.lit(31))).alias("_dec31"),
+        )
+    )
+
+
 def _splat_cells_seasonal(
     points: DataFrame,
     min_level: int,
@@ -103,20 +127,62 @@ def _splat_cells_seasonal(
 ) -> DataFrame:
     """Gaussian splat with per-point seasonal weights: identical binning to
     the base KDE's `_splat_cells`, grouped by (level, cell, season) with
-    exact integer sums of kernel_weight x weight_ppm."""
+    exact integer sums of kernel_weight x weight_ppm.
+
+    The returned ``season`` column is an INT (1 = summer, 0 = winter): a
+    string group key in the 49x-exploded aggregation is measurably slower,
+    and nothing downstream needs the name until after the per-cell pivot.
+    The weight arithmetic is bit-identical to :func:`seasonal_weight_cols`
+    (same ops, same order, same int64 inputs) — only the boundary-date
+    subtrees move into the broadcast year table (see :func:`_year_bounds_df`).
+    """
     spark = points.sparkSession
     levels = spark.createDataFrame(
         [(lv,) for lv in range(min_level, max_level + 1)], "level int"
     )
     offsets = _offsets_df(spark)
-    season, wppm = seasonal_weight_cols(F.col(ts_col))
+
+    ts = F.col(ts_col).cast("timestamp")
+    m, eu = F.col("_m"), F.col("_eu")
+    t = (
+        F.when(m <= 3, (eu - F.col("_dec31_prev")) * 3.0 / (F.col("_mar31") - F.col("_dec31_prev")))
+        .when(m >= 10, (F.col("_dec31") - eu) * 3.0 / (F.col("_dec31") - F.col("_sep30")))
+        .when(m == 4, (F.col("_apr30") - eu) * 3.0 / (F.col("_apr30") - F.col("_mar31")))
+        .when(m == 9, (eu - F.col("_aug31")) * 3.0 / (F.col("_sep30") - F.col("_aug31")))
+        .otherwise(F.lit(0.0))
+    )
+    wppm = (
+        F.when((m >= 5) & (m <= 8), F.lit(WEIGHT_PPM).cast("long"))
+        .otherwise(F.round(F.exp(-t * t) * WEIGHT_PPM).cast("long"))
+    )
+    season = F.when((m >= 4) & (m <= 9), F.lit(1)).otherwise(F.lit(0))
+    # The trailing repartition() is a deliberate evaluation barrier, not a
+    # balance tweak: whole-stage codegen defers non-join-condition
+    # expressions into the innermost broadcast-join loop, so without it the
+    # weight arithmetic runs once per (point x level x tap) — 147x per point
+    # — instead of once per point (measured 19s -> 2.5s on the sf0.1 splat).
+    # The shuffle moves only the 4-column skinny projection (~30 B/row), one
+    # narrow pass that also spreads the 49x splat across the cluster — the
+    # right trade at any scale.
+    weighted = (
+        points.select(
+            lon_col,
+            lat_col,
+            F.year(ts).alias("_y"),
+            F.month(ts).alias("_m"),
+            F.unix_micros(ts).alias("_eu"),
+        )
+        .join(F.broadcast(_year_bounds_df(points, ts_col)), "_y")
+        .select(lon_col, lat_col, season.alias("season"), wppm.alias("_wppm"))
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        )
+    )
 
     num_x_posts = F.expr(f"shiftleft(2L, level) * {tile_size}")
     num_y_posts = F.expr(f"shiftleft(1L, level) * {tile_size}")
     splat = (
-        points.select(
-            lon_col, lat_col, season.alias("season"), wppm.alias("_wppm")
-        )
+        weighted
         .crossJoin(F.broadcast(levels))
         .withColumn("nx", num_x_posts)
         .withColumn("ny", num_y_posts)
@@ -214,10 +280,10 @@ def kde_comparison(
         seasoned.groupBy("level", "cell_id")
         .agg(
             F.coalesce(
-                F.max(F.when(F.col("season") == "summer", F.col("_pct"))), F.lit(0.0)
+                F.max(F.when(F.col("season") == 1, F.col("_pct"))), F.lit(0.0)
             ).alias("summer_percentile"),
             F.coalesce(
-                F.max(F.when(F.col("season") == "winter", F.col("_pct"))), F.lit(0.0)
+                F.max(F.when(F.col("season") == 0, F.col("_pct"))), F.lit(0.0)
             ).alias("winter_percentile"),
         )
         .withColumn("combined", F.col("summer_percentile") - F.col("winter_percentile"))

@@ -1979,6 +1979,7 @@ DRIVER_EXCLUDED = {
     "kde_resize": "tile re-decomposition of kde_tiles' cells (R7 invariance pytest + same oracle shape)",
     "spatiotemporal_bins": "single-entry case of tracks_st_insertion's ranged 3D bin contract (K6)",
     "lexicoder_rank": "K8 codec contract (export path only — query-time ordering is native); oracle-checked via parity tests",
+    "ann_ivf_topk": "probe-all IVF == exact top-k (quantizer-independent); pruned-nprobe recall pinned in test_text_pipeline",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut

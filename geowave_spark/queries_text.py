@@ -152,6 +152,30 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(_embs(spark, sf_dir), _ann_queries(spark, sf_dir), k=ANN_K)
 
 
+# probe-all: every query searches every inverted list, so the IVF result is
+# definitionally the exact top-k — the brute-force SQL is a true oracle of
+# the IVF *mechanics* (list assignment, probe explode, equi-join, window
+# top-k) that holds for ANY trained quantizer.  The pruned-nprobe regime
+# (recall < 1 by design) is pinned separately in
+# tests/test_text_pipeline.py::test_ivf_topk_recall (>= 0.9 at nprobe 4/16).
+ANN_IVF_LISTS = 16
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (scale path for general-regime top-k) in its probe-all
+    configuration — see ANN_IVF_LISTS comment for why the exact-top-k SQL
+    is a valid oracle regardless of the k-means quantizer."""
+    from geowave_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _embs(spark, sf_dir),
+        _ann_queries(spark, sf_dir),
+        k=ANN_K,
+        n_centroids=ANN_IVF_LISTS,
+        nprobe=ANN_IVF_LISTS,
+    )
+
+
 MIN_TOKENS = 5
 
 
@@ -370,6 +394,19 @@ def build_text_oracles() -> dict[str, str]:
               WHERE e.vec_id <> q.vec_id)
             WHERE rank <= {ANN_K}
         """,
+        # probe-all IVF == exact top-k (see q_ann_ivf_topk) — same SQL as
+        # ann_cosine_topk on purpose: that equality IS the contract
+        "ann_ivf_topk": f"""
+            SELECT qid, vec_id, rank FROM (
+              SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {cos} DESC, e.vec_id) AS rank
+              FROM embeddings e,
+                   (SELECT * FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0) q
+              WHERE e.vec_id <> q.vec_id)
+            WHERE rank <= {ANN_K}
+        """,
         "ann_lsh_topk": f"""
             WITH c AS (SELECT *, {bucket('e')} AS bucket FROM embeddings e),
             qp AS (
@@ -413,6 +450,7 @@ TEXT_QUERIES = {
     "lang_id": q_lang_id,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "training_data_filter": q_training_data_filter,
     "token_stats": q_token_stats,

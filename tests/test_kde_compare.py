@@ -120,6 +120,28 @@ class TestComparisonBands:
         errs = [abs(exact[k] - approx[k]) for k in exact]
         assert max(errs) <= 0.05  # 1/buckets + sketch error band
 
+    def test_auto_mode_switches_on_cell_bound(self, spark):
+        """Same contract as the base KDE: above the occupied-cell bound the
+        plan must carry no per-level rank window (the sketch path); under it
+        the bit-exact windows stay (the oracle contract)."""
+        import datetime
+
+        pts = spark.createDataFrame(
+            [
+                (i * 0.7 - 90.0, i * 0.3 - 40.0, datetime.datetime(2012, 1 + i % 12, 15))
+                for i in range(200)
+            ],
+            "lon double, lat double, event_ts timestamp",
+        )
+
+        def plan(df):
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        deep = kde_comparison(pts, min_level=20, max_level=25, max_exact_cells=1000)
+        assert "Window" not in plan(deep)
+        shallow = kde_comparison(pts, min_level=4, max_level=6, tile_size=4)
+        assert "Window" in plan(shallow)
+
     def test_unknown_mode_rejected(self, spark):
         pts = spark.createDataFrame(
             [(0.0, 0.0, datetime.datetime(2012, 6, 1))],
