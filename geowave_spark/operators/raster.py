@@ -140,13 +140,68 @@ def _resample_bilinear(
     return tile
 
 
+def _resample_bicubic(
+    src: np.ndarray,
+    wx: np.ndarray,
+    wy: np.ndarray,
+    r,
+    pxw: float,
+    pxh: float,
+    nodata: int,
+    a: float = -0.5,
+) -> np.ndarray:
+    """Bicubic resample of one tile: the standard piecewise-cubic kernel
+    with sharpness ``a`` (-0.5 = Catmull-Rom, JAI's INTERP_BICUBIC; -1.0 =
+    JAI's INTERP_BICUBIC_2), 4x4 neighborhood, edge-replicated at the grid
+    border, nearest fallback wherever the neighborhood touches source
+    nodata (same footprint rule as bilinear)."""
+    h, w = src.shape
+    fy = (wy - r.miny) / pxh - 0.5
+    fx = (wx - r.minx) / pxw - 0.5
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    ty = fy - y0
+    tx = fx - x0
+
+    def taps(t):
+        # kernel at offsets -1..2 for fraction t: |s| = t+1, t, 1-t, 2-t
+        s0, s1, s2, s3 = 1.0 + t, t, 1.0 - t, 2.0 - t
+        return (
+            a * s0**3 - 5 * a * s0**2 + 8 * a * s0 - 4 * a,
+            (a + 2) * s1**3 - (a + 3) * s1**2 + 1.0,
+            (a + 2) * s2**3 - (a + 3) * s2**2 + 1.0,
+            a * s3**3 - 5 * a * s3**2 + 8 * a * s3 - 4 * a,
+        )
+
+    wys = taps(ty)
+    wxs = taps(tx)
+    out = np.zeros((len(wy), len(wx)), dtype=np.float64)
+    touches_nodata = np.zeros_like(out, dtype=bool)
+    for i in range(4):
+        yc = np.clip(y0 + (i - 1), 0, h - 1)
+        for j in range(4):
+            xc = np.clip(x0 + (j - 1), 0, w - 1)
+            v = src[np.ix_(yc, xc)].astype(np.float64)
+            out += v * wys[i][:, None] * wxs[j][None, :]
+            touches_nodata |= v == nodata
+    tile = np.rint(out).astype(np.int32)
+    if touches_nodata.any():
+        yn = np.clip(np.floor(fy + 0.5).astype(np.int64), 0, h - 1)
+        xn = np.clip(np.floor(fx + 0.5).astype(np.int64), 0, w - 1)
+        tile[touches_nodata] = src[np.ix_(yn, xn)][touches_nodata]
+    return tile
+
+
+_INTERPOLATIONS = ("nearest", "bilinear", "bicubic", "bicubic2")
+
+
 def raster_tiles(
     coverages: DataFrame,
     tile_size: int = TILE_SIZE,
     cfg: SpatialConfig = DEFAULT_CONFIG,
     build_pyramid: bool = False,
     nodata: int = NODATA,
-    interpolation: str = "nearest",  # 'nearest' | 'bilinear'
+    interpolation: str = "nearest",  # one of _INTERPOLATIONS
 ) -> DataFrame:
     """Chop each coverage into per-cell tileSize^2 tiles at its selected
     tier(s).  Output: one row per (coverage, tier, cell) with the resampled
@@ -158,12 +213,15 @@ def raster_tiles(
     through `MosaicPerPyramidLevelBuilder`): ``nearest`` (the oracle-exact
     contract) samples the source grid at target pixel centers; ``bilinear``
     blends the 4-neighborhood with edge replication at the border and a
-    nearest fallback wherever the neighborhood touches source nodata.
+    nearest fallback wherever the neighborhood touches source nodata;
+    ``bicubic`` / ``bicubic2`` apply the piecewise-cubic kernel at JAI's
+    two sharpness settings (a=-0.5 / a=-1.0) over the 4x4 neighborhood
+    with the same border and nodata rules.
 
     Input schema: (coverage_id, minx, miny, maxx, maxy, width, height,
     pixels array<int>) — `pixels` row-major, row 0 = southernmost.
     """
-    if interpolation not in ("nearest", "bilinear"):
+    if interpolation not in _INTERPOLATIONS:
         raise ValueError(f"unknown interpolation {interpolation!r}")
 
     def _chop(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -217,6 +275,11 @@ def raster_tiles(
                             if interpolation == "bilinear":
                                 tile[ok] = _resample_bilinear(
                                     src, wx, wy, r, pxw, pxh, nodata
+                                )[ok]
+                            elif interpolation in ("bicubic", "bicubic2"):
+                                tile[ok] = _resample_bicubic(
+                                    src, wx, wy, r, pxw, pxh, nodata,
+                                    a=-0.5 if interpolation == "bicubic" else -1.0,
                                 )[ok]
                             else:
                                 tile[ok] = src[

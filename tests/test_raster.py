@@ -227,3 +227,97 @@ class TestRasterPipeline:
         # finer coverage now also ingests there (cross-coverage mosaic)
         assert len(r3) > len(r1)
         assert {(t, x, y) for t, x, y, _ in r1} <= {(t, x, y) for t, x, y, _ in r3}
+
+
+class TestBicubic:
+    """The two JAI cubic kernels (a=-0.5 INTERP_BICUBIC, a=-1.0
+    INTERP_BICUBIC_2) share bilinear's border/nodata rules."""
+
+    def test_constant_equals_nearest(self, spark):
+        # the cubic-convolution kernel is a partition of unity
+        k, gx0, gy0 = 6, 40, 33
+        df = spark.createDataFrame(
+            [_cov_row("c0", k, gx0, gy0, 1, 1, lambda i: np.full_like(i, 77))], _SCHEMA
+        )
+        near = {t.cell: t.pixels for t in raster_tiles(df).collect()}
+        for mode in ("bicubic", "bicubic2"):
+            cub = {
+                t.cell: t.pixels
+                for t in raster_tiles(df, interpolation=mode).collect()
+            }
+            assert near.keys() == cub.keys()
+            for c in near:
+                assert near[c] == cub[c], mode
+
+    def test_reproduces_linear_ramp_interior(self, spark):
+        """Cubic convolution has linear precision for every `a`: on an
+        aligned 2x downsample of an x-ramp the interior columns equal the
+        ramp at the target centers (20j+5, same as bilinear); the first and
+        last columns may differ because edge replication flattens the ramp
+        under the 4-wide support."""
+        k = 6
+        cell = 360.0 / 2**k
+        minx = -180.0 + 40 * cell
+        miny = -180.0 + 33 * cell
+        w = h = 2 * TILE_SIZE
+        pix = (np.tile(np.arange(w), h) * 10).astype(np.int32).tolist()
+        row = ("c0", minx, miny, minx + cell, miny + cell, w, h, pix)
+        df = spark.createDataFrame([row], _SCHEMA)
+        for mode in ("bicubic", "bicubic2"):
+            out = next(
+                t
+                for t in raster_tiles(
+                    df, build_pyramid=True, interpolation=mode
+                ).collect()
+                if t.tier == k
+            )
+            arr = np.array(out.pixels).reshape(TILE_SIZE, TILE_SIZE)
+            want = 20 * np.arange(TILE_SIZE) + 5
+            assert np.array_equal(arr[:, 1:-1], np.tile(want[1:-1], (TILE_SIZE, 1))), mode
+
+    def test_nodata_mask_matches_nearest(self, spark):
+        k = 6
+        cell = 360.0 / 2**k
+        minx = -180.0 + 40 * cell + 0.25 * cell
+        miny = -180.0 + 33 * cell
+        row = ("c0", minx, miny, minx + cell, miny + cell, TILE_SIZE, TILE_SIZE,
+               list(range(1, TILE_SIZE * TILE_SIZE + 1)))
+        df = spark.createDataFrame([row], _SCHEMA)
+        for t_near, t_cub in zip(
+            sorted(raster_tiles(df).collect(), key=lambda t: t.cell),
+            sorted(
+                raster_tiles(df, interpolation="bicubic").collect(),
+                key=lambda t: t.cell,
+            ),
+        ):
+            assert np.array_equal(
+                np.array(t_near.pixels) == NODATA,
+                np.array(t_cub.pixels) == NODATA,
+            )
+
+    def test_sharpness_parameter_is_wired(self):
+        """On a quadratic signal at a half-sample offset the two kernels
+        must disagree (linear signals cannot distinguish them), and an
+        exactly-aligned sample point must return the source value for both
+        (the kernel is interpolating)."""
+        from types import SimpleNamespace
+
+        from geowave_spark.operators.raster import _resample_bicubic
+
+        src = (np.arange(8, dtype=np.int64)[None, :] ** 2 * 10).repeat(8, 0).astype(np.int32)
+        r = SimpleNamespace(minx=0.0, miny=0.0)
+        kw = dict(wy=np.array([3.5]), r=r, pxw=1.0, pxh=1.0, nodata=NODATA)
+        half = dict(kw, wx=np.array([4.0]))  # fx = 3.5 -> t = 0.5
+        v1 = _resample_bicubic(src, a=-0.5, **half)[0, 0]
+        v2 = _resample_bicubic(src, a=-1.0, **half)[0, 0]
+        assert v1 != v2
+        aligned = dict(kw, wx=np.array([3.5]))  # fx = 3.0 -> t = 0
+        for a in (-0.5, -1.0):
+            assert _resample_bicubic(src, a=a, **aligned)[0, 0] == src[3, 3]
+
+    def test_unknown_mode_rejected(self, spark):
+        df = spark.createDataFrame(
+            [_cov_row("c0", 6, 40, 33, 1, 1, lambda i: i % 7)], _SCHEMA
+        )
+        with pytest.raises(ValueError):
+            raster_tiles(df, interpolation="lanczos")
