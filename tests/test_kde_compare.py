@@ -149,3 +149,30 @@ class TestComparisonBands:
         )
         with pytest.raises(ValueError, match="percentile_mode"):
             kde_comparison(pts, min_level=4, max_level=4, percentile_mode="bogus")
+
+
+class TestSplatPlanShape:
+    def test_weight_arithmetic_stays_out_of_the_join_loop(self, spark):
+        """Whole-stage codegen defers non-join-condition expressions into the
+        innermost broadcast-join loop, so the seasonal-weight tree must be
+        materialized behind the repartition barrier and the boundary dates
+        must live in the broadcast year table — never inline per splat row
+        (the regression this pins cost 22x on the sf0.1 bench)."""
+        import datetime
+
+        from geowave_spark.operators.kde_compare import _splat_cells_seasonal
+
+        pts = spark.createDataFrame(
+            [(1.0, 2.0, datetime.datetime(2012, 1 + i % 12, 15)) for i in range(24)],
+            "lon double, lat double, event_ts timestamp",
+        )
+        cells = _splat_cells_seasonal(pts, 4, 6, 4, "lon", "lat", "event_ts")
+        plan = cells._jdf.queryExecution().executedPlan().toString()
+        # the barrier: a round-robin exchange between weights and the splat
+        assert "roundrobin" in plan.lower()
+        # boundary dates only in the (tiny, broadcast) year-bounds subtree:
+        # after the barrier the splat side carries plain attributes, so the
+        # pathological inline form "exp(" must not appear above the exchange
+        above_barrier = plan.lower().split("roundrobin")[0]
+        assert "make_date" not in above_barrier
+        assert "exp(" not in above_barrier
