@@ -8,11 +8,12 @@ partitioning) is real and tested end-to-end:
 - ``decode_media(..., codec="fake")`` produces a deterministic fake decode
   (seeded by the payload hash) with the same schema a real decoder would
   emit — tests and downstream feature extraction run against it;
-- ``codec="real"`` ACTUALLY decodes BMP (24-bit) and PPM (P6) payloads via
-  the dependency-free numpy codecs in
-  :mod:`geowave_spark.functions.imagecodec` (this container ships no image
-  libraries, so only these header+pixels formats are in scope; other
-  formats raise with the PIL/libav integration point documented).
+- ``codec="real"`` ACTUALLY decodes BMP (24-bit), PPM (P6), and PNG
+  (8-bit, stdlib zlib) payloads via the dependency-free codecs in
+  :mod:`geowave_spark.functions.imagecodec`, and WAV (PCM 16-bit) audio via
+  :mod:`geowave_spark.functions.audiocodec` (this container ships no media
+  libraries, so only library-free formats are in scope; JPEG/MP3/... raise
+  with the PIL/libav integration point documented).
 
 Scale shape: decode and feature extraction run in ``mapInPandas`` so one
 Arrow batch amortizes per-batch model/codec setup; media rows are
@@ -42,7 +43,14 @@ DECODED_SCHEMA = (
 
 FEATURES_SCHEMA = "media_ref string, feature array<float>, feat_norm double"
 
+AUDIO_DECODED_SCHEMA = (
+    "media_ref string, media_type string, sample_rate int, n_channels int, "
+    "n_samples int, samples array<float>"
+)
+
 FAKE_DECODE_DIM = 16  # fake decodes are FAKE_DECODE_DIM^2 "pixels"
+
+FAKE_AUDIO_SAMPLES = 256  # fake audio decodes are this many mono samples
 
 
 def _fake_pixels(content: bytes, n: int) -> np.ndarray:
@@ -56,15 +64,16 @@ def _fake_pixels(content: bytes, n: int) -> np.ndarray:
 def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Binary payload -> pixel array rows (mapInPandas, Arrow-batched).
 
-    ``codec="real"`` decodes actual image payloads — BMP (24-bit BI_RGB) and
-    PPM (P6) via the dependency-free numpy codecs in
+    ``codec="real"`` decodes actual image payloads — BMP (24-bit BI_RGB),
+    PPM (P6), and PNG (8-bit grey/RGB/RGBA, all five scanline filters) via
+    the dependency-free numpy/zlib codecs in
     :mod:`geowave_spark.functions.imagecodec`, dispatched on magic bytes.
     Pixels come out as grayscale floats in [0, 1] (RGB mean / 255) and
     width/height are taken from the image header, overriding the metadata
-    columns.  Other formats (JPEG/PNG/...) still need a library this
-    container doesn't ship; their payloads raise with the integration point
-    documented (plug PIL/libav into ``imagecodec.decode_image`` — same
-    schema, same batching).
+    columns.  JPEG/GIF/TIFF still need a library this container doesn't
+    ship; their payloads raise with the integration point documented (plug
+    PIL/libav into ``imagecodec.decode_image`` — same schema, same
+    batching).
     """
     if codec not in ("fake", "real"):
         raise ValueError(f"unknown codec {codec!r}")
@@ -182,14 +191,21 @@ def synth_media_table(spark, docs: DataFrame) -> DataFrame:
 
 
 def synth_image_media_table(spark, docs: DataFrame, fmt: str = "bmp", dim: int = 8) -> DataFrame:
-    """Media table whose payloads are REAL encoded images (BMP or PPM),
-    deterministic per media_ref — fixtures for the ``codec="real"`` path.
+    """Media table whose payloads are REAL encoded images (BMP, PPM, or
+    PNG), deterministic per media_ref — fixtures for the ``codec="real"``
+    path.  PNG payloads rotate through all five scanline filters (keyed on
+    the ref hash) so a corpus-scale decode exercises every unfilter path.
     Encoding runs Arrow-batched in mapInPandas, same as decode."""
-    from geowave_spark.functions.imagecodec import bmp_bytes, ppm_bytes
+    from geowave_spark.functions.imagecodec import bmp_bytes, png_bytes, ppm_bytes
 
-    if fmt not in ("bmp", "ppm"):
+    if fmt not in ("bmp", "ppm", "png"):
         raise ValueError(f"unknown format {fmt!r}")
-    enc = bmp_bytes if fmt == "bmp" else ppm_bytes
+    if fmt == "bmp":
+        enc = lambda rgb, seed: bmp_bytes(rgb)
+    elif fmt == "ppm":
+        enc = lambda rgb, seed: ppm_bytes(rgb)
+    else:
+        enc = lambda rgb, seed: png_bytes(rgb, filter_type=seed % 5)
 
     refs = (
         docs.select(F.explode("spans").alias("s"))
@@ -206,7 +222,7 @@ def synth_image_media_table(spark, docs: DataFrame, fmt: str = "bmp", dim: int =
                 rgb = np.random.RandomState(seed).randint(
                     0, 256, (dim, dim, 3), dtype=np.uint8
                 )
-                payloads.append(enc(rgb))
+                payloads.append(enc(rgb, seed))
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],
@@ -214,6 +230,99 @@ def synth_image_media_table(spark, docs: DataFrame, fmt: str = "bmp", dim: int =
                     "content": payloads,
                     "width": np.int32(dim),
                     "height": np.int32(dim),
+                    "n_frames": np.int32(1),
+                }
+            )
+
+    return refs.mapInPandas(_encode, MEDIA_SCHEMA)
+
+
+def decode_audio(media: DataFrame, codec: str = "fake") -> DataFrame:
+    """Binary audio payload -> waveform rows (mapInPandas, Arrow-batched).
+
+    ``codec="real"`` decodes actual WAV (RIFF PCM 16-bit) payloads via the
+    dependency-free codec in :mod:`geowave_spark.functions.audiocodec`;
+    multi-channel input is mixed down to mono (mean across channels) and
+    samples come out as float32 in [-1, 1] (int16 / 32768).  Sample rate and
+    counts are taken from the payload header, overriding metadata columns.
+    Compressed audio (MP3/AAC/FLAC) raises with the libav/soundfile
+    integration point documented in ``audiocodec.decode_audio_payload``.
+
+    ``codec="fake"`` emits a deterministic payload-hash-seeded waveform with
+    the identical schema, for pipelines tested without real fixtures.
+    """
+    if codec not in ("fake", "real"):
+        raise ValueError(f"unknown codec {codec!r}")
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from geowave_spark.functions.audiocodec import decode_audio_payload
+
+        for pdf in batches:
+            out = pdf[["media_ref", "media_type"]].copy()
+            if codec == "fake":
+                waves = [
+                    _fake_pixels(c, FAKE_AUDIO_SAMPLES) * 2.0 - 1.0
+                    for c in pdf["content"]
+                ]
+                out["sample_rate"] = np.int32(16000)
+                out["n_channels"] = np.int32(1)
+                out["n_samples"] = np.int32(FAKE_AUDIO_SAMPLES)
+                out["samples"] = [w.astype(np.float32) for w in waves]
+            else:
+                waves, rates, chans, counts = [], [], [], []
+                for ref, c in zip(pdf["media_ref"], pdf["content"]):
+                    if c is None:
+                        raise ValueError(f"null media content for media_ref={ref!r}")
+                    samples, rate = decode_audio_payload(bytes(c))
+                    waves.append(
+                        (samples.mean(axis=1, dtype=np.float64) / 32768.0)
+                        .astype(np.float32)
+                    )
+                    rates.append(rate)
+                    chans.append(samples.shape[1])
+                    counts.append(samples.shape[0])
+                out["sample_rate"] = np.asarray(rates, dtype=np.int32)
+                out["n_channels"] = np.asarray(chans, dtype=np.int32)
+                out["n_samples"] = np.asarray(counts, dtype=np.int32)
+                out["samples"] = waves
+            yield out
+
+    return media.repartition(F.col("media_ref")).mapInPandas(
+        _decode_batch, AUDIO_DECODED_SCHEMA
+    )
+
+
+def synth_audio_media_table(spark, docs: DataFrame, n_samples: int = 512) -> DataFrame:
+    """Media table whose payloads are REAL encoded WAVs (PCM 16-bit),
+    deterministic per media_ref — fixtures for ``decode_audio(codec="real")``.
+    Channel count (1 or 2) and sample rate rotate on the ref hash so stereo
+    mixdown and header-rate propagation are exercised corpus-wide."""
+    from geowave_spark.functions.audiocodec import wav_bytes
+
+    refs = (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for ref in pdf["media_ref"]:
+                seed = int.from_bytes(hashlib.md5(ref.encode()).digest()[:4], "big")
+                rng = np.random.RandomState(seed)
+                ch = 1 + seed % 2
+                rate = (8000, 16000, 44100)[seed % 3]
+                pcm = rng.randint(-32768, 32768, (n_samples, ch)).astype(np.int16)
+                payloads.append(wav_bytes(pcm, sample_rate=rate))
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": "audio/wav",
+                    "content": payloads,
+                    "width": np.int32(0),
+                    "height": np.int32(0),
                     "n_frames": np.int32(1),
                 }
             )

@@ -113,7 +113,73 @@ class TestImageCodec:
         with pytest.raises(ValueError):
             ppm_decode(b"P5\n1 1\n255\n\x00")
 
-    @pytest.mark.parametrize("fmt", ["bmp", "ppm"])
+    def test_png_roundtrip_every_filter(self):
+        import numpy as np
+
+        from geowave_spark.functions.imagecodec import png_bytes, png_decode
+
+        rgb = np.random.RandomState(2).randint(0, 256, (13, 9, 3), dtype=np.uint8)
+        for ft in range(5):
+            buf = png_bytes(rgb, filter_type=ft)
+            assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+            assert (png_decode(buf) == rgb).all(), f"filter {ft}"
+
+    def test_png_grey_and_rgba_color_types(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from geowave_spark.functions.imagecodec import (
+            _PNG_SIG,
+            _png_chunk,
+            png_decode,
+        )
+
+        def build(w, h, ctype, body_rows):
+            lines = b"".join(b"\x00" + r for r in body_rows)
+            return (
+                _PNG_SIG
+                + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+                + _png_chunk(b"IDAT", zlib.compress(lines))
+                + _png_chunk(b"IEND", b"")
+            )
+
+        grey = np.random.RandomState(3).randint(0, 256, (5, 7), dtype=np.uint8)
+        out = png_decode(build(7, 5, 0, [grey[y].tobytes() for y in range(5)]))
+        assert out.shape == (5, 7, 3)
+        assert (out == grey[:, :, None]).all()
+
+        rgba = np.random.RandomState(4).randint(0, 256, (4, 6, 4), dtype=np.uint8)
+        out = png_decode(build(6, 4, 6, [rgba[y].tobytes() for y in range(4)]))
+        assert (out == rgba[:, :, :3]).all()  # alpha dropped
+
+    def test_png_rejects_corruption_and_unsupported(self):
+        import numpy as np
+
+        from geowave_spark.functions.imagecodec import png_bytes, png_decode
+
+        rgb = np.random.RandomState(5).randint(0, 256, (4, 4, 3), dtype=np.uint8)
+        good = png_bytes(rgb)
+        bad = bytearray(good)
+        bad[-5] ^= 0xFF  # IEND CRC
+        with pytest.raises(ValueError, match="CRC"):
+            png_decode(bytes(bad))
+        with pytest.raises(ValueError, match="not a PNG"):
+            png_decode(b"\x89PNX" + good[4:])
+        # 16-bit / paletted / interlaced all go through the same guard
+        depth16 = bytearray(good)
+        depth16[24] = 16  # IHDR bit-depth byte
+        import struct as _s
+        import zlib as _z
+
+        _s.pack_into(
+            ">I", depth16, 29, _z.crc32(bytes(depth16[12:29])) & 0xFFFFFFFF
+        )
+        with pytest.raises(ValueError, match="unsupported PNG"):
+            png_decode(bytes(depth16))
+
+    @pytest.mark.parametrize("fmt", ["bmp", "ppm", "png"])
     def test_real_decode_end_to_end(self, spark, geo001, fmt):
         """codec='real' over genuinely-encoded payloads: header dims win,
         pixels equal the known grayscale of the synthesized image."""
@@ -177,3 +243,94 @@ class TestResize:
         for r in up:
             assert r.width == FAKE_DECODE_DIM * 2
             assert len(r.pixels) == (FAKE_DECODE_DIM * 2) ** 2
+
+
+class TestAudioCodec:
+    """Dependency-free WAV codec + the audio decode path end-to-end."""
+
+    def test_wav_roundtrip_mono_and_stereo(self):
+        import numpy as np
+
+        from geowave_spark.functions.audiocodec import wav_bytes, wav_decode
+
+        rng = np.random.RandomState(11)
+        for ch in (1, 2):
+            pcm = rng.randint(-32768, 32768, (200, ch)).astype(np.int16)
+            samples, rate = wav_decode(wav_bytes(pcm, 22050))
+            assert rate == 22050
+            assert (samples == pcm).all()
+        # 1-D input becomes (n, 1)
+        mono = rng.randint(-32768, 32768, 50).astype(np.int16)
+        samples, _ = wav_decode(wav_bytes(mono, 8000))
+        assert samples.shape == (50, 1)
+        assert (samples[:, 0] == mono).all()
+
+    def test_wav_tolerates_extra_chunks_and_rejects_non_pcm(self):
+        import struct
+
+        import numpy as np
+
+        from geowave_spark.functions.audiocodec import (
+            decode_audio_payload,
+            wav_bytes,
+            wav_decode,
+        )
+
+        pcm = np.random.RandomState(12).randint(-32768, 32768, 64).astype(np.int16)
+        buf = wav_bytes(pcm, 16000)
+        # odd-sized LIST chunk (word-aligned) before fmt must be skipped
+        extra = b"LIST" + struct.pack("<I", 5) + b"hello" + b"\x00"
+        spliced = buf[:12] + extra + buf[12:]
+        spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+        samples, rate = wav_decode(spliced)
+        assert rate == 16000 and (samples[:, 0] == pcm).all()
+        # IEEE-float format tag rejected with the codec-library pointer
+        nonpcm = bytearray(buf)
+        struct.pack_into("<H", nonpcm, 20, 3)
+        with pytest.raises(ValueError, match="PCM 16-bit only"):
+            wav_decode(bytes(nonpcm))
+        with pytest.raises(ValueError, match="unrecognized audio"):
+            decode_audio_payload(b"\xff\xfb mp3 frame")
+
+    def test_real_audio_decode_end_to_end(self, spark, geo001):
+        """codec='real' over genuinely-encoded WAVs: header rate wins,
+        stereo mixes down to mono, samples match the known PCM / 32768."""
+        import hashlib
+
+        import numpy as np
+
+        from geowave_spark.functions.multimodal import (
+            decode_audio,
+            synth_audio_media_table,
+        )
+
+        docs = spark.read.parquet(str(geo001 / "docs.parquet"))
+        table = synth_audio_media_table(spark, docs, n_samples=64)
+        rows = decode_audio(table, codec="real").collect()
+        assert rows
+        saw_stereo = False
+        for r in rows[:20]:
+            seed = int.from_bytes(hashlib.md5(r.media_ref.encode()).digest()[:4], "big")
+            rng = np.random.RandomState(seed)
+            ch = 1 + seed % 2
+            rate = (8000, 16000, 44100)[seed % 3]
+            pcm = rng.randint(-32768, 32768, (64, ch)).astype(np.int16)
+            assert (r.sample_rate, r.n_channels, r.n_samples) == (rate, ch, 64)
+            want = (pcm.mean(axis=1, dtype=np.float64) / 32768.0).astype(np.float32)
+            assert np.allclose(np.asarray(r.samples, dtype=np.float32), want)
+            saw_stereo |= ch == 2
+        assert saw_stereo  # the fixture must exercise the mixdown path
+
+    def test_fake_audio_decode_is_deterministic(self, spark, geo001):
+        from geowave_spark.functions.multimodal import (
+            decode_audio,
+            synth_media_table,
+        )
+
+        docs = spark.read.parquet(str(geo001 / "docs.parquet"))
+        media = synth_media_table(spark, docs)
+        a = {r.media_ref: tuple(r.samples) for r in decode_audio(media).collect()}
+        b = {r.media_ref: tuple(r.samples) for r in decode_audio(media).collect()}
+        assert a == b and a
+        with pytest.raises(ValueError, match="unknown codec"):
+            decode_audio(media, codec="flac")
