@@ -161,14 +161,19 @@ def resize_pixels(decoded: DataFrame, out_dim: int) -> DataFrame:
 
 
 def frame_sample(decoded: DataFrame, every_nth: int = 2) -> DataFrame:
-    """Video-style frame sampling: keep every n-th frame index row.  For the
-    single-frame fake decode this is a pass-through filter on n_frames — the
-    plumbing (explode frames -> filter -> regroup) is what a real video
-    pipeline reuses."""
-    frames = decoded.withColumn(
-        "frame_idx", F.explode(F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0))))
-    )
-    return frames.filter(F.col("frame_idx") % every_nth == 0)
+    """Video-style frame sampling: keep every n-th frame index row.
+
+    Over :func:`decode_video` output (one row per genuinely-decoded frame,
+    ``frame_idx`` present) this is a pure Catalyst filter.  Over
+    :func:`decode_media` output (single-frame images) the frame index is
+    synthesized from ``n_frames`` first — the explode -> filter plumbing a
+    frames-array layout would need."""
+    if "frame_idx" not in decoded.columns:
+        decoded = decoded.withColumn(
+            "frame_idx",
+            F.explode(F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)))),
+        )
+    return decoded.filter(F.col("frame_idx") % every_nth == 0)
 
 
 def synth_media_table(spark, docs: DataFrame) -> DataFrame:
@@ -324,6 +329,136 @@ def synth_audio_media_table(spark, docs: DataFrame, n_samples: int = 512) -> Dat
                     "width": np.int32(0),
                     "height": np.int32(0),
                     "n_frames": np.int32(1),
+                }
+            )
+
+    return refs.mapInPandas(_encode, MEDIA_SCHEMA)
+
+
+VIDEO_DECODED_SCHEMA = (
+    "media_ref string, media_type string, width int, height int, "
+    "n_frames int, frame_idx int, fps int, pixels array<float>"
+)
+
+
+def decode_video(media: DataFrame, codec: str = "fake") -> DataFrame:
+    """Binary video payload -> one row PER FRAME (mapInPandas, Arrow-batched).
+
+    ``codec="real"`` decodes actual Y4M (YUV4MPEG2 mono/444) payloads via
+    the dependency-free codec in :mod:`geowave_spark.functions.videocodec`;
+    frames come out as grayscale floats in [0, 1] (RGB mean / 255) with real
+    ``frame_idx``/``n_frames``/``fps`` from the stream, overriding metadata
+    columns.  Compressed video (H.264/VP9) raises with the libav/PyAV
+    integration point documented in ``videocodec.decode_video_payload``.
+
+    ``codec="fake"`` synthesizes ``n_frames`` deterministic hash-seeded
+    frames per payload with the identical schema.
+
+    Exploding to frame rows at decode time (instead of carrying a frames
+    array) keeps each output row bounded — a row is one frame, so Arrow
+    batch memory scales with frames-per-batch, not frames-per-video, and
+    downstream sampling/feature stages parallelize across frames.
+    """
+    if codec not in ("fake", "real"):
+        raise ValueError(f"unknown codec {codec!r}")
+
+    n_px = FAKE_DECODE_DIM * FAKE_DECODE_DIM
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from geowave_spark.functions.videocodec import decode_video_payload
+
+        for pdf in batches:
+            refs, types, ws, hs, nfs, idxs, fpss, px = [], [], [], [], [], [], [], []
+            for ref, mt, c, w, h, nf in zip(
+                pdf["media_ref"],
+                pdf["media_type"],
+                pdf["content"],
+                pdf["width"],
+                pdf["height"],
+                pdf["n_frames"],
+            ):
+                if codec == "fake":
+                    nf = max(int(nf), 1)
+                    for i in range(nf):
+                        refs.append(ref)
+                        types.append(mt)
+                        ws.append(FAKE_DECODE_DIM)
+                        hs.append(FAKE_DECODE_DIM)
+                        nfs.append(nf)
+                        idxs.append(i)
+                        fpss.append(25)
+                        px.append(_fake_pixels((c or b"") + bytes([i]), n_px))
+                else:
+                    if c is None:
+                        raise ValueError(f"null media content for media_ref={ref!r}")
+                    frames, fps = decode_video_payload(bytes(c))
+                    n, fh, fw = frames.shape[:3]
+                    grey = (frames.mean(axis=3, dtype=np.float64) / 255.0).astype(
+                        np.float32
+                    )
+                    for i in range(n):
+                        refs.append(ref)
+                        types.append(mt)
+                        ws.append(fw)
+                        hs.append(fh)
+                        nfs.append(n)
+                        idxs.append(i)
+                        fpss.append(fps)
+                        px.append(grey[i].ravel())
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "media_type": types,
+                    "width": np.asarray(ws, dtype=np.int32),
+                    "height": np.asarray(hs, dtype=np.int32),
+                    "n_frames": np.asarray(nfs, dtype=np.int32),
+                    "frame_idx": np.asarray(idxs, dtype=np.int32),
+                    "fps": np.asarray(fpss, dtype=np.int32),
+                    "pixels": px,
+                }
+            )
+
+    return media.repartition(F.col("media_ref")).mapInPandas(
+        _decode_batch, VIDEO_DECODED_SCHEMA
+    )
+
+
+def synth_video_media_table(spark, docs: DataFrame, dim: int = 8) -> DataFrame:
+    """Media table whose payloads are REAL encoded Y4M streams, deterministic
+    per media_ref — fixtures for ``decode_video(codec="real")``.  Frame count
+    (2-4) and colorspace (mono/444) rotate on the ref hash so multi-frame
+    explode and both plane layouts are exercised corpus-wide."""
+    from geowave_spark.functions.videocodec import y4m_bytes
+
+    refs = (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, nframes = [], []
+            for ref in pdf["media_ref"]:
+                seed = int.from_bytes(hashlib.md5(ref.encode()).digest()[:4], "big")
+                rng = np.random.RandomState(seed)
+                nf = 2 + seed % 3
+                if seed % 2:
+                    frames = rng.randint(0, 256, (nf, dim, dim), dtype=np.uint8)
+                    payloads.append(y4m_bytes(frames, fps=25, colorspace="mono"))
+                else:
+                    frames = rng.randint(0, 256, (nf, dim, dim, 3), dtype=np.uint8)
+                    payloads.append(y4m_bytes(frames, fps=30, colorspace="444"))
+                nframes.append(nf)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": "video/x-yuv4mpeg",
+                    "content": payloads,
+                    "width": np.int32(dim),
+                    "height": np.int32(dim),
+                    "n_frames": np.asarray(nframes, dtype=np.int32),
                 }
             )
 

@@ -334,3 +334,100 @@ class TestAudioCodec:
         assert a == b and a
         with pytest.raises(ValueError, match="unknown codec"):
             decode_audio(media, codec="flac")
+
+
+class TestVideoCodec:
+    """Dependency-free Y4M codec + the per-frame video decode path."""
+
+    def test_y4m_mono_roundtrip_bit_exact(self):
+        import numpy as np
+
+        from geowave_spark.functions.videocodec import y4m_bytes, y4m_decode
+
+        luma = np.random.RandomState(21).randint(0, 256, (3, 6, 8), dtype=np.uint8)
+        frames, fps = y4m_decode(y4m_bytes(luma, fps=30, colorspace="mono"))
+        assert fps == 30 and frames.shape == (3, 6, 8, 3)
+        for c in range(3):
+            assert (frames[:, :, :, c] == luma).all()
+
+    def test_y4m_444_bt601_within_rounding(self):
+        import numpy as np
+
+        from geowave_spark.functions.videocodec import y4m_bytes, y4m_decode
+
+        rgb = np.random.RandomState(22).randint(0, 256, (2, 4, 5, 3), dtype=np.uint8)
+        frames, fps = y4m_decode(y4m_bytes(rgb, colorspace="444"))
+        assert fps == 25
+        # YCbCr integer rounding: near-exact, never exact (inherent, documented)
+        assert np.abs(frames.astype(int) - rgb.astype(int)).max() <= 2
+
+    def test_y4m_rejects_bad_streams(self):
+        import numpy as np
+
+        from geowave_spark.functions.videocodec import (
+            decode_video_payload,
+            y4m_bytes,
+            y4m_decode,
+        )
+
+        luma = np.random.RandomState(23).randint(0, 256, (2, 4, 4), dtype=np.uint8)
+        good = y4m_bytes(luma, colorspace="mono")
+        with pytest.raises(ValueError, match="truncated"):
+            y4m_decode(good[:-3])
+        with pytest.raises(ValueError, match="unsupported Y4M colorspace"):
+            y4m_decode(b"YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n" + bytes(6))
+        with pytest.raises(ValueError, match="unrecognized video"):
+            decode_video_payload(b"\x00\x00\x00\x18ftypmp42")
+
+    def test_real_video_decode_and_frame_sample(self, spark, geo001):
+        """codec='real' over genuine Y4M payloads: one row per decoded frame
+        with stream-true counts, and frame_sample filters those real rows."""
+        import hashlib
+
+        from geowave_spark.functions.multimodal import (
+            decode_video,
+            frame_sample,
+            synth_video_media_table,
+        )
+
+        docs = spark.read.parquet(str(geo001 / "docs.parquet"))
+        table = synth_video_media_table(spark, docs, dim=8)
+        decoded = decode_video(table, codec="real").cache()
+        per_ref = {
+            r.media_ref: r
+            for r in decoded.groupBy("media_ref")
+            .agg(
+                F.count("*").alias("rows"),
+                F.first("n_frames").alias("nf"),
+                F.first("fps").alias("fps"),
+            )
+            .collect()
+        }
+        assert per_ref
+        for ref, r in list(per_ref.items())[:20]:
+            seed = int.from_bytes(hashlib.md5(ref.encode()).digest()[:4], "big")
+            nf = 2 + seed % 3
+            assert (r.rows, r.nf) == (nf, nf)
+            assert r.fps == (25 if seed % 2 else 30)
+        sampled = frame_sample(decoded, every_nth=2)
+        assert sampled.filter(F.col("frame_idx") % 2 != 0).count() == 0
+        # every video keeps frame 0, so no ref disappears
+        assert sampled.select("media_ref").distinct().count() == len(per_ref)
+        decoded.unpersist()
+
+    def test_fake_video_decode_explodes_n_frames(self, spark, geo001):
+        from geowave_spark.functions.multimodal import (
+            decode_video,
+            synth_video_media_table,
+        )
+
+        docs = spark.read.parquet(str(geo001 / "docs.parquet"))
+        table = synth_video_media_table(spark, docs, dim=8)
+        decoded = decode_video(table, codec="fake")
+        bad = decoded.filter(
+            (F.col("frame_idx") < 0) | (F.col("frame_idx") >= F.col("n_frames"))
+        )
+        assert bad.count() == 0
+        # fake frames differ across frame_idx (payload+idx seeded)
+        one = decoded.filter(F.col("n_frames") >= 2).limit(2).collect()
+        assert len(one) == 2
