@@ -338,3 +338,68 @@ class TestVisibilityGrammar:
             l for i, l in enumerate(self.LABELS) if auth_mask & (1 << i)
         )
         assert evaluate_visibility(text, auths) == self._eval_ast(ast, auths)
+
+
+class TestMediaCodecs:
+    """Round-trip laws for the dependency-free media codecs: any image
+    survives BMP/PPM/PNG (every scanline filter) bit-exact, any PCM clip
+    survives WAV bit-exact, any mono clip survives Y4M bit-exact, and C444
+    video is within YCbCr integer rounding."""
+
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+        filter_type=st.integers(0, 4),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_image_roundtrips(self, h, w, seed, filter_type):
+        from geowave_spark.functions.imagecodec import (
+            bmp_bytes,
+            bmp_decode,
+            png_bytes,
+            png_decode,
+            ppm_bytes,
+            ppm_decode,
+        )
+
+        rgb = np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (bmp_decode(bmp_bytes(rgb)) == rgb).all()
+        assert (ppm_decode(ppm_bytes(rgb)) == rgb).all()
+        assert (png_decode(png_bytes(rgb, filter_type=filter_type)) == rgb).all()
+
+    @given(
+        n=st.integers(1, 200),
+        ch=st.integers(1, 4),
+        rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_wav_roundtrip(self, n, ch, rate, seed):
+        from geowave_spark.functions.audiocodec import wav_bytes, wav_decode
+
+        pcm = (
+            np.random.RandomState(seed)
+            .randint(-32768, 32768, (n, ch))
+            .astype(np.int16)
+        )
+        samples, r = wav_decode(wav_bytes(pcm, rate))
+        assert r == rate and samples.shape == (n, ch) and (samples == pcm).all()
+
+    @given(
+        n=st.integers(1, 5),
+        h=st.integers(1, 10),
+        w=st.integers(1, 10),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_y4m_mono_exact_and_444_within_rounding(self, n, h, w, seed):
+        from geowave_spark.functions.videocodec import y4m_bytes, y4m_decode
+
+        rnd = np.random.RandomState(seed)
+        luma = rnd.randint(0, 256, (n, h, w), dtype=np.uint8)
+        frames, _ = y4m_decode(y4m_bytes(luma, colorspace="mono"))
+        assert (frames == luma[:, :, :, None]).all()
+        rgb = rnd.randint(0, 256, (n, h, w, 3), dtype=np.uint8)
+        frames, _ = y4m_decode(y4m_bytes(rgb, colorspace="444"))
+        assert np.abs(frames.astype(int) - rgb.astype(int)).max() <= 2
