@@ -1,0 +1,259 @@
+"""File-format ingest readers mirroring the reference's format plugins.
+
+The reference ships per-format ingest plugins that parse files row-by-row on
+a single JVM (``extensions/formats/{gdelt,tdrive,geolife,gpx}``).  Here each
+format is a *declarative* Spark reader: the text/CSV scan, field casts, and
+malformed-row policy all run in Catalyst (predicate pushdown, parallel file
+splits, whole-stage codegen), and only GPX — an XML format — drops to an
+Arrow-batched ``mapInPandas`` with stdlib ``xml.etree`` (no per-row Python
+for the CSV family).  At 100 TB the scan parallelizes per file split;
+nothing funnels through the driver.
+
+Every reader emits the same normalized point contract::
+
+    (source string, track_id string, point_idx long, ts timestamp,
+     lon double, lat double, elevation double)
+
+plus format-specific extras, so any of them feeds
+:func:`geowave_spark.operators.indexing.with_point_cells` (and the rest of
+the engine) unchanged.
+
+Reference parity notes (semantics, not code):
+- GDELT: tab-separated, >=57 columns; event id col 0, date col 1
+  (``yyyyMMdd``), actors cols 6/16, action-geo type/lat/lon cols 49/53/54,
+  counts cols 31-33, tone col 34 (``GDELTUtils.java:39-88,165-174``).
+  Rows without a parseable lat/lon are dropped, as the reference does.
+- T-Drive: ``taxi_id,yyyy-MM-dd HH:mm:ss,lon,lat``; lines that don't split
+  into 4 fields are invalid (``TdriveUtils.java:88``, ``TdriveIngestPlugin
+  .java:114-128``).
+- GeoLife ``.plt``: ``lat,lon,_,alt_feet,_,date,time`` — exactly-7-field
+  lines are points (the 6-line file header never has 7 fields, which is
+  precisely how the reference skips it); elevation ``-777`` means null;
+  timestamp is ``vals[5] + " " + vals[6]`` (``GeoLifeIngestPlugin.java:
+  186-236``); the track id is the source file.
+- GPX: ``trkpt``/``rtept``/``wpt`` elements carry lat/lon attributes with
+  optional ``ele``/``time`` children (``GPXConsumer.java:269-300``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+POINT_COLS = ["source", "track_id", "point_idx", "ts", "lon", "lat", "elevation"]
+
+
+def read_gdelt(spark: SparkSession, path: str) -> DataFrame:
+    """GDELT event export (tab-separated) -> normalized points + event attrs.
+
+    Pure-Catalyst: one CSV scan, casts, and null filters; rows whose action
+    lat/lon don't parse are dropped exactly like the reference's
+    ``parseLatLon`` failure path.
+    """
+    raw = spark.read.csv(path, sep="\t", header=False, inferSchema=False)
+    if len(raw.columns) < 57:
+        raise ValueError(
+            f"GDELT rows need >=57 tab-separated columns, scan found "
+            f"{len(raw.columns)} (GDELT_MIN_COLUMNS)"
+        )
+    c = lambda i: F.col(f"_c{i}")
+    has_url = len(raw.columns) >= 58
+    return (
+        raw.select(
+            c(0).cast("long").alias("event_id"),
+            F.to_date(c(1), "yyyyMMdd").alias("event_date"),
+            c(6).alias("actor1"),
+            c(16).alias("actor2"),
+            c(49).cast("int").alias("action_geo_type"),
+            c(51).alias("action_country"),
+            c(31).cast("int").alias("num_mentions"),
+            c(32).cast("int").alias("num_sources"),
+            c(33).cast("int").alias("num_articles"),
+            c(34).cast("double").alias("avg_tone"),
+            c(53).cast("double").alias("lat"),
+            c(54).cast("double").alias("lon"),
+            (c(57) if has_url else F.lit(None).cast("string")).alias("source_url"),
+        )
+        .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+        .withColumn("source", F.lit("gdelt"))
+        .withColumn("track_id", F.col("event_id").cast("string"))
+        .withColumn("point_idx", F.lit(0).cast("long"))
+        .withColumn("ts", F.col("event_date").cast("timestamp"))
+        .withColumn("elevation", F.lit(None).cast("double"))
+    )
+
+
+def read_tdrive(spark: SparkSession, path: str) -> DataFrame:
+    """T-Drive taxi traces (``taxi_id,ts,lon,lat``) -> normalized points.
+
+    DROPMALFORMED under an exact 4-column schema reproduces the reference's
+    ``validate: line.split(",").length == 4`` policy in the scan itself.
+    """
+    from pyspark.sql.window import Window
+
+    pts = spark.read.csv(
+        path,
+        schema="taxi_id INT, ts TIMESTAMP, lon DOUBLE, lat DOUBLE",
+        timestampFormat="yyyy-MM-dd HH:mm:ss",
+        mode="DROPMALFORMED",
+    ).filter(
+        F.col("taxi_id").isNotNull()
+        & F.col("lon").isNotNull()
+        & F.col("lat").isNotNull()
+    )
+    w_idx = F.row_number().over(Window.partitionBy("taxi_id").orderBy("ts")) - 1
+    return pts.select(
+        F.lit("tdrive").alias("source"),
+        F.col("taxi_id").cast("string").alias("track_id"),
+        w_idx.cast("long").alias("point_idx"),
+        "ts",
+        "lon",
+        "lat",
+        F.lit(None).cast("double").alias("elevation"),
+        "taxi_id",
+    )
+
+
+def read_geolife(spark: SparkSession, path: str) -> DataFrame:
+    """GeoLife ``.plt`` trajectory files -> normalized points.
+
+    Text scan + split: exactly-7-field lines are points (the file header
+    never has 7 fields — the same implicit skip the reference relies on);
+    elevation ``-777`` becomes null; the track id is the source file name.
+    """
+    lines = spark.read.text(path).select(
+        F.input_file_name().alias("file"), F.split("value", ",").alias("v")
+    )
+    pts = lines.filter(F.size("v") == 7).select(
+        "file",
+        F.col("v")[0].cast("double").alias("lat"),
+        F.col("v")[1].cast("double").alias("lon"),
+        F.col("v")[3].cast("double").alias("alt_feet"),
+        F.to_timestamp(
+            F.concat(F.col("v")[5], F.lit(" "), F.col("v")[6]),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("ts"),
+    )
+    from pyspark.sql.window import Window
+
+    track = F.regexp_extract(F.col("file"), r"([^/]+)\.plt$", 1)
+    return (
+        pts.filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+        .withColumn("track_id", track)
+        .select(
+            F.lit("geolife").alias("source"),
+            "track_id",
+            (
+                F.row_number().over(Window.partitionBy("track_id").orderBy("ts")) - 1
+            ).cast("long").alias("point_idx"),
+            "ts",
+            "lon",
+            "lat",
+            F.when(F.col("alt_feet") == -777, None)
+            .otherwise(F.col("alt_feet"))
+            .alias("elevation"),
+        )
+    )
+
+
+GPX_SCHEMA = (
+    "source string, track_id string, point_idx long, ts timestamp, "
+    "lon double, lat double, elevation double, point_type string, "
+    "track_name string"
+)
+
+
+def read_gpx(spark: SparkSession, path: str) -> DataFrame:
+    """GPX (XML) files -> normalized points via stdlib ``xml.etree``.
+
+    One whole file per row (``wholetext``) — GPX files are per-device
+    uploads, small enough that a file is the natural Arrow-batch unit, and
+    parsing runs executor-side in mapInPandas so a million files fan out
+    across the cluster.  Emits ``trkpt`` (per track segment, in order),
+    ``rtept``, and ``wpt`` elements with ``ele``/``time`` children when
+    present, namespace-agnostic.
+    """
+    import pandas as pd
+
+    files = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), F.col("value").alias("xml")
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import xml.etree.ElementTree as ET
+
+        def localname(tag: str) -> str:
+            return tag.rsplit("}", 1)[-1]
+
+        for pdf in batches:
+            rows = []
+            for fname, xml in zip(pdf["file"], pdf["xml"]):
+                root = ET.fromstring(xml)
+                base = fname.rsplit("/", 1)[-1]
+                trk_i = 0
+                for el in root.iter():
+                    kind = localname(el.tag)
+                    if kind not in ("trk", "rte"):
+                        continue
+                    name_el = next(
+                        (ch for ch in el if localname(ch.tag) == "name"), None
+                    )
+                    tname = name_el.text if name_el is not None else None
+                    ptag = "trkpt" if kind == "trk" else "rtept"
+                    idx = 0
+                    for pt in el.iter():
+                        if localname(pt.tag) != ptag:
+                            continue
+                        rows.append(
+                            _gpx_point(base, f"{base}#{kind}{trk_i}", idx, pt, ptag, tname)
+                        )
+                        idx += 1
+                    trk_i += 1
+                for wi, pt in enumerate(
+                    p for p in root.iter() if localname(p.tag) == "wpt"
+                ):
+                    rows.append(_gpx_point(base, f"{base}#wpt", wi, pt, "wpt", None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "source",
+                    "track_id",
+                    "point_idx",
+                    "ts",
+                    "lon",
+                    "lat",
+                    "elevation",
+                    "point_type",
+                    "track_name",
+                ],
+            )
+
+    return files.repartition(F.col("file")).mapInPandas(_parse, GPX_SCHEMA)
+
+
+def _gpx_point(source, track_id, idx, el, ptype, tname):
+    import pandas as pd
+
+    def localname(tag):
+        return tag.rsplit("}", 1)[-1]
+
+    ele = ts = None
+    for ch in el:
+        ln = localname(ch.tag)
+        if ln == "ele" and ch.text:
+            ele = float(ch.text)
+        elif ln == "time" and ch.text:
+            ts = pd.Timestamp(ch.text).tz_localize(None)
+    return (
+        source,
+        track_id,
+        idx,
+        ts,
+        float(el.get("lon")),
+        float(el.get("lat")),
+        ele,
+        ptype,
+        tname,
+    )

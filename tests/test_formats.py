@@ -1,0 +1,167 @@
+"""Format ingest readers vs the reference plugins' parse semantics
+(extensions/formats/{gdelt,tdrive,geolife,gpx}) — synthesized fixture files,
+exact row expectations, and the normalized contract feeding the indexer."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from geowave_spark.sources.formats import (
+    POINT_COLS,
+    read_gdelt,
+    read_geolife,
+    read_gpx,
+    read_tdrive,
+)
+
+
+def _gdelt_line(event_id, date, lat, lon, ncols=58, **kw):
+    vals = [""] * ncols
+    vals[0] = str(event_id)
+    vals[1] = date
+    vals[6] = kw.get("actor1", "ACTOR1")
+    vals[16] = kw.get("actor2", "ACTOR2")
+    vals[49] = "3"
+    vals[51] = kw.get("country", "US")
+    vals[31], vals[32], vals[33] = "4", "2", "7"
+    vals[34] = "1.25"
+    vals[53] = lat
+    vals[54] = lon
+    if ncols >= 58:
+        vals[57] = kw.get("url", "http://example.com/a")
+    return "\t".join(vals)
+
+
+class TestGdelt:
+    def test_parse_and_latlon_drop(self, spark, tmp_path):
+        p = tmp_path / "events.tsv"
+        p.write_text(
+            "\n".join(
+                [
+                    _gdelt_line(1, "20210304", "39.9", "116.4"),
+                    _gdelt_line(2, "20210305", "", ""),  # no geo -> dropped
+                    _gdelt_line(3, "20210306", "-33.87", "151.21"),
+                ]
+            )
+        )
+        rows = {r.event_id: r for r in read_gdelt(spark, str(p)).collect()}
+        assert set(rows) == {1, 3}
+        r = rows[1]
+        assert r.event_date == datetime.date(2021, 3, 4)
+        assert (r.lat, r.lon) == (39.9, 116.4)
+        assert (r.num_mentions, r.num_sources, r.num_articles) == (4, 2, 7)
+        assert r.avg_tone == 1.25 and r.actor1 == "ACTOR1"
+        assert r.source_url == "http://example.com/a"
+        # normalized contract present
+        for c in POINT_COLS:
+            assert c in rows[1].asDict()
+
+    def test_too_few_columns_raises(self, spark, tmp_path):
+        p = tmp_path / "short.tsv"
+        p.write_text("1\t20210304\tonly-three")
+        with pytest.raises(ValueError, match="57"):
+            read_gdelt(spark, str(p))
+
+
+class TestTdrive:
+    def test_parse_and_malformed_drop(self, spark, tmp_path):
+        p = tmp_path / "taxi.txt"
+        p.write_text(
+            "\n".join(
+                [
+                    "368,2008-02-02 15:36:08,116.51172,39.92123",
+                    "368,2008-02-02 15:46:08,116.51135,39.93883",
+                    "garbage line without commas",
+                    "42,2008-02-02 13:30:45,116.36422,39.88781",
+                ]
+            )
+        )
+        df = read_tdrive(spark, str(p))
+        rows = df.orderBy("track_id", "point_idx").collect()
+        assert [(r.track_id, r.point_idx) for r in rows] == [
+            ("368", 0),
+            ("368", 1),
+            ("42", 0),
+        ]
+        assert rows[0].ts == datetime.datetime(2008, 2, 2, 15, 36, 8)
+        assert rows[0].lon == 116.51172 and rows[0].lat == 39.92123
+        assert df.columns[:7] == POINT_COLS
+
+
+class TestGeolife:
+    HEADER = (
+        "Geolife trajectory\nWGS 84\nAltitude is in Feet\nReserved 3\n"
+        "0,2,255,My Track,0,0,2,8421376\n0\n"
+    )
+
+    def test_header_skip_elevation_null_and_order(self, spark, tmp_path):
+        p = tmp_path / "20081023025304.plt"
+        p.write_text(
+            self.HEADER
+            + "39.984702,116.318417,0,492,39744.12,2008-10-23,02:53:04\n"
+            + "39.984683,116.31845,0,-777,39744.12,2008-10-23,02:53:10\n"
+        )
+        rows = read_geolife(spark, str(p)).orderBy("point_idx").collect()
+        assert len(rows) == 2  # 6 header lines skipped by the 7-field rule
+        assert rows[0].track_id == "20081023025304"
+        assert rows[0].lat == 39.984702 and rows[0].lon == 116.318417
+        assert rows[0].elevation == 492.0
+        assert rows[1].elevation is None  # -777 sentinel
+        assert rows[0].ts == datetime.datetime(2008, 10, 23, 2, 53, 4)
+        assert [r.point_idx for r in rows] == [0, 1]
+
+
+GPX = """<?xml version="1.0"?>
+<gpx xmlns="http://www.topografix.com/GPX/1/1" version="1.1" creator="t">
+  <wpt lat="48.2082" lon="16.3738"><name>Wien</name><ele>171</ele></wpt>
+  <trk><name>morning</name>
+    <trkseg>
+      <trkpt lat="47.0" lon="15.0"><ele>353.0</ele>
+        <time>2021-06-01T06:00:00Z</time></trkpt>
+      <trkpt lat="47.001" lon="15.002"><time>2021-06-01T06:00:30Z</time></trkpt>
+    </trkseg>
+    <trkseg>
+      <trkpt lat="47.01" lon="15.01"/>
+    </trkseg>
+  </trk>
+  <rte><name>r1</name>
+    <rtept lat="46.5" lon="14.5"/>
+  </rte>
+</gpx>
+"""
+
+
+class TestGpx:
+    def test_tracks_routes_waypoints(self, spark, tmp_path):
+        p = tmp_path / "ride.gpx"
+        p.write_text(GPX)
+        df = read_gpx(spark, str(p))
+        rows = df.orderBy("point_type", "point_idx").collect()
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r.point_type, []).append(r)
+        # trkpts keep in-file order across segments
+        trk = by_type["trkpt"]
+        assert [(r.point_idx, r.lat, r.lon) for r in trk] == [
+            (0, 47.0, 15.0),
+            (1, 47.001, 15.002),
+            (2, 47.01, 15.01),
+        ]
+        assert trk[0].elevation == 353.0
+        assert trk[0].ts == datetime.datetime(2021, 6, 1, 6, 0, 0)
+        assert trk[1].elevation is None
+        assert trk[0].track_name == "morning"
+        assert by_type["rtept"][0].lat == 46.5
+        wpt = by_type["wpt"][0]
+        assert (wpt.lat, wpt.lon, wpt.elevation) == (48.2082, 16.3738, 171.0)
+
+    def test_feeds_the_indexer_unchanged(self, spark, tmp_path):
+        from geowave_spark.operators.indexing import with_point_cells
+
+        p = tmp_path / "ride2.gpx"
+        p.write_text(GPX)
+        pts = read_gpx(spark, str(p))
+        cells = with_point_cells(pts, lon_col="lon", lat_col="lat")
+        rows = cells.select("cell").collect()
+        assert len(rows) == pts.count() and all(r.cell is not None for r in rows)
