@@ -49,8 +49,11 @@ HEADLINE = [
     "raster_tiling",
     "docs_polygon_query",
     "s2_cell_counts",
-    # round-3 addition: seasonal comparison KDE (R8)
+    # round-3 additions: seasonal comparison KDE (R8) + the hex (H3-family)
+    # cell backend and the north star's named H3-ring-expansion kNN
     "kde_comparison",
+    "hex_cell_counts",
+    "knn_hexring",
 ]
 
 

@@ -370,6 +370,60 @@ def s2_bins_sql(lon: str, lat: str, bits: int = 6) -> str:
     """
 
 
+def with_hex_bins(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int = 6,
+    q_col: str = "hex_q",
+    r_col: str = "hex_r",
+) -> DataFrame:
+    """H3-family hexagonal bins as PURE Catalyst expressions (no Python):
+    pointy-top fractional axial coords -> cube rounding (round-half-up via
+    FLOOR(v + 0.5) so DuckDB reproduces it) -> integer axial (q, r).
+    Mirrors `sfc/hexgrid.py` (whose packed id is the bijective storage form
+    of the same pair); the pair itself is what SQL oracles re-derive."""
+    from geowave_spark.sfc.hexgrid import SQRT3, hex_size
+
+    R = hex_size(res)
+    x = F.col(lon_col).cast("double")
+    y = F.col(lat_col).cast("double")
+    qf = (F.lit(SQRT3 / 3.0) * x - F.lit(1.0 / 3.0) * y) / F.lit(R)
+    rf = (F.lit(2.0 / 3.0) * y) / F.lit(R)
+    yf = -qf - rf
+    rx = F.floor(qf + F.lit(0.5))
+    ry = F.floor(yf + F.lit(0.5))
+    rz = F.floor(rf + F.lit(0.5))
+    dx = F.abs(rx.cast("double") - qf)
+    dy = F.abs(ry.cast("double") - yf)
+    dz = F.abs(rz.cast("double") - rf)
+    fix_x = (dx > dy) & (dx > dz)
+    q = F.when(fix_x, -ry - rz).otherwise(rx).cast("long")
+    r = F.when(~fix_x & (dy <= dz), -rx - ry).otherwise(rz).cast("long")
+    return df.withColumn(q_col, q).withColumn(r_col, r)
+
+
+def hex_bins_sql(lon: str, lat: str, res: int = 6) -> str:
+    """DuckDB twin of :func:`with_hex_bins`: emits ``(hex_q, hex_r)`` via a
+    LATERAL chain — identical IEEE double ops, identical FLOOR rounding."""
+    from geowave_spark.sfc.hexgrid import SQRT3, hex_size
+
+    R = hex_size(res)
+    return f"""
+      LATERAL (SELECT ({SQRT3 / 3.0!r} * {lon} - {1.0 / 3.0!r} * {lat}) / {R!r} AS qf,
+                      ({2.0 / 3.0!r} * {lat}) / {R!r} AS rf) h0,
+      LATERAL (SELECT -qf - rf AS yf) h1,
+      LATERAL (SELECT FLOOR(qf + 0.5) AS rx, FLOOR(yf + 0.5) AS ry,
+                      FLOOR(rf + 0.5) AS rz) h2,
+      LATERAL (SELECT ABS(rx - qf) AS dx, ABS(ry - yf) AS dy,
+                      ABS(rz - rf) AS dz) h3,
+      LATERAL (SELECT
+        CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS BIGINT) AS hex_q,
+        CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND dy <= dz
+                  THEN -rx - ry ELSE rz END AS BIGINT) AS hex_r) h4
+    """
+
+
 def st_cell_ranges(
     minx: float,
     miny: float,

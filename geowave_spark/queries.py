@@ -960,6 +960,39 @@ def q_s2_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HEX_RES = 6
+
+
+def q_hex_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-family cell backend (sfc/hexgrid.py): per-hex-cell point counts at
+    resolution 6.  Pointy-top axial binning with cube rounding runs as pure
+    Catalyst expressions (operators/indexing.py with_hex_bins); the packed
+    int64 key is the bijective storage form of the (q, r) pair emitted here,
+    which is what the SQL oracle re-derives with identical FLOOR rounding."""
+    from geowave_spark.operators.indexing import with_hex_bins
+
+    pts = _geo(spark, sf_dir, "points")
+    return (
+        with_hex_bins(pts, res=HEX_RES)
+        .groupBy("hex_q", "hex_r")
+        .agg(F.count("*").alias("n"), F.min("fid").alias("first_fid"))
+    )
+
+
+def q_knn_hexring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3 hex variant — the north star's named "H3-ring-expansion kNN":
+    both sides bin to hex cells, the query side expands by a broadcast
+    kRing-offset literal table, candidates come from one (q, r) equi-join —
+    zero Python anywhere in the plan (plan-shape pytest).  Output contract
+    and oracle identical to knn_join."""
+    from geowave_spark.operators.knn import knn_join_hexring
+
+    pts = _geo(spark, sf_dir, "points")
+    return knn_join_hexring(
+        _knn_queries(spark, sf_dir), pts, k=KNN_K, max_distance_deg=KNN_DIST
+    )
+
+
 def q_raster_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R5+R6: coverage -> tier selection (convertToIndex floorEntry rule) ->
     per-cell tileSize^2 chop with nearest-neighbor resample -> no-data mosaic
@@ -1218,6 +1251,17 @@ def _s2_oracle() -> str:
         FROM '{GEO_SF001}/points.parquet' p,
         {s2_bins_sql("p.lon", "p.lat", S2_BITS)}
         GROUP BY s2_face, s2_ib, s2_jb"""
+
+
+def _hex_oracle() -> str:
+    from geowave_spark.operators.indexing import hex_bins_sql
+
+    return f"""
+        SELECT hex_q, hex_r,
+               CAST(count(*) AS BIGINT) AS n, MIN(fid) AS first_fid
+        FROM '{GEO_SF001}/points.parquet' p,
+        {hex_bins_sql("p.lon", "p.lat", HEX_RES)}
+        GROUP BY hex_q, hex_r"""
 
 
 def _raster_oracle(pyramid: bool = False) -> str:
@@ -1837,6 +1881,22 @@ def build_oracles() -> dict[str, str]:
         "raster_tiling": _raster_oracle(),
         "raster_pyramid": _raster_oracle(pyramid=True),
         "s2_cell_counts": _s2_oracle(),
+        "hex_cell_counts": _hex_oracle(),
+        # the hex-kRing join must reproduce the exact kNN answer — same
+        # brute-force oracle as knn_join (independent algorithm either way)
+        "knn_hexring": f"""
+            SELECT qid, fid, dist_sq, rank FROM (
+              SELECT q.fid AS qid, p.fid AS fid,
+                     (p.lon - q.lon) * (p.lon - q.lon) + (p.lat - q.lat) * (p.lat - q.lat) AS dist_sq,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.fid
+                       ORDER BY (p.lon - q.lon) * (p.lon - q.lon) + (p.lat - q.lat) * (p.lat - q.lat),
+                                p.fid) AS rank
+              FROM (SELECT * FROM {pts} WHERE fid LIKE '%00') q, {pts} p
+              WHERE (p.lon - q.lon) * (p.lon - q.lon) + (p.lat - q.lat) * (p.lat - q.lat)
+                    <= {KNN_DIST * KNN_DIST})
+            WHERE rank <= {KNN_K}
+        """,
         "docs_zone_join": _docs_zone_join_oracle(),
         "docs_zone_within": _docs_zone_within_oracle(),
         "tracks_st_insertion": _tracks_st_insertion_oracle(),
@@ -1940,6 +2000,8 @@ ALL_QUERIES = {
     "raster_tiling": q_raster_tiling,
     "raster_pyramid": q_raster_pyramid,
     "s2_cell_counts": q_s2_cell_counts,
+    "hex_cell_counts": q_hex_cell_counts,
+    "knn_hexring": q_knn_hexring,
     "routed_box_temporal": q_routed_box_temporal,
     "docs_zone_join": q_docs_zone_join,
     "docs_zone_within": q_docs_zone_within,
@@ -1980,11 +2042,15 @@ DRIVER_EXCLUDED = {
     "spatiotemporal_bins": "single-entry case of tracks_st_insertion's ranged 3D bin contract (K6)",
     "lexicoder_rank": "K8 codec contract (export path only — query-time ordering is native); oracle-checked via parity tests",
     "ann_ivf_topk": "probe-all IVF == exact top-k (quantizer-independent); pruned-nprobe recall pinned in test_text_pipeline",
+    "s2_cell_counts": "cube-face K5 backend twin of hex_cell_counts (green r02 driver row; Catalyst/SQL twin parity tests)",
+    "pip_join": "single-tier case of pip_join_tiered — same J1 refine path (green r01+r02 rows; entry() smoke-runs it every round)",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut
 # off at 50, so front-loading guarantees the newest entries get their row)
 _NEW_IN_R03 = [
+    "hex_cell_counts",
+    "knn_hexring",
     "kde_comparison",
     "visibility_filter",
     "subsample_zorder",
