@@ -99,6 +99,52 @@ def cover_cells_udf(bits: int, cfg: SpatialConfig = DEFAULT_CONFIG, max_cells: i
     return _cover
 
 
+def hex_cover_cells_udf(res: int, max_cells: int = 4096):
+    """pandas UDF: polygon WKT -> array<long> of packed hex cell ids
+    (sfc/hexgrid.py key layout) covering the geometry at resolution ``res``.
+
+    Cover is bbox-based and conservative: the axial transform is linear, so
+    a lon/lat box maps to a parallelogram in fractional (q, r) whose
+    extremes sit at the box corners; cube rounding moves a fractional
+    coordinate by at most 1 (q is either floor(qf+0.5) or -ry-rz with
+    |(yf-ry)+(rf-rz)| <= 1), so the corner-derived integer rectangle
+    inflated by 1 is a superset of every cell any box point can round to.
+    Exactness is restored by the refine stage, same as the square cover."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _cover(wkt: pd.Series) -> pd.Series:
+        from geowave_spark.geometry.wkt import geom_bbox, parse_wkt
+        from geowave_spark.sfc.hexgrid import SQRT3, hex_pack, hex_size
+
+        R = hex_size(res)
+        out = []
+        for w in wkt:
+            if w is None:
+                out.append([])
+                continue
+            minx, miny, maxx, maxy = geom_bbox(parse_wkt(w))
+            xs = np.array([minx, minx, maxx, maxx], dtype=np.float64)
+            ys = np.array([miny, maxy, miny, maxy], dtype=np.float64)
+            qf = (SQRT3 / 3.0 * xs - ys / 3.0) / R
+            rf = (2.0 / 3.0 * ys) / R
+            qlo, qhi = int(np.floor(qf.min())) - 1, int(np.ceil(qf.max())) + 1
+            rlo, rhi = int(np.floor(rf.min())) - 1, int(np.ceil(rf.max())) + 1
+            n = (qhi - qlo + 1) * (rhi - rlo + 1)
+            if n > max_cells:
+                # superset-or-die, same contract as cover_cells_udf
+                raise ValueError(
+                    f"hex cover of geometry exceeds {max_cells} cells at "
+                    f"res {res}; use a coarser res"
+                )
+            qq, rr = np.meshgrid(
+                np.arange(qlo, qhi + 1), np.arange(rlo, rhi + 1), indexing="ij"
+            )
+            out.append(hex_pack(qq.ravel(), rr.ravel(), res).tolist())
+        return pd.Series(out)
+
+    return _cover
+
+
 def refine_pip_udf():
     """Exact (point-in-polygon) refine over joined candidate pairs.
 
@@ -252,7 +298,7 @@ def pip_join(
     lat_col: str = "lat",
     zone_wkt_col: str = "geom_wkt",
     cfg: SpatialConfig = DEFAULT_CONFIG,
-    mode: str = "fixed",  # 'fixed' (single join tier) | 'tiered' (GeoWave K1)
+    mode: str = "fixed",  # 'fixed' (single tier) | 'tiered' (GeoWave K1) | 'hex' (H3-family cells)
     cover_bits: int | None = None,
     broadcast_zones: bool = True,
     point_cell_col: str | None = None,
@@ -270,6 +316,12 @@ def pip_join(
     mode='tiered': polygons carry their K1 insertion cells (<=4, own tier);
     the join unions one equi-join per distinct tier present (<= 15, usually
     2-4), each a broadcast hash join — mirrors the reference's tiered scan.
+    mode='hex': bucket keys are H3-family hex cells (sfc/hexgrid.py) instead
+    of square SFC cells — the north star's "encode to H3/S2 cells, then
+    cell-bucketed PIP join" literally.  The probe side bins with pure
+    Catalyst expressions (no encode UDF at all on the big side); zones cover
+    via :func:`hex_cover_cells_udf`.  Same planner, broadcast gate, catalog
+    refine, and salting as 'fixed'; identical output rows (equality pytest).
     """
     release_caches()  # prior calls' consumers have run; drop their storage
     if salt_hot is not None and mode == "tiered":
@@ -280,7 +332,7 @@ def pip_join(
             "tiered-mode salting is not implemented (broadcast joins have "
             "no shuffle to skew — drop salt_hot or use mode='fixed')"
         )
-    if point_cell_col is None:
+    if point_cell_col is None and mode != "hex":
         points = with_point_cells(points, lon_col, lat_col, cfg, cell_col="_pcell").drop("tier")
         point_cell_col = "_pcell"
         if mode == "tiered":
@@ -350,18 +402,44 @@ def pip_join(
                 if planned_tier is not None
                 else choose_cover_tier(zones, "_zwkt", cfg)
             )
-        zcells = zones.withColumn(
-            "_zcell", F.explode(cover_cells_udf(cover_bits, cfg)(F.col("_zwkt")))
-        )
+        if mode == "hex":
+            # hex circumradius ~ square cell size: 45/2^res ~ 360/2^bits
+            from geowave_spark.operators.indexing import with_hex_bins
+            from geowave_spark.sfc.hexgrid import MAX_HEX_RES
+
+            hex_res = int(np.clip(cover_bits - 3, 0, MAX_HEX_RES))
+            zcells = zones.withColumn(
+                "_zcell", F.explode(hex_cover_cells_udf(hex_res)(F.col("_zwkt")))
+            )
+        else:
+            zcells = zones.withColumn(
+                "_zcell", F.explode(cover_cells_udf(cover_bits, cfg)(F.col("_zwkt")))
+            )
         if catalog is not None:
             zcells = zcells.drop("_zwkt")
         build = F.broadcast(zcells) if broadcast_zones else zcells
         # name-based equi-join (not cross-plan column refs): keeps attribute
         # binding unambiguous for the higher-order refine expression above it
-        probe = points.withColumn(
-            "_zcell",
-            F.coalesce(cell_at_tier(F.col(point_cell_col), cfg.finest, cover_bits), F.lit(-1)),
-        )
+        if mode == "hex":
+            # packed key arithmetic mirrors hexgrid.hex_pack bit-for-bit
+            # (values are in-range non-negative, so + and * == | and <<)
+            probe = (
+                with_hex_bins(points, lon_col, lat_col, hex_res)
+                .withColumn(
+                    "_zcell",
+                    (
+                        F.lit(hex_res * (1 << 44))
+                        + (F.col("hex_q") + F.lit(1 << 21)) * F.lit(1 << 22)
+                        + (F.col("hex_r") + F.lit(1 << 21))
+                    ).cast("long"),
+                )
+                .drop("hex_q", "hex_r")
+            )
+        else:
+            probe = points.withColumn(
+                "_zcell",
+                F.coalesce(cell_at_tier(F.col(point_cell_col), cfg.finest, cover_bits), F.lit(-1)),
+            )
         if salt_hot is not None and not broadcast_zones:
             # K7 explicit skew salting for the shuffle join: hot probe cells
             # spread over `buckets` reducers, the build side replicates its

@@ -125,6 +125,18 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("fid", "zone_id", "lon", "lat")
 
 
+def q_pip_join_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 hex mode — the north star's "encode to H3/S2 cells -> cell-bucketed
+    PIP join" literally: bucket keys are packed hex cells (sfc/hexgrid.py),
+    the probe side bins with pure Catalyst expressions (no encode UDF on the
+    big side), zones cover via the conservative axial-rectangle rule.  Same
+    refine, identical rows to pip_join (equality pytest + same oracle)."""
+    pts = _geo(spark, sf_dir, "points")
+    zones = _geo(spark, sf_dir, "zones").filter(F.col("zclass") == "convex")
+    out = pip_join(pts, zones, mode="hex")
+    return out.select("fid", "zone_id", "lon", "lat")
+
+
 def q_pip_join_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 tiered mode: zones at their K1 insertion tiers, per-tier joins."""
     pts = _geo(spark, sf_dir, "points")
@@ -1618,6 +1630,13 @@ def build_oracles() -> dict[str, str]:
               SELECT 1 FROM {hp} h
               WHERE h.zone_id = z.zone_id AND h.a * p.lon + h.b * p.lat > h.c)
         """,
+        "pip_join_hex": f"""
+            SELECT p.fid, z.zone_id, p.lon, p.lat
+            FROM {pts} p, (SELECT DISTINCT zone_id FROM {hp}) z
+            WHERE NOT EXISTS (
+              SELECT 1 FROM {hp} h
+              WHERE h.zone_id = z.zone_id AND h.a * p.lon + h.b * p.lat > h.c)
+        """,
         "zonal_stats": f"""
             SELECT z.zone_id,
                    CAST(count(*) AS BIGINT) AS n_points,
@@ -1969,6 +1988,7 @@ ALL_QUERIES = {
     "spatial_polygon_query": q_spatial_polygon_query,
     "dateline_box_query": q_dateline_box_query,
     "pip_join": q_pip_join,
+    "pip_join_hex": q_pip_join_hex,
     "pip_join_tiered": q_pip_join_tiered,
     "zonal_stats": q_zonal_stats,
     "tracks_contains_box": q_tracks_contains_box,
@@ -2044,6 +2064,7 @@ DRIVER_EXCLUDED = {
     "ann_ivf_topk": "probe-all IVF == exact top-k (quantizer-independent); pruned-nprobe recall pinned in test_text_pipeline",
     "s2_cell_counts": "cube-face K5 backend twin of hex_cell_counts (green r02 driver row; Catalyst/SQL twin parity tests)",
     "pip_join": "single-tier case of pip_join_tiered — same J1 refine path (green r01+r02 rows; entry() smoke-runs it every round)",
+    "pip_join_hex": "hex-bucketed twin of pip_join_tiered — same refine, H3-family bucket keys (equality pytest + parity oracle)",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut

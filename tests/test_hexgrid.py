@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import duckdb
 import numpy as np
+import pyspark.sql.functions as F
 import pytest
 
 from geowave_spark.sfc.hexgrid import (
@@ -169,6 +170,37 @@ def test_knn_hexring_equals_brute(spark, geo001):
     a = {(r.qid, r.fid, r.rank) for r in hexed.collect()}
     b = {(r.qid, r.fid, r.rank) for r in brute.collect()}
     assert a == b
+
+
+def test_hex_cover_is_superset_of_point_cells(spark):
+    """The conservative axial-rectangle cover must contain every cell a
+    point of the covered bbox can bin to — otherwise the hex PIP join
+    would silently lose candidate pairs."""
+    res = 4
+    minx, miny, maxx, maxy = -7.3, 12.1, 22.8, 31.4
+    wkt = f"POLYGON(({minx} {miny},{maxx} {miny},{maxx} {maxy},{minx} {maxy},{minx} {miny}))"
+    from geowave_spark.operators.spatial_join import hex_cover_cells_udf
+
+    df = spark.createDataFrame([(wkt,)], "w: string")
+    cover = set(df.select(F.explode(hex_cover_cells_udf(res)("w"))).toPandas().iloc[:, 0])
+    lon = RNG.uniform(minx, maxx, 5000)
+    lat = RNG.uniform(miny, maxy, 5000)
+    assert set(hex_cell_ids(lon, lat, res).tolist()) <= cover
+
+
+def test_pip_join_hex_equals_fixed(spark, geo001):
+    """mode='hex' must produce byte-identical join rows to mode='fixed'
+    (same refine, different bucket geometry)."""
+    from geowave_spark.operators.spatial_join import pip_join
+
+    pts = spark.read.parquet(f"{geo001}/points.parquet")
+    zones = spark.read.parquet(f"{geo001}/zones.parquet").filter(
+        F.col("zclass") == "convex"
+    )
+    cols = ["fid", "zone_id", "lon", "lat"]
+    hexed = {tuple(r) for r in pip_join(pts, zones, mode="hex").select(*cols).collect()}
+    fixed = {tuple(r) for r in pip_join(pts, zones).select(*cols).collect()}
+    assert hexed == fixed and len(hexed) > 0
 
 
 def test_knn_hexring_no_python_in_plan(spark, geo001):
