@@ -54,6 +54,9 @@ HEADLINE = [
     "kde_comparison",
     "hex_cell_counts",
     "knn_hexring",
+    # the north star's "encode to H3/S2 cells -> cell-bucketed PIP join",
+    # bucketed on hex cells end to end (same refine, same result rows)
+    "pip_join_hex",
 ]
 
 

@@ -103,13 +103,18 @@ def hex_cover_cells_udf(res: int, max_cells: int = 4096):
     """pandas UDF: polygon WKT -> array<long> of packed hex cell ids
     (sfc/hexgrid.py key layout) covering the geometry at resolution ``res``.
 
-    Cover is bbox-based and conservative: the axial transform is linear, so
-    a lon/lat box maps to a parallelogram in fractional (q, r) whose
-    extremes sit at the box corners; cube rounding moves a fractional
-    coordinate by at most 1 (q is either floor(qf+0.5) or -ry-rz with
-    |(yf-ry)+(rf-rz)| <= 1), so the corner-derived integer rectangle
-    inflated by 1 is a superset of every cell any box point can round to.
-    Exactness is restored by the refine stage, same as the square cover."""
+    Cover is bbox-based and conservative, same contract as the square
+    :func:`cover_cells_udf`: the axial transform is linear, so a lon/lat box
+    maps to a parallelogram in fractional (q, r) whose extremes sit at the
+    box corners; cube rounding moves a fractional coordinate by at most 1
+    (q is either floor(qf+0.5) or -ry-rz with |(yf-ry)+(rf-rz)| <= 1), so
+    the corner-derived integer rectangle inflated by 1 is a superset of
+    every cell any box point can round to.  The rectangle's shear slack is
+    then clipped: a cell is kept only if its hexagon's own bbox
+    (center +- sqrt(3)/2*R horizontally, +- R vertically) overlaps the
+    geometry bbox — any point of the box binning to a cell lies inside that
+    cell's hexagon, so clipped cells cannot host box points and the cover
+    stays a superset.  Exactness is restored by the refine stage."""
 
     @F.pandas_udf(ArrayType(LongType()))
     def _cover(wkt: pd.Series) -> pd.Series:
@@ -117,6 +122,7 @@ def hex_cover_cells_udf(res: int, max_cells: int = 4096):
         from geowave_spark.sfc.hexgrid import SQRT3, hex_pack, hex_size
 
         R = hex_size(res)
+        half_w, half_h = SQRT3 / 2.0 * R, R
         out = []
         for w in wkt:
             if w is None:
@@ -130,16 +136,30 @@ def hex_cover_cells_udf(res: int, max_cells: int = 4096):
             qlo, qhi = int(np.floor(qf.min())) - 1, int(np.ceil(qf.max())) + 1
             rlo, rhi = int(np.floor(rf.min())) - 1, int(np.ceil(rf.max())) + 1
             n = (qhi - qlo + 1) * (rhi - rlo + 1)
-            if n > max_cells:
+            if n > 64 * max_cells:  # pre-clip enumeration bound
+                raise ValueError(
+                    f"hex cover of geometry exceeds {64 * max_cells} "
+                    f"pre-clip cells at res {res}; use a coarser res"
+                )
+            qq, rr = np.meshgrid(
+                np.arange(qlo, qhi + 1), np.arange(rlo, rhi + 1), indexing="ij"
+            )
+            qq, rr = qq.ravel(), rr.ravel()
+            cx = R * (SQRT3 * qq + SQRT3 / 2.0 * rr)
+            cy = R * 1.5 * rr
+            keep = (
+                (cx + half_w >= minx)
+                & (cx - half_w <= maxx)
+                & (cy + half_h >= miny)
+                & (cy - half_h <= maxy)
+            )
+            if int(keep.sum()) > max_cells:
                 # superset-or-die, same contract as cover_cells_udf
                 raise ValueError(
                     f"hex cover of geometry exceeds {max_cells} cells at "
                     f"res {res}; use a coarser res"
                 )
-            qq, rr = np.meshgrid(
-                np.arange(qlo, qhi + 1), np.arange(rlo, rhi + 1), indexing="ij"
-            )
-            out.append(hex_pack(qq.ravel(), rr.ravel(), res).tolist())
+            out.append(hex_pack(qq[keep], rr[keep], res).tolist())
         return pd.Series(out)
 
     return _cover
@@ -403,11 +423,13 @@ def pip_join(
                 else choose_cover_tier(zones, "_zwkt", cfg)
             )
         if mode == "hex":
-            # hex circumradius ~ square cell size: 45/2^res ~ 360/2^bits
+            # hex area ~ square cell area: one res step finer than the
+            # circumradius match (45/2^res ~ 360/2^bits) measurably tightens
+            # the candidate set below the square cover's at equal tier
             from geowave_spark.operators.indexing import with_hex_bins
             from geowave_spark.sfc.hexgrid import MAX_HEX_RES
 
-            hex_res = int(np.clip(cover_bits - 3, 0, MAX_HEX_RES))
+            hex_res = int(np.clip(cover_bits - 2, 0, MAX_HEX_RES))
             zcells = zones.withColumn(
                 "_zcell", F.explode(hex_cover_cells_udf(hex_res)(F.col("_zwkt")))
             )
