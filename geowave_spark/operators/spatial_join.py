@@ -344,6 +344,14 @@ def pip_join(
     refine, and salting as 'fixed'; identical output rows (equality pytest).
     """
     release_caches()  # prior calls' consumers have run; drop their storage
+    if salt_hot is not None and points.isStreaming:
+        # hot-cell detection is a counts pass over the probe — a streaming
+        # aggregation feeding a join, which Structured Streaming rejects.
+        # Skew on a micro-batch probe is bounded by the batch size anyway.
+        raise ValueError(
+            "salt_hot is unsupported for streaming probes (hot-cell "
+            "detection needs a counts pass over the probe side)"
+        )
     if salt_hot is not None and mode == "tiered":
         # the tier loop would need per-tier hot-cell detection; unsupported
         # rather than a silent no-op of an explicit skew knob
@@ -355,9 +363,12 @@ def pip_join(
     if point_cell_col is None and mode != "hex":
         points = with_point_cells(points, lon_col, lat_col, cfg, cell_col="_pcell").drop("tier")
         point_cell_col = "_pcell"
-        if mode == "tiered":
+        if mode == "tiered" and not points.isStreaming:
             # the tier loop unions one probe scan per tier: cache the encoded
             # probe so the (Python) encode UDF runs once, not once per tier
+            # (streaming probes can't persist — they re-encode per tier scan,
+            # which each micro-batch pays ~n_tiers times; acceptable because
+            # the per-batch probe is small by construction)
             points = _CACHES.add(points.persist())
 
     # avoid name collisions with the probe side (points may carry their own

@@ -223,3 +223,102 @@ class TestStreamingMediaDecode:
         got = sig(spark.sql("select * from mm_vid_stream").collect())
         want = sig(decode_video(batch, codec="real").collect())
         assert got == want and got
+
+
+class TestStreamingPipJoin:
+    """The batch PIP join composed under readStream (stream-static join):
+    same operator, same planner, bit-identical rows to the batch run."""
+
+    @pytest.mark.parametrize("mode", ["hex", "fixed"])
+    def test_stream_equals_batch(self, spark, geo001, tmp_path, mode):
+        from geowave_spark.operators.spatial_join import pip_join
+        from geowave_spark.streaming.spatial import (
+            pip_join_stream,
+            write_pip_join_stream,
+        )
+
+        zones = spark.read.parquet(str(geo001 / "zones.parquet")).filter(
+            F.col("zclass") == "convex"
+        )
+        import shutil
+
+        pts_dir = tmp_path / f"pts_{mode}"
+        pts_dir.mkdir()
+        shutil.copy(geo001 / "points.parquet", pts_dir / "part-000.parquet")
+        batch_pts = spark.read.parquet(str(pts_dir))
+
+        stream_pts = spark.readStream.schema(batch_pts.schema).parquet(str(pts_dir))
+        joined = pip_join_stream(stream_pts, zones, mode=mode)
+        assert joined.isStreaming
+        out, ckpt = str(tmp_path / f"out_{mode}"), str(tmp_path / f"ckpt_{mode}")
+        q = write_pip_join_stream(joined, out, ckpt, available_now=True)
+        q.awaitTermination(120)
+
+        cols = ["fid", "zone_id", "lon", "lat"]
+        got = {tuple(r) for r in spark.read.parquet(out).select(*cols).collect()}
+        want = {
+            tuple(r)
+            for r in pip_join(batch_pts, zones, mode=mode).select(*cols).collect()
+        }
+        assert got == want and got
+
+    def test_resumes_from_checkpoint(self, spark, geo001, tmp_path):
+        """The north rule's recovery contract: kill after batch 1 of 2,
+        restart from the same checkpoint, no lost and no duplicated rows."""
+        import shutil
+
+        from geowave_spark.operators.spatial_join import pip_join
+        from geowave_spark.streaming.spatial import (
+            pip_join_stream,
+            write_pip_join_stream,
+        )
+
+        zones = spark.read.parquet(str(geo001 / "zones.parquet")).filter(
+            F.col("zclass") == "convex"
+        )
+        batch_pts = spark.read.parquet(str(geo001 / "points.parquet"))
+        inp = tmp_path / "pts_in"
+        inp.mkdir()
+        half = batch_pts.count() // 2
+        batch_pts.limit(half).coalesce(1).write.parquet(str(tmp_path / "h1"))
+        batch_pts.subtract(batch_pts.limit(half)).coalesce(1).write.parquet(
+            str(tmp_path / "h2")
+        )
+        for f in (tmp_path / "h1").glob("*.parquet"):
+            shutil.copy(f, inp / "part-000.parquet")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        def run_once():
+            stream = spark.readStream.schema(batch_pts.schema).parquet(str(inp))
+            q = write_pip_join_stream(
+                pip_join_stream(stream, zones, mode="hex"), out, ckpt,
+                available_now=True,
+            )
+            q.awaitTermination(120)
+
+        run_once()  # processes file 1, checkpoints its offset
+        for f in (tmp_path / "h2").glob("*.parquet"):
+            shutil.copy(f, inp / "part-001.parquet")
+        run_once()  # restart: resumes AFTER file 1, processes only file 2
+
+        cols = ["fid", "zone_id", "lon", "lat"]
+        got = [tuple(r) for r in spark.read.parquet(out).select(*cols).collect()]
+        want = {
+            tuple(r)
+            for r in pip_join(batch_pts, zones, mode="hex").select(*cols).collect()
+        }
+        assert len(got) == len(set(got)), "restart duplicated rows"
+        assert set(got) == want, "restart lost or fabricated rows"
+
+    def test_salt_hot_refused_on_stream(self, spark, geo001):
+        from geowave_spark.streaming.spatial import pip_join_stream
+
+        zones = spark.read.parquet(str(geo001 / "zones.parquet"))
+        batch_pts = spark.read.parquet(str(geo001 / "points.parquet"))
+        stream = spark.readStream.schema(batch_pts.schema).parquet(str(geo001))
+        from geowave_spark.operators.spatial_join import pip_join
+
+        with pytest.raises(ValueError, match="salt_hot"):
+            pip_join(stream, zones, salt_hot=(1000, 8))
+        with pytest.raises(ValueError, match="streaming"):
+            pip_join_stream(batch_pts, zones)
