@@ -231,13 +231,6 @@ def knn_join_adaptive(
     rows; round outputs are <= k*|queries| rows and are cached before the
     final union.
     """
-    radii = []
-    r = max_distance_deg * start_fraction
-    while r < max_distance_deg:
-        radii.append(r)
-        r *= expansion_factor
-    radii.append(max_distance_deg)
-
     # encode the big side once at the finest tier; per-round probe cells are
     # JVM bit-shifts of the cached key
     probe = with_point_cells(points, lon_col, lat_col, cfg, cell_col="_pcell").drop("tier")
@@ -247,11 +240,8 @@ def knn_join_adaptive(
     # shrink it, so a broadcastable start stays broadcastable)
     bq = queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries
 
-    remaining = queries
-    chunks = []
-    for i, radius in enumerate(radii):
-        is_last = i == len(radii) - 1
-        out = knn_join(
+    def run_round(remaining: DataFrame, radius: float) -> DataFrame:
+        return knn_join(
             remaining,
             probe,
             k,
@@ -265,15 +255,53 @@ def knn_join_adaptive(
             cfg=cfg,
             point_cell_col="_pcell",
             broadcast_queries=bq,
-        ).localCheckpoint()  # materialize (<= k*|queries| rows), cut lineage
+        )
+
+    result = _adaptive_rounds(
+        run_round, queries, query_id_col, k, max_distance_deg,
+        start_fraction, expansion_factor,
+    )
+    probe.unpersist()  # round outputs are checkpointed; the big cache can go
+    return result
+
+
+def _adaptive_rounds(
+    run_round,
+    queries: DataFrame,
+    query_id_col: str,
+    k: int,
+    max_distance_deg: float,
+    start_fraction: float,
+    expansion_factor: float,
+) -> DataFrame:
+    """The ring-expansion round loop shared by the square and hex kNN joins.
+
+    ``run_round(remaining, radius)`` must return the exact top-k of every
+    remaining query restricted to its radius-ball.  A query with >= k rows
+    at radius r has its TRUE top-k (everything unseen is farther than r),
+    so it retires; the rest escalate to the next radius.  Retirement is
+    executor-side (the reference's NNProcessor.java:53-120 removes
+    satisfied neighborhoods inside the task): per-query counts stay a
+    DataFrame and retire via semi/anti joins — no query ids ever cross the
+    driver, and the plan size stays O(1) per round regardless of |queries|.
+    Round outputs are localCheckpoint-ed (<= k*|queries| rows) to cut
+    lineage across rounds.
+    """
+    radii = []
+    r = max_distance_deg * start_fraction
+    while r < max_distance_deg:
+        radii.append(r)
+        r *= expansion_factor
+    radii.append(max_distance_deg)
+
+    remaining = queries
+    chunks = []
+    for i, radius in enumerate(radii):
+        is_last = i == len(radii) - 1
+        out = run_round(remaining, radius).localCheckpoint()
         if is_last:
             chunks.append(out)
             break
-        # executor-side retirement (the reference's NNProcessor.java:53-120
-        # removes satisfied neighborhoods inside the task): keep the per-query
-        # counts as a DataFrame and semi/anti join — no query ids ever cross
-        # the driver, and the plan size stays O(1) per round regardless of
-        # |queries|.
         satisfied = (
             out.groupBy(query_id_col)
             .agg(F.count("*").alias("_n"))
@@ -285,7 +313,6 @@ def knn_join_adaptive(
         remaining = remaining.join(satisfied, query_id_col, "left_anti").localCheckpoint()
         if not remaining.take(1):  # scalar early-exit probe, not an id transfer
             break
-    probe.unpersist()  # round outputs are checkpointed; the big cache can go
     result = chunks[0]
     for c in chunks[1:]:
         result = result.unionByName(c)
@@ -503,4 +530,65 @@ def knn_join_hexring(
         joined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "dist_sq", "rank")
+    )
+
+
+def knn_join_hexring_adaptive(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    max_distance_deg: float,
+    *,
+    query_id_col: str = "qid",
+    query_lon_col: str = "qlon",
+    query_lat_col: str = "qlat",
+    id_col: str = "fid",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    salt_buckets: int = 16,
+    start_fraction: float = 1.0 / 8.0,
+    expansion_factor: float = 8.0,
+    max_broadcast_queries: int = 50_000,
+) -> DataFrame:
+    """kRing-expansion kNN: identical output to :func:`knn_join_hexring`
+    (and to :func:`knn_join`), but the search radius starts small and
+    expands geometrically, re-running only unsatisfied queries — the hex
+    twin of :func:`knn_join_adaptive`, sharing its round loop.
+
+    Why this exists: the fixed hexring join materializes every query's FULL
+    distance ball — over hot clusters (queries are sampled from the data,
+    so they concentrate exactly where points do) that is quadratic in
+    cluster size, measured 97 s at sf0.1 where the adaptive square join
+    ran 6 s.  Each adaptive round shrinks the covered disc to the radius
+    most queries actually need: a dense-cluster query retires at
+    max_distance/8 having scanned ~1/64th of the ball area.
+
+    Retirement is exact for the same reason as the square path: round r's
+    candidate cells cover the full r-ball (``rings_for_distance`` bound,
+    property-tested in tests/test_hexgrid.py), so >= k in-radius rows at
+    radius r == the true top-k.  Every round's candidate stage stays pure
+    Catalyst; the per-round res re-derives from the round radius, keeping
+    the offset table <= 128 rows while the cells track the shrunken disc.
+    """
+    bq = queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries
+
+    def run_round(remaining: DataFrame, radius: float) -> DataFrame:
+        return knn_join_hexring(
+            remaining,
+            points,
+            k,
+            radius,
+            query_id_col=query_id_col,
+            query_lon_col=query_lon_col,
+            query_lat_col=query_lat_col,
+            id_col=id_col,
+            lon_col=lon_col,
+            lat_col=lat_col,
+            salt_buckets=salt_buckets,
+            broadcast_queries=bq,
+        )
+
+    return _adaptive_rounds(
+        run_round, queries, query_id_col, k, max_distance_deg,
+        start_fraction, expansion_factor,
     )

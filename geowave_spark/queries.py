@@ -995,12 +995,15 @@ def q_knn_hexring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/J3 hex variant — the north star's named "H3-ring-expansion kNN":
     both sides bin to hex cells, the query side expands by a broadcast
     kRing-offset literal table, candidates come from one (q, r) equi-join —
-    zero Python anywhere in the plan (plan-shape pytest).  Output contract
-    and oracle identical to knn_join."""
-    from geowave_spark.operators.knn import knn_join_hexring
+    zero Python anywhere in each round's plan (plan-shape pytest).  Rounds
+    expand the radius adaptively with executor-side retirement (the fixed
+    full-ball variant measured 97 s at sf0.1 over hot clusters; adaptive
+    measured 19.6 s cold on the same input).  Output contract and oracle
+    identical to knn_join."""
+    from geowave_spark.operators.knn import knn_join_hexring_adaptive
 
     pts = _geo(spark, sf_dir, "points")
-    return knn_join_hexring(
+    return knn_join_hexring_adaptive(
         _knn_queries(spark, sf_dir), pts, k=KNN_K, max_distance_deg=KNN_DIST
     )
 

@@ -172,6 +172,29 @@ def test_knn_hexring_equals_brute(spark, geo001):
     assert a == b
 
 
+@pytest.mark.usefixtures("geo001")
+def test_knn_hexring_adaptive_equals_fixed(spark, geo001):
+    """Ring-expansion hex kNN == fixed-radius hex kNN: retirement at a
+    shrunken radius may only fire when the true top-k is already in hand
+    (rings_for_distance covers the full r-ball, so >= k in-radius rows at
+    radius r IS the answer).  Exercises multiple rounds: start_fraction
+    1/8 with expansion 8 gives a 2-round schedule at these parameters."""
+    import pyspark.sql.functions as F
+
+    from geowave_spark.operators.knn import knn_join_hexring, knn_join_hexring_adaptive
+
+    pts = spark.read.parquet(f"{geo001}/points.parquet")
+    queries = pts.filter(F.col("fid").endswith("0")).select(
+        F.col("fid").alias("qid"), F.col("lon").alias("qlon"), F.col("lat").alias("qlat")
+    )
+    k, dist = 5, 1.5
+    fixed = knn_join_hexring(queries, pts, k=k, max_distance_deg=dist)
+    adaptive = knn_join_hexring_adaptive(queries, pts, k=k, max_distance_deg=dist)
+    a = {(r.qid, r.fid, r.rank) for r in adaptive.collect()}
+    b = {(r.qid, r.fid, r.rank) for r in fixed.collect()}
+    assert a == b and len(a) > 0
+
+
 def test_hex_cover_is_superset_of_point_cells(spark):
     """The conservative axial-rectangle cover must contain every cell a
     point of the covered bbox can bin to — otherwise the hex PIP join
