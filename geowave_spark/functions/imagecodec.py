@@ -16,9 +16,10 @@ Formats:
   interlace.  DEFLATE via stdlib :mod:`zlib`; all five scanline filters
   (None/Sub/Up/Average/Paeth) are unfiltered on decode, and the encoder can
   emit any fixed filter so every unfilter path is round-trip testable.
-  JPEG remains out of scope (a DCT entropy codec genuinely needs a
-  library); its payloads raise with the integration point documented in
-  :func:`decode_image`.
+- **JPEG (baseline)**: lives in :mod:`geowave_spark.functions.jpegcodec`
+  (DCT + canonical Huffman in pure numpy); :func:`decode_image` dispatches
+  to it on the 0xFFD8 magic.  Progressive JPEG and GIF/TIFF still raise
+  with the integration point documented in :func:`decode_image`.
 """
 
 from __future__ import annotations
@@ -256,12 +257,14 @@ def png_decode(buf: bytes) -> np.ndarray:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Magic-byte dispatch: BMP, PPM, or PNG payload -> (h, w, 3) uint8 RGB.
+    """Magic-byte dispatch: BMP, PPM, PNG, or baseline JPEG payload ->
+    (h, w, 3) uint8 RGB.
 
-    JPEG/GIF/TIFF payloads raise here — this function is the integration
-    point for a real image library (PIL/libav): add a branch on their magic
-    bytes returning the same (h, w, 3) uint8 contract and every downstream
-    operator (decode_media, extract_features, resize) works unchanged.
+    GIF/TIFF (and progressive JPEG) payloads raise here — this function is
+    the integration point for a real image library (PIL/libav): add a
+    branch on their magic bytes returning the same (h, w, 3) uint8 contract
+    and every downstream operator (decode_media, extract_features, resize)
+    works unchanged.
     """
     if buf[:2] == b"BM":
         return bmp_decode(buf)
@@ -269,4 +272,8 @@ def decode_image(buf: bytes) -> np.ndarray:
         return ppm_decode(buf)
     if buf[:8] == _PNG_SIG:
         return png_decode(buf)
+    if buf[:2] == b"\xff\xd8":
+        from geowave_spark.functions.jpegcodec import jpeg_decode
+
+        return jpeg_decode(buf)
     raise ValueError(f"unrecognized image payload (magic {buf[:2]!r})")

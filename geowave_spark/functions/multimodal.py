@@ -8,12 +8,14 @@ partitioning) is real and tested end-to-end:
 - ``decode_media(..., codec="fake")`` produces a deterministic fake decode
   (seeded by the payload hash) with the same schema a real decoder would
   emit — tests and downstream feature extraction run against it;
-- ``codec="real"`` ACTUALLY decodes BMP (24-bit), PPM (P6), and PNG
-  (8-bit, stdlib zlib) payloads via the dependency-free codecs in
-  :mod:`geowave_spark.functions.imagecodec`, and WAV (PCM 16-bit) audio via
-  :mod:`geowave_spark.functions.audiocodec` (this container ships no media
-  libraries, so only library-free formats are in scope; JPEG/MP3/... raise
-  with the PIL/libav integration point documented).
+- ``codec="real"`` ACTUALLY decodes BMP (24-bit), PPM (P6), PNG (8-bit,
+  stdlib zlib), and baseline JPEG (pure-numpy DCT + Huffman,
+  :mod:`geowave_spark.functions.jpegcodec`) payloads via the
+  dependency-free codecs in :mod:`geowave_spark.functions.imagecodec`, and
+  WAV (PCM 16-bit) audio via :mod:`geowave_spark.functions.audiocodec`
+  (this container ships no media libraries, so only library-free formats
+  are in scope; progressive JPEG/MP3/... raise with the PIL/libav
+  integration point documented).
 
 Scale shape: decode and feature extraction run in ``mapInPandas`` so one
 Arrow batch amortizes per-batch model/codec setup; media rows are
@@ -65,15 +67,17 @@ def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Binary payload -> pixel array rows (mapInPandas, Arrow-batched).
 
     ``codec="real"`` decodes actual image payloads — BMP (24-bit BI_RGB),
-    PPM (P6), and PNG (8-bit grey/RGB/RGBA, all five scanline filters) via
-    the dependency-free numpy/zlib codecs in
-    :mod:`geowave_spark.functions.imagecodec`, dispatched on magic bytes.
+    PPM (P6), PNG (8-bit grey/RGB/RGBA, all five scanline filters), and
+    baseline JPEG (4:4:4 / 4:2:0 / grayscale, restart markers) via the
+    dependency-free numpy/zlib codecs in
+    :mod:`geowave_spark.functions.imagecodec` /
+    :mod:`geowave_spark.functions.jpegcodec`, dispatched on magic bytes.
     Pixels come out as grayscale floats in [0, 1] (RGB mean / 255) and
     width/height are taken from the image header, overriding the metadata
-    columns.  JPEG/GIF/TIFF still need a library this container doesn't
-    ship; their payloads raise with the integration point documented (plug
-    PIL/libav into ``imagecodec.decode_image`` — same schema, same
-    batching).
+    columns.  Progressive JPEG/GIF/TIFF still need a library this container
+    doesn't ship; their payloads raise with the integration point
+    documented (plug PIL/libav into ``imagecodec.decode_image`` — same
+    schema, same batching).
     """
     if codec not in ("fake", "real"):
         raise ValueError(f"unknown codec {codec!r}")
@@ -196,19 +200,29 @@ def synth_media_table(spark, docs: DataFrame) -> DataFrame:
 
 
 def synth_image_media_table(spark, docs: DataFrame, fmt: str = "bmp", dim: int = 8) -> DataFrame:
-    """Media table whose payloads are REAL encoded images (BMP, PPM, or
-    PNG), deterministic per media_ref — fixtures for the ``codec="real"``
-    path.  PNG payloads rotate through all five scanline filters (keyed on
-    the ref hash) so a corpus-scale decode exercises every unfilter path.
-    Encoding runs Arrow-batched in mapInPandas, same as decode."""
+    """Media table whose payloads are REAL encoded images (BMP, PPM, PNG,
+    or baseline JPEG), deterministic per media_ref — fixtures for the
+    ``codec="real"`` path.  PNG payloads rotate through all five scanline
+    filters and JPEG payloads rotate subsampling (4:4:4 / 4:2:0) and
+    restart intervals (keyed on the ref hash) so a corpus-scale decode
+    exercises every path.  Encoding runs Arrow-batched in mapInPandas,
+    same as decode."""
     from geowave_spark.functions.imagecodec import bmp_bytes, png_bytes, ppm_bytes
+    from geowave_spark.functions.jpegcodec import jpeg_bytes
 
-    if fmt not in ("bmp", "ppm", "png"):
+    if fmt not in ("bmp", "ppm", "png", "jpeg"):
         raise ValueError(f"unknown format {fmt!r}")
     if fmt == "bmp":
         enc = lambda rgb, seed: bmp_bytes(rgb)
     elif fmt == "ppm":
         enc = lambda rgb, seed: ppm_bytes(rgb)
+    elif fmt == "jpeg":
+        enc = lambda rgb, seed: jpeg_bytes(
+            rgb,
+            quality=90,
+            subsample="420" if seed % 2 else "444",
+            restart_interval=(seed >> 1) % 3,  # 0 (none), 1, or 2 MCUs
+        )
     else:
         enc = lambda rgb, seed: png_bytes(rgb, filter_type=seed % 5)
 

@@ -179,14 +179,16 @@ class TestImageCodec:
         with pytest.raises(ValueError, match="unsupported PNG"):
             png_decode(bytes(depth16))
 
-    @pytest.mark.parametrize("fmt", ["bmp", "ppm", "png"])
+    @pytest.mark.parametrize("fmt", ["bmp", "ppm", "png", "jpeg"])
     def test_real_decode_end_to_end(self, spark, geo001, fmt):
         """codec='real' over genuinely-encoded payloads: header dims win,
-        pixels equal the known grayscale of the synthesized image."""
+        pixels equal the known grayscale of the synthesized image (for the
+        lossy JPEG fixtures, the known grayscale of its exact decode)."""
         import hashlib
 
         import numpy as np
 
+        from geowave_spark.functions.jpegcodec import jpeg_bytes, jpeg_decode
         from geowave_spark.functions.multimodal import (
             decode_media,
             synth_image_media_table,
@@ -200,6 +202,15 @@ class TestImageCodec:
             assert (r.width, r.height) == (8, 8)
             seed = int.from_bytes(hashlib.md5(r.media_ref.encode()).digest()[:4], "big")
             rgb = np.random.RandomState(seed).randint(0, 256, (8, 8, 3), dtype=np.uint8)
+            if fmt == "jpeg":
+                rgb = jpeg_decode(
+                    jpeg_bytes(
+                        rgb,
+                        quality=90,
+                        subsample="420" if seed % 2 else "444",
+                        restart_interval=(seed >> 1) % 3,
+                    )
+                )
             want = (rgb.mean(axis=2, dtype=np.float64) / 255.0).astype(np.float32).ravel()
             assert np.allclose(np.asarray(r.pixels, dtype=np.float32), want)
 
