@@ -212,11 +212,22 @@ def knn_join_adaptive(
     start_fraction: float = 1.0 / 8.0,
     expansion_factor: float = 8.0,
     max_broadcast_queries: int = 50_000,
+    pipeline=None,
+    pipeline_config: dict | None = None,
 ) -> DataFrame:
     """Ring-expansion kNN: identical output to :func:`knn_join`, but the
     search radius starts at ``max_distance * start_fraction`` and expands
     geometrically, re-running only the queries that have not yet found k
     neighbors.
+
+    Pass a :class:`geowave_spark.plans.lineage.Pipeline` as ``pipeline`` to
+    checkpoint every round durably (parquet + manifest with per-partition
+    row counters): a killed run re-invoked over the same checkpoint root
+    resumes after the last completed round — the north rule's "every join
+    stage checkpoints per-partition lineage ... so runs resume
+    mid-pipeline" on the kNN join itself.  ``pipeline_config`` goes into
+    each round's fingerprint, so changing inputs/parameters invalidates
+    stale checkpoints instead of silently reusing them.
 
     Why: with a generous distance bound over skewed data, the fixed-radius
     join materializes every in-distance pair (10^4+ per hot-cluster query)
@@ -260,6 +271,7 @@ def knn_join_adaptive(
     result = _adaptive_rounds(
         run_round, queries, query_id_col, k, max_distance_deg,
         start_fraction, expansion_factor,
+        pipeline=pipeline, pipeline_config=pipeline_config,
     )
     probe.unpersist()  # round outputs are checkpointed; the big cache can go
     return result
@@ -273,6 +285,8 @@ def _adaptive_rounds(
     max_distance_deg: float,
     start_fraction: float,
     expansion_factor: float,
+    pipeline=None,
+    pipeline_config: dict | None = None,
 ) -> DataFrame:
     """The ring-expansion round loop shared by the square and hex kNN joins.
 
@@ -286,6 +300,14 @@ def _adaptive_rounds(
     driver, and the plan size stays O(1) per round regardless of |queries|.
     Round outputs are localCheckpoint-ed (<= k*|queries| rows) to cut
     lineage across rounds.
+
+    With a :class:`~geowave_spark.plans.lineage.Pipeline`, each round's RAW
+    output is instead a durable parquet stage (manifest with per-partition
+    row counters); the semi/anti retirement joins then run over the
+    read-back parquet, so a resumed run skips every completed round's join
+    work and replays only the cheap retirement bookkeeping.  The round
+    schedule is deterministic in the arguments, which is what makes the
+    stage sequence replayable.
     """
     radii = []
     r = max_distance_deg * start_fraction
@@ -298,7 +320,15 @@ def _adaptive_rounds(
     chunks = []
     for i, radius in enumerate(radii):
         is_last = i == len(radii) - 1
-        out = run_round(remaining, radius).localCheckpoint()
+        if pipeline is not None:
+            rem = remaining  # bind loop variables for the build closure
+            out = pipeline.stage(
+                f"knn_round_{i:02d}",
+                {"round": i, "radius": radius, "k": k, **(pipeline_config or {})},
+                lambda rem=rem, radius=radius: run_round(rem, radius),
+            )
+        else:
+            out = run_round(remaining, radius).localCheckpoint()
         if is_last:
             chunks.append(out)
             break
@@ -549,6 +579,8 @@ def knn_join_hexring_adaptive(
     start_fraction: float = 1.0 / 8.0,
     expansion_factor: float = 8.0,
     max_broadcast_queries: int = 50_000,
+    pipeline=None,
+    pipeline_config: dict | None = None,
 ) -> DataFrame:
     """kRing-expansion kNN: identical output to :func:`knn_join_hexring`
     (and to :func:`knn_join`), but the search radius starts small and
@@ -591,4 +623,5 @@ def knn_join_hexring_adaptive(
     return _adaptive_rounds(
         run_round, queries, query_id_col, k, max_distance_deg,
         start_fraction, expansion_factor,
+        pipeline=pipeline, pipeline_config=pipeline_config,
     )

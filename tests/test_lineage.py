@@ -73,3 +73,59 @@ class TestLineage:
         f2 = pipe2.stage("10_filter", {"v": 1}, lambda: pts.filter(F.col("lat") > 0))
         pipe2.stage("20_agg", {"by": "cat2"}, lambda: f2.groupBy("category").count())
         assert [x["skipped"] for x in pipe2.summary()] == [True, False]
+
+
+class TestKnnResume:
+    """The adaptive kNN join's rounds as durable pipeline stages — the
+    north rule's 'every join stage checkpoints per-partition lineage and
+    row/tile counters so runs resume mid-pipeline' exercised on the join
+    itself, not a toy filter chain."""
+
+    def _run(self, spark, geo001, root, k=25):
+        from geowave_spark.operators.knn import knn_join_adaptive
+        from geowave_spark.plans.lineage import Pipeline
+
+        pts = spark.read.parquet(str(geo001 / "points.parquet"))
+        queries = pts.filter(F.col("fid").endswith("0")).select(
+            F.col("fid").alias("qid"),
+            F.col("lon").alias("qlon"),
+            F.col("lat").alias("qlat"),
+        )
+        pipe = Pipeline(spark, root)
+        out = knn_join_adaptive(
+            queries, pts, k=k, max_distance_deg=1.5,
+            pipeline=pipe, pipeline_config={"input": "geo001/points", "k": k},
+        )
+        return pipe, {(r.qid, r.fid, r.rank) for r in out.collect()}
+
+    def test_rounds_checkpoint_and_resume(self, spark, geo001, root):
+        from geowave_spark.operators.knn import knn_join_adaptive
+
+        pipe1, rows1 = self._run(spark, geo001, root)
+        s1 = pipe1.summary()
+        assert len(s1) >= 2, "need a multi-round schedule to prove resume"
+        assert all(not x["skipped"] for x in s1)
+        for x in s1:
+            m = json.loads((root / x["stage"] / "_manifest.json").read_text())
+            assert sum(m["partitions"].values()) == m["rows"]  # per-partition counters
+
+        # "killed and re-invoked": a fresh Pipeline over the same root
+        pipe2, rows2 = self._run(spark, geo001, root)
+        assert rows2 == rows1
+        assert all(x["skipped"] for x in pipe2.summary())
+
+        # and the checkpointed answer is the real answer
+        pts = spark.read.parquet(str(geo001 / "points.parquet"))
+        queries = pts.filter(F.col("fid").endswith("0")).select(
+            F.col("fid").alias("qid"),
+            F.col("lon").alias("qlon"),
+            F.col("lat").alias("qlat"),
+        )
+        plain = knn_join_adaptive(queries, pts, k=25, max_distance_deg=1.5)
+        assert {(r.qid, r.fid, r.rank) for r in plain.collect()} == rows1
+
+    def test_parameter_change_invalidates_rounds(self, spark, geo001, root):
+        self._run(spark, geo001, root, k=25)
+        pipe2, rows2 = self._run(spark, geo001, root, k=10)
+        assert all(not x["skipped"] for x in pipe2.summary())
+        assert rows2  # rebuilt, non-empty
