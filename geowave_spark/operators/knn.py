@@ -214,11 +214,18 @@ def knn_join_adaptive(
     max_broadcast_queries: int = 50_000,
     pipeline=None,
     pipeline_config: dict | None = None,
+    pre_encoded: bool = False,
 ) -> DataFrame:
     """Ring-expansion kNN: identical output to :func:`knn_join`, but the
     search radius starts at ``max_distance * start_fraction`` and expands
     geometrically, re-running only the queries that have not yet found k
     neighbors.
+
+    ``pre_encoded=True`` means ``points`` already carries the finest-tier
+    ``_pcell`` column (from :func:`with_point_cells`) and its persistence is
+    the caller's responsibility — used by the streaming wrapper so a static
+    point layer is encoded and cached ONCE across micro-batches instead of
+    re-encoded per batch.
 
     Pass a :class:`geowave_spark.plans.lineage.Pipeline` as ``pipeline`` to
     checkpoint every round durably (parquet + manifest with per-partition
@@ -244,8 +251,11 @@ def knn_join_adaptive(
     """
     # encode the big side once at the finest tier; per-round probe cells are
     # JVM bit-shifts of the cached key
-    probe = with_point_cells(points, lon_col, lat_col, cfg, cell_col="_pcell").drop("tier")
-    probe = probe.select(id_col, lon_col, lat_col, "_pcell").cache()
+    if pre_encoded:
+        probe = points.select(id_col, lon_col, lat_col, "_pcell")
+    else:
+        probe = with_point_cells(points, lon_col, lat_col, cfg, cell_col="_pcell").drop("tier")
+        probe = probe.select(id_col, lon_col, lat_col, "_pcell").cache()
 
     # resolve the broadcast decision once on the full query set (rounds only
     # shrink it, so a broadcastable start stays broadcastable)
@@ -273,7 +283,8 @@ def knn_join_adaptive(
         start_fraction, expansion_factor,
         pipeline=pipeline, pipeline_config=pipeline_config,
     )
-    probe.unpersist()  # round outputs are checkpointed; the big cache can go
+    if not pre_encoded:  # a pre-encoded probe's cache belongs to the caller
+        probe.unpersist()  # round outputs are checkpointed; the big cache can go
     return result
 
 

@@ -322,3 +322,104 @@ class TestStreamingPipJoin:
             pip_join(stream, zones, salt_hot=(1000, 8))
         with pytest.raises(ValueError, match="streaming"):
             pip_join_stream(batch_pts, zones)
+
+
+class TestStreamingKnn:
+    """The adaptive ring-expansion kNN run per micro-batch via foreachBatch:
+    unchanged batch operator, exactly-once sink (deterministic batch_id
+    paths + overwrite), checkpointed source offsets."""
+
+    def _query_feed(self, spark, geo001, tmp_path, two_files=False):
+        pts = spark.read.parquet(str(geo001 / "points.parquet"))
+        queries = pts.filter(F.col("fid").endswith("0")).select(
+            F.col("fid").alias("qid"),
+            F.col("lon").alias("qlon"),
+            F.col("lat").alias("qlat"),
+        )
+        inp = tmp_path / "q_in"
+        inp.mkdir()
+        import shutil
+
+        if two_files:
+            half = queries.count() // 2
+            queries.limit(half).coalesce(1).write.parquet(str(tmp_path / "q1"))
+            queries.subtract(queries.limit(half)).coalesce(1).write.parquet(
+                str(tmp_path / "q2")
+            )
+            for f in (tmp_path / "q1").glob("*.parquet"):
+                shutil.copy(f, inp / "part-000.parquet")
+        else:
+            queries.coalesce(1).write.parquet(str(tmp_path / "q1"))
+            for f in (tmp_path / "q1").glob("*.parquet"):
+                shutil.copy(f, inp / "part-000.parquet")
+        return pts, queries, inp
+
+    def test_stream_equals_batch(self, spark, geo001, tmp_path):
+        from geowave_spark.operators.knn import knn_join_adaptive
+        from geowave_spark.streaming.knn import knn_join_stream
+
+        pts, queries, inp = self._query_feed(spark, geo001, tmp_path)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        stream_q = spark.readStream.schema(queries.schema).parquet(str(inp))
+        q = knn_join_stream(
+            stream_q, pts, k=5, max_distance_deg=1.5,
+            output_dir=out, checkpoint_dir=ckpt, available_now=True,
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.qid, r.fid, r.rank)
+            for r in spark.read.parquet(out).select("qid", "fid", "rank").collect()
+        }
+        want = {
+            (r.qid, r.fid, r.rank)
+            for r in knn_join_adaptive(queries, pts, k=5, max_distance_deg=1.5).collect()
+        }
+        assert got == want and got
+
+    def test_resumes_from_checkpoint(self, spark, geo001, tmp_path):
+        """Kill after the first query file, restart from the same
+        checkpoint: the second run must process ONLY the new file, and the
+        union must equal the batch answer with no duplicated queries."""
+        import shutil
+
+        from geowave_spark.operators.knn import knn_join_adaptive
+        from geowave_spark.streaming.knn import knn_join_stream
+
+        pts, queries, inp = self._query_feed(spark, geo001, tmp_path, two_files=True)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        def run_once():
+            stream_q = spark.readStream.schema(queries.schema).parquet(str(inp))
+            q = knn_join_stream(
+                stream_q, pts, k=5, max_distance_deg=1.5,
+                output_dir=out, checkpoint_dir=ckpt, available_now=True,
+            )
+            q.awaitTermination(180)
+
+        run_once()
+        n_first = spark.read.parquet(out).count()
+        for f in (tmp_path / "q2").glob("*.parquet"):
+            shutil.copy(f, inp / "part-001.parquet")
+        run_once()
+
+        rows = [
+            (r.qid, r.fid, r.rank)
+            for r in spark.read.parquet(out).select("qid", "fid", "rank").collect()
+        ]
+        assert len(rows) > n_first, "restart processed nothing new"
+        assert len(rows) == len(set(rows)), "restart duplicated rows"
+        want = {
+            (r.qid, r.fid, r.rank)
+            for r in knn_join_adaptive(queries, pts, k=5, max_distance_deg=1.5).collect()
+        }
+        assert set(rows) == want, "restart lost or fabricated rows"
+
+    def test_wrong_sides_refused(self, spark, geo001, tmp_path):
+        from geowave_spark.streaming.knn import knn_join_stream
+
+        pts = spark.read.parquet(str(geo001 / "points.parquet"))
+        with pytest.raises(ValueError, match="streaming"):
+            knn_join_stream(pts, pts, 5, 1.5, "o", "c")
+        stream = spark.readStream.schema(pts.schema).parquet(str(geo001))
+        with pytest.raises(ValueError, match="static"):
+            knn_join_stream(stream, stream, 5, 1.5, "o", "c")
