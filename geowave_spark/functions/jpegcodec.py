@@ -18,8 +18,13 @@ Scope (stated honestly):
   Progressive (SOF2) and arithmetic-coded (SOF9+) streams raise with the
   integration point documented (plug PIL/libav into
   :func:`geowave_spark.functions.imagecodec.decode_image`).
-- JPEG is lossy: round-trips are exact only for flat-color images (DC-only
-  blocks — pinned in tests); smooth images are held to a PSNR bound.
+- JPEG is lossy: flat-color images (DC-only blocks) round-trip within ONE
+  grey level at quality >= 85 (DC quantizer error q/16 in luma plus up to
+  1.772x the chroma DC error through the inverse color transform — a
+  channel on a .5 rounding boundary can flip by one, so per-color
+  exactness is luck, not a theorem; hypothesis found the (0,0,1)@q70
+  counterexample).  Representative colors at q90 round-trip exactly
+  (pinned); smooth images are held to PSNR bounds.
 
 Reference parity note: the reference's raster adapters lean on Java's
 ImageIO for JPEG tiles (extensions/formats); this codec exists so the

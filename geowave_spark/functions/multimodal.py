@@ -210,21 +210,34 @@ def synth_image_media_table(spark, docs: DataFrame, fmt: str = "bmp", dim: int =
     from geowave_spark.functions.imagecodec import bmp_bytes, png_bytes, ppm_bytes
     from geowave_spark.functions.jpegcodec import jpeg_bytes
 
-    if fmt not in ("bmp", "ppm", "png", "jpeg"):
+    if fmt not in ("bmp", "ppm", "png", "jpeg", "mixed"):
         raise ValueError(f"unknown format {fmt!r}")
+    _jpeg = lambda rgb, seed: jpeg_bytes(
+        rgb,
+        quality=90,
+        subsample="420" if seed % 2 else "444",
+        restart_interval=(seed >> 1) % 3,  # 0 (none), 1, or 2 MCUs
+    )
     if fmt == "bmp":
         enc = lambda rgb, seed: bmp_bytes(rgb)
     elif fmt == "ppm":
         enc = lambda rgb, seed: ppm_bytes(rgb)
     elif fmt == "jpeg":
-        enc = lambda rgb, seed: jpeg_bytes(
-            rgb,
-            quality=90,
-            subsample="420" if seed % 2 else "444",
-            restart_interval=(seed >> 1) % 3,  # 0 (none), 1, or 2 MCUs
-        )
-    else:
+        enc = _jpeg
+    elif fmt == "png":
         enc = lambda rgb, seed: png_bytes(rgb, filter_type=seed % 5)
+    else:
+        # a realistic heterogeneous corpus: format varies per ref, one
+        # decode pass dispatches on magic bytes across all four
+        def enc(rgb, seed):
+            choice = (seed >> 8) % 4
+            if choice == 0:
+                return bmp_bytes(rgb)
+            if choice == 1:
+                return ppm_bytes(rgb)
+            if choice == 2:
+                return png_bytes(rgb, filter_type=seed % 5)
+            return _jpeg(rgb, seed)
 
     refs = (
         docs.select(F.explode("spans").alias("s"))

@@ -179,11 +179,13 @@ class TestImageCodec:
         with pytest.raises(ValueError, match="unsupported PNG"):
             png_decode(bytes(depth16))
 
-    @pytest.mark.parametrize("fmt", ["bmp", "ppm", "png", "jpeg"])
+    @pytest.mark.parametrize("fmt", ["bmp", "ppm", "png", "jpeg", "mixed"])
     def test_real_decode_end_to_end(self, spark, geo001, fmt):
         """codec='real' over genuinely-encoded payloads: header dims win,
         pixels equal the known grayscale of the synthesized image (for the
-        lossy JPEG fixtures, the known grayscale of its exact decode)."""
+        lossy JPEG fixtures, the known grayscale of its exact decode).
+        fmt='mixed' runs ONE decode pass over a heterogeneous corpus —
+        magic-byte dispatch across all four formats in the same batches."""
         import hashlib
 
         import numpy as np
@@ -198,11 +200,13 @@ class TestImageCodec:
         table = synth_image_media_table(spark, docs, fmt=fmt, dim=8)
         rows = decode_media(table, codec="real").collect()
         assert rows
-        for r in rows[:10]:
+        n_checked_jpeg = 0
+        for r in rows[:20]:
             assert (r.width, r.height) == (8, 8)
             seed = int.from_bytes(hashlib.md5(r.media_ref.encode()).digest()[:4], "big")
             rgb = np.random.RandomState(seed).randint(0, 256, (8, 8, 3), dtype=np.uint8)
-            if fmt == "jpeg":
+            is_jpeg = fmt == "jpeg" or (fmt == "mixed" and (seed >> 8) % 4 == 3)
+            if is_jpeg:
                 rgb = jpeg_decode(
                     jpeg_bytes(
                         rgb,
@@ -211,8 +215,11 @@ class TestImageCodec:
                         restart_interval=(seed >> 1) % 3,
                     )
                 )
+                n_checked_jpeg += 1
             want = (rgb.mean(axis=2, dtype=np.float64) / 255.0).astype(np.float32).ravel()
             assert np.allclose(np.asarray(r.pixels, dtype=np.float32), want)
+        if fmt == "mixed":
+            assert 0 < n_checked_jpeg < 20, "mixed corpus should mix formats"
 
 
 class TestResize:

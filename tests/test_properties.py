@@ -403,3 +403,59 @@ class TestMediaCodecs:
         rgb = rnd.randint(0, 256, (n, h, w, 3), dtype=np.uint8)
         frames, _ = y4m_decode(y4m_bytes(rgb, colorspace="444"))
         assert np.abs(frames.astype(int) - rgb.astype(int)).max() <= 2
+
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        r=st.integers(0, 255),
+        g=st.integers(0, 255),
+        b=st.integers(0, 255),
+        subsample=st.sampled_from(["444", "420"]),
+        quality=st.integers(85, 100),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_jpeg_flat_color_law(self, h, w, r, g, b, subsample, quality):
+        """A flat-color image quantizes to DC-only blocks, so the
+        reconstruction error is bounded by the DC quantizer alone:
+        q_dc/16 in luma plus up to 1.772x the chroma DC error through the
+        inverse color transform — ≤ 1 grey level for ANY color at
+        quality >= 85, any dimensions (incl. non-multiple-of-MCU), any
+        subsampling.  (Exactness for every color is NOT a theorem — a
+        channel landing on a .5 rounding boundary can flip by one; the
+        deterministic test pins exact round-trips for representative
+        colors at q90.)"""
+        from geowave_spark.functions.jpegcodec import jpeg_bytes, jpeg_decode
+
+        img = np.full((h, w, 3), (r, g, b), np.uint8)
+        out = jpeg_decode(jpeg_bytes(img, quality=quality, subsample=subsample))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+    @given(
+        h=st.integers(1, 16),
+        w=st.integers(1, 16),
+        seed=st.integers(0, 2**31 - 1),
+        subsample=st.sampled_from(["444", "420"]),
+        restart=st.integers(0, 3),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_jpeg_structural_laws(self, h, w, seed, subsample, restart):
+        """For arbitrary content: shape/dtype preserved, decode is
+        deterministic, restart markers never change pixels, and the luma
+        plane stays within a lossy bound at quality 90 (chroma is
+        legitimately destroyed by 4:2:0 on noise)."""
+        from geowave_spark.functions.jpegcodec import jpeg_bytes, jpeg_decode
+
+        img = np.random.RandomState(seed).randint(0, 256, (h, w, 3), np.uint8)
+        buf = jpeg_bytes(img, quality=90, subsample=subsample, restart_interval=restart)
+        out = jpeg_decode(buf)
+        assert out.shape == img.shape and out.dtype == np.uint8
+        assert (jpeg_decode(buf) == out).all()
+        plain = jpeg_decode(jpeg_bytes(img, quality=90, subsample=subsample))
+        assert (out == plain).all()
+
+        def luma(x):
+            return 0.299 * x[:, :, 0] + 0.587 * x[:, :, 1] + 0.114 * x[:, :, 2]
+
+        err = np.abs(luma(out.astype(np.float64)) - luma(img.astype(np.float64)))
+        assert err.max() <= 40.0  # q90 luma worst-case on noise; typical ~10
