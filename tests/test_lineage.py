@@ -129,3 +129,40 @@ class TestKnnResume:
         pipe2, rows2 = self._run(spark, geo001, root, k=10)
         assert all(not x["skipped"] for x in pipe2.summary())
         assert rows2  # rebuilt, non-empty
+
+
+class TestPipJoinResume:
+    """The flagship PIP join as a durable pipeline stage: extract -> join ->
+    zonal rollup, each with a manifest + per-partition counters; a re-run
+    over the same root resumes with zero join work."""
+
+    def _run(self, spark, geo001, root):
+        from geowave_spark.operators.spatial_join import pip_join
+        from geowave_spark.plans.lineage import Pipeline
+
+        pts = spark.read.parquet(str(geo001 / "points.parquet"))
+        zones = spark.read.parquet(str(geo001 / "zones.parquet")).filter(
+            F.col("zclass") == "convex"
+        )
+        pipe = Pipeline(spark, root)
+        joined = pipe.stage(
+            "10_pip_join",
+            {"mode": "hex", "zones": "convex"},
+            lambda: pip_join(pts, zones, mode="hex"),
+        )
+        rolled = pipe.stage(
+            "20_zone_rollup",
+            {"by": "zone_id"},
+            lambda: joined.groupBy("zone_id").agg(F.count("*").alias("n")),
+        )
+        return pipe, {(r.zone_id, r.n) for r in rolled.collect()}
+
+    def test_join_stage_checkpoints_and_resumes(self, spark, geo001, root):
+        pipe1, rows1 = self._run(spark, geo001, root)
+        assert [x["skipped"] for x in pipe1.summary()] == [False, False]
+        m = json.loads((root / "10_pip_join" / "_manifest.json").read_text())
+        assert m["rows"] > 0 and sum(m["partitions"].values()) == m["rows"]
+
+        pipe2, rows2 = self._run(spark, geo001, root)
+        assert rows2 == rows1 and rows1
+        assert [x["skipped"] for x in pipe2.summary()] == [True, True]
