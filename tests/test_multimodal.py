@@ -449,3 +449,55 @@ class TestVideoCodec:
         # fake frames differ across frame_idx (payload+idx seeded)
         one = decoded.filter(F.col("n_frames") >= 2).limit(2).collect()
         assert len(one) == 2
+
+
+class TestMediaToAnnPipeline:
+    """The composed media story: a heterogeneous (mixed-format) corpus is
+    decoded in one magic-dispatch pass, feature-extracted, and fed to the
+    same cosine top-k operator the embeddings table uses — the multimodal
+    columns are first-class pipeline inputs, not a dead end."""
+
+    def test_decode_features_ann_topk(self, spark, geo001):
+        import numpy as np
+
+        from geowave_spark.functions.multimodal import (
+            decode_media,
+            extract_features,
+            synth_image_media_table,
+        )
+        from geowave_spark.operators.similarity import cosine_topk
+
+        docs = spark.read.parquet(str(geo001 / "docs.parquet"))
+        table = synth_image_media_table(spark, docs, fmt="mixed", dim=8)
+        feats = extract_features(decode_media(table, codec="real")).cache()
+        n = feats.count()
+        assert n > 10
+
+        queries = feats.limit(8).select(
+            F.col("media_ref").alias("qid"), F.col("feature").alias("qvec")
+        )
+        topk = cosine_topk(
+            feats, queries, k=3, id_col="media_ref", vec_col="feature"
+        ).collect()
+        # contract: 3 ranked neighbors per query, no self-matches
+        per_q = {}
+        for r in topk:
+            per_q.setdefault(r.qid, []).append((r.rank, r.media_ref))
+            assert r.qid != r.media_ref
+        assert len(per_q) == 8
+        for q, neigh in per_q.items():
+            assert sorted(rk for rk, _ in neigh) == [1, 2, 3]
+
+        # spot-verify rank-1 against a driver-side exact computation
+        fmap = {r.media_ref: np.asarray(r.feature, dtype=np.float64) for r in feats.collect()}
+        cos = lambda a, b: float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+        for q in list(per_q)[:3]:
+            qv = fmap[q]
+            got1 = next(ref for rk, ref in sorted(per_q[q]) if rk == 1)
+            # ties on cosine resolve by vec_id ascending in the operator
+            cands = sorted(
+                (ref for ref in fmap if ref != q),
+                key=lambda ref: (-cos(fmap[ref], qv), ref),
+            )
+            assert got1 == cands[0], (q, got1, cands[:3])
+        feats.unpersist()
