@@ -257,3 +257,114 @@ def _gpx_point(source, track_id, idx, el, ptype, tname):
         ptype,
         tname,
     )
+
+
+GEOJSON_SCHEMA = (
+    "source string, feature_id string, feature_idx long, geom_type string, "
+    "geom_wkt string, properties string"
+)
+
+
+def _geojson_to_geoms(g: dict) -> list[tuple[str, object]]:
+    """GeoJSON geometry dict -> list of (kind, data) in the engine's WKT
+    model (``geometry/wkt.py``).  Multi-point/-linestring explode to parts
+    (the engine's geometry kinds are point/linestring/polygon/multipolygon);
+    GeometryCollection raises — the reference's SimpleFeature ingest has no
+    collection-typed attributes either."""
+    t = g["type"]
+    c = g["coordinates"] if t != "GeometryCollection" else None
+    if t == "Point":
+        return [("point", (float(c[0]), float(c[1])))]
+    if t == "MultiPoint":
+        return [("point", (float(p[0]), float(p[1]))) for p in c]
+    if t == "LineString":
+        return [("linestring", [(float(x), float(y)) for x, y, *_ in c])]
+    if t == "MultiLineString":
+        return [
+            ("linestring", [(float(x), float(y)) for x, y, *_ in line]) for line in c
+        ]
+    if t == "Polygon":
+        return [("polygon", [[(float(x), float(y)) for x, y, *_ in ring] for ring in c])]
+    if t == "MultiPolygon":
+        return [
+            (
+                "multipolygon",
+                [[[(float(x), float(y)) for x, y, *_ in ring] for ring in poly] for poly in c],
+            )
+        ]
+    raise ValueError(f"unsupported GeoJSON geometry type {t!r}")
+
+
+def read_geojson(spark: SparkSession, path: str, lines: bool = True) -> DataFrame:
+    """GeoJSON -> (feature id, WKT geometry, properties JSON) rows.
+
+    ``lines=True`` reads newline-delimited GeoJSON (one Feature per line —
+    the shape big corpora actually ship in: file splits parallelize, no
+    whole-file parse); ``lines=False`` reads whole files that are either a
+    FeatureCollection, a bare Feature, or a bare geometry.  Parsing is
+    stdlib ``json`` in ``mapInPandas`` (GeoJSON geometry nesting depth
+    varies by type, so a fixed ``from_json`` schema can't express it);
+    geometries come out as the engine's WKT (``geom_to_wkt``), so the
+    result feeds ``pip_join``/``areal_join`` zones or probe extents
+    unchanged.  Multi-point/-linestring features explode one row per part
+    (``<id>#<part>``); GeometryCollection raises.
+
+    Reference parity: the geotools-vector ingest family
+    (``extensions/formats/geotools-vector/.../GeoToolsVectorDataStoreIngestPlugin.java``)
+    accepts any SimpleFeature source including GeoJSON; properties pass
+    through opaque (JSON string) the way the reference carries feature
+    attributes it doesn't index.
+    """
+    import json as _json
+
+    import pandas as pd
+
+    from geowave_spark.geometry.wkt import geom_to_wkt
+
+    if lines:
+        raw = spark.read.text(path).select(
+            F.input_file_name().alias("file"), F.col("value").alias("body")
+        ).filter(F.length(F.trim(F.col("body"))) > 0)
+    else:
+        raw = spark.read.text(path, wholetext=True).select(
+            F.input_file_name().alias("file"), F.col("value").alias("body")
+        )
+
+    def _features(doc: dict):
+        if doc.get("type") == "FeatureCollection":
+            yield from doc.get("features", [])
+        elif doc.get("type") == "Feature":
+            yield doc
+        else:  # bare geometry
+            yield {"type": "Feature", "geometry": doc, "properties": None}
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = []
+            for fname, body in zip(pdf["file"], pdf["body"]):
+                base = fname.rsplit("/", 1)[-1]
+                for fi, feat in enumerate(_features(_json.loads(body))):
+                    geoms = _geojson_to_geoms(feat["geometry"])
+                    fid = str(feat.get("id", fi))
+                    props = feat.get("properties")
+                    props_s = _json.dumps(props, sort_keys=True) if props is not None else None
+                    for pi, geom in enumerate(geoms):
+                        rows.append(
+                            (
+                                base,
+                                fid if len(geoms) == 1 else f"{fid}#{pi}",
+                                fi,
+                                geom[0],
+                                geom_to_wkt(geom),
+                                props_s,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "source", "feature_id", "feature_idx",
+                    "geom_type", "geom_wkt", "properties",
+                ],
+            )
+
+    return raw.mapInPandas(_parse, GEOJSON_SCHEMA)

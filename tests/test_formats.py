@@ -165,3 +165,116 @@ class TestGpx:
         cells = with_point_cells(pts, lon_col="lon", lat_col="lat")
         rows = cells.select("cell").collect()
         assert len(rows) == pts.count() and all(r.cell is not None for r in rows)
+
+
+class TestGeoJson:
+    def test_ndjson_roundtrip_all_types(self, spark, tmp_path):
+        """Every GeoJSON geometry type the engine models round-trips into
+        its WKT form (parse-equality, not string equality); multi-point/
+        -linestring explode one row per part; properties pass through as
+        canonical JSON."""
+        import json
+
+        from geowave_spark.geometry.wkt import parse_wkt
+        from geowave_spark.sources.formats import read_geojson
+
+        feats = [
+            {"type": "Feature", "id": "pt", "properties": {"name": "a", "n": 1},
+             "geometry": {"type": "Point", "coordinates": [10.5, -3.25]}},
+            {"type": "Feature", "id": "mp", "properties": None,
+             "geometry": {"type": "MultiPoint", "coordinates": [[1, 2], [3, 4]]}},
+            {"type": "Feature", "id": "ls", "properties": {"z": True},
+             "geometry": {"type": "LineString", "coordinates": [[0, 0], [1, 1], [2, 0]]}},
+            {"type": "Feature", "id": "poly", "properties": {},
+             "geometry": {"type": "Polygon",
+                          "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+                                          [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]]]}},
+            {"type": "Feature", "id": "mpoly", "properties": {"k": "v"},
+             "geometry": {"type": "MultiPolygon",
+                          "coordinates": [[[[0, 0], [1, 0], [1, 1], [0, 0]]],
+                                          [[[5, 5], [6, 5], [6, 6], [5, 5]]]]}},
+        ]
+        p = tmp_path / "feats.geojsonl"
+        p.write_text("\n".join(json.dumps(f) for f in feats) + "\n")
+        rows = {r.feature_id: r for r in read_geojson(spark, str(p)).collect()}
+
+        assert parse_wkt(rows["pt"].geom_wkt) == ("point", (10.5, -3.25))
+        assert json.loads(rows["pt"].properties) == {"name": "a", "n": 1}
+        assert rows["mp#0"].geom_type == "point" and rows["mp#1"].geom_type == "point"
+        assert parse_wkt(rows["mp#1"].geom_wkt) == ("point", (3.0, 4.0))
+        kind, data = parse_wkt(rows["ls"].geom_wkt)
+        assert kind == "linestring" and [tuple(map(float, c)) for c in data] == [
+            (0.0, 0.0), (1.0, 1.0), (2.0, 0.0)
+        ]
+        kind, rings = parse_wkt(rows["poly"].geom_wkt)
+        assert kind == "polygon" and len(rings) == 2 and len(rings[0]) == 5
+        kind, polys = parse_wkt(rows["mpoly"].geom_wkt)
+        assert kind == "multipolygon" and len(polys) == 2
+
+    def test_whole_file_featurecollection_and_bare_geometry(self, spark, tmp_path):
+        import json
+
+        from geowave_spark.sources.formats import read_geojson
+
+        fc = {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {"i": 0},
+             "geometry": {"type": "Point", "coordinates": [1, 2]}},
+            {"type": "Feature", "properties": {"i": 1},
+             "geometry": {"type": "Point", "coordinates": [3, 4]}},
+        ]}
+        (tmp_path / "fc.geojson").write_text(json.dumps(fc))
+        (tmp_path / "bare.geojson").write_text(
+            json.dumps({"type": "Point", "coordinates": [9, 9]})
+        )
+        rows = read_geojson(spark, str(tmp_path / "*.geojson"), lines=False).collect()
+        assert len(rows) == 3
+        assert {r.feature_idx for r in rows if r.source == "fc.geojson"} == {0, 1}
+
+    def test_geometrycollection_rejected(self, spark, tmp_path):
+        import json
+
+        from pyspark.errors.exceptions.captured import PythonException
+
+        from geowave_spark.sources.formats import read_geojson
+
+        (tmp_path / "gc.geojsonl").write_text(json.dumps({
+            "type": "Feature", "properties": None,
+            "geometry": {"type": "GeometryCollection", "geometries": []},
+        }))
+        with pytest.raises(PythonException, match="GeometryCollection"):
+            read_geojson(spark, str(tmp_path / "gc.geojsonl")).collect()
+
+    def test_geojson_zones_feed_pip_join_identically(self, spark, geo001, tmp_path):
+        """The integration that matters: a zone layer ingested from GeoJSON
+        produces byte-identical PIP join rows to the parquet zone layer."""
+        import json
+
+        from geowave_spark.geometry.wkt import parse_wkt
+        from geowave_spark.operators.spatial_join import pip_join
+        from geowave_spark.sources.formats import read_geojson
+
+        zones = spark.read.parquet(str(geo001 / "zones.parquet")).filter(
+            F.col("zclass") == "convex"
+        )
+        zrows = zones.select("zone_id", "geom_wkt").collect()
+        lines = []
+        for r in zrows:
+            kind, rings = parse_wkt(r.geom_wkt)
+            assert kind == "polygon"
+            lines.append(json.dumps({
+                "type": "Feature", "id": r.zone_id, "properties": {"zone_id": r.zone_id},
+                "geometry": {"type": "Polygon",
+                             "coordinates": [[[float(x), float(y)] for x, y in ring]
+                                             for ring in rings]},
+            }))
+        p = tmp_path / "zones.geojsonl"
+        p.write_text("\n".join(lines) + "\n")
+
+        gj_zones = read_geojson(spark, str(p)).select(
+            F.col("feature_id").alias("zone_id"), "geom_wkt"
+        )
+        pts = spark.read.parquet(str(geo001 / "points.parquet"))
+        cols = ["fid", "zone_id", "lon", "lat"]
+        got = {tuple(r) for r in pip_join(pts, gj_zones).select(*cols).collect()}
+        want = {tuple(r) for r in pip_join(pts, zones).select(*cols).collect()}
+        assert got == want and got
