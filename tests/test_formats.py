@@ -278,3 +278,97 @@ class TestGeoJson:
         got = {tuple(r) for r in pip_join(pts, gj_zones).select(*cols).collect()}
         want = {tuple(r) for r in pip_join(pts, zones).select(*cols).collect()}
         assert got == want and got
+
+
+class TestShapefile:
+    def test_read_points_with_attributes(self, spark, tmp_path):
+        from geowave_spark.sources.shapefile import dbf_bytes, read_shapefile, shp_bytes
+
+        (tmp_path / "pts.shp").write_bytes(
+            shp_bytes([("point", (1.5, -2.25)), ("point", (3.0, 4.0))])
+        )
+        (tmp_path / "pts.dbf").write_bytes(
+            dbf_bytes(
+                [{"name": "a", "pop": 10}, {"name": "b", "pop": 20}],
+                [("name", "C", 8, 0), ("pop", "N", 10, 0)],
+            )
+        )
+        import json
+
+        rows = {r.record_no: r for r in read_shapefile(spark, str(tmp_path / "pts.*")).collect()}
+        assert len(rows) == 2 and rows[1].geom_type == "point"
+        assert json.loads(rows[2].attributes) == {"name": "b", "pop": 20}
+        from geowave_spark.geometry.wkt import parse_wkt
+
+        assert parse_wkt(rows[1].geom_wkt) == ("point", (1.5, -2.25))
+
+    def test_polygon_hole_assignment_and_multipolygon(self, spark, tmp_path):
+        """Two outer rings + one hole inside the SECOND outer: the ray-cast
+        assignment must attach the hole to the right polygon."""
+        import numpy as np
+
+        from geowave_spark.geometry.wkt import parse_wkt
+        from geowave_spark.sources.shapefile import read_shapefile, shp_bytes
+
+        g = [("multipolygon", [
+            [np.array([(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)], float)],
+            [np.array([(10, 10), (20, 10), (20, 20), (10, 20), (10, 10)], float),
+             np.array([(12, 12), (14, 12), (14, 14), (12, 14), (12, 12)], float)],
+        ])]
+        (tmp_path / "z.shp").write_bytes(shp_bytes(g))
+        rows = read_shapefile(spark, str(tmp_path / "z.*")).collect()
+        assert len(rows) == 1 and rows[0].attributes is None
+        kind, polys = parse_wkt(rows[0].geom_wkt)
+        assert kind == "multipolygon"
+        by_rings = sorted(polys, key=len)
+        assert len(by_rings[0]) == 1 and len(by_rings[1]) == 2  # hole on poly 2
+        hx = [p[0] for p in np.asarray(by_rings[1][1])]
+        assert min(hx) >= 10  # the hole is the 10..20 polygon's
+
+    def test_zm_shape_types_rejected(self, spark, tmp_path):
+        import struct
+
+        from pyspark.errors.exceptions.captured import PythonException
+
+        from geowave_spark.sources.shapefile import read_shapefile, shp_bytes
+
+        buf = bytearray(shp_bytes([("point", (1.0, 2.0))]))
+        struct.pack_into("<i", buf, 32, 11)  # header shape type -> PointZ
+        struct.pack_into("<i", buf, 108, 11)  # record shape type -> PointZ
+        (tmp_path / "z.shp").write_bytes(bytes(buf))
+        with pytest.raises(PythonException, match="unsupported shape type"):
+            read_shapefile(spark, str(tmp_path / "z.*")).collect()
+
+    def test_shapefile_zones_feed_pip_join_identically(self, spark, geo001, tmp_path):
+        """Same integration pin as GeoJSON: a zone layer ingested from
+        .shp/.dbf produces byte-identical PIP join rows to parquet zones."""
+        import json
+
+        from geowave_spark.geometry.wkt import parse_wkt
+        from geowave_spark.operators.spatial_join import pip_join
+        from geowave_spark.sources.shapefile import dbf_bytes, read_shapefile, shp_bytes
+
+        zones = spark.read.parquet(str(geo001 / "zones.parquet")).filter(
+            F.col("zclass") == "convex"
+        )
+        zrows = zones.select("zone_id", "geom_wkt").collect()
+        geoms = [parse_wkt(r.geom_wkt) for r in zrows]
+        (tmp_path / "zones.shp").write_bytes(shp_bytes(geoms))
+        (tmp_path / "zones.dbf").write_bytes(
+            dbf_bytes(
+                [{"zone_id": r.zone_id} for r in zrows],
+                [("zone_id", "C", 24, 0)],
+            )
+        )
+        shp_zones = (
+            read_shapefile(spark, str(tmp_path / "zones.*"))
+            .select(
+                F.get_json_object("attributes", "$.zone_id").alias("zone_id"),
+                "geom_wkt",
+            )
+        )
+        pts = spark.read.parquet(str(geo001 / "points.parquet"))
+        cols = ["fid", "zone_id", "lon", "lat"]
+        got = {tuple(r) for r in pip_join(pts, shp_zones).select(*cols).collect()}
+        want = {tuple(r) for r in pip_join(pts, zones).select(*cols).collect()}
+        assert got == want and got
