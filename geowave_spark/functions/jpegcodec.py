@@ -283,21 +283,16 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 
 def _rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    r = rgb[:, :, 0].astype(np.float64)
-    g = rgb[:, :, 1].astype(np.float64)
-    b = rgb[:, :, 2].astype(np.float64)
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-    return y, cb, cr
+    from geowave_spark.functions.colorspace import rgb_to_ycbcr_f
+
+    ycc = rgb_to_ycbcr_f(rgb)  # unrounded planes feed the DCT directly
+    return ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]
 
 
 def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    out = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    from geowave_spark.functions.colorspace import ycbcr_to_rgb_u8
+
+    return ycbcr_to_rgb_u8(np.stack([y, cb, cr], axis=2))
 
 
 def _plane_to_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:

@@ -27,19 +27,15 @@ _MAGIC = b"YUV4MPEG2 "
 
 def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
     """BT.601 full-swing RGB -> YCbCr (uint8 in, uint8 out)."""
-    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-    return np.clip(np.rint(np.stack([y, cb, cr], axis=-1)), 0, 255).astype(np.uint8)
+    from geowave_spark.functions.colorspace import rgb_to_ycbcr_f
+
+    return np.clip(np.rint(rgb_to_ycbcr_f(rgb)), 0, 255).astype(np.uint8)
 
 
 def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
-    y, cb, cr = (ycc[..., i].astype(np.float64) for i in range(3))
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    from geowave_spark.functions.colorspace import ycbcr_to_rgb_u8
+
+    return ycbcr_to_rgb_u8(ycc)
 
 
 def y4m_bytes(
@@ -93,7 +89,9 @@ def y4m_decode(buf: bytes) -> tuple[np.ndarray, int]:
         elif t[0] == "H":
             h = int(t[1:])
         elif t[0] == "F":
-            fps = int(t[1:].split(":")[0])
+            # rational F<num>:<den> (e.g. NTSC F30000:1001 ~ 29.97)
+            num, _, den = t[1:].partition(":")
+            fps = max(1, round(int(num) / max(1, int(den or "1"))))
         elif t[0] == "C":
             ctag = t[1:]
     if w <= 0 or h <= 0:

@@ -615,10 +615,16 @@ def knn_join_hexring_adaptive(
     """
     bq = queries.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries
 
+    # scan + project the big side once for the whole round loop (the square
+    # twin caches its encoded probe the same way); per-round res means the
+    # hex binning itself re-derives each round, but that is pure Catalyst
+    # over this cached projection instead of a fresh source scan per round
+    probe = points.select(id_col, lon_col, lat_col).cache()
+
     def run_round(remaining: DataFrame, radius: float) -> DataFrame:
         return knn_join_hexring(
             remaining,
-            points,
+            probe,
             k,
             radius,
             query_id_col=query_id_col,
@@ -631,8 +637,10 @@ def knn_join_hexring_adaptive(
             broadcast_queries=bq,
         )
 
-    return _adaptive_rounds(
+    result = _adaptive_rounds(
         run_round, queries, query_id_col, k, max_distance_deg,
         start_fraction, expansion_factor,
         pipeline=pipeline, pipeline_config=pipeline_config,
     )
+    probe.unpersist()  # round outputs are checkpointed; the big cache can go
+    return result

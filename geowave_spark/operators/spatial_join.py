@@ -461,9 +461,9 @@ def pip_join(
                 .withColumn(
                     "_zcell",
                     (
-                        F.lit(hex_res * (1 << 44))
-                        + (F.col("hex_q") + F.lit(1 << 21)) * F.lit(1 << 22)
-                        + (F.col("hex_r") + F.lit(1 << 21))
+                        F.lit(hex_res * (1 << 46))
+                        + (F.col("hex_q") + F.lit(1 << 22)) * F.lit(1 << 23)
+                        + (F.col("hex_r") + F.lit(1 << 22))
                     ).cast("long"),
                 )
                 .drop("hex_q", "hex_r")

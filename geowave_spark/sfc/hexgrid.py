@@ -28,9 +28,11 @@ Like hexagons everywhere, cells do NOT nest exactly across resolutions;
 `hex_parent` is the H3-style approximate parent (rebin the cell center at
 the coarser resolution).
 
-Key layout (int64): ``res << 44 | (q + 2^21) << 22 | (r + 2^21)`` — one
+Key layout (int64): ``res << 46 | (q + 2^22) << 23 | (r + 2^22)`` — one
 key space for all resolutions (ids at different resolutions never collide),
-unpackable with shifts/masks JVM-side.
+unpackable with shifts/masks JVM-side.  23-bit fields: at MAX_HEX_RES the
+axial coords over the full lon/lat domain reach ~3.1e6 (> 2^21, < 2^22), so
+the bias must be 2^22 for res 20 to be valid everywhere.
 
 kRing coverage rule used by the kNN join: for pointy-top hexes of
 circumradius R, neighbouring centers are sqrt(3)*R apart and centers at
@@ -48,8 +50,8 @@ import math
 import numpy as np
 
 MAX_HEX_RES = 20  # 45/2^20 deg ~ 4.3e-5 deg ~ 4.8 m circumradius
-_OFF = np.int64(1) << np.int64(21)  # axial offset bias (q, r in +/-2^21)
-_MASK = (np.int64(1) << np.int64(22)) - np.int64(1)
+_OFF = np.int64(1) << np.int64(22)  # axial offset bias (q, r in +/-2^22)
+_MASK = (np.int64(1) << np.int64(23)) - np.int64(1)
 
 SQRT3 = math.sqrt(3.0)
 
@@ -113,14 +115,14 @@ def hex_pack(q: np.ndarray, r: np.ndarray, res: int) -> np.ndarray:
     q = np.asarray(q, dtype=np.int64)
     r = np.asarray(r, dtype=np.int64)
     assert ((np.abs(q) < _OFF) & (np.abs(r) < _OFF)).all(), "axial coord overflow"
-    return (np.int64(res) << np.int64(44)) | ((q + _OFF) << np.int64(22)) | (r + _OFF)
+    return (np.int64(res) << np.int64(46)) | ((q + _OFF) << np.int64(23)) | (r + _OFF)
 
 
 def hex_unpack(cells: np.ndarray):
     """Packed id -> (res, q, r)."""
     c = np.asarray(cells, dtype=np.int64)
-    res = (c >> np.int64(44)).astype(np.int64)
-    q = ((c >> np.int64(22)) & _MASK) - _OFF
+    res = (c >> np.int64(46)).astype(np.int64)
+    q = ((c >> np.int64(23)) & _MASK) - _OFF
     r = (c & _MASK) - _OFF
     return res, q, r
 

@@ -121,7 +121,10 @@ def read_geolife(spark: SparkSession, path: str) -> DataFrame:
 
     Text scan + split: exactly-7-field lines are points (the file header
     never has 7 fields — the same implicit skip the reference relies on);
-    elevation ``-777`` becomes null; the track id is the source file name.
+    elevation ``-777`` becomes null; the track id is ``<user>/<file-stem>``
+    when the canonical ``Data/<user>/Trajectory/<start-ts>.plt`` layout is
+    detected (start-ts file names collide across the corpus's 182 users), or
+    the bare file stem otherwise.
     """
     lines = spark.read.text(path).select(
         F.input_file_name().alias("file"), F.split("value", ",").alias("v")
@@ -138,7 +141,9 @@ def read_geolife(spark: SparkSession, path: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    track = F.regexp_extract(F.col("file"), r"([^/]+)\.plt$", 1)
+    stem = F.regexp_extract(F.col("file"), r"([^/]+)\.plt$", 1)
+    user = F.regexp_extract(F.col("file"), r"([^/]+)/Trajectory/[^/]+\.plt$", 1)
+    track = F.when(user != "", F.concat(user, F.lit("/"), stem)).otherwise(stem)
     return (
         pts.filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
         .withColumn("track_id", track)
@@ -245,7 +250,12 @@ def _gpx_point(source, track_id, idx, el, ptype, tname):
         if ln == "ele" and ch.text:
             ele = float(ch.text)
         elif ln == "time" and ch.text:
-            ts = pd.Timestamp(ch.text).tz_localize(None)
+            t = pd.Timestamp(ch.text)
+            if t.tzinfo is not None:
+                # Normalize to the UTC instant; tz_localize(None) alone would
+                # keep local wall time and skew mixed-offset corpora.
+                t = t.tz_convert("UTC").tz_localize(None)
+            ts = t
     return (
         source,
         track_id,
@@ -344,10 +354,16 @@ def read_geojson(spark: SparkSession, path: str, lines: bool = True) -> DataFram
             for fname, body in zip(pdf["file"], pdf["body"]):
                 base = fname.rsplit("/", 1)[-1]
                 for fi, feat in enumerate(_features(_json.loads(body))):
-                    geoms = _geojson_to_geoms(feat["geometry"])
                     fid = str(feat.get("id", fi))
                     props = feat.get("properties")
                     props_s = _json.dumps(props, sort_keys=True) if props is not None else None
+                    g = feat.get("geometry")
+                    if g is None:
+                        # RFC 7946 §3.2: an unlocated Feature carries a JSON
+                        # null geometry — keep the row, null the geometry.
+                        rows.append((base, fid, fi, None, None, props_s))
+                        continue
+                    geoms = _geojson_to_geoms(g)
                     for pi, geom in enumerate(geoms):
                         rows.append(
                             (

@@ -241,8 +241,13 @@ def _assemble_polygons(rings: list[np.ndarray]) -> tuple[str, object]:
     return ("multipolygon", polys)
 
 
-def parse_dbf(buf: bytes) -> list[dict]:
-    """.dbf bytes -> one attributes dict per (undeleted) record."""
+def parse_dbf(buf: bytes) -> list[dict | None]:
+    """.dbf bytes -> one attributes dict per record, in file order.
+
+    Soft-deleted records (``*`` flag) yield ``None`` rather than being
+    dropped: the sibling .shp has no deletion concept, so record N of the
+    .shp must always pair with slot N here — compacting the list would
+    silently shift every later record onto its neighbour's attributes."""
     if len(buf) < 33:
         raise ValueError("not a dbf payload")
     n_rec, header_size, rec_size = struct.unpack_from("<IHH", buf, 4)
@@ -259,7 +264,8 @@ def parse_dbf(buf: bytes) -> list[dict]:
     for _ in range(n_rec):
         if pos + rec_size > len(buf):
             break
-        if buf[pos : pos + 1] == b"*":  # deleted
+        if buf[pos : pos + 1] == b"*":  # deleted: placeholder keeps alignment
+            out.append(None)
             pos += rec_size
             continue
         rec = {}

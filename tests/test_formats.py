@@ -372,3 +372,84 @@ class TestShapefile:
         got = {tuple(r) for r in pip_join(pts, shp_zones).select(*cols).collect()}
         want = {tuple(r) for r in pip_join(pts, zones).select(*cols).collect()}
         assert got == want and got
+
+
+class TestReviewRegressions:
+    """Pins for the round-3 post-review fixes (ingest-reader edge cases)."""
+
+    def test_dbf_deleted_record_keeps_shape_alignment(self, spark, tmp_path):
+        # .shp has no deletion concept, so a soft-deleted .dbf record must
+        # become a null-attribute placeholder — compacting the list would
+        # hand record 3 its deleted neighbour's attributes.
+        import json
+        import struct
+
+        from geowave_spark.sources.shapefile import dbf_bytes, read_shapefile, shp_bytes
+
+        (tmp_path / "d.shp").write_bytes(
+            shp_bytes([("point", (0.0, 0.0)), ("point", (1.0, 1.0)), ("point", (2.0, 2.0))])
+        )
+        dbf = bytearray(
+            dbf_bytes(
+                [{"name": "a"}, {"name": "b"}, {"name": "c"}],
+                [("name", "C", 8, 0)],
+            )
+        )
+        _, header_size, rec_size = struct.unpack_from("<IHH", dbf, 4)
+        dbf[header_size + rec_size] = ord("*")  # soft-delete record 2 ("b")
+        (tmp_path / "d.dbf").write_bytes(bytes(dbf))
+
+        rows = {r.record_no: r for r in read_shapefile(spark, str(tmp_path / "d.*")).collect()}
+        assert json.loads(rows[1].attributes) == {"name": "a"}
+        assert rows[2].attributes is None  # deleted -> null, not shifted
+        assert json.loads(rows[3].attributes) == {"name": "c"}
+
+    def test_gpx_offset_timestamps_normalize_to_utc(self, spark, tmp_path):
+        xml = (
+            '<?xml version="1.0"?><gpx version="1.1" creator="t"><trk><trkseg>'
+            '<trkpt lat="1.0" lon="2.0"><time>2020-06-01T12:00:00+05:00</time></trkpt>'
+            '<trkpt lat="1.1" lon="2.1"><time>2020-06-01T07:00:00Z</time></trkpt>'
+            "</trkseg></trk></gpx>"
+        )
+        p = tmp_path / "tz.gpx"
+        p.write_text(xml)
+        rows = read_gpx(spark, str(p)).orderBy("point_idx").collect()
+        # same instant recorded with different offsets -> same stored ts
+        assert rows[0].ts == rows[1].ts == datetime.datetime(2020, 6, 1, 7, 0, 0)
+
+    def test_geojson_null_geometry_feature_kept(self, spark, tmp_path):
+        # RFC 7946 §3.2: unlocated Feature carries geometry: null
+        from geowave_spark.sources.formats import read_geojson
+
+        p = tmp_path / "n.geojson"
+        p.write_text(
+            '{"type":"Feature","id":"u1","geometry":null,"properties":{"a":1}}\n'
+            '{"type":"Feature","id":"p1","geometry":{"type":"Point",'
+            '"coordinates":[3.0,4.0]},"properties":null}\n'
+        )
+        rows = {r.feature_id: r for r in read_geojson(spark, str(p)).collect()}
+        assert len(rows) == 2
+        u = rows["u1"]
+        assert u.geom_type is None and u.geom_wkt is None
+        assert '"a": 1' in u.properties
+        assert rows["p1"].geom_type == "point"
+
+    def test_geolife_track_id_includes_user_dir(self, spark, tmp_path):
+        # GeoLife layout Data/<user>/Trajectory/<start-ts>.plt: identical
+        # start-ts file names across users must NOT merge into one track
+        hdr = TestGeolife.HEADER
+        line = "39.9847,116.3184,0,492,39744.12,2008-10-23,02:53:{s:02d}\n"
+        for user in ("000", "017"):
+            d = tmp_path / "Data" / user / "Trajectory"
+            d.mkdir(parents=True)
+            (d / "20081023025304.plt").write_text(
+                hdr + line.format(s=4) + line.format(s=10)
+            )
+        df = read_geolife(spark, str(tmp_path / "Data/*/Trajectory/*.plt"))
+        got = {(r.track_id, r.point_idx) for r in df.collect()}
+        assert got == {
+            ("000/20081023025304", 0),
+            ("000/20081023025304", 1),
+            ("017/20081023025304", 0),
+            ("017/20081023025304", 1),
+        }

@@ -239,3 +239,19 @@ def test_knn_hexring_no_python_in_plan(spark, geo001):
     )
     plan = knn_join_hexring(queries, pts, k=3, max_distance_deg=1.0)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_res20_valid_over_full_lonlat_domain():
+    """The packed-key bias must admit MAX_HEX_RES over the whole domain:
+    at res 20 the axial q coordinate reaches ~3.1e6 near lon=±180, which
+    overflowed the original 2^21 bias (review regression pin)."""
+    from geowave_spark.sfc.hexgrid import MAX_HEX_RES, hex_cell_ids, hex_unpack
+
+    lon = np.array([-180.0, 180.0, 175.0, -175.0, 0.0])
+    lat = np.array([-90.0, 90.0, 0.0, -89.9, 89.9])
+    cells = hex_cell_ids(lon, lat, MAX_HEX_RES)
+    res, q, r = hex_unpack(cells)
+    assert (res == MAX_HEX_RES).all()
+    # round-trips through pack/unpack (no field bleed at the extremes)
+    q2, r2 = hex_axial(lon, lat, MAX_HEX_RES)
+    assert (q == q2).all() and (r == r2).all()

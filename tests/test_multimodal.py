@@ -501,3 +501,16 @@ class TestMediaToAnnPipeline:
             )
             assert got1 == cands[0], (q, got1, cands[:3])
         feats.unpersist()
+
+
+def test_y4m_rational_framerate_parsed():
+    """F<num>:<den> headers (NTSC F30000:1001) must not decode as fps=30000
+    (review regression pin)."""
+    import numpy as np
+
+    from geowave_spark.functions.videocodec import y4m_bytes, y4m_decode
+
+    luma = np.arange(2 * 4 * 4, dtype=np.uint8).reshape(2, 4, 4)
+    buf = y4m_bytes(luma, fps=30, colorspace="mono").replace(b"F30:1", b"F30000:1001")
+    frames, fps = y4m_decode(buf)
+    assert fps == 30 and frames.shape == (2, 4, 4, 3)
