@@ -371,7 +371,7 @@ VIDEO_DECODED_SCHEMA = (
 def decode_video(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Binary video payload -> one row PER FRAME (mapInPandas, Arrow-batched).
 
-    ``codec="real"`` decodes actual Y4M (YUV4MPEG2 mono/444) payloads via
+    ``codec="real"`` decodes actual Y4M (YUV4MPEG2 mono/444/420/422) payloads via
     the dependency-free codec in :mod:`geowave_spark.functions.videocodec`;
     frames come out as grayscale floats in [0, 1] (RGB mean / 255) with real
     ``frame_idx``/``n_frames``/``fps`` from the stream, overriding metadata
@@ -453,8 +453,9 @@ def decode_video(media: DataFrame, codec: str = "fake") -> DataFrame:
 def synth_video_media_table(spark, docs: DataFrame, dim: int = 8) -> DataFrame:
     """Media table whose payloads are REAL encoded Y4M streams, deterministic
     per media_ref — fixtures for ``decode_video(codec="real")``.  Frame count
-    (2-4) and colorspace (mono/444) rotate on the ref hash so multi-frame
-    explode and both plane layouts are exercised corpus-wide."""
+    (2-4) and colorspace (mono/444/420) rotate on the ref hash so multi-frame
+    explode and all three plane layouts — including the subsampled one real
+    streams default to — are exercised corpus-wide."""
     from geowave_spark.functions.videocodec import y4m_bytes
 
     refs = (
@@ -471,12 +472,16 @@ def synth_video_media_table(spark, docs: DataFrame, dim: int = 8) -> DataFrame:
                 seed = int.from_bytes(hashlib.md5(ref.encode()).digest()[:4], "big")
                 rng = np.random.RandomState(seed)
                 nf = 2 + seed % 3
-                if seed % 2:
+                variant = seed % 3
+                if variant == 0:
                     frames = rng.randint(0, 256, (nf, dim, dim), dtype=np.uint8)
                     payloads.append(y4m_bytes(frames, fps=25, colorspace="mono"))
-                else:
+                elif variant == 1:
                     frames = rng.randint(0, 256, (nf, dim, dim, 3), dtype=np.uint8)
                     payloads.append(y4m_bytes(frames, fps=30, colorspace="444"))
+                else:
+                    frames = rng.randint(0, 256, (nf, dim, dim, 3), dtype=np.uint8)
+                    payloads.append(y4m_bytes(frames, fps=24, colorspace="420"))
                 nframes.append(nf)
             yield pd.DataFrame(
                 {

@@ -8,10 +8,16 @@ raw planes — so, like BMP/PPM/WAV, it needs no media library.
 Colorspaces:
 - **Cmono**: one luma plane per frame.  8-bit round-trips are bit-exact,
   which makes it the testing contract.
-- **C444**: full-resolution YCbCr planes; decode converts to RGB via BT.601
-  (the Y4M default), encode does the forward conversion.  Integer rounding
-  makes round-trips near-exact (within +/-2 per channel), never exact —
-  inherent to YCbCr, not a codec defect.
+- **C444**: full-resolution YCbCr planes; decode converts to RGB via BT.601,
+  encode does the forward conversion.  Integer rounding makes round-trips
+  near-exact (within +/-2 per channel), never exact — inherent to YCbCr,
+  not a codec defect.
+- **C420 / C422** (420 is the Y4M default and what ffmpeg emits): chroma
+  subsampled 2x2 / 2x1.  Encode box-averages the chroma planes; decode
+  nearest-upsamples.  The C420jpeg/C420mpeg2/C420paldv tag suffixes only
+  differ in chroma *siting* (sub-pixel placement); nearest reconstruction
+  treats them identically, which is within half a chroma sample of any
+  siting convention.
 
 Compressed video (H.264/VP9/...) genuinely needs a library; unrecognized
 magic raises in :func:`decode_video_payload` with the libav integration
@@ -45,7 +51,9 @@ def y4m_bytes(
 
     ``colorspace="mono"`` takes (n, h, w) uint8 luma frames (bit-exact);
     ``colorspace="444"`` takes (n, h, w, 3) uint8 RGB frames and converts to
-    BT.601 YCbCr planes (lossy by integer rounding).
+    BT.601 YCbCr planes (lossy by integer rounding); ``colorspace="420"`` /
+    ``"422"`` additionally box-average the chroma planes 2x2 / 2x1 (even
+    dimensions required, as the format itself demands).
     """
     frames = np.asarray(frames, dtype=np.uint8)
     if colorspace == "mono":
@@ -54,16 +62,30 @@ def y4m_bytes(
         n, h, w = frames.shape
         tag = b"Cmono"
         planes = [frames[i].tobytes() for i in range(n)]
-    elif colorspace == "444":
+    elif colorspace in ("444", "420", "422"):
         if frames.ndim != 4 or frames.shape[3] != 3:
-            raise ValueError("444 expects (n, h, w, 3) RGB frames")
+            raise ValueError(f"{colorspace} expects (n, h, w, 3) RGB frames")
         n, h, w = frames.shape[:3]
-        tag = b"C444"
+        tag = b"C" + colorspace.encode()
         ycc = _rgb_to_ycbcr(frames)
-        planes = [
-            b"".join(np.ascontiguousarray(ycc[i, :, :, c]).tobytes() for c in range(3))
-            for i in range(n)
-        ]
+        if colorspace == "444":
+            planes = [
+                b"".join(np.ascontiguousarray(ycc[i, :, :, c]).tobytes() for c in range(3))
+                for i in range(n)
+            ]
+        else:
+            sy, sx = (2, 2) if colorspace == "420" else (1, 2)
+            if h % sy or w % sx:
+                raise ValueError(f"C{colorspace} requires dimensions divisible by {sy}x{sx}")
+            planes = []
+            for i in range(n):
+                y = np.ascontiguousarray(ycc[i, :, :, 0]).tobytes()
+                sub = []
+                for c in (1, 2):
+                    p = ycc[i, :, :, c].astype(np.float64)
+                    box = p.reshape(h // sy, sy, w // sx, sx).mean(axis=(1, 3))
+                    sub.append(np.clip(np.rint(box), 0, 255).astype(np.uint8).tobytes())
+                planes.append(y + sub[0] + sub[1])
     else:
         raise ValueError(f"unknown colorspace {colorspace!r}")
     hdr = _MAGIC + f"W{w} H{h} F{fps}:1 Ip A1:1 ".encode() + tag + b"\n"
@@ -73,9 +95,10 @@ def y4m_bytes(
 def y4m_decode(buf: bytes) -> tuple[np.ndarray, int]:
     """Decode a YUV4MPEG2 stream into ((n, h, w, 3) uint8 RGB frames, fps).
 
-    Mono luma is replicated across RGB channels; C444 converts via BT.601.
-    Subsampled colorspaces (C420/C422) and per-frame parameter overrides
-    raise — add the plane upsampling here to extend coverage.
+    Mono luma is replicated across RGB channels; C444/C420/C422 convert via
+    BT.601 (subsampled chroma nearest-upsampled first — siting-suffix tags
+    like C420jpeg/C420mpeg2 decode identically, see module docstring).
+    Per-frame parameter overrides raise.
     """
     if buf[:10] != _MAGIC:
         raise ValueError("not a YUV4MPEG2 payload")
@@ -96,12 +119,22 @@ def y4m_decode(buf: bytes) -> tuple[np.ndarray, int]:
             ctag = t[1:]
     if w <= 0 or h <= 0:
         raise ValueError("Y4M header missing W/H")
-    if ctag not in ("mono", "444"):
-        raise ValueError(
-            f"unsupported Y4M colorspace C{ctag} (mono/444 only; add chroma "
-            "upsampling for C420/C422)"
-        )
-    frame_px = h * w * (1 if ctag == "mono" else 3)
+    if ctag.startswith("420"):  # C420 / C420jpeg / C420mpeg2 / C420paldv
+        kind, sy, sx = "sub", 2, 2
+    elif ctag.startswith("422"):
+        kind, sy, sx = "sub", 1, 2
+    elif ctag in ("mono", "444"):
+        kind, sy, sx = ctag, 1, 1
+    else:
+        raise ValueError(f"unsupported Y4M colorspace C{ctag}")
+    if kind == "sub" and (h % sy or w % sx):
+        raise ValueError(f"C{ctag} stream with dimensions not divisible by {sy}x{sx}")
+    if kind == "mono":
+        frame_px = h * w
+    elif kind == "444":
+        frame_px = 3 * h * w
+    else:
+        frame_px = h * w + 2 * (h // sy) * (w // sx)
     pos, frames = nl + 1, []
     while pos < len(buf):
         fnl = buf.index(b"\n", pos)
@@ -113,10 +146,19 @@ def y4m_decode(buf: bytes) -> tuple[np.ndarray, int]:
         if pos + frame_px > len(buf):
             raise ValueError("truncated Y4M frame")
         plane = np.frombuffer(buf, dtype=np.uint8, count=frame_px, offset=pos)
-        if ctag == "mono":
+        if kind == "mono":
             frames.append(np.repeat(plane.reshape(h, w, 1), 3, axis=2))
-        else:
+        elif kind == "444":
             frames.append(_ycbcr_to_rgb(plane.reshape(3, h, w).transpose(1, 2, 0)))
+        else:
+            ch, cw = h // sy, w // sx
+            y = plane[: h * w].reshape(h, w)
+            cb = plane[h * w : h * w + ch * cw].reshape(ch, cw)
+            cr = plane[h * w + ch * cw :].reshape(ch, cw)
+            # nearest upsample back to full resolution
+            cb = np.repeat(np.repeat(cb, sy, axis=0), sx, axis=1)
+            cr = np.repeat(np.repeat(cr, sy, axis=0), sx, axis=1)
+            frames.append(_ycbcr_to_rgb(np.stack([y, cb, cr], axis=-1)))
         pos += frame_px
     if not frames:
         raise ValueError("Y4M stream has no frames")

@@ -393,7 +393,10 @@ class TestVideoCodec:
         with pytest.raises(ValueError, match="truncated"):
             y4m_decode(good[:-3])
         with pytest.raises(ValueError, match="unsupported Y4M colorspace"):
-            y4m_decode(b"YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n" + bytes(6))
+            y4m_decode(b"YUV4MPEG2 W4 H4 F25:1 C411\nFRAME\n" + bytes(24))
+        # C420 is no longer rejected: a minimal 2x2 stream decodes
+        frames, _ = y4m_decode(b"YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n" + bytes(6))
+        assert frames.shape == (1, 2, 2, 3)
         with pytest.raises(ValueError, match="unrecognized video"):
             decode_video_payload(b"\x00\x00\x00\x18ftypmp42")
 
@@ -426,7 +429,7 @@ class TestVideoCodec:
             seed = int.from_bytes(hashlib.md5(ref.encode()).digest()[:4], "big")
             nf = 2 + seed % 3
             assert (r.rows, r.nf) == (nf, nf)
-            assert r.fps == (25 if seed % 2 else 30)
+            assert r.fps == {0: 25, 1: 30, 2: 24}[seed % 3]  # mono/444/420
         sampled = frame_sample(decoded, every_nth=2)
         assert sampled.filter(F.col("frame_idx") % 2 != 0).count() == 0
         # every video keeps frame 0, so no ref disappears
@@ -514,3 +517,61 @@ def test_y4m_rational_framerate_parsed():
     buf = y4m_bytes(luma, fps=30, colorspace="mono").replace(b"F30:1", b"F30000:1001")
     frames, fps = y4m_decode(buf)
     assert fps == 30 and frames.shape == (2, 4, 4, 3)
+
+
+class TestY4MSubsampled:
+    """C420/C422 — the layouts real Y4M streams actually use (ffmpeg's
+    default is 420)."""
+
+    def _rgb(self):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        # blocky content so 2x2 chroma averaging is near-lossless per block
+        base = rng.integers(0, 256, size=(2, 3, 4, 3), dtype=np.uint8)
+        return np.repeat(np.repeat(base, 2, axis=1), 2, axis=2)  # (2, 6, 8, 3)
+
+    def test_420_roundtrip_on_blocky_content(self):
+        import numpy as np
+
+        from geowave_spark.functions.videocodec import y4m_bytes, y4m_decode
+
+        rgb = self._rgb()
+        frames, fps = y4m_decode(y4m_bytes(rgb, fps=24, colorspace="420"))
+        assert fps == 24 and frames.shape == rgb.shape
+        # chroma constant within each 2x2 block -> only BT.601 rounding loss
+        assert int(np.abs(frames.astype(int) - rgb.astype(int)).max()) <= 2
+
+    def test_422_roundtrip_on_blocky_content(self):
+        import numpy as np
+
+        from geowave_spark.functions.videocodec import y4m_bytes, y4m_decode
+
+        rgb = self._rgb()
+        frames, _ = y4m_decode(y4m_bytes(rgb, colorspace="422"))
+        assert int(np.abs(frames.astype(int) - rgb.astype(int)).max()) <= 2
+
+    def test_siting_suffix_tags_decode(self):
+        from geowave_spark.functions.videocodec import y4m_bytes, y4m_decode
+
+        buf = y4m_bytes(self._rgb(), colorspace="420")
+        for tag in (b"C420jpeg", b"C420mpeg2", b"C420paldv"):
+            frames, _ = y4m_decode(buf.replace(b"C420", tag, 1))
+            assert frames.shape == (2, 6, 8, 3)
+
+    def test_headerless_c_tag_defaults_to_420(self):
+        from geowave_spark.functions.videocodec import y4m_bytes, y4m_decode
+
+        buf = y4m_bytes(self._rgb(), colorspace="420").replace(b" C420", b"", 1)
+        frames, _ = y4m_decode(buf)  # spec default when no C tag present
+        assert frames.shape == (2, 6, 8, 3)
+
+    def test_odd_dimensions_rejected(self):
+        import numpy as np
+        import pytest
+
+        from geowave_spark.functions.videocodec import y4m_bytes
+
+        odd = np.zeros((1, 5, 8, 3), dtype=np.uint8)
+        with pytest.raises(ValueError, match="divisible"):
+            y4m_bytes(odd, colorspace="420")
