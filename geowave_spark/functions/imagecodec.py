@@ -18,8 +18,11 @@ Formats:
   emit any fixed filter so every unfilter path is round-trip testable.
 - **JPEG (baseline)**: lives in :mod:`geowave_spark.functions.jpegcodec`
   (DCT + canonical Huffman in pure numpy); :func:`decode_image` dispatches
-  to it on the 0xFFD8 magic.  Progressive JPEG and GIF/TIFF still raise
-  with the integration point documented in :func:`decode_image`.
+  to it on the 0xFFD8 magic.
+- **GIF (87a/89a)**: lives in :mod:`geowave_spark.functions.gifcodec`
+  (variable-width LZW, interlace, transparency); dispatched on the GIF8
+  magic.  Progressive JPEG and TIFF still raise with the integration point
+  documented in :func:`decode_image`.
 """
 
 from __future__ import annotations
@@ -257,10 +260,10 @@ def png_decode(buf: bytes) -> np.ndarray:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Magic-byte dispatch: BMP, PPM, PNG, or baseline JPEG payload ->
+    """Magic-byte dispatch: BMP, PPM, PNG, GIF, or baseline JPEG payload ->
     (h, w, 3) uint8 RGB.
 
-    GIF/TIFF (and progressive JPEG) payloads raise here — this function is
+    TIFF (and progressive JPEG) payloads raise here — this function is
     the integration point for a real image library (PIL/libav): add a
     branch on their magic bytes returning the same (h, w, 3) uint8 contract
     and every downstream operator (decode_media, extract_features, resize)
@@ -272,6 +275,10 @@ def decode_image(buf: bytes) -> np.ndarray:
         return ppm_decode(buf)
     if buf[:8] == _PNG_SIG:
         return png_decode(buf)
+    if buf[:4] == b"GIF8":
+        from geowave_spark.functions.gifcodec import gif_decode
+
+        return gif_decode(buf)
     if buf[:2] == b"\xff\xd8":
         from geowave_spark.functions.jpegcodec import jpeg_decode
 

@@ -179,13 +179,13 @@ class TestImageCodec:
         with pytest.raises(ValueError, match="unsupported PNG"):
             png_decode(bytes(depth16))
 
-    @pytest.mark.parametrize("fmt", ["bmp", "ppm", "png", "jpeg", "mixed"])
+    @pytest.mark.parametrize("fmt", ["bmp", "ppm", "png", "jpeg", "gif", "mixed"])
     def test_real_decode_end_to_end(self, spark, geo001, fmt):
         """codec='real' over genuinely-encoded payloads: header dims win,
         pixels equal the known grayscale of the synthesized image (for the
         lossy JPEG fixtures, the known grayscale of its exact decode).
         fmt='mixed' runs ONE decode pass over a heterogeneous corpus —
-        magic-byte dispatch across all four formats in the same batches."""
+        magic-byte dispatch across all five formats in the same batches."""
         import hashlib
 
         import numpy as np
@@ -205,7 +205,7 @@ class TestImageCodec:
             assert (r.width, r.height) == (8, 8)
             seed = int.from_bytes(hashlib.md5(r.media_ref.encode()).digest()[:4], "big")
             rgb = np.random.RandomState(seed).randint(0, 256, (8, 8, 3), dtype=np.uint8)
-            is_jpeg = fmt == "jpeg" or (fmt == "mixed" and (seed >> 8) % 4 == 3)
+            is_jpeg = fmt == "jpeg" or (fmt == "mixed" and (seed >> 8) % 5 == 4)
             if is_jpeg:
                 rgb = jpeg_decode(
                     jpeg_bytes(
@@ -575,3 +575,83 @@ class TestY4MSubsampled:
         odd = np.zeros((1, 5, 8, 3), dtype=np.uint8)
         with pytest.raises(ValueError, match="divisible"):
             y4m_bytes(odd, colorspace="420")
+
+
+class TestGifCodec:
+    """GIF87a/89a: variable-width LZW over palette indices — lossless for
+    any <=256-color image, so round-trips are bit-exact."""
+
+    def _palimg(self, shape, ncolors, seed=11):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        pal = rng.randint(0, 256, (ncolors, 3), dtype=np.uint8)
+        return pal[rng.randint(0, ncolors, shape)]
+
+    @pytest.mark.parametrize("interlace", [False, True])
+    def test_roundtrip_bit_exact(self, interlace):
+        import numpy as np
+
+        from geowave_spark.functions.gifcodec import gif_bytes, gif_decode
+
+        rgb = self._palimg((37, 53), 200)
+        assert (gif_decode(gif_bytes(rgb, interlace=interlace)) == rgb).all()
+
+    def test_dictionary_growth_and_reset(self):
+        # 200x300 random 200-color noise forces width growth to 12 bits and
+        # the 4096-entry dictionary reset
+        import numpy as np
+
+        from geowave_spark.functions.gifcodec import gif_bytes, gif_decode
+
+        rgb = self._palimg((200, 300), 200, seed=3)
+        assert (gif_decode(gif_bytes(rgb)) == rgb).all()
+
+    def test_compresses_runs(self):
+        import numpy as np
+
+        from geowave_spark.functions.gifcodec import gif_bytes
+
+        grad = np.tile(np.arange(256, dtype=np.uint8).reshape(1, 256, 1), (64, 1, 3))
+        assert len(gif_bytes(grad)) < grad.nbytes / 4  # LZW actually compresses
+
+    def test_transparency_composites_to_background(self):
+        import numpy as np
+
+        from geowave_spark.functions.gifcodec import gif_bytes, gif_decode
+
+        img = np.zeros((4, 4, 3), np.uint8)
+        img[1:3, 1:3] = [255, 0, 0]
+        out = gif_decode(gif_bytes(img, transparent_color=(255, 0, 0)))
+        assert (out == 0).all()  # red is transparent -> background (black)
+
+    def test_two_color_minimum_code_size(self):
+        import numpy as np
+
+        from geowave_spark.functions.gifcodec import gif_bytes, gif_decode
+
+        rng = np.random.RandomState(5)
+        bw = np.where(rng.rand(9, 7, 1) > 0.5, 255, 0).astype(np.uint8).repeat(3, 2)
+        assert (gif_decode(gif_bytes(bw)) == bw).all()
+
+    def test_palette_cap_and_bad_magic(self):
+        import numpy as np
+
+        from geowave_spark.functions.gifcodec import gif_bytes, gif_decode
+
+        img = np.zeros((20, 20, 3), np.uint8)
+        img[..., 0] = (np.arange(400) % 256).reshape(20, 20)
+        img[..., 1] = (np.arange(400) // 256).reshape(20, 20)
+        with pytest.raises(ValueError, match="<=256 distinct colors"):
+            gif_bytes(img)
+        with pytest.raises(ValueError, match="not a GIF"):
+            gif_decode(b"NOTAGIF")
+
+    def test_truncated_stream_raises(self):
+        import numpy as np
+
+        from geowave_spark.functions.gifcodec import gif_bytes, gif_decode
+
+        buf = gif_bytes(self._palimg((16, 16), 50))
+        with pytest.raises(ValueError):
+            gif_decode(buf[: len(buf) // 2])
