@@ -21,8 +21,11 @@ Formats:
   to it on the 0xFFD8 magic.
 - **GIF (87a/89a)**: lives in :mod:`geowave_spark.functions.gifcodec`
   (variable-width LZW, interlace, transparency); dispatched on the GIF8
-  magic.  Progressive JPEG and TIFF still raise with the integration point
-  documented in :func:`decode_image`.
+  magic.
+- **TIFF (baseline)**: lives in :mod:`geowave_spark.functions.tiffcodec`
+  (uncompressed + PackBits strips, 8-bit grey/RGB/RGBA, II/MM byte order);
+  dispatched on the II*/MM* magic.  Progressive JPEG and LZW/JPEG-in-TIFF
+  still raise with the integration point documented in :func:`decode_image`.
 """
 
 from __future__ import annotations
@@ -260,14 +263,13 @@ def png_decode(buf: bytes) -> np.ndarray:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Magic-byte dispatch: BMP, PPM, PNG, GIF, or baseline JPEG payload ->
-    (h, w, 3) uint8 RGB.
+    """Magic-byte dispatch: BMP, PPM, PNG, GIF, baseline TIFF, or baseline
+    JPEG payload -> (h, w, 3) uint8 RGB.
 
-    TIFF (and progressive JPEG) payloads raise here — this function is
-    the integration point for a real image library (PIL/libav): add a
-    branch on their magic bytes returning the same (h, w, 3) uint8 contract
-    and every downstream operator (decode_media, extract_features, resize)
-    works unchanged.
+    Unrecognized payloads raise here — this function is the integration
+    point for a real image library (PIL/libav): add a branch on the magic
+    bytes returning the same (h, w, 3) uint8 contract and every downstream
+    operator (decode_media, extract_features, resize) works unchanged.
     """
     if buf[:2] == b"BM":
         return bmp_decode(buf)
@@ -279,6 +281,10 @@ def decode_image(buf: bytes) -> np.ndarray:
         from geowave_spark.functions.gifcodec import gif_decode
 
         return gif_decode(buf)
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        from geowave_spark.functions.tiffcodec import tiff_decode
+
+        return tiff_decode(buf)
     if buf[:2] == b"\xff\xd8":
         from geowave_spark.functions.jpegcodec import jpeg_decode
 

@@ -201,17 +201,19 @@ def synth_media_table(spark, docs: DataFrame) -> DataFrame:
 
 def synth_image_media_table(spark, docs: DataFrame, fmt: str = "bmp", dim: int = 8) -> DataFrame:
     """Media table whose payloads are REAL encoded images (BMP, PPM, PNG,
-    GIF, or baseline JPEG), deterministic per media_ref — fixtures for the
-    ``codec="real"`` path.  PNG payloads rotate through all five scanline
-    filters, GIF rotates interlacing, and JPEG rotates subsampling
-    (4:4:4 / 4:2:0) and restart intervals (keyed on the ref hash) so a
-    corpus-scale decode exercises every path.  Encoding runs Arrow-batched
-    in mapInPandas, same as decode."""
+    GIF, baseline TIFF, or baseline JPEG), deterministic per media_ref —
+    fixtures for the ``codec="real"`` path.  PNG payloads rotate through
+    all five scanline filters, GIF rotates interlacing, TIFF rotates
+    PackBits, and JPEG rotates subsampling (4:4:4 / 4:2:0) and restart
+    intervals (keyed on the ref hash) so a corpus-scale decode exercises
+    every path.  Encoding runs Arrow-batched in mapInPandas, same as
+    decode."""
     from geowave_spark.functions.gifcodec import gif_bytes
     from geowave_spark.functions.imagecodec import bmp_bytes, png_bytes, ppm_bytes
     from geowave_spark.functions.jpegcodec import jpeg_bytes
+    from geowave_spark.functions.tiffcodec import tiff_bytes
 
-    if fmt not in ("bmp", "ppm", "png", "jpeg", "gif", "mixed"):
+    if fmt not in ("bmp", "ppm", "png", "jpeg", "gif", "tiff", "mixed"):
         raise ValueError(f"unknown format {fmt!r}")
     _jpeg = lambda rgb, seed: jpeg_bytes(
         rgb,
@@ -229,11 +231,13 @@ def synth_image_media_table(spark, docs: DataFrame, fmt: str = "bmp", dim: int =
         enc = lambda rgb, seed: png_bytes(rgb, filter_type=seed % 5)
     elif fmt == "gif":
         enc = lambda rgb, seed: gif_bytes(rgb, interlace=bool(seed % 2))
+    elif fmt == "tiff":
+        enc = lambda rgb, seed: tiff_bytes(rgb, packbits=bool(seed % 2))
     else:
         # a realistic heterogeneous corpus: format varies per ref, one
-        # decode pass dispatches on magic bytes across all five
+        # decode pass dispatches on magic bytes across all six
         def enc(rgb, seed):
-            choice = (seed >> 8) % 5
+            choice = (seed >> 8) % 6
             if choice == 0:
                 return bmp_bytes(rgb)
             if choice == 1:
@@ -242,6 +246,8 @@ def synth_image_media_table(spark, docs: DataFrame, fmt: str = "bmp", dim: int =
                 return png_bytes(rgb, filter_type=seed % 5)
             if choice == 3:
                 return gif_bytes(rgb, interlace=bool(seed % 2))
+            if choice == 4:
+                return tiff_bytes(rgb, packbits=bool(seed % 2))
             return _jpeg(rgb, seed)
 
     refs = (

@@ -179,13 +179,13 @@ class TestImageCodec:
         with pytest.raises(ValueError, match="unsupported PNG"):
             png_decode(bytes(depth16))
 
-    @pytest.mark.parametrize("fmt", ["bmp", "ppm", "png", "jpeg", "gif", "mixed"])
+    @pytest.mark.parametrize("fmt", ["bmp", "ppm", "png", "jpeg", "gif", "tiff", "mixed"])
     def test_real_decode_end_to_end(self, spark, geo001, fmt):
         """codec='real' over genuinely-encoded payloads: header dims win,
         pixels equal the known grayscale of the synthesized image (for the
         lossy JPEG fixtures, the known grayscale of its exact decode).
         fmt='mixed' runs ONE decode pass over a heterogeneous corpus —
-        magic-byte dispatch across all five formats in the same batches."""
+        magic-byte dispatch across all six formats in the same batches."""
         import hashlib
 
         import numpy as np
@@ -205,7 +205,7 @@ class TestImageCodec:
             assert (r.width, r.height) == (8, 8)
             seed = int.from_bytes(hashlib.md5(r.media_ref.encode()).digest()[:4], "big")
             rgb = np.random.RandomState(seed).randint(0, 256, (8, 8, 3), dtype=np.uint8)
-            is_jpeg = fmt == "jpeg" or (fmt == "mixed" and (seed >> 8) % 5 == 4)
+            is_jpeg = fmt == "jpeg" or (fmt == "mixed" and (seed >> 8) % 6 == 5)
             if is_jpeg:
                 rgb = jpeg_decode(
                     jpeg_bytes(
@@ -655,3 +655,72 @@ class TestGifCodec:
         buf = gif_bytes(self._palimg((16, 16), 50))
         with pytest.raises(ValueError):
             gif_decode(buf[: len(buf) // 2])
+
+
+class TestTiffCodec:
+    """Baseline TIFF: uncompressed / PackBits strips, II and MM byte order,
+    8-bit grey/RGB — lossless, so round-trips are bit-exact."""
+
+    @pytest.mark.parametrize("packbits", [False, True])
+    def test_roundtrip_multistrip(self, packbits):
+        import numpy as np
+
+        from geowave_spark.functions.tiffcodec import tiff_bytes, tiff_decode
+
+        rng = np.random.RandomState(21)
+        for h, w in ((13, 9), (4, 4), (17, 3)):
+            rgb = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            assert (tiff_decode(tiff_bytes(rgb, packbits=packbits)) == rgb).all()
+
+    def test_packbits_compresses_runs(self):
+        import numpy as np
+
+        from geowave_spark.functions.tiffcodec import tiff_bytes
+
+        flat = np.full((16, 32, 3), 200, np.uint8)
+        assert len(tiff_bytes(flat, packbits=True)) < len(tiff_bytes(flat)) / 3
+
+    def _be_grayscale(self, g, photometric=1):
+        import struct
+
+        h, w = g.shape
+        ifd_off, n = 8, 7
+
+        def be(tag, ttype, count, value):
+            return struct.pack(">HHI", tag, ttype, count) + struct.pack(">I", value)
+
+        data_off = ifd_off + 2 + 12 * n + 4
+        entries = [
+            be(256, 4, 1, w), be(257, 4, 1, h), be(258, 3, 1, 8 << 16),
+            be(259, 3, 1, 1 << 16), be(262, 3, 1, photometric << 16),
+            be(273, 4, 1, data_off), be(279, 4, 1, h * w),
+        ]
+        return (
+            struct.pack(">2sHI", b"MM", 42, ifd_off)
+            + struct.pack(">H", n) + b"".join(entries) + struct.pack(">I", 0)
+            + g.tobytes()
+        )
+
+    def test_big_endian_grayscale_and_whiteiszero(self):
+        import numpy as np
+
+        from geowave_spark.functions.tiffcodec import tiff_decode
+
+        g = np.random.RandomState(6).randint(0, 256, (5, 7), dtype=np.uint8)
+        assert (tiff_decode(self._be_grayscale(g, 1)) == g[:, :, None]).all()
+        # photometric 0 = WhiteIsZero -> inverted
+        assert (tiff_decode(self._be_grayscale(g, 0)) == (255 - g)[:, :, None]).all()
+
+    def test_unsupported_compression_raises(self):
+        import struct
+
+        import numpy as np
+
+        from geowave_spark.functions.tiffcodec import tiff_bytes, tiff_decode
+
+        buf = bytearray(tiff_bytes(np.zeros((4, 4, 3), np.uint8)))
+        struct.pack_into("<I", buf, 8 + 2 + 12 * 3 + 8, 5)  # compression=LZW
+        with pytest.raises(ValueError, match="unsupported TIFF compression"):
+            tiff_decode(bytes(buf))
+        with pytest.raises(ValueError, match="not a TIFF"):
+            tiff_decode(b"IX*\x00" + bytes(16))
