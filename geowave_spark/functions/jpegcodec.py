@@ -12,10 +12,17 @@ Scope (stated honestly):
 - **Encoder**: baseline DCT, 8-bit, YCbCr 4:4:4 or 4:2:0 (or grayscale),
   Annex-K quantization tables scaled by the libjpeg quality convention,
   Annex-K "typical" Huffman tables, optional restart markers.
-- **Decoder**: baseline sequential (SOF0/SOF1) only — grayscale or YCbCr
-  with any sampling factors in {1, 2} (4:4:4, 4:2:2, 4:4:0, 4:2:0),
-  multiple DQT/DHT segments, byte stuffing, DRI/RSTn restart intervals.
-  Progressive (SOF2) and arithmetic-coded (SOF9+) streams raise with the
+  ``progressive=True`` emits an SOF2 stream with the libjpeg default scan
+  script shape (interleaved DC first+refine, per-component spectral bands
+  with one-bit-at-a-time successive approximation), exercising every
+  Annex-G code path: EOB runs, ZRL folding, and buffered correction bits.
+- **Decoder**: baseline sequential (SOF0/SOF1) and progressive (SOF2) —
+  grayscale or YCbCr with any sampling factors in {1, 2} (4:4:4, 4:2:2,
+  4:4:0, 4:2:0), multiple DQT/DHT segments (including between scans),
+  byte stuffing, DRI/RSTn restart intervals in both modes, non-interleaved
+  scans over true component block grids, spectral selection and
+  successive approximation (DC and AC first + refinement scans).
+  Arithmetic-coded (SOF9+) and hierarchical streams raise with the
   integration point documented (plug PIL/libav into
   :func:`geowave_spark.functions.imagecodec.decode_image`).
 - JPEG is lossy: flat-color images (DC-only blocks) round-trip within ONE
@@ -139,6 +146,35 @@ _AC_CHROMA_VALS = [
     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 ]
+
+def _prog_ac_table() -> tuple[list[int], list[int]]:
+    """Fixed AC Huffman table for progressive scans.
+
+    Annex-K "typical" AC tables define only baseline symbols (EOB, ZRL,
+    run/size) and have exactly ONE free 16-bit leaf — no room for the 14
+    EOBn symbols (0x10..0xE0) progressive end-of-band runs need.  This
+    builds a complete-coverage canonical table: the 8 most frequent
+    symbols at 4 bits, common run/size pairs + every EOBn at 8 bits, the
+    long tail at 12 bits (Kraft sum 0.6875, all-ones codes unused).
+    """
+    tier1 = [0x00, 0x01, 0x02, 0x11, 0x10, 0x21, 0x03, 0x31]
+    tier2 = [r << 4 for r in range(2, 15)] + [
+        0xF0, 0x04, 0x05, 0x12, 0x13, 0x41, 0x51, 0x61, 0x22, 0x32,
+        0x71, 0x81, 0x06, 0x14, 0x91, 0xA1, 0x07, 0x23, 0x42, 0xB1,
+        0xC1, 0x15, 0x52, 0xD1, 0x33, 0x62, 0x24,
+    ]
+    valid = [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    valid += [r << 4 for r in range(15)] + [0xF0]
+    seen = set(tier1) | set(tier2)
+    tier3 = sorted(s for s in set(valid) if s not in seen)
+    bits = [0] * 16
+    bits[3] = len(tier1)
+    bits[7] = len(tier2)
+    bits[11] = len(tier3)
+    return bits, tier1 + tier2 + tier3
+
+
+_PROG_AC_BITS, _PROG_AC_VALS = _prog_ac_table()
 
 # Orthonormal 8x8 DCT-II matrix: forward F = M @ b @ M.T, inverse M.T @ F @ M.
 _M = np.array(
@@ -311,19 +347,245 @@ def _blocks_to_plane(blocks: np.ndarray, bh: int, bw: int) -> np.ndarray:
 # --------------------------------------------------------------- encoder
 
 
+def _true_block_dims(
+    fh: int, fw: int, hv: list[tuple[int, int]]
+) -> list[tuple[int, int]]:
+    """Per-component TRUE block grid (T.81 A.1.1): ceil(comp dims / 8).
+
+    Non-interleaved scans code exactly this grid — NOT the MCU-padded grid
+    interleaved scans cover — so encoder and decoder must agree on it.
+    """
+    hmax = max(h for h, _ in hv)
+    vmax = max(v for _, v in hv)
+    out = []
+    for hc, vc in hv:
+        comp_h = -(-fh * vc // vmax)
+        comp_w = -(-fw * hc // hmax)
+        out.append((-(-comp_h // 8), -(-comp_w // 8)))
+    return out
+
+
+def _mcu_units(
+    scan_cis: list[int],
+    hv: list[tuple[int, int]],
+    mcus_x: int,
+    mcus_y: int,
+    tdims: list[tuple[int, int]],
+):
+    """Yield per-MCU lists of ``(ci, block_row, block_col)`` in T.81 order.
+
+    A multi-component scan interleaves hc*vc blocks per component per MCU
+    over the padded MCU grid; a single-component scan is non-interleaved
+    (one data unit per MCU) over the component's true block grid.
+    """
+    if len(scan_cis) == 1:
+        ci = scan_cis[0]
+        tbh, tbw = tdims[ci]
+        for b in range(tbh * tbw):
+            yield [(ci, b // tbw, b % tbw)]
+    else:
+        for m in range(mcus_x * mcus_y):
+            my, mx = divmod(m, mcus_x)
+            unit = []
+            for ci in scan_cis:
+                hc, vc = hv[ci]
+                for i in range(vc):
+                    for j in range(hc):
+                        unit.append((ci, my * vc + i, mx * hc + j))
+            yield unit
+
+
+def _progressive_script(ncomp: int) -> list[tuple[list[int], int, int, int, int]]:
+    """Scan script ``(comp_indices, Ss, Se, Ah, Al)`` — libjpeg default shape.
+
+    DC first at Al=1 then refined to Al=0; luma AC split into two spectral
+    bands at Al=2 with two one-bit refinement passes; chroma AC at Al=1
+    with one refinement pass.  Every Annex-G coding mode is exercised.
+    """
+    if ncomp == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([1], 1, 63, 0, 1),
+        ([2], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([0], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([2], 1, 63, 1, 0),
+    ]
+
+
+class _ACProgWriter:
+    """Per-scan AC entropy state (T.81 G.1.2.2/G.1.2.3, jcphuff shape):
+    an end-of-band run counter plus correction bits buffered until the
+    next EOBn symbol is forced out."""
+
+    def __init__(self, bwr: _BitWriter, act: dict[int, tuple[int, int]]) -> None:
+        self.bwr = bwr
+        self.act = act
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def _sym(self, s: int) -> None:
+        code, ln = self.act[s]
+        self.bwr.write(code, ln)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self._sym(nbits << 4)
+            if nbits:
+                self.bwr.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for b in self.pending:
+            self.bwr.write(b, 1)
+        self.pending = []
+
+    def first_block(self, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+        """First scan of a band: code (sign * (|coef| >> Al)) with EOB runs."""
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            self.flush_eobrun()
+            while r > 15:
+                self._sym(0xF0)
+                r -= 16
+            s, bits_v = _magnitude(t if v > 0 else -t)
+            self._sym((r << 4) | s)
+            self.bwr.write(bits_v, s)
+            r = 0
+        if r:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+    def refine_block(self, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+        """Refinement scan: newly-significant coefficients get (run, 1) codes
+        with a sign bit; already-nonzero ones contribute correction bits that
+        ride behind the next emitted symbol (or the next EOBn)."""
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i
+        r = 0
+        br: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                self.flush_eobrun()
+                self._sym(0xF0)
+                r -= 16
+                for b in br:
+                    self.bwr.write(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            self.flush_eobrun()
+            self._sym((r << 4) | 1)
+            self.bwr.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+            for b in br:
+                self.bwr.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            self.eobrun += 1
+            self.pending.extend(br)
+            if self.eobrun == 0x7FFF or len(self.pending) > 937:
+                self.flush_eobrun()
+
+
+def _enc_prog_scan(
+    scan_cis: list[int],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    comp_blocks: list[np.ndarray],
+    hv: list[tuple[int, int]],
+    mcus_x: int,
+    mcus_y: int,
+    tdims: list[tuple[int, int]],
+    dc_codes: list[dict[int, tuple[int, int]]],
+    ac_codes: list[dict[int, tuple[int, int]]],
+    restart_interval: int,
+) -> bytes:
+    """Entropy-code one progressive scan; returns the stuffed byte stream."""
+    bwr = _BitWriter()
+    rst = 0
+    if ss == 0:
+        preds = [0] * len(hv)
+        for m, unit in enumerate(_mcu_units(scan_cis, hv, mcus_x, mcus_y, tdims)):
+            if restart_interval and m and m % restart_interval == 0:
+                bwr.pad_to_byte()
+                bwr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * len(hv)
+            for ci, by, bx in unit:
+                dc = int(comp_blocks[ci][by, bx][0])
+                if ah == 0:
+                    t = dc >> al
+                    s, bits_v = _magnitude(t - preds[ci])
+                    preds[ci] = t
+                    code, ln = dc_codes[0 if ci == 0 else 1][s]
+                    bwr.write(code, ln)
+                    bwr.write(bits_v, s)
+                else:
+                    bwr.write((dc >> al) & 1, 1)
+    else:
+        (ci,) = scan_cis
+        wr = _ACProgWriter(bwr, ac_codes[0 if ci == 0 else 1])
+        for m, unit in enumerate(_mcu_units(scan_cis, hv, mcus_x, mcus_y, tdims)):
+            if restart_interval and m and m % restart_interval == 0:
+                wr.flush_eobrun()
+                bwr.pad_to_byte()
+                bwr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+            _, by, bx = unit[0]
+            zz = comp_blocks[ci][by, bx][ZIGZAG]
+            if ah == 0:
+                wr.first_block(zz, ss, se, al)
+            else:
+                wr.refine_block(zz, ss, se, al)
+        wr.flush_eobrun()
+    bwr.pad_to_byte()
+    return bytes(bwr.out)
+
+
 def jpeg_bytes(
     rgb: np.ndarray,
     quality: int = 90,
     subsample: str = "444",
     restart_interval: int = 0,
     grayscale: bool = False,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF JPEG.
+    """Encode an (h, w, 3) uint8 RGB array as a JFIF JPEG.
 
     ``subsample`` is ``"444"`` (no chroma subsampling) or ``"420"`` (2x2
     box-mean chroma).  ``restart_interval`` > 0 emits DRI + RSTn markers
-    every that many MCUs.  ``grayscale=True`` encodes a single-component
-    stream from the luma plane.
+    every that many MCUs (per scan, in progressive mode).
+    ``grayscale=True`` encodes a single-component stream from the luma
+    plane.  ``progressive=True`` emits an SOF2 multi-scan stream (see
+    :func:`_progressive_script`); the quantized coefficients are identical
+    to the baseline stream's, so both decode to identical pixels.
     """
     rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
     if rgb.ndim != 3 or rgb.shape[2] != 3:
@@ -366,10 +628,65 @@ def jpeg_bytes(
         _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
         _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
     ]
-    ac_codes = [
-        _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
-        _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    if progressive:
+        # EOBn symbols require the complete-coverage table (see _prog_ac_table)
+        ac_bits_vals = [
+            (_PROG_AC_BITS, _PROG_AC_VALS),
+            (_PROG_AC_BITS, _PROG_AC_VALS),
+        ]
+    else:
+        ac_bits_vals = [
+            (_AC_LUMA_BITS, _AC_LUMA_VALS),
+            (_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        ]
+    ac_codes = [_canonical_codes(b, v) for b, v in ac_bits_vals]
+
+    out = bytearray()
+    out += bytes([0xFF, 0xD8])  # SOI
+    out += bytes([0xFF, 0xE0]) + struct.pack(
+        ">H5sBBBHHBB", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0
+    )
+    for tq, tbl in ((0, ql), (1, qc)) if not grayscale else ((0, ql),):
+        out += bytes([0xFF, 0xDB]) + struct.pack(">HB", 67, tq)
+        out += bytes(int(x) for x in tbl[ZIGZAG])
+    ncomp = len(comps)
+    sof = 0xC2 if progressive else 0xC0
+    out += bytes([0xFF, sof]) + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid, hc, vc, tq, _ in comps:
+        out += bytes([cid, (hc << 4) | vc, tq])
+    huff_sets = [
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (1, 0) + ac_bits_vals[0],
     ]
+    if not grayscale:
+        huff_sets += [
+            (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (1, 1) + ac_bits_vals[1],
+        ]
+    for tc, th, bits, vals in huff_sets:
+        out += bytes([0xFF, 0xC4]) + struct.pack(">HB", 19 + len(vals), (tc << 4) | th)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += bytes([0xFF, 0xDD]) + struct.pack(">HH", 4, restart_interval)
+
+    hv = [(hc, vc) for _, hc, vc, _, _ in comps]
+    if progressive:
+        tdims = _true_block_dims(h, w, hv)
+        for scan_cis, ss, se, ah, al in _progressive_script(ncomp):
+            out += bytes([0xFF, 0xDA]) + struct.pack(
+                ">HB", 6 + 2 * len(scan_cis), len(scan_cis)
+            )
+            for ci in scan_cis:
+                tid = 0 if ci == 0 else 1
+                # AC scans reference only the AC table, DC scans only DC.
+                out += bytes([comps[ci][0], (tid << 4) | tid])
+            out += bytes([ss, se, (ah << 4) | al])
+            out += _enc_prog_scan(
+                scan_cis, ss, se, ah, al, comp_blocks, hv, mcus_x, mcus_y,
+                tdims, dc_codes, ac_codes, restart_interval,
+            )
+        out += bytes([0xFF, 0xD9])  # EOI
+        return bytes(out)
 
     bwr = _BitWriter()
     preds = [0] * len(comps)
@@ -416,32 +733,6 @@ def jpeg_bytes(
             mcu_count += 1
     bwr.pad_to_byte()
 
-    out = bytearray()
-    out += bytes([0xFF, 0xD8])  # SOI
-    out += bytes([0xFF, 0xE0]) + struct.pack(
-        ">H5sBBBHHBB", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0
-    )
-    for tq, tbl in ((0, ql), (1, qc)) if not grayscale else ((0, ql),):
-        out += bytes([0xFF, 0xDB]) + struct.pack(">HB", 67, tq)
-        out += bytes(int(x) for x in tbl[ZIGZAG])
-    ncomp = len(comps)
-    out += bytes([0xFF, 0xC0]) + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
-    for cid, hc, vc, tq, _ in comps:
-        out += bytes([cid, (hc << 4) | vc, tq])
-    huff_sets = [
-        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
-        (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
-    ]
-    if not grayscale:
-        huff_sets += [
-            (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
-            (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
-        ]
-    for tc, th, bits, vals in huff_sets:
-        out += bytes([0xFF, 0xC4]) + struct.pack(">HB", 19 + len(vals), (tc << 4) | th)
-        out += bytes(bits) + bytes(vals)
-    if restart_interval:
-        out += bytes([0xFF, 0xDD]) + struct.pack(">HH", 4, restart_interval)
     out += bytes([0xFF, 0xDA]) + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
         tid = 0 if ci == 0 else 1
@@ -482,8 +773,201 @@ def _split_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
     return segments, pos
 
 
+def _decode_scan_baseline(
+    segments: list[bytes],
+    scan: list[tuple[int, int, int]],
+    comps: list[tuple[int, int, int, int]],
+    coef: dict[int, np.ndarray],
+    mcus_x: int,
+    mcus_y: int,
+    dc_luts: dict[int, tuple[np.ndarray, np.ndarray]],
+    ac_luts: dict[int, tuple[np.ndarray, np.ndarray]],
+    restart_interval: int,
+) -> None:
+    """Baseline sequential scan: full-band interleaved MCU decode."""
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    preds = [0] * len(comps)
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("truncated entropy stream at restart boundary")
+            br = _BitReader(segments[seg_idx])
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcus_x)
+        for ci, td, ta in scan:
+            _, hc, vc, _ = comps[ci]
+            dcl, acl = dc_luts[td], ac_luts[ta]
+            for i in range(vc):
+                for j in range(hc):
+                    s = br.huff(dcl)
+                    preds[ci] += _extend(br.receive(s), s)
+                    blk = coef[ci][my * vc + i, mx * hc + j]
+                    blk[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = br.huff(acl)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run past end of block")
+                        blk[ZIGZAG[k]] = _extend(br.receive(s), s)
+                        k += 1
+
+
+def _ac_correction(br: _BitReader, blk: np.ndarray, k: int, p1: int) -> None:
+    """Read one correction bit for an already-nonzero coefficient and, if
+    set and the bit isn't already present, push the magnitude outward
+    (T.81 G.1.2.3 / jdphuff refinement rule)."""
+    c = int(blk[ZIGZAG[k]])
+    if br.receive(1) and (abs(c) & p1) == 0:
+        blk[ZIGZAG[k]] = c + (p1 if c >= 0 else -p1)
+
+
+def _ac_first_block(
+    br: _BitReader,
+    acl: tuple[np.ndarray, np.ndarray],
+    blk: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """First AC scan of a band for one block; returns the EOB-run balance."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.huff(acl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                return (1 << r) - 1 + br.receive(r)
+            k += 16
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past end of band")
+        blk[ZIGZAG[k]] = _extend(br.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(
+    br: _BitReader,
+    acl: tuple[np.ndarray, np.ndarray],
+    blk: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """AC refinement scan for one block; returns the EOB-run balance."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.huff(acl)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) + br.receive(r)
+                    break
+                # ZRL: skip 16 zero-history positions (corrections en route)
+            elif s == 1:
+                val = p1 if br.receive(1) else -p1
+            else:
+                raise ValueError("invalid magnitude in AC refinement scan")
+            while k <= se:
+                if blk[ZIGZAG[k]] != 0:
+                    _ac_correction(br, blk, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[ZIGZAG[k]] != 0:
+                _ac_correction(br, blk, k, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_progressive(
+    segments: list[bytes],
+    scan: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    comps: list[tuple[int, int, int, int]],
+    coef: dict[int, np.ndarray],
+    mcus_x: int,
+    mcus_y: int,
+    tdims: list[tuple[int, int]],
+    dc_luts: dict[int, tuple[np.ndarray, np.ndarray]],
+    ac_luts: dict[int, tuple[np.ndarray, np.ndarray]],
+    restart_interval: int,
+) -> None:
+    """One progressive scan (T.81 Annex G): DC or a single-component AC
+    band, first pass (Ah=0) or one successive-approximation refinement."""
+    hv = [(hc, vc) for _, hc, vc, _ in comps]
+    scan_cis = [ci for ci, _, _ in scan]
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        tables = {ci: dc_luts[td] for ci, td, _ in scan}
+        preds = [0] * len(comps)
+        for m, unit in enumerate(_mcu_units(scan_cis, hv, mcus_x, mcus_y, tdims)):
+            if restart_interval and m and m % restart_interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("truncated entropy stream at restart boundary")
+                br = _BitReader(segments[seg_idx])
+                preds = [0] * len(comps)
+            for ci, by, bx in unit:
+                blk = coef[ci][by, bx]
+                if ah == 0:
+                    s = br.huff(tables[ci])
+                    preds[ci] += _extend(br.receive(s), s)
+                    blk[0] = preds[ci] << al
+                elif br.receive(1):
+                    blk[0] = int(blk[0]) | (1 << al)
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must cover one component")
+        (ci, _, ta) = scan[0]
+        acl = ac_luts[ta]
+        grid = coef[ci]
+        tbh, tbw = tdims[ci]
+        eobrun = 0
+        step = _ac_first_block if ah == 0 else _ac_refine_block
+        for b in range(tbh * tbw):
+            if restart_interval and b and b % restart_interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("truncated entropy stream at restart boundary")
+                br = _BitReader(segments[seg_idx])
+                eobrun = 0
+            eobrun = step(br, acl, grid[b // tbw, b % tbw], ss, se, al, eobrun)
+
+
 def jpeg_decode(buf: bytes) -> np.ndarray:
-    """Decode a baseline JFIF JPEG into an (h, w, 3) uint8 RGB array.
+    """Decode a baseline or progressive JFIF JPEG into (h, w, 3) uint8 RGB.
 
     Grayscale streams are replicated to 3 channels (same contract as PNG
     color type 0 in :mod:`geowave_spark.functions.imagecodec`).
@@ -495,7 +979,10 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
     ac_luts: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     restart_interval = 0
     frame = None  # (h, w, [(cid, hc, vc, tq)])
-    scan = None  # [(comp_index, td, ta)]
+    progressive = False
+    coef: dict[int, np.ndarray] = {}
+    geom = None  # (mcus_x, mcus_y, tdims)
+    nscans = 0
     pos = 2
     n = len(buf)
     while pos < n:
@@ -532,29 +1019,35 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + nv])
                 i += 17 + nv
                 (ac_luts if tc else dc_luts)[th] = _decode_lut(bits, vals)
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             _, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
             comps = []
             for ci in range(ncomp):
-                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                hc, vc = hv >> 4, hv & 15
+                cid, hv_b, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                hc, vc = hv_b >> 4, hv_b & 15
                 if not (1 <= hc <= 2 and 1 <= vc <= 2):
                     raise ValueError(f"unsupported sampling factors {hc}x{vc}")
                 comps.append((cid, hc, vc, tq))
             frame = (fh, fw, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-fw // (8 * hmax))
+            mcus_y = -(-fh // (8 * vmax))
+            tdims = _true_block_dims(fh, fw, [(hc, vc) for _, hc, vc, _ in comps])
+            geom = (mcus_x, mcus_y, tdims)
+            coef = {
+                ci: np.zeros((mcus_y * vc, mcus_x * hc, 64), dtype=np.int64)
+                for ci, (_, hc, vc, _) in enumerate(comps)
+            }
             pos += seglen
             continue
-        elif marker == 0xC2:
-            raise ValueError(
-                "progressive JPEG (SOF2) not supported by the numpy baseline "
-                "decoder — plug PIL/libav into imagecodec.decode_image"
-            )
         elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise ValueError(f"unsupported JPEG frame type SOF{marker - 0xC0}")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
-            if frame is None:
+            if frame is None or geom is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
             scan = []
@@ -562,10 +1055,27 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
             for si in range(ns):
                 cid, tt = body[1 + 2 * si], body[2 + 2 * si]
                 scan.append((cids.index(cid), tt >> 4, tt & 15))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             pos += seglen
-            break  # entropy data follows
+            segments, pos = _split_entropy(buf, pos)
+            mcus_x, mcus_y, tdims = geom
+            if progressive:
+                _decode_scan_progressive(
+                    segments, scan, ss, se, ahal >> 4, ahal & 15,
+                    frame[2], coef, mcus_x, mcus_y, tdims,
+                    dc_luts, ac_luts, restart_interval,
+                )
+            else:
+                if nscans:
+                    raise ValueError("multi-scan baseline JPEG not supported")
+                _decode_scan_baseline(
+                    segments, scan, frame[2], coef, mcus_x, mcus_y,
+                    dc_luts, ac_luts, restart_interval,
+                )
+            nscans += 1
+            continue
         pos += seglen
-    if frame is None or scan is None:
+    if frame is None or nscans == 0:
         raise ValueError("truncated JPEG: missing SOF/SOS")
 
     fh, fw, comps = frame
@@ -573,48 +1083,6 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
     vmax = max(c[2] for c in comps)
     mcus_x = -(-fw // (8 * hmax))
     mcus_y = -(-fh // (8 * vmax))
-    total_mcus = mcus_x * mcus_y
-
-    coef = {
-        ci: np.zeros((mcus_y * vc, mcus_x * hc, 64), dtype=np.int64)
-        for ci, (_, hc, vc, _) in enumerate(comps)
-    }
-
-    segments, _ = _split_entropy(buf, pos)
-    seg_idx = 0
-    br = _BitReader(segments[0])
-    preds = [0] * len(comps)
-    for m in range(total_mcus):
-        if restart_interval and m and m % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                raise ValueError("truncated entropy stream at restart boundary")
-            br = _BitReader(segments[seg_idx])
-            preds = [0] * len(comps)
-        my, mx = divmod(m, mcus_x)
-        for ci, td, ta in scan:
-            _, hc, vc, _ = comps[ci]
-            dcl, acl = dc_luts[td], ac_luts[ta]
-            for i in range(vc):
-                for j in range(hc):
-                    s = br.huff(dcl)
-                    preds[ci] += _extend(br.receive(s), s)
-                    blk = coef[ci][my * vc + i, mx * hc + j]
-                    blk[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = br.huff(acl)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past end of block")
-                        blk[ZIGZAG[k]] = _extend(br.receive(s), s)
-                        k += 1
 
     planes = []
     for ci, (_, hc, vc, tq) in enumerate(comps):

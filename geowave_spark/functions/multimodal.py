@@ -204,9 +204,9 @@ def synth_image_media_table(spark, docs: DataFrame, fmt: str = "bmp", dim: int =
     GIF, baseline TIFF, or baseline JPEG), deterministic per media_ref —
     fixtures for the ``codec="real"`` path.  PNG payloads rotate through
     all five scanline filters, GIF rotates interlacing, TIFF rotates
-    PackBits, and JPEG rotates subsampling (4:4:4 / 4:2:0) and restart
-    intervals (keyed on the ref hash) so a corpus-scale decode exercises
-    every path.  Encoding runs Arrow-batched in mapInPandas, same as
+    PackBits, and JPEG rotates subsampling (4:4:4 / 4:2:0), restart
+    intervals, and baseline/progressive (SOF0/SOF2) framing (keyed on the
+    ref hash) so a corpus-scale decode exercises every path.  Encoding runs Arrow-batched in mapInPandas, same as
     decode."""
     from geowave_spark.functions.gifcodec import gif_bytes
     from geowave_spark.functions.imagecodec import bmp_bytes, png_bytes, ppm_bytes
@@ -220,6 +220,7 @@ def synth_image_media_table(spark, docs: DataFrame, fmt: str = "bmp", dim: int =
         quality=90,
         subsample="420" if seed % 2 else "444",
         restart_interval=(seed >> 1) % 3,  # 0 (none), 1, or 2 MCUs
+        progressive=bool((seed >> 3) & 1),  # rotate SOF0 / SOF2 streams
     )
     if fmt == "bmp":
         enc = lambda rgb, seed: bmp_bytes(rgb)

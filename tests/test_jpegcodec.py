@@ -158,12 +158,78 @@ def test_quality_monotonicity():
     assert p[0] < p[1] < p[2]
 
 
-def test_progressive_rejected():
+@pytest.mark.parametrize("subsample", ["444", "420"])
+@pytest.mark.parametrize("grayscale", [False, True])
+@pytest.mark.parametrize("restart", [0, 3])
+def test_progressive_decodes_identically_to_baseline(subsample, grayscale, restart):
+    """SOF2 streams carry the same quantized coefficients as SOF0, split
+    across spectral-selection + successive-approximation scans — decoding
+    either must give bit-identical pixels."""
+    img = np.random.RandomState(11).randint(0, 256, (17, 29, 3), np.uint8)
+    kw = dict(
+        quality=85, subsample=subsample, grayscale=grayscale, restart_interval=restart
+    )
+    base = jpeg_decode(jpeg_bytes(img, **kw))
+    buf = jpeg_bytes(img, progressive=True, **kw)
+    assert b"\xff\xc2" in buf and b"\xff\xc0" not in buf
+    assert buf.count(b"\xff\xda") > 1  # genuinely multi-scan
+    assert (jpeg_decode(buf) == base).all()
+
+
+def test_progressive_flat_color_exercises_eob_runs():
+    """A flat 64x64 image is all-EOB in every AC scan: the end-of-band run
+    counter accumulates across blocks and is coded with multi-bit EOBn
+    symbols, the Annex-G path baseline tables cannot express."""
+    for color in [(0, 0, 0), (255, 255, 255), (13, 200, 77)]:
+        img = np.full((64, 64, 3), color, np.uint8)
+        base = jpeg_decode(jpeg_bytes(img, quality=30))
+        prog = jpeg_decode(jpeg_bytes(img, quality=30, progressive=True))
+        assert (base == prog).all()
+
+
+def test_progressive_sparse_low_quality():
+    """Sparse impulses at low quality force long zero runs inside refinement
+    scans (ZRL folding + buffered correction bits)."""
+    rng = np.random.RandomState(3)
+    img = np.zeros((48, 48, 3), np.uint8)
+    for _ in range(30):
+        y, x = rng.randint(0, 48, 2)
+        img[y, x] = rng.randint(0, 256, 3)
+    for q in (10, 50, 95):
+        base = jpeg_decode(jpeg_bytes(img, quality=q))
+        prog = jpeg_decode(jpeg_bytes(img, quality=q, progressive=True))
+        assert (base == prog).all()
+
+
+def test_prog_ac_table_covers_annex_g_symbols():
+    """The progressive AC table must cover every EOBn (0x10..0xE0), ZRL,
+    and run/size symbol, stay prefix-free, and leave all-ones codes free."""
+    from geowave_spark.functions.jpegcodec import _PROG_AC_BITS, _PROG_AC_VALS
+
+    codes = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    for r in range(15):
+        assert (r << 4) in codes, f"missing EOB{r}"
+    assert 0xF0 in codes
+    for r in range(16):
+        for s in range(1, 11):
+            assert ((r << 4) | s) in codes
+    as_bits = {format(c, f"0{l}b") for c, l in codes.values()}
+    assert len(as_bits) == len(codes)
+    for a in as_bits:
+        for b in as_bits:
+            if a is not b and len(a) < len(b):
+                assert not b.startswith(a)
+    assert all(set(s) != {"1"} for s in as_bits)  # all-ones never assigned
+
+
+def test_progressive_malformed_dc_scan_rejected():
+    """A 'progressive' stream whose first scan spans Ss=0..Se=63 is
+    malformed (DC scans must have Se=0)."""
     img = np.zeros((8, 8, 3), np.uint8)
     buf = bytearray(jpeg_bytes(img))
     i = buf.find(b"\xff\xc0")
-    buf[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
-    with pytest.raises(ValueError, match="progressive"):
+    buf[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 without re-scripting the scan
+    with pytest.raises(ValueError, match="Se=0"):
         jpeg_decode(bytes(buf))
 
 

@@ -213,6 +213,7 @@ class TestImageCodec:
                         quality=90,
                         subsample="420" if seed % 2 else "444",
                         restart_interval=(seed >> 1) % 3,
+                        progressive=bool((seed >> 3) & 1),
                     )
                 )
                 n_checked_jpeg += 1

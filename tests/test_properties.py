@@ -453,6 +453,16 @@ class TestMediaCodecs:
         assert (jpeg_decode(buf) == out).all()
         plain = jpeg_decode(jpeg_bytes(img, quality=90, subsample=subsample))
         assert (out == plain).all()
+        prog = jpeg_decode(
+            jpeg_bytes(
+                img,
+                quality=90,
+                subsample=subsample,
+                restart_interval=restart,
+                progressive=True,
+            )
+        )
+        assert (prog == out).all()  # SOF2 scans carry identical coefficients
 
         def luma(x):
             return 0.299 * x[:, :, 0] + 0.587 * x[:, :, 1] + 0.114 * x[:, :, 2]
