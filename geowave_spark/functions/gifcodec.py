@@ -8,8 +8,10 @@ Decode supports the format as real files use it: global and local color
 tables, interlaced and sequential images, the graphic-control transparency
 index (transparent pixels composite against the logical-screen background
 color — the decode contract is payload pixels as an RGB array, not
-animation compositing), and either spec version string.  Animated files
-decode their FIRST image descriptor (the still contract
+animation compositing), frames smaller than the logical screen (placed at
+their descriptor offset on a background-filled canvas, so the returned
+dims are always the file's nominal dims), and either spec version string.
+Animated files decode their FIRST image descriptor (the still contract
 :func:`decode_image` promises); later frames are ignored.
 
 The encoder exists to synthesize fixtures and as an export path (the same
@@ -163,6 +165,8 @@ def gif_decode(buf: bytes) -> np.ndarray:
     while pos < len(buf):
         b = buf[pos]
         if b == 0x21:  # extension
+            if pos + 1 >= len(buf):
+                raise ValueError("truncated GIF extension")
             label = buf[pos + 1]
             if label == 0xF9:  # graphic control: transparency flag + index
                 blk, after = _sub_blocks(buf, pos + 2)
@@ -172,13 +176,18 @@ def gif_decode(buf: bytes) -> np.ndarray:
             else:  # comment / plain text / application: skip sub-blocks
                 _, pos = _sub_blocks(buf, pos + 2)
         elif b == 0x2C:  # image descriptor — decode this (first) image
-            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", buf, pos + 1)
+            try:
+                left, top, w, h, ipacked = struct.unpack_from("<HHHHB", buf, pos + 1)
+            except struct.error:
+                raise ValueError("truncated GIF image descriptor") from None
             pos += 10
             ct = gct
             if ipacked & 0x80:
                 ct, pos = _color_table(buf, pos, ipacked & 0x07)
             if ct is None:
                 raise ValueError("GIF image with no color table")
+            if pos >= len(buf):
+                raise ValueError("truncated GIF image data")
             min_code_size = buf[pos]
             data, _ = _sub_blocks(buf, pos + 1)
             idx = _lzw_decode(data, min_code_size, w * h).reshape(h, w)
@@ -191,9 +200,24 @@ def gif_decode(buf: bytes) -> np.ndarray:
                     src += len(targets)
                 idx = idx[rows]
             rgb = ct[np.minimum(idx, len(ct) - 1)]
+            # background color index refers to the GLOBAL table (89a §18)
+            bg = (
+                gct[bg_idx]
+                if gct is not None and bg_idx < len(gct)
+                else np.zeros(3, np.uint8)
+            )
             if 0 <= transparent < len(ct):
-                bg = ct[bg_idx] if bg_idx < len(ct) else np.zeros(3, np.uint8)
                 rgb = np.where((idx == transparent)[:, :, None], bg, rgb)
+            if (left, top, w, h) != (0, 0, sw, sh):
+                # frame smaller than the logical screen: composite at its
+                # offset onto a background-filled canvas so the returned
+                # dims are the file's nominal dims
+                if left + w > sw or top + h > sh:
+                    raise ValueError("GIF image descriptor exceeds logical screen")
+                canvas = np.empty((sh, sw, 3), np.uint8)
+                canvas[:] = bg
+                canvas[top : top + h, left : left + w] = rgb
+                rgb = canvas
             return np.ascontiguousarray(rgb)
         elif b == 0x3B:  # trailer before any image
             break
@@ -205,16 +229,29 @@ def gif_decode(buf: bytes) -> np.ndarray:
 # ---------------------------------------------------------------- encode
 
 
-def gif_bytes(rgb: np.ndarray, interlace: bool = False, transparent_color=None) -> bytes:
+def gif_bytes(
+    rgb: np.ndarray,
+    interlace: bool = False,
+    transparent_color=None,
+    screen: tuple[int, int] | None = None,
+    offset: tuple[int, int] = (0, 0),
+) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array (<=256 distinct colors) as GIF89a.
 
     ``transparent_color``, if given as an (r, g, b) tuple present in the
     image, is marked transparent via a graphic-control extension — it lets
-    tests drive the decoder's compositing branch."""
+    tests drive the decoder's compositing branch.  ``screen=(sw, sh)`` with
+    ``offset=(left, top)`` writes the image as a sub-frame of a larger
+    logical screen (the decoder composites it onto a background-filled
+    canvas at that offset)."""
     rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError("expected (h, w, 3) RGB array")
     h, w = rgb.shape[:2]
+    left, top = offset
+    sw, sh = screen if screen is not None else (left + w, top + h)
+    if left + w > sw or top + h > sh:
+        raise ValueError("offset image exceeds the logical screen")
     flat = rgb.reshape(-1, 3)
     colors, inverse = np.unique(flat, axis=0, return_inverse=True)
     if len(colors) > 256:
@@ -230,14 +267,14 @@ def gif_bytes(rgb: np.ndarray, interlace: bool = False, transparent_color=None) 
             order.extend(range(first, h, step))
         idx = idx[np.asarray(order)]
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | size_field, 0, 0)
     out += palette.tobytes()
     if transparent_color is not None:
         t = np.where((colors == np.asarray(transparent_color, np.uint8)).all(axis=1))[0]
         if len(t) == 0:
             raise ValueError("transparent_color not present in the image")
         out += b"\x21\xf9\x04\x01\x00\x00" + bytes([int(t[0])]) + b"\x00"
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0x40 if interlace else 0)
     min_code_size = max(size_field + 1, 2)
     out.append(min_code_size)
     lzw = _lzw_encode(idx.ravel(), min_code_size)

@@ -1081,8 +1081,7 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
     fh, fw, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcus_x = -(-fw // (8 * hmax))
-    mcus_y = -(-fh // (8 * vmax))
+    mcus_x, mcus_y, _ = geom  # same grid scan decoding used
 
     planes = []
     for ci, (_, hc, vc, tq) in enumerate(comps):

@@ -222,6 +222,14 @@ def synth_image_media_table(spark, docs: DataFrame, fmt: str = "bmp", dim: int =
         restart_interval=(seed >> 1) % 3,  # 0 (none), 1, or 2 MCUs
         progressive=bool((seed >> 3) & 1),  # rotate SOF0 / SOF2 streams
     )
+    def _gif(rgb, seed):
+        # gif_bytes refuses >256 distinct colors; random fixtures above
+        # ~16x16 exceed that, so quantize to the 6-6-6 cube ONLY when
+        # needed (dim<=16 corpora keep their exact pinned pixels)
+        if len(np.unique(rgb.reshape(-1, 3), axis=0)) > 256:
+            rgb = (rgb // 51) * 51
+        return gif_bytes(rgb, interlace=bool(seed % 2))
+
     if fmt == "bmp":
         enc = lambda rgb, seed: bmp_bytes(rgb)
     elif fmt == "ppm":
@@ -231,7 +239,7 @@ def synth_image_media_table(spark, docs: DataFrame, fmt: str = "bmp", dim: int =
     elif fmt == "png":
         enc = lambda rgb, seed: png_bytes(rgb, filter_type=seed % 5)
     elif fmt == "gif":
-        enc = lambda rgb, seed: gif_bytes(rgb, interlace=bool(seed % 2))
+        enc = _gif
     elif fmt == "tiff":
         enc = lambda rgb, seed: tiff_bytes(rgb, packbits=bool(seed % 2))
     else:
@@ -246,7 +254,7 @@ def synth_image_media_table(spark, docs: DataFrame, fmt: str = "bmp", dim: int =
             if choice == 2:
                 return png_bytes(rgb, filter_type=seed % 5)
             if choice == 3:
-                return gif_bytes(rgb, interlace=bool(seed % 2))
+                return _gif(rgb, seed)
             if choice == 4:
                 return tiff_bytes(rgb, packbits=bool(seed % 2))
             return _jpeg(rgb, seed)

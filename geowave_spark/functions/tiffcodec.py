@@ -3,10 +3,13 @@
 De-stubs the TIFF branch of
 :func:`geowave_spark.functions.imagecodec.decode_image` for the baseline
 profile (TIFF 6.0 spec, part 1): uncompressed or PackBits-compressed,
-8-bit grayscale or RGB, strip-organized, either byte order (II/MM).
-That covers scanner/GIS-style output; LZW/JPEG-in-TIFF, tiles, and
-planar-separate files raise with the integration point named — the same
-honesty contract as the other codecs.
+8-bit grayscale (both polarities), palette-color (ColorMap), or
+RGB/RGBA, strip-organized, either byte order (II/MM).  That covers
+scanner/GIS-style output; LZW/JPEG-in-TIFF, tiled organization,
+planar-separate, and separated/YCbCr photometrics raise with the
+integration point named — the same honesty contract as the other
+codecs — and malformed/truncated payloads raise ValueError, never a
+bare struct.error.
 
 The encoder writes single-IFD little-endian RGB strips (optionally
 PackBits) for fixtures and export; round-trips are bit-exact.
@@ -21,7 +24,8 @@ import numpy as np
 # tag ids (TIFF 6.0 §8)
 _WIDTH, _LENGTH, _BITS, _COMPRESSION, _PHOTO = 256, 257, 258, 259, 262
 _STRIP_OFFSETS, _SAMPLES, _ROWS_PER_STRIP, _STRIP_COUNTS = 273, 277, 278, 279
-_PLANAR = 284
+_PLANAR, _COLORMAP = 284, 320
+_TILE_TAGS = (322, 323, 324, 325)  # TileWidth/Length/Offsets/ByteCounts
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
 
@@ -73,7 +77,17 @@ def tiff_decode(buf: bytes) -> np.ndarray:
         order = ">"
     else:
         raise ValueError("not a TIFF payload")
-    t = _read_entries(buf, order)
+    try:
+        t = _read_entries(buf, order)
+    except (struct.error, IndexError) as e:
+        # malformed offsets/counts in real-world corrupt files must surface
+        # as the same ValueError contract every other codec keeps
+        raise ValueError(f"truncated TIFF: {e}") from None
+    if any(tag in t for tag in _TILE_TAGS):
+        raise ValueError(
+            "tiled TIFF not supported (baseline strip organization only; "
+            "plug PIL into imagecodec.decode_image for tiled files)"
+        )
     try:
         w, h = t[_WIDTH][0], t[_LENGTH][0]
         offsets, counts = t[_STRIP_OFFSETS], t[_STRIP_COUNTS]
@@ -83,11 +97,23 @@ def tiff_decode(buf: bytes) -> np.ndarray:
     bits = t.get(_BITS, [8])
     comp = t.get(_COMPRESSION, [1])[0]
     planar = t.get(_PLANAR, [1])[0]
+    photo = t.get(_PHOTO, [1 if spp == 1 else 2])[0]
     if any(b != 8 for b in bits) or spp not in (1, 3, 4) or planar != 1:
         raise ValueError(
             f"unsupported TIFF: bits={bits} samples={spp} planar={planar} "
             "(baseline 8-bit chunky grey/RGB/RGBA only; plug PIL in "
             "imagecodec.decode_image for the rest)"
+        )
+    if photo not in (0, 1, 2, 3):
+        # 5=separated (CMYK), 6=YCbCr, ...: decoding these as RGB would be
+        # silent garbage, not a lossy approximation
+        raise ValueError(
+            f"unsupported TIFF photometric {photo} (MinIsWhite/MinIsBlack/"
+            "RGB/palette only; plug PIL into imagecodec.decode_image)"
+        )
+    if (photo == 2) != (spp >= 3) or (photo == 3 and spp != 1):
+        raise ValueError(
+            f"inconsistent TIFF photometric {photo} for samples={spp}"
         )
     if comp not in (1, 32773):
         raise ValueError(
@@ -109,7 +135,16 @@ def tiff_decode(buf: bytes) -> np.ndarray:
         raise ValueError("TIFF strip data smaller than image")
     px = np.frombuffer(bytes(raw[: h * stride]), dtype=np.uint8).reshape(h, w, spp)
     if spp == 1:
-        photo = t.get(_PHOTO, [1])[0]
+        if photo == 3:  # palette-color: indices through the ColorMap
+            cmap = t.get(_COLORMAP)
+            if cmap is None or len(cmap) != 3 * 256:
+                raise ValueError("palette TIFF missing or short ColorMap")
+            # ColorMap is 16-bit reds, then greens, then blues; 8-bit
+            # writers expand with v*257, so >>8 recovers the byte exactly
+            pal = (np.array(cmap, dtype=np.uint16).reshape(3, 256).T >> 8).astype(
+                np.uint8
+            )
+            return np.ascontiguousarray(pal[px[:, :, 0]])
         if photo == 0:  # WhiteIsZero: invert to the usual polarity
             px = 255 - px
         return np.ascontiguousarray(np.repeat(px, 3, axis=2))

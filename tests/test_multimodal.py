@@ -222,6 +222,32 @@ class TestImageCodec:
         if fmt == "mixed":
             assert 0 < n_checked_jpeg < 20, "mixed corpus should mix formats"
 
+    def test_gif_fixtures_survive_large_dims(self, spark, geo001):
+        """Random RGB above ~16x16 exceeds GIF's 256-color limit; the
+        fixture generator must quantize (deterministically) instead of
+        crashing inside the Spark task."""
+        import hashlib
+
+        import numpy as np
+
+        from geowave_spark.functions.multimodal import (
+            decode_media,
+            synth_image_media_table,
+        )
+
+        docs = spark.read.parquet(str(geo001 / "docs.parquet"))
+        table = synth_image_media_table(spark, docs, fmt="gif", dim=20)
+        rows = decode_media(table, codec="real").collect()
+        assert rows
+        r = rows[0]
+        assert (r.width, r.height) == (20, 20)
+        seed = int.from_bytes(hashlib.md5(r.media_ref.encode()).digest()[:4], "big")
+        rgb = np.random.RandomState(seed).randint(0, 256, (20, 20, 3), dtype=np.uint8)
+        if len(np.unique(rgb.reshape(-1, 3), axis=0)) > 256:
+            rgb = (rgb // 51) * 51  # the generator's 6-6-6 quantization
+        want = (rgb.mean(axis=2, dtype=np.float64) / 255.0).astype(np.float32).ravel()
+        assert np.allclose(np.asarray(r.pixels, dtype=np.float32), want)
+
 
 class TestResize:
     def test_downscale_is_block_mean(self, spark, geo001):
@@ -657,6 +683,42 @@ class TestGifCodec:
         with pytest.raises(ValueError):
             gif_decode(buf[: len(buf) // 2])
 
+    def test_offset_frame_composites_onto_screen(self):
+        """A frame smaller than the logical screen must land at its
+        descriptor offset on a background-filled canvas — the decoded dims
+        are the file's nominal dims, matching what other tools report."""
+        import numpy as np
+
+        from geowave_spark.functions.gifcodec import gif_bytes, gif_decode
+
+        rgb = self._palimg((4, 3), 5, seed=9)
+        out = gif_decode(gif_bytes(rgb, screen=(10, 8), offset=(2, 3)))
+        assert out.shape == (8, 10, 3)
+        assert (out[3:7, 2:5] == rgb).all()
+        bg = np.unique(rgb.reshape(-1, 3), axis=0)[0]  # palette slot 0
+        mask = np.ones((8, 10), bool)
+        mask[3:7, 2:5] = False
+        assert (out[mask] == bg).all()
+        with pytest.raises(ValueError, match="exceeds the logical screen"):
+            gif_bytes(rgb, screen=(4, 4), offset=(2, 3))
+
+    def test_truncation_raises_valueerror_not_indexerror(self):
+        """Buffers cut mid-structure must keep the ValueError contract —
+        no bare IndexError/struct.error from real-world corrupt files."""
+        import numpy as np
+
+        from geowave_spark.functions.gifcodec import gif_bytes, gif_decode
+
+        img = np.zeros((4, 4, 3), np.uint8)
+        img[0, 0] = 255
+        buf = gif_bytes(img)
+        n_pal = 2 << (buf[10] & 0x07)
+        head = buf[: 13 + 3 * n_pal]
+        with pytest.raises(ValueError, match="truncated GIF extension"):
+            gif_decode(head + b"\x21")
+        with pytest.raises(ValueError, match="truncated GIF image descriptor"):
+            gif_decode(head + b"\x2c\x00\x01")
+
 
 class TestTiffCodec:
     """Baseline TIFF: uncompressed / PackBits strips, II and MM byte order,
@@ -725,3 +787,88 @@ class TestTiffCodec:
             tiff_decode(bytes(buf))
         with pytest.raises(ValueError, match="not a TIFF"):
             tiff_decode(b"IX*\x00" + bytes(16))
+
+    def _le_tiff(self, extra_entries, pixels, spp=1, photometric=1):
+        """Minimal little-endian single-strip TIFF with extra IFD entries
+        spliced in (sorted by tag), pixel data appended after any
+        out-of-line entry payloads."""
+        import struct
+
+        import numpy as np
+
+        h, w = pixels.shape[:2]
+
+        def le(tag, ttype, count, value):
+            return struct.pack("<HHI", tag, ttype, count) + struct.pack("<I", value)
+
+        base = [
+            (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+            (262, 3, 1, photometric), (277, 3, 1, spp), (279, 4, 1, h * w * spp),
+        ]
+        specs = sorted(base + extra_entries)
+        n = len(specs) + 1  # + StripOffsets
+        ifd_off = 8
+        data_off = ifd_off + 2 + 12 * n + 4
+        payloads = b""
+        entries = []
+        for tag, ttype, count, value in specs:
+            if isinstance(value, bytes):  # out-of-line payload
+                entries.append(le(tag, ttype, count, data_off + len(payloads)))
+                payloads += value
+            else:
+                entries.append(le(tag, ttype, count, value))
+        entries.append(le(273, 4, 1, data_off + len(payloads)))
+        entries.sort(key=lambda e: struct.unpack_from("<H", e)[0])
+        return (
+            struct.pack("<2sHI", b"II", 42, ifd_off)
+            + struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0)
+            + payloads + pixels.tobytes()
+        )
+
+    def test_palette_color_decodes_via_colormap(self):
+        """Photometric 3: indices must go through the 16-bit ColorMap —
+        decoding them as grayscale is silent garbage."""
+        import numpy as np
+
+        from geowave_spark.functions.tiffcodec import tiff_decode
+
+        rng = np.random.RandomState(8)
+        pal = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+        idx = rng.randint(0, 256, (6, 5), dtype=np.uint8)
+        cmap = np.concatenate([pal[:, 0], pal[:, 1], pal[:, 2]]).astype("<u2") * 257
+        buf = self._le_tiff(
+            [(320, 3, 768, cmap.tobytes())], idx, spp=1, photometric=3
+        )
+        assert (tiff_decode(buf) == pal[idx]).all()
+
+    def test_separated_and_ycbcr_photometrics_raise(self):
+        """CMYK (5) and YCbCr (6) must raise, not return channel garbage
+        reinterpreted as RGB."""
+        import numpy as np
+
+        from geowave_spark.functions.tiffcodec import tiff_decode
+
+        g = np.zeros((3, 3), np.uint8)
+        for photo in (5, 6):
+            with pytest.raises(ValueError, match="unsupported TIFF photometric"):
+                tiff_decode(self._le_tiff([], g, spp=1, photometric=photo))
+
+    def test_tiled_tiff_names_the_integration_point(self):
+        import numpy as np
+
+        from geowave_spark.functions.tiffcodec import tiff_decode
+
+        g = np.zeros((3, 3), np.uint8)
+        buf = self._le_tiff([(322, 4, 1, 64)], g)  # TileWidth present
+        with pytest.raises(ValueError, match="tiled TIFF not supported"):
+            tiff_decode(buf)
+
+    def test_malformed_offsets_raise_valueerror_not_struct_error(self):
+        import struct
+
+        from geowave_spark.functions.tiffcodec import tiff_decode
+
+        with pytest.raises(ValueError, match="truncated TIFF"):
+            tiff_decode(b"II*\x00" + struct.pack("<I", 9999))
+        with pytest.raises(ValueError, match="truncated TIFF"):
+            tiff_decode(b"II*\x00")
