@@ -156,7 +156,13 @@ def gif_decode(buf: bytes) -> np.ndarray:
     """Decode a GIF payload's first image into an (h, w, 3) uint8 RGB array."""
     if buf[:6] not in _MAGIC:
         raise ValueError("not a GIF payload")
-    sw, sh, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", buf, 6)
+    try:
+        sw, sh, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", buf, 6)
+    except struct.error:
+        raise ValueError("truncated GIF header") from None
+    if sw * sh > 100_000_000:
+        # corrupt screen dims would drive a giant compositing canvas
+        raise ValueError(f"implausible GIF logical screen {sw}x{sh}")
     pos = 13
     gct = None
     if packed & 0x80:

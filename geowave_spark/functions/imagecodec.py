@@ -223,7 +223,10 @@ def png_decode(buf: bytes) -> np.ndarray:
         )
     bpp = {0: 1, 2: 3, 6: 4}[ctype]
     stride = w * bpp
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG DEFLATE stream: {e}") from None
     if raw.size != h * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")
     raw = raw.reshape(h, stride + 1)

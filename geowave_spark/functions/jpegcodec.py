@@ -970,8 +970,19 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
     """Decode a baseline or progressive JFIF JPEG into (h, w, 3) uint8 RGB.
 
     Grayscale streams are replicated to 3 channels (same contract as PNG
-    color type 0 in :mod:`geowave_spark.functions.imagecodec`).
+    color type 0 in :mod:`geowave_spark.functions.imagecodec`).  Corrupt or
+    truncated streams raise ValueError (the whole codec family's contract),
+    never a bare KeyError/IndexError/struct.error.
     """
+    try:
+        return _jpeg_decode_impl(buf)
+    except (KeyError, IndexError, struct.error) as e:
+        # corrupt table ids / truncated segments surface as lookup and
+        # bounds errors deep in the scan decoders; normalize at the boundary
+        raise ValueError(f"corrupt JPEG stream: {type(e).__name__}: {e}") from None
+
+
+def _jpeg_decode_impl(buf: bytes) -> np.ndarray:
     if len(buf) < 4 or buf[:2] != bytes([0xFF, 0xD8]):
         raise ValueError("not a JPEG payload")
     qtabs: dict[int, np.ndarray] = {}
@@ -1022,6 +1033,9 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
             progressive = marker == 0xC2
             _, fh, fw, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if fh == 0 or fw == 0 or fh * fw > 100_000_000:
+                # corrupt dims would drive a giant coefficient allocation
+                raise ValueError(f"implausible JPEG dimensions {fw}x{fh}")
             comps = []
             for ci in range(ncomp):
                 cid, hv_b, tq = body[6 + 3 * ci : 9 + 3 * ci]

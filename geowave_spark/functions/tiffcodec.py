@@ -40,6 +40,10 @@ def _read_entries(buf: bytes, order: str) -> dict[int, list[int]]:
         if ttype not in _TYPE_SIZE:
             continue  # unknown field type: skip per spec
         size = _TYPE_SIZE[ttype] * count
+        if size > len(buf):
+            # a valid entry's payload fits in the file; a corrupt count
+            # would otherwise build a giant format string below
+            raise ValueError(f"TIFF entry {tag} overruns the buffer")
         if size <= 4:
             vpos = off + 8
         else:

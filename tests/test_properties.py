@@ -346,6 +346,66 @@ class TestMediaCodecs:
     survives WAV bit-exact, any mono clip survives Y4M bit-exact, and C444
     video is within YCbCr integer rounding."""
 
+    def test_corrupt_payloads_keep_the_valueerror_contract(self):
+        """Decoders run inside Spark tasks over untrusted corpora: every
+        truncation and single-bit flip of a valid payload must either decode
+        or raise ValueError — never a bare KeyError/IndexError/struct.error/
+        zlib.error, and never a giant allocation from corrupt dimension
+        fields.  (Seeded, deterministic; ~400 mutations per format.)"""
+        import numpy as np
+
+        from geowave_spark.functions.audiocodec import (
+            decode_audio_payload,
+            wav_bytes,
+        )
+        from geowave_spark.functions.gifcodec import gif_bytes
+        from geowave_spark.functions.imagecodec import (
+            bmp_bytes,
+            decode_image,
+            png_bytes,
+            ppm_bytes,
+        )
+        from geowave_spark.functions.jpegcodec import jpeg_bytes
+        from geowave_spark.functions.tiffcodec import tiff_bytes
+        from geowave_spark.functions.videocodec import (
+            decode_video_payload,
+            y4m_bytes,
+        )
+
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 256, (9, 7, 3)).astype(np.uint8)
+        pal = rng.randint(0, 256, (8, 3)).astype(np.uint8)[rng.randint(0, 8, (9, 7))]
+        pcm = (rng.randn(500) * 3000).astype(np.int16)
+        frames = rng.randint(0, 256, (3, 8, 8, 3)).astype(np.uint8)
+        payloads = {
+            "bmp": (bmp_bytes(img), decode_image),
+            "ppm": (ppm_bytes(img), decode_image),
+            "png": (png_bytes(img, filter_type=4), decode_image),
+            "gif": (gif_bytes(pal, interlace=True), decode_image),
+            "tiff": (tiff_bytes(img, packbits=True), decode_image),
+            "jpeg": (jpeg_bytes(img, restart_interval=1), decode_image),
+            "jpeg_prog": (jpeg_bytes(img, progressive=True), decode_image),
+            "wav": (wav_bytes(pcm, 8000), decode_audio_payload),
+            "y4m": (y4m_bytes(frames, 25, colorspace="444"), decode_video_payload),
+        }
+        for name, (buf, dec) in payloads.items():
+            cases = [buf[:cut] for cut in range(1, len(buf), max(1, len(buf) // 50))]
+            for _ in range(300):
+                b = bytearray(buf)
+                b[rng.randint(0, len(b))] ^= 1 << rng.randint(0, 8)
+                cases.append(bytes(b))
+            for payload in cases:
+                try:
+                    dec(payload)
+                except ValueError:
+                    pass  # the contract
+                # anything else propagates and fails the test, naming `name`
+                except Exception as e:  # pragma: no cover - diagnostic
+                    raise AssertionError(
+                        f"{name} decoder broke the ValueError contract: "
+                        f"{type(e).__name__}: {e}"
+                    ) from e
+
     @given(
         h=st.integers(1, 12),
         w=st.integers(1, 12),
