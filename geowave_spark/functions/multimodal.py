@@ -344,13 +344,20 @@ def decode_audio(media: DataFrame, codec: str = "fake") -> DataFrame:
     )
 
 
-def synth_audio_media_table(spark, docs: DataFrame, n_samples: int = 512) -> DataFrame:
-    """Media table whose payloads are REAL encoded WAVs (PCM 16-bit),
-    deterministic per media_ref — fixtures for ``decode_audio(codec="real")``.
-    Channel count (1 or 2) and sample rate rotate on the ref hash so stereo
-    mixdown and header-rate propagation are exercised corpus-wide."""
+def synth_audio_media_table(
+    spark, docs: DataFrame, n_samples: int = 512, codec: str = "pcm"
+) -> DataFrame:
+    """Media table whose payloads are REAL encoded WAVs, deterministic per
+    media_ref — fixtures for ``decode_audio(codec="real")``.  Channel count
+    (1 or 2) and sample rate rotate on the ref hash so stereo mixdown and
+    header-rate propagation are exercised corpus-wide.  ``codec`` picks the
+    WAV coding: ``"pcm"`` (default, lossless), ``"ulaw"`` / ``"alaw"`` /
+    ``"ima"``, or ``"mixed"`` to rotate all four on the ref hash so one
+    decode pass dispatches across format tags."""
     from geowave_spark.functions.audiocodec import wav_bytes
 
+    if codec not in ("pcm", "ulaw", "alaw", "ima", "mixed"):
+        raise ValueError(f"unknown WAV codec {codec!r}")
     refs = (
         docs.select(F.explode("spans").alias("s"))
         .filter(F.col("s.kind") == "media")
@@ -367,7 +374,10 @@ def synth_audio_media_table(spark, docs: DataFrame, n_samples: int = 512) -> Dat
                 ch = 1 + seed % 2
                 rate = (8000, 16000, 44100)[seed % 3]
                 pcm = rng.randint(-32768, 32768, (n_samples, ch)).astype(np.int16)
-                payloads.append(wav_bytes(pcm, sample_rate=rate))
+                c = codec
+                if codec == "mixed":
+                    c = ("pcm", "ulaw", "alaw", "ima")[(seed >> 4) % 4]
+                payloads.append(wav_bytes(pcm, sample_rate=rate, codec=c))
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],

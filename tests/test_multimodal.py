@@ -332,7 +332,7 @@ class TestAudioCodec:
         # IEEE-float format tag rejected with the codec-library pointer
         nonpcm = bytearray(buf)
         struct.pack_into("<H", nonpcm, 20, 3)
-        with pytest.raises(ValueError, match="PCM 16-bit only"):
+        with pytest.raises(ValueError, match="unsupported WAV"):
             wav_decode(bytes(nonpcm))
         with pytest.raises(ValueError, match="unrecognized audio"):
             decode_audio_payload(b"\xff\xfb mp3 frame")
@@ -365,6 +365,140 @@ class TestAudioCodec:
             assert np.allclose(np.asarray(r.samples, dtype=np.float32), want)
             saw_stereo |= ch == 2
         assert saw_stereo  # the fixture must exercise the mixdown path
+
+    def test_g711_code_idempotency(self):
+        """Every 8-bit G.711 code must decode and re-encode to itself —
+        the exact-law version of 'the segment formulas are right'.  The one
+        mu-law exception is negative zero (0x7F), which decodes to the same
+        0 as positive zero and legitimately re-encodes to 0xFF."""
+        import numpy as np
+
+        from geowave_spark.functions.audiocodec import (
+            _ALAW_TABLE,
+            _ULAW_TABLE,
+            alaw_encode,
+            ulaw_encode,
+        )
+
+        codes = np.arange(256, dtype=np.uint8)
+        mism = codes[ulaw_encode(_ULAW_TABLE[codes]) != codes]
+        assert mism.tolist() == [0x7F]
+        assert (alaw_encode(_ALAW_TABLE[codes]) == codes).all()
+
+    @pytest.mark.parametrize("codec", ["ulaw", "alaw"])
+    def test_g711_companding_snr(self, codec):
+        import numpy as np
+
+        from geowave_spark.functions.audiocodec import wav_bytes, wav_decode
+
+        x = (10000 * np.sin(np.arange(4000) / 20)).astype(np.int16)
+        y, rate = wav_decode(wav_bytes(x, 8000, codec=codec))
+        assert rate == 8000 and y.shape == (4000, 1)
+        snr = 10 * np.log10(
+            (x.astype(float) ** 2).mean() / ((y[:, 0].astype(float) - x) ** 2).mean()
+        )
+        assert snr > 30  # G.711 delivers ~38 dB on a full-scale sine
+
+    @pytest.mark.parametrize("ch", [1, 2])
+    def test_ima_adpcm_roundtrip(self, ch):
+        """Block headers carry sample 0 exactly; the 4-bit differential
+        coding tracks a sine within ADPCM's expected SNR; the fact chunk
+        trims a non-multiple-of-block-length signal to its true length."""
+        import numpy as np
+
+        from geowave_spark.functions.audiocodec import wav_bytes, wav_decode
+
+        t = np.arange(1234) / 30
+        sig = np.stack(
+            [(12000 * np.sin(t * (1 + c))).astype(np.int16) for c in range(ch)],
+            axis=1,
+        )
+        y, rate = wav_decode(wav_bytes(sig, 16000, codec="ima"))
+        assert rate == 16000 and y.shape == sig.shape  # fact chunk honored
+        spb = (256 * ch - 4 * ch) * 2 // ch + 1
+        assert (y[::spb] == sig[::spb]).all()  # block-header samples exact
+        snr = 10 * np.log10(
+            (sig.astype(float) ** 2).mean()
+            / ((y.astype(float) - sig) ** 2).mean()
+        )
+        assert snr > 25
+
+    def test_ima_known_vector_hand_stepped(self):
+        """Decode one hand-built block and compare against an independent
+        scalar re-derivation of the IMA step arithmetic (same style as the
+        zigzag pin: implementation bugs can't hide by being self-consistent
+        between encoder and decoder)."""
+        import struct
+
+        import numpy as np
+
+        from geowave_spark.functions.audiocodec import _IMA_STEPS, wav_decode
+
+        nibbles = [3, 8, 15, 1, 0, 12, 7, 2] * 63  # 504 nibbles = 252 bytes
+        body = bytes(
+            nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+        )
+        pred0, idx0 = 1000, 20
+        block = struct.pack("<hBB", pred0, idx0, 0) + body
+        fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, 256, 4, 2, 505)
+        buf = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(block))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(block)) + block
+        )
+        got, _ = wav_decode(buf)
+        # independent scalar re-derivation (IMA ADPCM reference algorithm)
+        index_tab = [-1, -1, -1, -1, 2, 4, 6, 8]
+        pred, idx = pred0, idx0
+        want = [pred0]
+        for n in nibbles:
+            step = int(_IMA_STEPS[idx])
+            delta = step >> 3
+            if n & 4:
+                delta += step
+            if n & 2:
+                delta += step >> 1
+            if n & 1:
+                delta += step >> 2
+            pred = pred - delta if n & 8 else pred + delta
+            pred = max(-32768, min(32767, pred))
+            want.append(pred)
+            idx = max(0, min(88, idx + index_tab[n & 7]))
+        assert got[:, 0].tolist() == want
+
+    def test_mixed_wav_codecs_end_to_end(self, spark, geo001):
+        """One decode pass over a corpus rotating PCM/ulaw/alaw/IMA format
+        tags; expected samples re-derived through the same wav round-trip."""
+        import hashlib
+
+        import numpy as np
+
+        from geowave_spark.functions.audiocodec import wav_bytes, wav_decode
+        from geowave_spark.functions.multimodal import (
+            decode_audio,
+            synth_audio_media_table,
+        )
+
+        docs = spark.read.parquet(str(geo001 / "docs.parquet"))
+        table = synth_audio_media_table(spark, docs, n_samples=64, codec="mixed")
+        rows = decode_audio(table, codec="real").collect()
+        assert rows
+        seen = set()
+        for r in rows[:24]:
+            seed = int.from_bytes(hashlib.md5(r.media_ref.encode()).digest()[:4], "big")
+            rng = np.random.RandomState(seed)
+            ch = 1 + seed % 2
+            pcm = rng.randint(-32768, 32768, (64, ch)).astype(np.int16)
+            c = ("pcm", "ulaw", "alaw", "ima")[(seed >> 4) % 4]
+            seen.add(c)
+            ref, _ = wav_decode(wav_bytes(pcm, codec=c))
+            want = (ref.mean(axis=1, dtype=np.float64) / 32768.0).astype(np.float32)
+            assert r.n_samples == 64
+            assert np.allclose(np.asarray(r.samples, dtype=np.float32), want), (
+                r.media_ref,
+                c,
+            )
+        assert len(seen) >= 3, f"mixed corpus should rotate codecs, saw {seen}"
 
     def test_fake_audio_decode_is_deterministic(self, spark, geo001):
         from geowave_spark.functions.multimodal import (

@@ -386,6 +386,8 @@ class TestMediaCodecs:
             "jpeg": (jpeg_bytes(img, restart_interval=1), decode_image),
             "jpeg_prog": (jpeg_bytes(img, progressive=True), decode_image),
             "wav": (wav_bytes(pcm, 8000), decode_audio_payload),
+            "wav_ulaw": (wav_bytes(pcm, 8000, codec="ulaw"), decode_audio_payload),
+            "wav_ima": (wav_bytes(pcm, 8000, codec="ima"), decode_audio_payload),
             "y4m": (y4m_bytes(frames, 25, colorspace="444"), decode_video_payload),
         }
         for name, (buf, dec) in payloads.items():
