@@ -576,8 +576,13 @@ def jpeg_bytes(
     restart_interval: int = 0,
     grayscale: bool = False,
     progressive: bool = False,
+    gps: tuple[float, float] | None = None,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a JFIF JPEG.
+
+    ``gps=(lat, lon)`` embeds an EXIF APP1 segment with a GPS IFD (see
+    :mod:`geowave_spark.functions.exif`) — geotagged fixtures for the
+    media->geometry extraction path.
 
     ``subsample`` is ``"444"`` (no chroma subsampling) or ``"420"`` (2x2
     box-mean chroma).  ``restart_interval`` > 0 emits DRI + RSTn markers
@@ -646,6 +651,10 @@ def jpeg_bytes(
     out += bytes([0xFF, 0xE0]) + struct.pack(
         ">H5sBBBHHBB", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0
     )
+    if gps is not None:
+        from geowave_spark.functions.exif import jpeg_app1_exif
+
+        out += jpeg_app1_exif(*gps)
     for tq, tbl in ((0, ql), (1, qc)) if not grayscale else ((0, ql),):
         out += bytes([0xFF, 0xDB]) + struct.pack(">HB", 67, tq)
         out += bytes(int(x) for x in tbl[ZIGZAG])

@@ -199,7 +199,17 @@ def synth_media_table(spark, docs: DataFrame) -> DataFrame:
     )
 
 
-def synth_image_media_table(spark, docs: DataFrame, fmt: str = "bmp", dim: int = 8) -> DataFrame:
+def media_gps_for_seed(seed: int) -> tuple[float, float]:
+    """Deterministic (lat, lon) for a geotagged fixture, 1e-3-degree grid
+    (well inside the EXIF writer's 1e-6 rational precision)."""
+    lon = (seed % 360_000) / 1000.0 - 180.0
+    lat = ((seed >> 8) % 170_000) / 1000.0 - 85.0
+    return lat, lon
+
+
+def synth_image_media_table(
+    spark, docs: DataFrame, fmt: str = "bmp", dim: int = 8, gps: bool = False
+) -> DataFrame:
     """Media table whose payloads are REAL encoded images (BMP, PPM, PNG,
     GIF, baseline TIFF, or baseline JPEG), deterministic per media_ref —
     fixtures for the ``codec="real"`` path.  PNG payloads rotate through
@@ -215,12 +225,16 @@ def synth_image_media_table(spark, docs: DataFrame, fmt: str = "bmp", dim: int =
 
     if fmt not in ("bmp", "ppm", "png", "jpeg", "gif", "tiff", "mixed"):
         raise ValueError(f"unknown format {fmt!r}")
+    if gps and fmt not in ("jpeg", "tiff"):
+        raise ValueError("gps=True requires an EXIF-capable format (jpeg/tiff)")
+    _gps = (lambda seed: media_gps_for_seed(seed)) if gps else (lambda seed: None)
     _jpeg = lambda rgb, seed: jpeg_bytes(
         rgb,
         quality=90,
         subsample="420" if seed % 2 else "444",
         restart_interval=(seed >> 1) % 3,  # 0 (none), 1, or 2 MCUs
         progressive=bool((seed >> 3) & 1),  # rotate SOF0 / SOF2 streams
+        gps=_gps(seed),
     )
     def _gif(rgb, seed):
         # gif_bytes refuses >256 distinct colors; random fixtures above
@@ -241,7 +255,7 @@ def synth_image_media_table(spark, docs: DataFrame, fmt: str = "bmp", dim: int =
     elif fmt == "gif":
         enc = _gif
     elif fmt == "tiff":
-        enc = lambda rgb, seed: tiff_bytes(rgb, packbits=bool(seed % 2))
+        enc = lambda rgb, seed: tiff_bytes(rgb, packbits=bool(seed % 2), gps=_gps(seed))
     else:
         # a realistic heterogeneous corpus: format varies per ref, one
         # decode pass dispatches on magic bytes across all six
@@ -287,6 +301,41 @@ def synth_image_media_table(spark, docs: DataFrame, fmt: str = "bmp", dim: int =
             )
 
     return refs.mapInPandas(_encode, MEDIA_SCHEMA)
+
+
+def media_geo_extract(media: DataFrame) -> DataFrame:
+    """``(media_ref, lon, lat)`` from EXIF-geotagged payloads (JPEG APP1 /
+    TIFF GPS IFD, via :mod:`geowave_spark.functions.exif`); untagged media
+    is dropped.  This is the media half of the north star's "geometries
+    extracted from interleaved text+media document spans": the output
+    points feed :func:`geowave_spark.operators.spatial_join.pip_join` and
+    the SFC indexing layer like any other point table.  The EXIF walk only
+    parses headers (no pixel decode), so the stage is I/O-bound and
+    embarrassingly parallel."""
+
+    def _ext(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from geowave_spark.functions.exif import gps_from_media
+
+        for pdf in batches:
+            refs, lons, lats = [], [], []
+            for ref, c in zip(pdf["media_ref"], pdf["content"]):
+                if c is None:
+                    continue
+                g = gps_from_media(bytes(c))
+                if g is None:
+                    continue
+                refs.append(ref)
+                lons.append(g[0])
+                lats.append(g[1])
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "lon": np.asarray(lons, dtype=np.float64),
+                    "lat": np.asarray(lats, dtype=np.float64),
+                }
+            )
+
+    return media.mapInPandas(_ext, "media_ref string, lon double, lat double")
 
 
 def decode_audio(media: DataFrame, codec: str = "fake") -> DataFrame:

@@ -183,9 +183,19 @@ def _packbits_encode(row: bytes) -> bytes:
     return bytes(out)
 
 
-def tiff_bytes(rgb: np.ndarray, packbits: bool = False, rows_per_strip: int = 4) -> bytes:
+def tiff_bytes(
+    rgb: np.ndarray,
+    packbits: bool = False,
+    rows_per_strip: int = 4,
+    gps: tuple[float, float] | None = None,
+) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a little-endian baseline TIFF
-    (multiple strips so the strip walk is actually exercised)."""
+    (multiple strips so the strip walk is actually exercised).
+
+    ``gps=(lat, lon)`` embeds an EXIF GPS IFD (pointer tag 0x8825) — the
+    geotagged-media fixture path for
+    :func:`geowave_spark.functions.exif.gps_from_media`.
+    """
     rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError("expected (h, w, 3) RGB array")
@@ -196,12 +206,20 @@ def tiff_bytes(rgb: np.ndarray, packbits: bool = False, rows_per_strip: int = 4)
         chunk = rgb[y0 : y0 + rows_per_strip].tobytes()
         strips.append(_packbits_encode(chunk) if packbits else chunk)
 
-    n_entries = 9
+    n_entries = 9 if gps is None else 10
     ifd_off = 8
     data_off = ifd_off + 2 + 12 * n_entries + 4
     # BitsPerSample needs 3 SHORTs (6 bytes > 4): store out-of-line first
     bits_off = data_off
     data_off += 6
+    gps_blk = b""
+    gps_off = 0
+    if gps is not None:
+        from geowave_spark.functions.exif import gps_ifd_bytes
+
+        gps_off = data_off
+        gps_blk = gps_ifd_bytes(gps[0], gps[1], gps_off)
+        data_off += len(gps_blk)
     n_strips = len(strips)
     if n_strips > 1:
         offsets_off = data_off
@@ -234,9 +252,12 @@ def tiff_bytes(rgb: np.ndarray, packbits: bool = False, rows_per_strip: int = 4)
             len(strips[0]) if n_strips == 1 else counts_off,
         ),
     ]
+    if gps is not None:
+        e.append(entry(0x8825, 4, 1, gps_off))  # GPS IFD pointer (sorted last)
     out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
     out += struct.pack("<H", n_entries) + b"".join(e) + struct.pack("<I", 0)
     out += struct.pack("<HHH", 8, 8, 8)
+    out += gps_blk
     if n_strips > 1:
         out += struct.pack(f"<{n_strips}I", *strip_offsets)
         out += struct.pack(f"<{n_strips}I", *(len(s) for s in strips))

@@ -738,6 +738,92 @@ class TestY4MSubsampled:
             y4m_bytes(odd, colorspace="420")
 
 
+class TestMediaGeoExtract:
+    """EXIF GPS -> spatial engine: the media half of 'geometries extracted
+    from interleaved text+media document spans'."""
+
+    def test_exif_block_roundtrip(self):
+        from geowave_spark.functions.exif import exif_gps_block, gps_from_media
+
+        for lat, lon in [(37.7749, -122.4194), (-33.8688, 151.2093), (0.0, 0.0)]:
+            got = gps_from_media(exif_gps_block(lat, lon))
+            assert abs(got[0] - lon) < 1e-6 and abs(got[1] - lat) < 1e-6
+
+    @pytest.mark.parametrize("fmt", ["jpeg", "tiff"])
+    def test_geotagged_corpus_extracts_planted_coords(self, spark, geo001, fmt):
+        import hashlib
+
+        from geowave_spark.functions.multimodal import (
+            media_geo_extract,
+            media_gps_for_seed,
+            synth_image_media_table,
+        )
+
+        docs = spark.read.parquet(str(geo001 / "docs.parquet"))
+        table = synth_image_media_table(spark, docs, fmt=fmt, dim=8, gps=True)
+        rows = media_geo_extract(table).collect()
+        assert rows
+        n_payloads = table.count()
+        assert len(rows) == n_payloads  # every payload carries EXIF
+        for r in rows[:25]:
+            seed = int.from_bytes(hashlib.md5(r.media_ref.encode()).digest()[:4], "big")
+            lat, lon = media_gps_for_seed(seed)
+            assert abs(r.lon - lon) < 1e-6 and abs(r.lat - lat) < 1e-6
+
+    def test_untagged_media_yields_no_rows(self, spark, geo001):
+        from geowave_spark.functions.multimodal import (
+            media_geo_extract,
+            synth_image_media_table,
+        )
+
+        docs = spark.read.parquet(str(geo001 / "docs.parquet")).limit(40)
+        table = synth_image_media_table(spark, docs, fmt="png", dim=8)
+        assert media_geo_extract(table).count() == 0
+
+    def test_geotagged_media_joins_zones_like_any_points(self, spark, geo001):
+        """Composed pipeline: EXIF coords through the SAME pip_join path an
+        ordinary point table takes — byte-identical join rows."""
+        import hashlib
+
+        from geowave_spark.functions.multimodal import (
+            media_geo_extract,
+            media_gps_for_seed,
+            synth_image_media_table,
+        )
+        from geowave_spark.operators.spatial_join import pip_join
+
+        docs = spark.read.parquet(str(geo001 / "docs.parquet"))
+        zones = spark.read.parquet(str(geo001 / "zones.parquet"))
+        table = synth_image_media_table(spark, docs, fmt="tiff", dim=8, gps=True)
+        pts = media_geo_extract(table)
+        got = {
+            (r.media_ref, r.zone_id)
+            for r in pip_join(pts, zones).select("media_ref", "zone_id").collect()
+        }
+        refs = [r.media_ref for r in table.select("media_ref").collect()]
+        direct = spark.createDataFrame(
+            [
+                (ref,)
+                + tuple(
+                    reversed(
+                        media_gps_for_seed(
+                            int.from_bytes(
+                                hashlib.md5(ref.encode()).digest()[:4], "big"
+                            )
+                        )
+                    )
+                )
+                for ref in refs
+            ],
+            "media_ref string, lon double, lat double",
+        )
+        want = {
+            (r.media_ref, r.zone_id)
+            for r in pip_join(direct, zones).select("media_ref", "zone_id").collect()
+        }
+        assert got == want and want  # non-trivial and identical
+
+
 class TestGifCodec:
     """GIF87a/89a: variable-width LZW over palette indices — lossless for
     any <=256-color image, so round-trips are bit-exact."""
