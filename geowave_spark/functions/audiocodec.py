@@ -317,10 +317,15 @@ def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
 def decode_audio_payload(buf: bytes) -> tuple[np.ndarray, int]:
     """Magic-byte dispatch for audio payloads -> (samples int16, rate).
 
-    The integration point for real compressed-audio support (libav/soundfile):
-    add a branch on the container magic returning the same contract and the
-    downstream mapInPandas operators work unchanged.
+    WAV (all supported format tags) and FLAC decode natively; the
+    integration point for the remaining compressed formats (MP3/AAC via
+    libav/soundfile) is a branch on the container magic returning the same
+    contract — the downstream mapInPandas operators work unchanged.
     """
     if buf[:4] == b"RIFF":
         return wav_decode(buf)
+    if buf[:4] == b"fLaC":
+        from geowave_spark.functions.flaccodec import flac_decode
+
+        return flac_decode(buf)
     raise ValueError(f"unrecognized audio payload (magic {buf[:4]!r})")

@@ -341,13 +341,15 @@ def media_geo_extract(media: DataFrame) -> DataFrame:
 def decode_audio(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Binary audio payload -> waveform rows (mapInPandas, Arrow-batched).
 
-    ``codec="real"`` decodes actual WAV (RIFF PCM 16-bit) payloads via the
-    dependency-free codec in :mod:`geowave_spark.functions.audiocodec`;
-    multi-channel input is mixed down to mono (mean across channels) and
-    samples come out as float32 in [-1, 1] (int16 / 32768).  Sample rate and
-    counts are taken from the payload header, overriding metadata columns.
-    Compressed audio (MP3/AAC/FLAC) raises with the libav/soundfile
-    integration point documented in ``audiocodec.decode_audio_payload``.
+    ``codec="real"`` decodes actual WAV (PCM 16-bit, G.711 A-law/mu-law,
+    IMA ADPCM) and FLAC payloads via the dependency-free codecs in
+    :mod:`geowave_spark.functions.audiocodec` /
+    :mod:`geowave_spark.functions.flaccodec`; multi-channel input is mixed
+    down to mono (mean across channels) and samples come out as float32 in
+    [-1, 1] (int16 / 32768).  Sample rate and counts are taken from the
+    payload header, overriding metadata columns.  Entropy-coded audio
+    (MP3/AAC) raises with the libav/soundfile integration point documented
+    in ``audiocodec.decode_audio_payload``.
 
     ``codec="fake"`` emits a deterministic payload-hash-seeded waveform with
     the identical schema, for pipelines tested without real fixtures.
@@ -401,11 +403,13 @@ def synth_audio_media_table(
     (1 or 2) and sample rate rotate on the ref hash so stereo mixdown and
     header-rate propagation are exercised corpus-wide.  ``codec`` picks the
     WAV coding: ``"pcm"`` (default, lossless), ``"ulaw"`` / ``"alaw"`` /
-    ``"ima"``, or ``"mixed"`` to rotate all four on the ref hash so one
-    decode pass dispatches across format tags."""
+    ``"ima"``, ``"flac"`` (a FLAC container, not WAV — lossless like pcm),
+    or ``"mixed"`` to rotate all five on the ref hash so one decode pass
+    dispatches across format tags AND containers."""
     from geowave_spark.functions.audiocodec import wav_bytes
+    from geowave_spark.functions.flaccodec import flac_bytes
 
-    if codec not in ("pcm", "ulaw", "alaw", "ima", "mixed"):
+    if codec not in ("pcm", "ulaw", "alaw", "ima", "flac", "mixed"):
         raise ValueError(f"unknown WAV codec {codec!r}")
     refs = (
         docs.select(F.explode("spans").alias("s"))
@@ -425,8 +429,11 @@ def synth_audio_media_table(
                 pcm = rng.randint(-32768, 32768, (n_samples, ch)).astype(np.int16)
                 c = codec
                 if codec == "mixed":
-                    c = ("pcm", "ulaw", "alaw", "ima")[(seed >> 4) % 4]
-                payloads.append(wav_bytes(pcm, sample_rate=rate, codec=c))
+                    c = ("pcm", "ulaw", "alaw", "ima", "flac")[(seed >> 4) % 5]
+                if c == "flac":
+                    payloads.append(flac_bytes(pcm, sample_rate=rate, block_size=256))
+                else:
+                    payloads.append(wav_bytes(pcm, sample_rate=rate, codec=c))
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],

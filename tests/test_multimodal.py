@@ -468,12 +468,17 @@ class TestAudioCodec:
 
     def test_mixed_wav_codecs_end_to_end(self, spark, geo001):
         """One decode pass over a corpus rotating PCM/ulaw/alaw/IMA format
-        tags; expected samples re-derived through the same wav round-trip."""
+        tags AND FLAC containers; expected samples re-derived through the
+        same library round-trip."""
         import hashlib
 
         import numpy as np
 
-        from geowave_spark.functions.audiocodec import wav_bytes, wav_decode
+        from geowave_spark.functions.audiocodec import (
+            decode_audio_payload,
+            wav_bytes,
+        )
+        from geowave_spark.functions.flaccodec import flac_bytes
         from geowave_spark.functions.multimodal import (
             decode_audio,
             synth_audio_media_table,
@@ -484,21 +489,26 @@ class TestAudioCodec:
         rows = decode_audio(table, codec="real").collect()
         assert rows
         seen = set()
-        for r in rows[:24]:
+        for r in rows[:30]:
             seed = int.from_bytes(hashlib.md5(r.media_ref.encode()).digest()[:4], "big")
             rng = np.random.RandomState(seed)
             ch = 1 + seed % 2
             pcm = rng.randint(-32768, 32768, (64, ch)).astype(np.int16)
-            c = ("pcm", "ulaw", "alaw", "ima")[(seed >> 4) % 4]
+            c = ("pcm", "ulaw", "alaw", "ima", "flac")[(seed >> 4) % 5]
             seen.add(c)
-            ref, _ = wav_decode(wav_bytes(pcm, codec=c))
+            payload = (
+                flac_bytes(pcm, block_size=256)
+                if c == "flac"
+                else wav_bytes(pcm, codec=c)
+            )
+            ref, _ = decode_audio_payload(payload)
             want = (ref.mean(axis=1, dtype=np.float64) / 32768.0).astype(np.float32)
             assert r.n_samples == 64
             assert np.allclose(np.asarray(r.samples, dtype=np.float32), want), (
                 r.media_ref,
                 c,
             )
-        assert len(seen) >= 3, f"mixed corpus should rotate codecs, saw {seen}"
+        assert len(seen) >= 4, f"mixed corpus should rotate codecs, saw {seen}"
 
     def test_fake_audio_decode_is_deterministic(self, spark, geo001):
         from geowave_spark.functions.multimodal import (
@@ -513,6 +523,114 @@ class TestAudioCodec:
         assert a == b and a
         with pytest.raises(ValueError, match="unknown codec"):
             decode_audio(media, codec="flac")
+
+
+class TestFlacCodec:
+    """Dependency-free FLAC: lossless, so every path is pinned by bit-exact
+    round-trips — fixed and LPC predictors, Rice partitions, all stereo
+    modes, CRC verification."""
+
+    def _roundtrip(self, x, **kw):
+        import numpy as np
+
+        from geowave_spark.functions.flaccodec import flac_bytes, flac_decode
+
+        buf = flac_bytes(x, 16000, **kw)
+        y, rate = flac_decode(buf)
+        x2 = x if x.ndim == 2 else x[:, None]
+        assert rate == 16000 and (y == x2).all()
+        return buf
+
+    def test_roundtrip_battery_bit_exact(self):
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+        t = np.arange(5000)
+        smooth = (8000 * np.sin(t / 50)).astype(np.int16)
+        self._roundtrip(smooth)
+        self._roundtrip(smooth, lpc_order=8)
+        self._roundtrip(smooth, partition_order=2)
+        self._roundtrip(rng.randint(-32768, 32768, 3000).astype(np.int16))
+        self._roundtrip(np.full(2048, -123, np.int16))  # CONSTANT subframes
+        self._roundtrip(np.array([32767, -32768] * 800, np.int16))  # VERBATIM
+        self._roundtrip(np.array([5], np.int16))
+        self._roundtrip(smooth[:2049], partition_order=2)  # odd final block
+
+    def test_stereo_modes_bit_exact_and_mid_side_smaller(self):
+        import numpy as np
+
+        t = np.arange(6000)
+        st = np.stack(
+            [
+                (6000 * np.sin(t / 40)).astype(np.int16),
+                (6000 * np.sin(t / 40 + 0.05)).astype(np.int16),
+            ],
+            axis=1,
+        )
+        ind = self._roundtrip(st, stereo="independent")
+        ms = self._roundtrip(st, stereo="mid_side")
+        assert len(ms) < len(ind)  # correlated channels: decorrelation pays
+
+    def test_compression_is_real(self):
+        import numpy as np
+
+        t = np.arange(20000)
+        smooth = (8000 * np.sin(t / 50)).astype(np.int16)
+        buf = self._roundtrip(smooth)
+        assert len(buf) < smooth.nbytes / 4  # < 25% of raw PCM
+
+    def test_lpc_beats_fixed_on_resonant_signal(self):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        n = 6000
+        x = np.zeros(n)
+        e = rng.randn(n) * 60
+        for i in range(2, n):
+            x[i] = 1.89 * x[i - 1] - 0.94 * x[i - 2] + e[i]
+        x = np.clip(x, -30000, 30000).astype(np.int16)
+        b_fixed = self._roundtrip(x, lpc_order=0)
+        b_lpc = self._roundtrip(x, lpc_order=8)
+        assert len(b_lpc) < len(b_fixed)
+
+    def test_crc_corruption_detected(self):
+        import numpy as np
+
+        from geowave_spark.functions.flaccodec import flac_bytes, flac_decode
+
+        x = (5000 * np.sin(np.arange(3000) / 30)).astype(np.int16)
+        buf = bytearray(flac_bytes(x))
+        buf[len(buf) // 2] ^= 0x40  # flip a bit in frame data
+        with pytest.raises(ValueError):
+            flac_decode(bytes(buf))
+        with pytest.raises(ValueError, match="not a FLAC"):
+            flac_decode(b"fLaX" + bytes(40))
+
+    def test_dispatch_and_spark_end_to_end(self, spark, geo001):
+        """FLAC payloads flow through decode_audio(codec='real') unchanged —
+        magic dispatch, lossless samples, header rate wins."""
+        import hashlib
+
+        import numpy as np
+
+        from geowave_spark.functions.multimodal import (
+            decode_audio,
+            synth_audio_media_table,
+        )
+
+        docs = spark.read.parquet(str(geo001 / "docs.parquet"))
+        table = synth_audio_media_table(spark, docs, n_samples=64, codec="flac")
+        rows = decode_audio(table, codec="real").collect()
+        assert rows
+        for r in rows[:15]:
+            seed = int.from_bytes(hashlib.md5(r.media_ref.encode()).digest()[:4], "big")
+            rng = np.random.RandomState(seed)
+            ch = 1 + seed % 2
+            rate = (8000, 16000, 44100)[seed % 3]
+            pcm = rng.randint(-32768, 32768, (64, ch)).astype(np.int16)
+            assert (r.sample_rate, r.n_channels, r.n_samples) == (rate, ch, 64)
+            want = (pcm.mean(axis=1, dtype=np.float64) / 32768.0).astype(np.float32)
+            assert np.allclose(np.asarray(r.samples, dtype=np.float32), want)
 
 
 class TestVideoCodec:

@@ -359,6 +359,7 @@ class TestMediaCodecs:
             wav_bytes,
         )
         from geowave_spark.functions.exif import gps_from_media
+        from geowave_spark.functions.flaccodec import flac_bytes
         from geowave_spark.functions.gifcodec import gif_bytes
         from geowave_spark.functions.imagecodec import (
             bmp_bytes,
@@ -392,6 +393,10 @@ class TestMediaCodecs:
             "y4m": (y4m_bytes(frames, 25, colorspace="444"), decode_video_payload),
             "jpeg_gps": (jpeg_bytes(img, gps=(37.77, -122.42)), gps_from_media),
             "tiff_gps": (tiff_bytes(img, gps=(-33.87, 151.21)), gps_from_media),
+            "flac": (
+                flac_bytes(pcm, 8000, stereo="independent", lpc_order=4),
+                decode_audio_payload,
+            ),
         }
         for name, (buf, dec) in payloads.items():
             cases = [buf[:cut] for cut in range(1, len(buf), max(1, len(buf) // 50))]
