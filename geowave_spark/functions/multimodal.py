@@ -536,13 +536,21 @@ def decode_video(media: DataFrame, codec: str = "fake") -> DataFrame:
     )
 
 
-def synth_video_media_table(spark, docs: DataFrame, dim: int = 8) -> DataFrame:
-    """Media table whose payloads are REAL encoded Y4M streams, deterministic
-    per media_ref — fixtures for ``decode_video(codec="real")``.  Frame count
-    (2-4) and colorspace (mono/444/420) rotate on the ref hash so multi-frame
-    explode and all three plane layouts — including the subsampled one real
-    streams default to — are exercised corpus-wide."""
+def synth_video_media_table(
+    spark, docs: DataFrame, dim: int = 8, fmt: str = "y4m"
+) -> DataFrame:
+    """Media table whose payloads are REAL encoded video streams,
+    deterministic per media_ref — fixtures for ``decode_video(codec="real")``.
+    ``fmt="y4m"``: frame count (2-4) and colorspace (mono/444/420) rotate on
+    the ref hash so multi-frame explode and all three plane layouts are
+    exercised corpus-wide.  ``fmt="avi"``: MJPEG-in-AVI payloads rotating the
+    omitted-DHT convention; ``fmt="mixed"`` rotates containers per ref so one
+    decode pass dispatches across both."""
+    from geowave_spark.functions.avicodec import avi_mjpeg_bytes
     from geowave_spark.functions.videocodec import y4m_bytes
+
+    if fmt not in ("y4m", "avi", "mixed"):
+        raise ValueError(f"unknown video format {fmt!r}")
 
     refs = (
         docs.select(F.explode("spans").alias("s"))
@@ -558,6 +566,16 @@ def synth_video_media_table(spark, docs: DataFrame, dim: int = 8) -> DataFrame:
                 seed = int.from_bytes(hashlib.md5(ref.encode()).digest()[:4], "big")
                 rng = np.random.RandomState(seed)
                 nf = 2 + seed % 3
+                use_avi = fmt == "avi" or (fmt == "mixed" and (seed >> 6) % 2)
+                if use_avi:
+                    frames = rng.randint(0, 256, (nf, dim, dim, 3), dtype=np.uint8)
+                    payloads.append(
+                        avi_mjpeg_bytes(
+                            frames, fps=30, omit_dht=bool((seed >> 7) & 1)
+                        )
+                    )
+                    nframes.append(nf)
+                    continue
                 variant = seed % 3
                 if variant == 0:
                     frames = rng.randint(0, 256, (nf, dim, dim), dtype=np.uint8)
@@ -572,7 +590,11 @@ def synth_video_media_table(spark, docs: DataFrame, dim: int = 8) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],
-                    "media_type": "video/x-yuv4mpeg",
+                    "media_type": {
+                        "y4m": "video/x-yuv4mpeg",
+                        "avi": "video/avi",
+                        "mixed": "video/mixed",
+                    }[fmt],
                     "content": payloads,
                     "width": np.int32(dim),
                     "height": np.int32(dim),

@@ -168,10 +168,17 @@ def y4m_decode(buf: bytes) -> tuple[np.ndarray, int]:
 def decode_video_payload(buf: bytes) -> tuple[np.ndarray, int]:
     """Magic-byte dispatch for video payloads -> ((n, h, w, 3) RGB, fps).
 
-    The integration point for compressed video (libav/PyAV): add a branch on
-    the container magic returning the same contract and the downstream
+    Y4M decodes here; MJPEG-in-AVI dispatches to
+    :mod:`geowave_spark.functions.avicodec` (JPEG frames through the real
+    JPEG codec, incl. the omitted-DHT convention).  The integration point
+    for remaining compressed video (H.264/VP9 via libav/PyAV): add a branch
+    on the container magic returning the same contract and the downstream
     mapInPandas operators work unchanged.
     """
     if buf[:10] == _MAGIC:
         return y4m_decode(buf)
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        from geowave_spark.functions.avicodec import avi_mjpeg_decode
+
+        return avi_mjpeg_decode(buf)
     raise ValueError(f"unrecognized video payload (magic {buf[:4]!r})")

@@ -798,6 +798,108 @@ def test_y4m_rational_framerate_parsed():
     assert fps == 30 and frames.shape == (2, 4, 4, 3)
 
 
+class TestAviMjpeg:
+    """MJPEG-in-AVI: the container walk over the real JPEG codec, incl. the
+    OpenDML omitted-DHT convention."""
+
+    def _frames(self, n=5, dim=16):
+        import numpy as np
+
+        yy, xx = np.mgrid[0:dim, 0:dim].astype(float)
+        return np.stack(
+            [
+                np.clip(
+                    128
+                    + 90 * np.sin((xx + 3 * f) / 2.3)[:, :, None]
+                    + 20 * np.cos((yy - f) / 3.1)[:, :, None]
+                    + np.zeros((dim, dim, 3)),
+                    0,
+                    255,
+                )
+                for f in range(n)
+            ]
+        ).astype(np.uint8)
+
+    @pytest.mark.parametrize("omit_dht", [False, True])
+    def test_frames_decode_jpeg_exact(self, omit_dht):
+        """Every decoded AVI frame equals the plain JPEG round trip of its
+        source frame — with or without per-frame Huffman tables."""
+        import numpy as np
+
+        from geowave_spark.functions.avicodec import (
+            avi_mjpeg_bytes,
+            avi_mjpeg_decode,
+        )
+        from geowave_spark.functions.jpegcodec import jpeg_bytes, jpeg_decode
+
+        frames = self._frames()
+        buf = avi_mjpeg_bytes(frames, fps=30, omit_dht=omit_dht)
+        out, fps = avi_mjpeg_decode(buf)
+        assert fps == 30 and out.shape == frames.shape
+        for i in range(len(frames)):
+            assert (out[i] == jpeg_decode(jpeg_bytes(frames[i], quality=90))).all()
+
+    def test_omitted_dht_stream_is_smaller_but_equal(self):
+        from geowave_spark.functions.avicodec import (
+            avi_mjpeg_bytes,
+            avi_mjpeg_decode,
+        )
+
+        frames = self._frames()
+        full = avi_mjpeg_bytes(frames, fps=25)
+        bare = avi_mjpeg_bytes(frames, fps=25, omit_dht=True)
+        assert len(bare) < len(full)
+        a, _ = avi_mjpeg_decode(full)
+        b, _ = avi_mjpeg_decode(bare)
+        assert (a == b).all()
+
+    def test_malformed_rejected(self):
+        import numpy as np
+
+        from geowave_spark.functions.avicodec import (
+            avi_mjpeg_bytes,
+            avi_mjpeg_decode,
+        )
+
+        with pytest.raises(ValueError, match="not an AVI"):
+            avi_mjpeg_decode(b"RIFF\x04\x00\x00\x00WAVE")
+        buf = avi_mjpeg_bytes(self._frames(2), fps=10)
+        with pytest.raises(ValueError):
+            avi_mjpeg_decode(buf[: len(buf) // 2])
+
+    def test_mixed_video_containers_end_to_end(self, spark, geo001):
+        """One decode pass over a corpus rotating Y4M and MJPEG-AVI
+        containers; per-frame rows re-derived through the same codecs."""
+        import hashlib
+
+        import numpy as np
+
+        from geowave_spark.functions.multimodal import (
+            decode_video,
+            synth_video_media_table,
+        )
+        from geowave_spark.functions.videocodec import decode_video_payload
+
+        docs = spark.read.parquet(str(geo001 / "docs.parquet"))
+        table = synth_video_media_table(spark, docs, dim=8, fmt="mixed")
+        rows = decode_video(table, codec="real").collect()
+        assert rows
+        payloads = {r.media_ref: bytes(r.content) for r in table.collect()}
+        n_avi = sum(1 for p in payloads.values() if p[:4] == b"RIFF")
+        assert 0 < n_avi < len(payloads), "mixed corpus should rotate containers"
+        by_ref: dict = {}
+        for r in rows:
+            by_ref.setdefault(r.media_ref, []).append(r)
+        for ref in list(by_ref)[:12]:
+            frames, fps = decode_video_payload(payloads[ref])
+            grey = (frames.mean(axis=3, dtype=np.float64) / 255.0).astype(np.float32)
+            got = sorted(by_ref[ref], key=lambda r: r.frame_idx)
+            assert len(got) == len(frames)
+            for i, r in enumerate(got):
+                assert r.fps == fps
+                assert np.allclose(np.asarray(r.pixels, np.float32), grey[i].ravel())
+
+
 class TestY4MSubsampled:
     """C420/C422 — the layouts real Y4M streams actually use (ffmpeg's
     default is 420)."""

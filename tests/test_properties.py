@@ -358,6 +358,7 @@ class TestMediaCodecs:
             decode_audio_payload,
             wav_bytes,
         )
+        from geowave_spark.functions.avicodec import avi_mjpeg_bytes
         from geowave_spark.functions.exif import gps_from_media
         from geowave_spark.functions.flaccodec import flac_bytes
         from geowave_spark.functions.gifcodec import gif_bytes
@@ -396,6 +397,12 @@ class TestMediaCodecs:
             "flac": (
                 flac_bytes(pcm, 8000, stereo="independent", lpc_order=4),
                 decode_audio_payload,
+            ),
+            "avi_mjpeg": (
+                avi_mjpeg_bytes(
+                    np.repeat(img[None], 2, axis=0), fps=10, omit_dht=True
+                ),
+                decode_video_payload,
             ),
         }
         for name, (buf, dec) in payloads.items():
