@@ -290,3 +290,196 @@ def gif_bytes(
         out += chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# ------------------------------------------------------------- animation
+
+
+def gif_frames(buf: bytes) -> tuple[np.ndarray, int]:
+    """Decode ALL images of a GIF as composited animation frames.
+
+    Returns ``((n, sh, sw, 3) uint8 RGB, fps)`` where each frame is the
+    logical-screen canvas as PRESENTED after drawing that image — GIF89a
+    compositing semantics: images land at their descriptor offsets,
+    transparent pixels leave the canvas unchanged, and the prior image's
+    disposal method (1 = leave, 2 = restore background, 3 = restore
+    previous) runs before the next draw.  fps derives from the median
+    nonzero graphic-control delay (1/100 s units); delayless streams
+    report 10 fps, the de-facto player default.
+    """
+    if buf[:6] not in _MAGIC:
+        raise ValueError("not a GIF payload")
+    try:
+        sw, sh, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", buf, 6)
+    except struct.error:
+        raise ValueError("truncated GIF header") from None
+    if sw * sh > 100_000_000:
+        raise ValueError(f"implausible GIF logical screen {sw}x{sh}")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        gct, pos = _color_table(buf, pos, packed & 0x07)
+    bg = (
+        gct[bg_idx]
+        if gct is not None and bg_idx < len(gct)
+        else np.zeros(3, np.uint8)
+    )
+    canvas = np.empty((sh, sw, 3), np.uint8)
+    canvas[:] = bg
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    transparent = -1
+    disposal = 0
+    delay = 0
+    pending = None  # (disposal, top, left, h, w, prev_region) of the last image
+    while pos < len(buf):
+        b = buf[pos]
+        if b == 0x21:  # extension
+            if pos + 1 >= len(buf):
+                raise ValueError("truncated GIF extension")
+            if buf[pos + 1] == 0xF9:
+                blk, pos = _sub_blocks(buf, pos + 2)
+                if len(blk) >= 4:
+                    disposal = (blk[0] >> 2) & 7
+                    transparent = blk[3] if blk[0] & 0x01 else -1
+                    delay = blk[1] | (blk[2] << 8)
+            else:
+                _, pos = _sub_blocks(buf, pos + 2)
+        elif b == 0x2C:
+            try:
+                left, top, w, h, ipacked = struct.unpack_from("<HHHHB", buf, pos + 1)
+            except struct.error:
+                raise ValueError("truncated GIF image descriptor") from None
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                ct, pos = _color_table(buf, pos, ipacked & 0x07)
+            if ct is None:
+                raise ValueError("GIF image with no color table")
+            if left + w > sw or top + h > sh:
+                raise ValueError("GIF image descriptor exceeds logical screen")
+            if pos >= len(buf):
+                raise ValueError("truncated GIF image data")
+            min_code_size = buf[pos]
+            data, pos = _sub_blocks(buf, pos + 1)
+            idx = _lzw_decode(data, min_code_size, w * h).reshape(h, w)
+            if ipacked & 0x40:
+                rows = np.empty(h, dtype=np.int64)
+                src = 0
+                for first, step in _INTERLACE_PASSES:
+                    targets = np.arange(first, h, step)
+                    rows[targets] = np.arange(src, src + len(targets))
+                    src += len(targets)
+                idx = idx[rows]
+            # dispose of the PREVIOUS image before drawing this one
+            if pending is not None:
+                pdisp, pt, pl, ph, pw, prev = pending
+                if pdisp == 2:
+                    canvas[pt : pt + ph, pl : pl + pw] = bg
+                elif pdisp == 3:
+                    canvas[pt : pt + ph, pl : pl + pw] = prev
+            prev_region = canvas[top : top + h, left : left + w].copy()
+            rgb = ct[np.minimum(idx, len(ct) - 1)]
+            region = canvas[top : top + h, left : left + w]
+            if 0 <= transparent < len(ct):
+                opaque = idx != transparent
+                region[opaque] = rgb[opaque]
+            else:
+                region[:] = rgb
+            frames.append(canvas.copy())
+            delays.append(delay)
+            pending = (disposal, top, left, h, w, prev_region)
+            transparent = -1
+            disposal = 0
+            delay = 0
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x} at byte {pos}")
+    if not frames:
+        raise ValueError("GIF payload contains no image")
+    nz = sorted(d for d in delays if d > 0)
+    fps = max(1, round(100 / nz[len(nz) // 2])) if nz else 10
+    return np.ascontiguousarray(np.stack(frames)), fps
+
+
+def gif_anim_bytes(
+    frames: np.ndarray,
+    fps: int = 10,
+    mode: str = "full",
+    disposal_override: list[int] | None = None,
+) -> bytes:
+    """Encode (n, h, w, 3) uint8 RGB frames as an animated GIF89a.
+
+    ``mode="full"``: each image covers the screen (disposal 1 / leave).
+    ``mode="patch"``: images after the first carry only the changed
+    bounding rectangle at its offset — the classic inter-frame size
+    optimization; compositing reconstructs full frames losslessly.
+    ``mode="patch_transparent"``: full-size images whose unchanged pixels
+    use a dedicated transparent index (exercises transparency compositing).
+    ``disposal_override`` substitutes per-frame disposal methods (e.g. 3 =
+    restore-previous) for tests; correctness of the ROUND TRIP then depends
+    on the frames actually matching those semantics.
+    All frames together must use <= 255 distinct colors (one slot is
+    reserved for transparency).
+    """
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("expected (n, h, w, 3) RGB frames")
+    if mode not in ("full", "patch", "patch_transparent"):
+        raise ValueError(f"unknown animation mode {mode!r}")
+    n, h, w = frames.shape[:3]
+    if n == 0 or fps <= 0:
+        raise ValueError("need at least one frame and a positive fps")
+    colors, inverse = np.unique(frames.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(colors) > 255:
+        raise ValueError(f"animated GIF encoder needs <=255 distinct colors, got {len(colors)}")
+    trans_idx = len(colors)  # reserved transparent slot
+    size_field = max(int(np.ceil(np.log2(max(trans_idx + 1, 2)))), 1) - 1
+    n_entries = 2 << size_field
+    palette = np.zeros((n_entries, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    all_idx = inverse.reshape(n, h, w).astype(np.uint8)
+    delay = max(1, round(100 / fps))
+    min_code_size = max(size_field + 1, 2)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+    out += palette.tobytes()
+
+    def emit(img_idx, left, top, disposal, transparent):
+        gce_packed = (disposal << 2) | (1 if transparent else 0)
+        out.extend(b"\x21\xf9\x04")
+        out.append(gce_packed)
+        out.extend(struct.pack("<H", delay))
+        out.append(trans_idx if transparent else 0)
+        out.append(0)
+        ih, iw = img_idx.shape
+        out.extend(b"\x2c" + struct.pack("<HHHHB", left, top, iw, ih, 0))
+        out.append(min_code_size)
+        lzw = _lzw_encode(img_idx.ravel(), min_code_size)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out.extend(chunk)
+        out.append(0)
+
+    for f in range(n):
+        disp = disposal_override[f] if disposal_override else 1
+        if f == 0 or mode == "full":
+            emit(all_idx[f], 0, 0, disp, False)
+        elif mode == "patch":
+            diff = (frames[f] != frames[f - 1]).any(axis=2)
+            if not diff.any():
+                emit(all_idx[f][:1, :1], 0, 0, disp, False)
+                continue
+            ys, xs = np.nonzero(diff)
+            t, b_, l, r = ys.min(), ys.max() + 1, xs.min(), xs.max() + 1
+            emit(all_idx[f][t:b_, l:r], int(l), int(t), disp, False)
+        else:  # patch_transparent: unchanged pixels -> transparent index
+            img = all_idx[f].copy()
+            same = (frames[f] == frames[f - 1]).all(axis=2)
+            img[same] = trans_idx
+            emit(img, 0, 0, disp, True)
+    out += b"\x3b"
+    return bytes(out)

@@ -544,12 +544,15 @@ def synth_video_media_table(
     ``fmt="y4m"``: frame count (2-4) and colorspace (mono/444/420) rotate on
     the ref hash so multi-frame explode and all three plane layouts are
     exercised corpus-wide.  ``fmt="avi"``: MJPEG-in-AVI payloads rotating the
-    omitted-DHT convention; ``fmt="mixed"`` rotates containers per ref so one
-    decode pass dispatches across both."""
+    omitted-DHT convention; ``fmt="gif"``: animated GIFs rotating the
+    full/patch/patch-transparent inter-frame optimizations; ``fmt="mixed"``
+    rotates all three containers per ref so one decode pass dispatches
+    across them."""
     from geowave_spark.functions.avicodec import avi_mjpeg_bytes
+    from geowave_spark.functions.gifcodec import gif_anim_bytes
     from geowave_spark.functions.videocodec import y4m_bytes
 
-    if fmt not in ("y4m", "avi", "mixed"):
+    if fmt not in ("y4m", "avi", "gif", "mixed"):
         raise ValueError(f"unknown video format {fmt!r}")
 
     refs = (
@@ -566,8 +569,25 @@ def synth_video_media_table(
                 seed = int.from_bytes(hashlib.md5(ref.encode()).digest()[:4], "big")
                 rng = np.random.RandomState(seed)
                 nf = 2 + seed % 3
-                use_avi = fmt == "avi" or (fmt == "mixed" and (seed >> 6) % 2)
-                if use_avi:
+                container = fmt
+                if fmt == "mixed":
+                    container = ("y4m", "avi", "gif")[(seed >> 6) % 3]
+                if container == "gif":
+                    # palette-bounded frames (GIF needs <=255 colors total)
+                    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+                    frames = pal[rng.randint(0, 16, (nf, dim, dim))]
+                    payloads.append(
+                        gif_anim_bytes(
+                            frames,
+                            fps=20,
+                            mode=("full", "patch", "patch_transparent")[
+                                (seed >> 8) % 3
+                            ],
+                        )
+                    )
+                    nframes.append(nf)
+                    continue
+                if container == "avi":
                     frames = rng.randint(0, 256, (nf, dim, dim, 3), dtype=np.uint8)
                     payloads.append(
                         avi_mjpeg_bytes(
@@ -593,6 +613,7 @@ def synth_video_media_table(
                     "media_type": {
                         "y4m": "video/x-yuv4mpeg",
                         "avi": "video/avi",
+                        "gif": "image/gif",
                         "mixed": "video/mixed",
                     }[fmt],
                     "content": payloads,

@@ -181,4 +181,8 @@ def decode_video_payload(buf: bytes) -> tuple[np.ndarray, int]:
         from geowave_spark.functions.avicodec import avi_mjpeg_decode
 
         return avi_mjpeg_decode(buf)
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        from geowave_spark.functions.gifcodec import gif_frames
+
+        return gif_frames(buf)
     raise ValueError(f"unrecognized video payload (magic {buf[:4]!r})")

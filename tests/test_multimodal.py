@@ -900,6 +900,115 @@ class TestAviMjpeg:
                 assert np.allclose(np.asarray(r.pixels, np.float32), grey[i].ravel())
 
 
+class TestGifAnimation:
+    """Animated GIF as a video source: full GIF89a compositing semantics —
+    offsets, transparency, disposal methods — pinned by lossless
+    round-trips through the inter-frame optimizations real encoders use."""
+
+    def _frames(self, n=5, h=20, w=24, seed=0):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        pal = rng.randint(0, 256, (12, 3), dtype=np.uint8)
+        f0 = pal[rng.randint(0, 12, (h, w))]
+        frames = [f0]
+        for _ in range(1, n):
+            f = frames[-1].copy()
+            y, x = rng.randint(0, h - 5), rng.randint(0, w - 5)
+            f[y : y + 5, x : x + 5] = pal[rng.randint(0, 12)]
+            frames.append(f)
+        return np.stack(frames)
+
+    @pytest.mark.parametrize("mode", ["full", "patch", "patch_transparent"])
+    def test_roundtrip_bit_exact(self, mode):
+        import numpy as np
+
+        from geowave_spark.functions.gifcodec import gif_anim_bytes, gif_frames
+
+        frames = self._frames()
+        out, fps = gif_frames(gif_anim_bytes(frames, fps=20, mode=mode))
+        assert fps == 20 and out.shape == frames.shape
+        assert (out == frames).all()
+
+    def test_patch_mode_is_smaller(self):
+        from geowave_spark.functions.gifcodec import gif_anim_bytes
+
+        frames = self._frames()
+        assert len(gif_anim_bytes(frames, mode="patch")) < len(
+            gif_anim_bytes(frames, mode="full")
+        )
+
+    def test_disposal_restore_background_and_previous(self):
+        import numpy as np
+
+        from geowave_spark.functions.gifcodec import gif_anim_bytes, gif_frames
+
+        frames = self._frames()
+        # disposal 2 with full-size images: each presented frame is just the
+        # image over a background-restored canvas -> still round-trips
+        out, _ = gif_frames(
+            gif_anim_bytes(frames, mode="full", disposal_override=[2] * len(frames))
+        )
+        assert (out == frames).all()
+        # disposal 3: patches drawn over frame 0's canvas, reverted between
+        rng = np.random.RandomState(1)
+        pal = rng.randint(0, 256, (8, 3), dtype=np.uint8)
+        f0 = pal[rng.randint(0, 8, (16, 16))]
+        pframes = [f0]
+        for i in range(1, 4):
+            f = f0.copy()
+            f[2:6, 3:8] = pal[i]
+            pframes.append(f)
+        pf = np.stack(pframes)
+        out3, _ = gif_frames(
+            gif_anim_bytes(pf, mode="patch", disposal_override=[1, 3, 3, 3])
+        )
+        assert (out3 == pf).all()
+
+    def test_still_gif_is_a_one_frame_video(self):
+        import numpy as np
+
+        from geowave_spark.functions.gifcodec import gif_bytes, gif_frames
+
+        rng = np.random.RandomState(2)
+        img = rng.randint(0, 256, (9, 7, 3)).astype(np.uint8)
+        img = (img // 51) * 51
+        out, fps = gif_frames(gif_bytes(img))
+        assert out.shape == (1, 9, 7, 3) and (out[0] == img).all()
+
+    def test_gif_corpus_end_to_end(self, spark, geo001):
+        import hashlib
+
+        import numpy as np
+
+        from geowave_spark.functions.gifcodec import gif_anim_bytes, gif_frames
+        from geowave_spark.functions.multimodal import (
+            decode_video,
+            synth_video_media_table,
+        )
+
+        docs = spark.read.parquet(str(geo001 / "docs.parquet"))
+        table = synth_video_media_table(spark, docs, dim=8, fmt="gif")
+        rows = decode_video(table, codec="real").collect()
+        assert rows
+        by_ref: dict = {}
+        for r in rows:
+            by_ref.setdefault(r.media_ref, []).append(r)
+        for ref in list(by_ref)[:10]:
+            seed = int.from_bytes(hashlib.md5(ref.encode()).digest()[:4], "big")
+            rng = np.random.RandomState(seed)
+            nf = 2 + seed % 3
+            pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+            frames = pal[rng.randint(0, 16, (nf, 8, 8))]
+            mode = ("full", "patch", "patch_transparent")[(seed >> 8) % 3]
+            want, fps = gif_frames(gif_anim_bytes(frames, fps=20, mode=mode))
+            got = sorted(by_ref[ref], key=lambda r: r.frame_idx)
+            assert len(got) == nf and got[0].fps == fps
+            grey = (want.mean(axis=3, dtype=np.float64) / 255.0).astype(np.float32)
+            for i, r in enumerate(got):
+                assert np.allclose(np.asarray(r.pixels, np.float32), grey[i].ravel())
+
+
 class TestY4MSubsampled:
     """C420/C422 — the layouts real Y4M streams actually use (ffmpeg's
     default is 420)."""

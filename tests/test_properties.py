@@ -361,7 +361,7 @@ class TestMediaCodecs:
         from geowave_spark.functions.avicodec import avi_mjpeg_bytes
         from geowave_spark.functions.exif import gps_from_media
         from geowave_spark.functions.flaccodec import flac_bytes
-        from geowave_spark.functions.gifcodec import gif_bytes
+        from geowave_spark.functions.gifcodec import gif_anim_bytes, gif_bytes
         from geowave_spark.functions.imagecodec import (
             bmp_bytes,
             decode_image,
@@ -401,6 +401,14 @@ class TestMediaCodecs:
             "avi_mjpeg": (
                 avi_mjpeg_bytes(
                     np.repeat(img[None], 2, axis=0), fps=10, omit_dht=True
+                ),
+                decode_video_payload,
+            ),
+            "gif_anim": (
+                gif_anim_bytes(
+                    np.repeat((img // 51 * 51)[None], 3, axis=0),
+                    fps=20,
+                    mode="patch_transparent",
                 ),
                 decode_video_payload,
             ),
