@@ -255,7 +255,13 @@ def synth_image_media_table(
     elif fmt == "gif":
         enc = _gif
     elif fmt == "tiff":
-        enc = lambda rgb, seed: tiff_bytes(rgb, packbits=bool(seed % 2), gps=_gps(seed))
+        # rotate the lossless compressions (jpeg-in-tiff is lossy, pytest-only)
+        enc = lambda rgb, seed: tiff_bytes(
+            rgb,
+            compression=("none", "packbits", "lzw", "deflate")[(seed >> 2) % 4],
+            predictor=bool((seed >> 5) & 1) and (seed >> 2) % 4 >= 2,
+            gps=_gps(seed),
+        )
     else:
         # a realistic heterogeneous corpus: format varies per ref, one
         # decode pass dispatches on magic bytes across all six
@@ -270,7 +276,13 @@ def synth_image_media_table(
             if choice == 3:
                 return _gif(rgb, seed)
             if choice == 4:
-                return tiff_bytes(rgb, packbits=bool(seed % 2))
+                return tiff_bytes(
+                    rgb,
+                    compression=("none", "packbits", "lzw", "deflate")[
+                        (seed >> 2) % 4
+                    ],
+                    predictor=bool((seed >> 5) & 1) and (seed >> 2) % 4 >= 2,
+                )
             return _jpeg(rgb, seed)
 
     refs = (

@@ -24,8 +24,127 @@ import numpy as np
 # tag ids (TIFF 6.0 §8)
 _WIDTH, _LENGTH, _BITS, _COMPRESSION, _PHOTO = 256, 257, 258, 259, 262
 _STRIP_OFFSETS, _SAMPLES, _ROWS_PER_STRIP, _STRIP_COUNTS = 273, 277, 278, 279
-_PLANAR, _COLORMAP = 284, 320
+_PLANAR, _PREDICTOR, _COLORMAP = 284, 317, 320
 _TILE_TAGS = (322, 323, 324, 325)  # TileWidth/Length/Offsets/ByteCounts
+_JPEG_TABLES = 347
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13): MSB-first bit packing, ClearCode 256
+    / EOI 257, and the spec's "early change" — the code width bumps when the
+    decoder's table length reaches 511/1023/2047 (one entry earlier than
+    the natural LZW rule; the libtiff-compatible convention)."""
+    CLEAR, EOI = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table: list[bytes] | None = None
+    width = 9
+    acc = bits = 0
+    prev: bytes | None = None
+    out = bytearray()
+    for byte in data:
+        acc = (acc << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (acc >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            acc &= (1 << bits) - 1
+            if code == CLEAR:
+                table = list(base)
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                if len(out) < expected:
+                    raise ValueError("TIFF LZW stream ended before strip filled")
+                return bytes(out[:expected])
+            if table is None:
+                raise ValueError("TIFF LZW stream must start with ClearCode")
+            if code < len(table):
+                entry = table[code]
+                if prev is not None:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+                table.append(entry)
+            else:
+                raise ValueError(f"corrupt TIFF LZW stream (code {code})")
+            out.extend(entry)
+            prev = entry
+            if len(table) in (511, 1023, 2047):
+                width += 1
+            if len(out) >= expected:
+                return bytes(out[:expected])
+    raise ValueError("truncated TIFF LZW stream")
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW encoder.  The emitted code widths track a SIMULATED
+    decoder (same early-change rule as :func:`_tiff_lzw_decode`), so
+    alignment is correct by construction."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = bits = 0
+
+    state = {"width": 9, "dec_len": 258, "first": True}
+
+    def write(code: int) -> None:
+        nonlocal acc, bits
+        acc = (acc << state["width"]) | code
+        bits += state["width"]
+        while bits >= 8:
+            out.append((acc >> (bits - 8)) & 0xFF)
+            bits -= 8
+        acc &= (1 << bits) - 1
+
+    def emit(code: int) -> None:
+        write(code)
+        if state["first"]:
+            state["first"] = False
+        else:
+            state["dec_len"] += 1
+            if state["dec_len"] in (511, 1023, 2047):
+                state["width"] += 1
+
+    def reset_tables():
+        state["width"] = 9
+        state["dec_len"] = 258
+        state["first"] = True
+        return {bytes([i]): i for i in range(256)}, 258
+
+    write(CLEAR)
+    table, next_code = reset_tables()
+    run = b""
+    for b in data:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        table[cand] = next_code
+        next_code += 1
+        if next_code >= 4094:  # leave room before the 12-bit ceiling
+            emit(CLEAR)  # note: goes through emit so the sim stays aligned
+            table, next_code = reset_tables()
+            # CLEAR resets the simulated decoder immediately, not one-behind
+        run = bytes([b])
+    if run:
+        emit(table[run])
+    emit(EOI)
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def _undiff(px: np.ndarray) -> np.ndarray:
+    """Predictor 2 (horizontal differencing): cumulative sum along each row
+    per sample, modulo 256."""
+    return np.cumsum(px.astype(np.uint64), axis=1).astype(np.uint8)
+
+
+def _diff(px: np.ndarray) -> np.ndarray:
+    d = px.astype(np.int64)
+    d[:, 1:] = d[:, 1:] - d[:, :-1]
+    return (d % 256).astype(np.uint8)
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
 
@@ -108,32 +227,81 @@ def tiff_decode(buf: bytes) -> np.ndarray:
             "(baseline 8-bit chunky grey/RGB/RGBA only; plug PIL in "
             "imagecodec.decode_image for the rest)"
         )
-    if photo not in (0, 1, 2, 3):
-        # 5=separated (CMYK), 6=YCbCr, ...: decoding these as RGB would be
-        # silent garbage, not a lossy approximation
+    if photo not in (0, 1, 2, 3, 6):
+        # 5=separated (CMYK), ...: decoding these as RGB would be silent
+        # garbage, not a lossy approximation (6=YCbCr allowed only for
+        # JPEG strips, checked below)
         raise ValueError(
             f"unsupported TIFF photometric {photo} (MinIsWhite/MinIsBlack/"
-            "RGB/palette only; plug PIL into imagecodec.decode_image)"
+            "RGB/palette/JPEG-YCbCr only; plug PIL into imagecodec.decode_image)"
         )
-    if (photo == 2) != (spp >= 3) or (photo == 3 and spp != 1):
+    if photo == 6 and comp != 7:
+        # YCbCr is only supported as new-style JPEG strips, where the JPEG
+        # decoder performs the color transform itself
+        raise ValueError(
+            "unsupported TIFF photometric 6 without JPEG compression "
+            "(plug PIL into imagecodec.decode_image)"
+        )
+    if (photo in (0, 1, 3)) and spp >= 3 or photo == 2 and spp == 1 or (
+        photo == 3 and spp != 1
+    ):
         raise ValueError(
             f"inconsistent TIFF photometric {photo} for samples={spp}"
         )
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 7, 8, 32773, 32946):
         raise ValueError(
-            f"unsupported TIFF compression {comp} (1=none, 32773=PackBits; "
-            "LZW/JPEG-in-TIFF need a library)"
+            f"unsupported TIFF compression {comp} (1=none, 5=LZW, 7=JPEG, "
+            "8/32946=Deflate, 32773=PackBits; CCITT/old-JPEG need a library)"
         )
+    predictor = t.get(_PREDICTOR, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     rows_per_strip = t.get(_ROWS_PER_STRIP, [h])[0] or h
     stride = w * spp
+
+    if comp == 7:  # new-style JPEG: each strip is a full JPEG stream
+        if _JPEG_TABLES in t:
+            raise ValueError(
+                "abbreviated JPEG-in-TIFF (JPEGTables tag) not supported — "
+                "full per-strip streams only"
+            )
+        from geowave_spark.functions.jpegcodec import jpeg_decode
+
+        parts = []
+        for off, cnt in zip(offsets, counts):
+            strip = bytes(buf[off : off + cnt])
+            if len(strip) != cnt:
+                raise ValueError("truncated TIFF strip")
+            parts.append(jpeg_decode(strip))  # (rows, w, 3) RGB
+        stacked = np.concatenate(parts, axis=0)
+        if stacked.shape[0] < h or stacked.shape[1] != w:
+            raise ValueError("JPEG strips do not assemble to the stated size")
+        return np.ascontiguousarray(stacked[:h, :w])
+
+    import zlib
+
     raw = bytearray()
     for si, (off, cnt) in enumerate(zip(offsets, counts)):
         strip = bytes(buf[off : off + cnt])
         if len(strip) != cnt:
             raise ValueError("truncated TIFF strip")
+        n_rows = min(rows_per_strip, h - si * rows_per_strip)
         if comp == 32773:
-            n_rows = min(rows_per_strip, h - si * rows_per_strip)
             strip = _packbits_decode(strip, n_rows * stride)
+        elif comp == 5:
+            strip = _tiff_lzw_decode(strip, n_rows * stride)
+        elif comp in (8, 32946):
+            try:
+                strip = zlib.decompress(strip)
+            except zlib.error as e:
+                raise ValueError(f"corrupt TIFF Deflate strip: {e}") from None
+        if predictor == 2:
+            if len(strip) < n_rows * stride:
+                raise ValueError("TIFF strip data smaller than its rows")
+            rows = np.frombuffer(strip, np.uint8, n_rows * stride).reshape(
+                n_rows, w, spp
+            )
+            strip = _undiff(rows).tobytes()
         raw.extend(strip)
     if len(raw) < h * stride:
         raise ValueError("TIFF strip data smaller than image")
@@ -188,25 +356,60 @@ def tiff_bytes(
     packbits: bool = False,
     rows_per_strip: int = 4,
     gps: tuple[float, float] | None = None,
+    compression: str | None = None,
+    predictor: bool = False,
+    quality: int = 90,
 ) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a little-endian baseline TIFF
+    """Encode an (h, w, 3) uint8 RGB array as a little-endian TIFF
     (multiple strips so the strip walk is actually exercised).
 
-    ``gps=(lat, lon)`` embeds an EXIF GPS IFD (pointer tag 0x8825) — the
-    geotagged-media fixture path for
+    ``compression``: ``"none"`` / ``"packbits"`` / ``"lzw"`` /
+    ``"deflate"`` / ``"jpeg"`` (new-style, full per-strip streams,
+    photometric 6); omitted, the legacy ``packbits`` bool decides.
+    ``predictor=True`` applies horizontal differencing (tag 317) to
+    lzw/deflate strips.  ``gps=(lat, lon)`` embeds an EXIF GPS IFD
+    (pointer tag 0x8825) — the geotagged-media fixture path for
     :func:`geowave_spark.functions.exif.gps_from_media`.
     """
     rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError("expected (h, w, 3) RGB array")
+    if compression is None:
+        compression = "packbits" if packbits else "none"
+    if compression not in ("none", "packbits", "lzw", "deflate", "jpeg"):
+        raise ValueError(f"unknown TIFF compression {compression!r}")
+    if predictor and compression not in ("lzw", "deflate"):
+        raise ValueError("predictor applies to lzw/deflate strips only")
+    comp_code = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8, "jpeg": 7}[
+        compression
+    ]
     h, w = rgb.shape[:2]
     stride = w * 3
     strips = []
     for y0 in range(0, h, rows_per_strip):
-        chunk = rgb[y0 : y0 + rows_per_strip].tobytes()
-        strips.append(_packbits_encode(chunk) if packbits else chunk)
+        rows = rgb[y0 : y0 + rows_per_strip]
+        if compression == "jpeg":
+            from geowave_spark.functions.jpegcodec import jpeg_bytes
+
+            strips.append(jpeg_bytes(rows, quality=quality))
+            continue
+        if predictor:
+            rows = _diff(rows)
+        chunk = rows.tobytes()
+        if compression == "packbits":
+            strips.append(_packbits_encode(chunk))
+        elif compression == "lzw":
+            strips.append(_tiff_lzw_encode(chunk))
+        elif compression == "deflate":
+            import zlib
+
+            strips.append(zlib.compress(chunk, 6))
+        else:
+            strips.append(chunk)
 
     n_entries = 9 if gps is None else 10
+    if predictor:
+        n_entries += 1
     ifd_off = 8
     data_off = ifd_off + 2 + 12 * n_entries + 4
     # BitsPerSample needs 3 SHORTs (6 bytes > 4): store out-of-line first
@@ -239,8 +442,8 @@ def tiff_bytes(
         entry(_WIDTH, 4, 1, w),
         entry(_LENGTH, 4, 1, h),
         entry(_BITS, 3, 3, bits_off),
-        entry(_COMPRESSION, 3, 1, 32773 if packbits else 1),
-        entry(_PHOTO, 3, 1, 2),  # RGB
+        entry(_COMPRESSION, 3, 1, comp_code),
+        entry(_PHOTO, 3, 1, 6 if compression == "jpeg" else 2),
         entry(
             _STRIP_OFFSETS, 4, n_strips,
             strip_offsets[0] if n_strips == 1 else offsets_off,
@@ -252,6 +455,8 @@ def tiff_bytes(
             len(strips[0]) if n_strips == 1 else counts_off,
         ),
     ]
+    if predictor:
+        e.append(entry(_PREDICTOR, 3, 1, 2))  # tag 317, sorted after 284
     if gps is not None:
         e.append(entry(0x8825, 4, 1, gps_off))  # GPS IFD pointer (sorted last)
     out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))

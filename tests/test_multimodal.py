@@ -1331,7 +1331,7 @@ class TestTiffCodec:
         from geowave_spark.functions.tiffcodec import tiff_bytes, tiff_decode
 
         buf = bytearray(tiff_bytes(np.zeros((4, 4, 3), np.uint8)))
-        struct.pack_into("<I", buf, 8 + 2 + 12 * 3 + 8, 5)  # compression=LZW
+        struct.pack_into("<I", buf, 8 + 2 + 12 * 3 + 8, 3)  # compression=CCITT G3
         with pytest.raises(ValueError, match="unsupported TIFF compression"):
             tiff_decode(bytes(buf))
         with pytest.raises(ValueError, match="not a TIFF"):
@@ -1411,6 +1411,69 @@ class TestTiffCodec:
         buf = self._le_tiff([(322, 4, 1, 64)], g)  # TileWidth present
         with pytest.raises(ValueError, match="tiled TIFF not supported"):
             tiff_decode(buf)
+
+    @pytest.mark.parametrize("comp", ["lzw", "deflate"])
+    @pytest.mark.parametrize("predictor", [False, True])
+    def test_compressed_roundtrip_bit_exact(self, comp, predictor):
+        """LZW (TIFF flavor: MSB-first, early change) and Deflate strips,
+        with and without horizontal differencing — all lossless."""
+        import numpy as np
+
+        from geowave_spark.functions.tiffcodec import tiff_bytes, tiff_decode
+
+        rng = np.random.RandomState(7)
+        for h, w in ((13, 9), (1, 1), (17, 3)):
+            img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            buf = tiff_bytes(img, compression=comp, predictor=predictor)
+            assert (tiff_decode(buf) == img).all()
+
+    def test_lzw_dictionary_reset_roundtrip(self):
+        """A large random strip forces >4094 LZW codes — the ClearCode
+        reset and the 10/11/12-bit early-change boundaries all fire."""
+        import numpy as np
+
+        from geowave_spark.functions.tiffcodec import tiff_bytes, tiff_decode
+
+        big = np.random.RandomState(3).randint(0, 256, (80, 90, 3), np.uint8)
+        buf = tiff_bytes(big, compression="lzw", rows_per_strip=80)
+        assert (tiff_decode(buf) == big).all()
+
+    def test_compression_actually_compresses(self):
+        import numpy as np
+
+        from geowave_spark.functions.tiffcodec import tiff_bytes
+
+        smooth = np.clip(
+            128 + 60 * np.sin(np.arange(64) / 5.0)[None, :, None]
+            + np.zeros((48, 64, 3)),
+            0,
+            255,
+        ).astype(np.uint8)
+        plain = len(tiff_bytes(smooth))
+        assert len(tiff_bytes(smooth, compression="lzw", predictor=True)) < plain
+        assert len(tiff_bytes(smooth, compression="deflate", predictor=True)) < plain
+
+    def test_jpeg_in_tiff_strips(self):
+        """New-style JPEG (compression 7, photometric 6): each strip is a
+        full JPEG stream — decoded output equals the per-strip JPEG round
+        trips exactly."""
+        import numpy as np
+
+        from geowave_spark.functions.jpegcodec import jpeg_bytes, jpeg_decode
+        from geowave_spark.functions.tiffcodec import tiff_bytes, tiff_decode
+
+        img = np.clip(
+            128 + 60 * np.sin(np.arange(24) / 3.0)[None, :, None]
+            + np.zeros((14, 24, 3)),
+            0,
+            255,
+        ).astype(np.uint8)
+        buf = tiff_bytes(img, compression="jpeg", rows_per_strip=4, quality=90)
+        want = np.concatenate(
+            [jpeg_decode(jpeg_bytes(img[y : y + 4], quality=90)) for y in range(0, 14, 4)],
+            axis=0,
+        )[:14]
+        assert (tiff_decode(buf) == want).all()
 
     def test_malformed_offsets_raise_valueerror_not_struct_error(self):
         import struct
