@@ -138,26 +138,20 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def png_bytes(rgb: np.ndarray, filter_type: int = 0) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG.
+# Adam7 pass layout: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    ``filter_type`` applies that scanline filter (0=None, 1=Sub, 2=Up,
-    3=Average, 4=Paeth) to EVERY row — not the adaptive per-row choice a
-    production encoder makes, but it lets tests drive each unfilter path in
-    :func:`png_decode` with bit-exact round-trips.
-    """
-    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
-    if rgb.ndim != 3 or rgb.shape[2] != 3:
-        raise ValueError("expected (h, w, 3) RGB array")
-    if filter_type not in (0, 1, 2, 3, 4):
-        raise ValueError(f"unknown PNG filter {filter_type}")
-    h, w = rgb.shape[:2]
-    raw = rgb.reshape(h, w * 3).astype(np.int32)
-    prior = np.zeros(w * 3, dtype=np.int32)
+
+def _filter_rows(rows: np.ndarray, filter_type: int, bpp: int) -> bytes:
+    """Apply one PNG scanline filter to every row of a (ph, stride) block."""
     lines = bytearray()
-    for y in range(h):
-        cur = raw[y]
-        left = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+    prior = np.zeros(rows.shape[1], dtype=np.int32)
+    for y in range(rows.shape[0]):
+        cur = rows[y].astype(np.int32)
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
         if filter_type == 0:
             filt = cur
         elif filter_type == 1:
@@ -167,15 +161,117 @@ def png_bytes(rgb: np.ndarray, filter_type: int = 0) -> bytes:
         elif filter_type == 3:
             filt = cur - (left + prior) // 2
         else:  # Paeth
-            up_left = np.concatenate([np.zeros(3, np.int32), prior[:-3]])
+            up_left = np.concatenate([np.zeros(bpp, np.int32), prior[:-bpp]])
             filt = cur - _paeth_predictor(left, prior, up_left)
         lines.append(filter_type)
         lines.extend((filt % 256).astype(np.uint8).tobytes())
         prior = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return bytes(lines)
+
+
+def _pass_views(h: int, w: int):
+    """Adam7 (pass_index, rows, cols) index arrays for non-empty passes."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        ys = np.arange(y0, h, dy)
+        xs = np.arange(x0, w, dx)
+        if len(ys) and len(xs):
+            out.append((ys, xs))
+    return out
+
+
+def png_bytes(
+    rgb: np.ndarray,
+    filter_type: int = 0,
+    interlace: bool = False,
+    depth: int = 8,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a truecolor PNG.
+
+    ``filter_type`` applies that scanline filter (0=None, 1=Sub, 2=Up,
+    3=Average, 4=Paeth) to EVERY row — not the adaptive per-row choice a
+    production encoder makes, but it lets tests drive each unfilter path in
+    :func:`png_decode` with bit-exact round-trips.  ``interlace=True``
+    writes Adam7 (each pass an independently filtered sub-image);
+    ``depth=16`` writes 16-bit samples (v*257, so the decoder's >>8
+    recovers the byte exactly).
+    """
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB array")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"unknown PNG filter {filter_type}")
+    if depth not in (8, 16):
+        raise ValueError("truecolor PNG depth must be 8 or 16")
+    h, w = rgb.shape[:2]
+    if depth == 16:
+        wide = (rgb.astype(np.uint16) * 257).astype(">u2")
+        sample_bytes = wide.reshape(h, w * 3).view(np.uint8).reshape(h, w * 6)
+        bpp = 6
+    else:
+        sample_bytes = rgb.reshape(h, w * 3)
+        bpp = 3
+    lines = bytearray()
+    if interlace:
+        for ys, xs in _pass_views(h, w):
+            block = sample_bytes.reshape(h, w, bpp)[np.ix_(ys, xs)].reshape(
+                len(ys), len(xs) * bpp
+            )
+            lines.extend(_filter_rows(block, filter_type, bpp))
+    else:
+        lines.extend(_filter_rows(sample_bytes, filter_type, bpp))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 2, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_bytes_indexed(
+    rgb: np.ndarray, depth: int = 8, interlace: bool = False
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a palette (color type 3) PNG
+    at bit depth 1/2/4/8 — the image must use <= 2**depth distinct colors.
+    Sub-byte depths pack indices MSB-first with scanline padding."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB array")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("palette PNG depth must be 1, 2, 4, or 8")
+    h, w = rgb.shape[:2]
+    colors, inverse = np.unique(rgb.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(colors) > (1 << depth):
+        raise ValueError(
+            f"palette PNG at depth {depth} allows {1 << depth} colors, "
+            f"got {len(colors)}"
+        )
+    idx = inverse.reshape(h, w).astype(np.uint8)
+
+    def pack_rows(rows_idx: np.ndarray) -> np.ndarray:
+        ph, pw = rows_idx.shape
+        if depth == 8:
+            return rows_idx
+        per_byte = 8 // depth
+        padded_w = -(-pw // per_byte) * per_byte
+        padded = np.zeros((ph, padded_w), np.uint8)
+        padded[:, :pw] = rows_idx
+        grouped = padded.reshape(ph, padded_w // per_byte, per_byte)
+        shifts = (np.arange(per_byte)[::-1] * depth).astype(np.uint8)
+        return (grouped.astype(np.uint16) << shifts).sum(axis=2).astype(np.uint8)
+
+    lines = bytearray()
+    if interlace:
+        for ys, xs in _pass_views(h, w):
+            lines.extend(_filter_rows(pack_rows(idx[np.ix_(ys, xs)]), 0, 1))
+    else:
+        lines.extend(_filter_rows(pack_rows(idx), 0, 1))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 1 if interlace else 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", colors.tobytes())
         + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
         + _png_chunk(b"IEND", b"")
     )
@@ -188,16 +284,52 @@ def _paeth_predictor(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
+def _unfilter_block(raw: np.ndarray, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters over a (ph, stride+1) raw block."""
+    ph = raw.shape[0]
+    recon = np.zeros((ph, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    n_px = stride // bpp
+    for y in range(ph):
+        ft, line = int(raw[y, 0]), raw[y, 1:].astype(np.int32)
+        if ft == 0:
+            row = line
+        elif ft == 1:  # Sub: per channel-lane cumulative sum mod 256
+            row = np.cumsum(line.reshape(n_px, bpp), axis=0).reshape(stride) % 256
+        elif ft == 2:  # Up
+            row = (line + prior) % 256
+        elif ft in (3, 4):  # Average / Paeth: left-recon dependency -> per-pixel
+            row = np.zeros(stride, dtype=np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            up_left = np.zeros(bpp, dtype=np.int32)
+            for x in range(n_px):
+                sl = slice(x * bpp, (x + 1) * bpp)
+                up = prior[sl]
+                if ft == 3:
+                    px = (line[sl] + (left + up) // 2) % 256
+                else:
+                    px = (line[sl] + _paeth_predictor(left, up, up_left)) % 256
+                row[sl] = px
+                left, up_left = px, up
+        else:
+            raise ValueError(f"unknown PNG filter {ft} on row {y}")
+        recon[y] = row.astype(np.uint8)
+        prior = row
+    return recon
+
+
 def png_decode(buf: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG (grey / RGB / RGBA) into an
-    (h, w, 3) uint8 RGB array.  Grey is replicated across channels; an alpha
-    channel is dropped (payload pixels, not compositing, are the contract).
-    CRCs are verified; interlaced, paletted, and 16-bit files raise."""
+    """Decode a PNG (grey / truecolor / palette / greyscale+alpha-free
+    RGBA, bit depths 1/2/4/8/16, Adam7 or none) into an (h, w, 3) uint8
+    RGB array.  Grey is replicated across channels and scaled to 8-bit;
+    16-bit samples keep their high byte; an alpha channel is dropped
+    (payload pixels, not compositing, are the contract).  CRCs verified."""
     if buf[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, w = 8, 0
     h = depth = ctype = interlace = -1
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(buf):
         (length,) = struct.unpack_from(">I", buf, pos)
         name = buf[pos + 4 : pos + 8]
@@ -211,58 +343,77 @@ def png_decode(buf: bytes) -> np.ndarray:
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
+        elif name == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif name == b"IDAT":
             idat.extend(data)
         elif name == b"IEND":
             break
         pos += 12 + length
-    if depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
+    valid = {
+        0: (1, 2, 4, 8, 16),  # greyscale
+        2: (8, 16),  # truecolor
+        3: (1, 2, 4, 8),  # palette
+        4: (8, 16),  # grey+alpha
+        6: (8, 16),  # truecolor+alpha
+    }
+    if ctype not in valid or depth not in valid[ctype] or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG: depth={depth} color_type={ctype} "
-            f"interlace={interlace} (8-bit grey/RGB/RGBA, no interlace)"
+            f"interlace={interlace}"
         )
-    bpp = {0: 1, 2: 3, 6: 4}[ctype]
-    stride = w * bpp
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    if h <= 0 or w <= 0 or h * w > 100_000_000:
+        raise ValueError(f"implausible PNG dimensions {w}x{h}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    bpp = max(1, channels * depth // 8)
     try:
         raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     except zlib.error as e:
         raise ValueError(f"corrupt PNG DEFLATE stream: {e}") from None
-    if raw.size != h * (stride + 1):
+
+    def rows_to_pixels(recon: np.ndarray, pw: int) -> np.ndarray:
+        """(ph, stride) filtered-out bytes -> (ph, pw, channels) uint8."""
+        ph = recon.shape[0]
+        if depth == 16:
+            return recon.reshape(ph, pw, channels, 2)[:, :, :, 0]  # high byte
+        if depth == 8:
+            return recon.reshape(ph, pw, channels)
+        bits = np.unpackbits(recon, axis=1)
+        vals = bits.reshape(ph, -1, depth)
+        weights = (1 << np.arange(depth)[::-1]).astype(np.uint16)
+        v = (vals * weights).sum(axis=2)[:, :pw].astype(np.uint8)
+        if ctype == 0:  # scale sub-byte grey to full range
+            v = (v.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        return v[:, :, None]
+
+    groups = (
+        _pass_views(h, w)
+        if interlace
+        else [(np.arange(h), np.arange(w))]
+    )
+    out = np.zeros((h, w, channels), dtype=np.uint8)
+    off = 0
+    for ys, xs in groups:
+        ph, pw = len(ys), len(xs)
+        stride = -(-pw * channels * depth // 8)
+        need = ph * (stride + 1)
+        if off + need > raw.size:
+            raise ValueError("PNG scanline payload size mismatch")
+        block = raw[off : off + need].reshape(ph, stride + 1)
+        off += need
+        recon = _unfilter_block(block, stride, bpp)
+        out[np.ix_(ys, xs)] = rows_to_pixels(recon, pw)
+    if off != raw.size:
         raise ValueError("PNG scanline payload size mismatch")
-    raw = raw.reshape(h, stride + 1)
-    recon = np.zeros((h, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        ft, line = int(raw[y, 0]), raw[y, 1:].astype(np.int32)
-        if ft == 0:
-            row = line
-        elif ft == 1:  # Sub: per channel-lane cumulative sum mod 256
-            row = np.cumsum(line.reshape(w, bpp), axis=0).reshape(stride) % 256
-        elif ft == 2:  # Up
-            row = (line + prior) % 256
-        elif ft in (3, 4):  # Average / Paeth: left-recon dependency -> per-pixel
-            row = np.zeros(stride, dtype=np.int32)
-            left = np.zeros(bpp, dtype=np.int32)
-            up_left = np.zeros(bpp, dtype=np.int32)
-            for x in range(w):
-                sl = slice(x * bpp, (x + 1) * bpp)
-                up = prior[sl]
-                if ft == 3:
-                    px = (line[sl] + (left + up) // 2) % 256
-                else:
-                    px = (line[sl] + _paeth_predictor(left, up, up_left)) % 256
-                row[sl] = px
-                left, up_left = px, up
-        else:
-            raise ValueError(f"unknown PNG filter {ft} on row {y}")
-        recon[y] = row.astype(np.uint8)
-        prior = row
-    if ctype == 0:
-        return np.ascontiguousarray(
-            np.repeat(recon.reshape(h, w, 1), 3, axis=2)
-        )
-    px = recon.reshape(h, w, bpp)
-    return np.ascontiguousarray(px[:, :, :3])
+    if ctype == 3:
+        return np.ascontiguousarray(plte[np.minimum(out[:, :, 0], len(plte) - 1)])
+    if channels == 1 or ctype == 4:
+        return np.ascontiguousarray(np.repeat(out[:, :, :1], 3, axis=2))
+    return np.ascontiguousarray(out[:, :, :3])
 
 
 def decode_image(buf: bytes) -> np.ndarray:

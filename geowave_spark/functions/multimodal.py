@@ -8,14 +8,15 @@ partitioning) is real and tested end-to-end:
 - ``decode_media(..., codec="fake")`` produces a deterministic fake decode
   (seeded by the payload hash) with the same schema a real decoder would
   emit — tests and downstream feature extraction run against it;
-- ``codec="real"`` ACTUALLY decodes BMP (24-bit), PPM (P6), PNG (8-bit,
-  stdlib zlib), and baseline JPEG (pure-numpy DCT + Huffman,
-  :mod:`geowave_spark.functions.jpegcodec`) payloads via the
-  dependency-free codecs in :mod:`geowave_spark.functions.imagecodec`, and
-  WAV (PCM 16-bit) audio via :mod:`geowave_spark.functions.audiocodec`
-  (this container ships no media libraries, so only library-free formats
-  are in scope; progressive JPEG/MP3/... raise with the PIL/libav
-  integration point documented).
+- ``codec="real"`` ACTUALLY decodes, via dependency-free codecs:
+  images — BMP, PPM, PNG (1/2/4/8/16-bit grey/truecolor/palette, Adam7),
+  GIF (still + animated), TIFF (none/PackBits/LZW/Deflate strips,
+  predictor, palette, JPEG-in-TIFF), JPEG (baseline + progressive, EXIF
+  GPS); audio — WAV (PCM, G.711 A-law/mu-law, IMA ADPCM) and FLAC;
+  video — Y4M, MJPEG-in-AVI, animated GIF.  Only entropy-coded
+  psychoacoustic/motion formats (MP3/AAC, H.264/VP9) and CCITT fax
+  remain library-bound, raising with the PIL/libav integration point
+  documented at each dispatch.
 
 Scale shape: decode and feature extraction run in ``mapInPandas`` so one
 Arrow batch amortizes per-batch model/codec setup; media rows are
@@ -66,18 +67,16 @@ def _fake_pixels(content: bytes, n: int) -> np.ndarray:
 def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Binary payload -> pixel array rows (mapInPandas, Arrow-batched).
 
-    ``codec="real"`` decodes actual image payloads — BMP (24-bit BI_RGB),
-    PPM (P6), PNG (8-bit grey/RGB/RGBA, all five scanline filters), and
-    baseline JPEG (4:4:4 / 4:2:0 / grayscale, restart markers) via the
+    ``codec="real"`` decodes actual image payloads — BMP, PPM, PNG (all
+    depths/color types/Adam7), GIF, TIFF (incl. LZW/Deflate/predictor/
+    palette/JPEG strips), and JPEG (baseline + progressive) via the
     dependency-free numpy/zlib codecs in
-    :mod:`geowave_spark.functions.imagecodec` /
-    :mod:`geowave_spark.functions.jpegcodec`, dispatched on magic bytes.
-    Pixels come out as grayscale floats in [0, 1] (RGB mean / 255) and
-    width/height are taken from the image header, overriding the metadata
-    columns.  Progressive JPEG/GIF/TIFF still need a library this container
-    doesn't ship; their payloads raise with the integration point
-    documented (plug PIL/libav into ``imagecodec.decode_image`` — same
-    schema, same batching).
+    :mod:`geowave_spark.functions.imagecodec` and friends, dispatched on
+    magic bytes.  Pixels come out as grayscale floats in [0, 1]
+    (RGB mean / 255) and width/height are taken from the image header,
+    overriding the metadata columns.  Formats genuinely needing a library
+    raise with the integration point documented (plug PIL/libav into
+    ``imagecodec.decode_image`` — same schema, same batching).
     """
     if codec not in ("fake", "real"):
         raise ValueError(f"unknown codec {codec!r}")
@@ -251,7 +250,13 @@ def synth_image_media_table(
     elif fmt == "jpeg":
         enc = _jpeg
     elif fmt == "png":
-        enc = lambda rgb, seed: png_bytes(rgb, filter_type=seed % 5)
+        # rotate scanline filters, Adam7 interlace, and 8/16-bit depth
+        enc = lambda rgb, seed: png_bytes(
+            rgb,
+            filter_type=seed % 5,
+            interlace=bool((seed >> 9) & 1),
+            depth=16 if (seed >> 10) & 1 else 8,
+        )
     elif fmt == "gif":
         enc = _gif
     elif fmt == "tiff":
@@ -272,7 +277,12 @@ def synth_image_media_table(
             if choice == 1:
                 return ppm_bytes(rgb)
             if choice == 2:
-                return png_bytes(rgb, filter_type=seed % 5)
+                return png_bytes(
+                    rgb,
+                    filter_type=seed % 5,
+                    interlace=bool((seed >> 9) & 1),
+                    depth=16 if (seed >> 10) & 1 else 8,
+                )
             if choice == 3:
                 return _gif(rgb, seed)
             if choice == 4:

@@ -167,17 +167,68 @@ class TestImageCodec:
             png_decode(bytes(bad))
         with pytest.raises(ValueError, match="not a PNG"):
             png_decode(b"\x89PNX" + good[4:])
-        # 16-bit / paletted / interlaced all go through the same guard
-        depth16 = bytearray(good)
-        depth16[24] = 16  # IHDR bit-depth byte
+        # genuinely invalid depth/color-type combos still hit the guard
+        # (16-bit/palette/Adam7 are all SUPPORTED now)
+        bad_depth = bytearray(good)
+        bad_depth[24] = 3  # depth 3 is invalid for every color type
         import struct as _s
         import zlib as _z
 
         _s.pack_into(
-            ">I", depth16, 29, _z.crc32(bytes(depth16[12:29])) & 0xFFFFFFFF
+            ">I", bad_depth, 29, _z.crc32(bytes(bad_depth[12:29])) & 0xFFFFFFFF
         )
         with pytest.raises(ValueError, match="unsupported PNG"):
-            png_decode(bytes(depth16))
+            png_decode(bytes(bad_depth))
+
+    @pytest.mark.parametrize("interlace", [False, True])
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+    def test_png_adam7_roundtrip_bit_exact(self, interlace, filter_type):
+        """Adam7: each pass is an independently filtered sub-image; all
+        five filters x both layouts round-trip bit-exact."""
+        import numpy as np
+
+        from geowave_spark.functions.imagecodec import png_bytes, png_decode
+
+        for h, w in ((9, 7), (1, 1), (16, 16), (8, 1)):
+            img = np.random.RandomState(h * 31 + w).randint(
+                0, 256, (h, w, 3), np.uint8
+            )
+            buf = png_bytes(img, filter_type=filter_type, interlace=interlace)
+            assert (png_decode(buf) == img).all()
+
+    def test_png_16bit_roundtrip(self):
+        """16-bit samples written as v*257: the decoder's high byte
+        recovers the original exactly, interlaced or not."""
+        import numpy as np
+
+        from geowave_spark.functions.imagecodec import png_bytes, png_decode
+
+        img = np.random.RandomState(3).randint(0, 256, (13, 21, 3), np.uint8)
+        assert (png_decode(png_bytes(img, depth=16)) == img).all()
+        assert (png_decode(png_bytes(img, depth=16, interlace=True)) == img).all()
+
+    @pytest.mark.parametrize("depth", [1, 2, 4, 8])
+    def test_png_palette_roundtrip_all_depths(self, depth):
+        """Palette (color type 3) at every legal bit depth, incl. sub-byte
+        index packing with scanline padding, plain and Adam7."""
+        import numpy as np
+
+        from geowave_spark.functions.imagecodec import (
+            png_bytes_indexed,
+            png_decode,
+        )
+
+        rng = np.random.RandomState(depth)
+        pal = rng.randint(0, 256, (1 << depth, 3), dtype=np.uint8)
+        img = pal[rng.randint(0, 1 << depth, (11, 13))]
+        assert (png_decode(png_bytes_indexed(img, depth=depth)) == img).all()
+        assert (
+            png_decode(png_bytes_indexed(img, depth=depth, interlace=True)) == img
+        ).all()
+        with pytest.raises(ValueError, match="allows"):
+            png_bytes_indexed(
+                np.arange(600, dtype=np.uint8).reshape(10, 20, 3) % 256, depth=1
+            )
 
     @pytest.mark.parametrize("fmt", ["bmp", "ppm", "png", "jpeg", "gif", "tiff", "mixed"])
     def test_real_decode_end_to_end(self, spark, geo001, fmt):
