@@ -366,6 +366,7 @@ class TestMediaCodecs:
             bmp_bytes,
             decode_image,
             png_bytes,
+            png_bytes_indexed,
             ppm_bytes,
         )
         from geowave_spark.functions.jpegcodec import jpeg_bytes
@@ -411,6 +412,25 @@ class TestMediaCodecs:
                     mode="patch_transparent",
                 ),
                 decode_video_payload,
+            ),
+            "png_adam7_16": (
+                png_bytes(img, filter_type=3, interlace=True, depth=16),
+                decode_image,
+            ),
+            "png_palette2": (
+                png_bytes_indexed(
+                    np.array(
+                        [[0, 0, 0], [85, 85, 85], [170, 170, 170], [255, 255, 255]],
+                        np.uint8,
+                    )[img[:, :, 0] // 64],
+                    depth=2,
+                    interlace=True,
+                ),
+                decode_image,
+            ),
+            "tiff_lzw": (
+                tiff_bytes(img, compression="lzw", predictor=True),
+                decode_image,
             ),
         }
         for name, (buf, dec) in payloads.items():
