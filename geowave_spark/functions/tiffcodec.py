@@ -156,8 +156,8 @@ def _read_entries(buf: bytes, order: str) -> dict[int, list[int]]:
     for i in range(n):
         off = ifd_off + 2 + 12 * i
         tag, ttype, count = struct.unpack_from(order + "HHI", buf, off)
-        if ttype not in _TYPE_SIZE:
-            continue  # unknown field type: skip per spec
+        if ttype not in _TYPE_SIZE or count == 0:
+            continue  # unknown field type / empty entry: skip per spec
         size = _TYPE_SIZE[ttype] * count
         if size > len(buf):
             # a valid entry's payload fits in the file; a corrupt count
