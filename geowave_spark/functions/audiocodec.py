@@ -149,13 +149,23 @@ def _ima_encode_channel(x: np.ndarray, pred: int, idx: int) -> tuple[np.ndarray,
 
 
 def _ima_decode(data: bytes, ch: int, block_align: int, n_samples: int | None) -> np.ndarray:
-    """Decode IMA ADPCM data chunk -> (n, ch) int16."""
+    """Decode IMA ADPCM data chunk -> (n, ch) int16.
+
+    The final block may be shorter than block_align (the in-the-wild
+    convention for non-multiple sample counts); its trailing partial
+    4-byte channel group, if any, is dropped."""
     if block_align < 4 * ch or (block_align - 4 * ch) % (4 * ch):
         raise ValueError(f"invalid IMA ADPCM block align {block_align} for {ch} ch")
-    spb = (block_align - 4 * ch) * 2 // ch + 1  # samples per block per channel
+    if len(data) == 0:
+        out = np.zeros((0, ch), dtype=np.int16)
+        if n_samples:
+            raise ValueError("WAV fact chunk larger than decoded data")
+        return out
     chans: list[list[np.ndarray]] = [[] for _ in range(ch)]
-    for off in range(0, len(data) - block_align + 1, block_align):
+    for off in range(0, len(data), block_align):
         block = data[off : off + block_align]
+        if len(block) < 4 * ch:
+            raise ValueError("truncated IMA ADPCM block header")
         preds, idxs = [], []
         for c in range(ch):
             pred, idx, _res = struct.unpack_from("<hBB", block, 4 * c)
@@ -163,7 +173,8 @@ def _ima_decode(data: bytes, ch: int, block_align: int, n_samples: int | None) -
                 raise ValueError("corrupt IMA ADPCM step index")
             preds.append(pred)
             idxs.append(idx)
-        body = np.frombuffer(block, dtype=np.uint8, offset=4 * ch)
+        body_len = (len(block) - 4 * ch) // (4 * ch) * (4 * ch)
+        body = np.frombuffer(block, dtype=np.uint8, count=body_len, offset=4 * ch)
         nibs = np.empty(len(body) * 2, dtype=np.uint8)
         nibs[0::2] = body & 0x0F  # low nibble first, per the IMA layout
         nibs[1::2] = body >> 4
@@ -173,14 +184,11 @@ def _ima_decode(data: bytes, ch: int, block_align: int, n_samples: int | None) -
             mine = groups[c::ch].ravel()
             decoded = _ima_decode_nibbles(mine, preds[c], idxs[c])
             chans[c].append(np.concatenate([[np.int16(preds[c])], decoded]))
-    if not chans[0]:
-        raise ValueError("IMA ADPCM data smaller than one block")
     out = np.stack([np.concatenate(c) for c in chans], axis=1)
     if n_samples is not None:
         if n_samples > len(out):
             raise ValueError("WAV fact chunk larger than decoded data")
         out = out[:n_samples]
-    del spb
     return np.ascontiguousarray(out)
 
 

@@ -113,8 +113,9 @@ def avi_mjpeg_bytes(
     def lst(fourcc: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", fourcc + body)
 
+    # AVIMAINHEADER is 56 bytes: 10 fields + dwReserved[4], all DWORDs
     avih = struct.pack(
-        "<10I4H",
+        "<14I",
         1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0,
     )
     # flags, priority, language, initialFrames, scale, rate, start, length,

@@ -32,8 +32,8 @@ def _ifd_entries(buf: bytes, order: str, ifd_off: int) -> dict[int, tuple[int, i
     for i in range(n):
         off = ifd_off + 2 + 12 * i
         tag, ttype, count = struct.unpack_from(order + "HHI", buf, off)
-        if ttype not in _TYPE_SIZE:
-            continue
+        if ttype not in _TYPE_SIZE or count == 0:
+            continue  # unknown type / empty entry (same skip as tiffcodec)
         size = _TYPE_SIZE[ttype] * count
         if size > len(buf):
             raise ValueError(f"EXIF entry {tag} overruns the block")

@@ -386,6 +386,15 @@ def _best_rice(resid: np.ndarray) -> tuple[int, int]:
     return best_p, best_c
 
 
+def _safe_po(po: int, block_size: int, order: int) -> int:
+    """Partition order usable for this block: partitions must divide the
+    block evenly AND the first partition must still hold the warmup
+    (block_size >> po >= order) — otherwise fall back to one partition."""
+    if po and (block_size % (1 << po) == 0) and (block_size >> po) >= order:
+        return po
+    return 0
+
+
 def _write_residual(bw: _BitWriter, resid: np.ndarray, order: int, block_size: int, po: int) -> None:
     bw.write(0, 2)  # rice method 0
     bw.write(po, 4)
@@ -494,7 +503,7 @@ def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int, lpc_order: int, po
         bw.write(shift, 5)
         for c in q:
             bw.write(int(c), 12)
-        _write_residual(bw, r, len(q), block_size, po if block_size % (1 << po) == 0 else 0)
+        _write_residual(bw, r, len(q), block_size, _safe_po(po, block_size, len(q)))
         return
     cost, order, r = best
     if cost < verbatim_cost:
@@ -503,7 +512,7 @@ def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int, lpc_order: int, po
         bw.write(0, 1)
         for v in x[:order]:
             bw.write(int(v), bps)
-        _write_residual(bw, r, order, block_size, po if block_size % (1 << po) == 0 else 0)
+        _write_residual(bw, r, order, block_size, _safe_po(po, block_size, order))
     else:  # VERBATIM
         bw.write(0, 1)
         bw.write(1, 6)

@@ -364,8 +364,8 @@ def png_decode(buf: bytes) -> np.ndarray:
             f"unsupported PNG: depth={depth} color_type={ctype} "
             f"interlace={interlace}"
         )
-    if ctype == 3 and plte is None:
-        raise ValueError("palette PNG missing PLTE chunk")
+    if ctype == 3 and (plte is None or len(plte) == 0):
+        raise ValueError("palette PNG missing or empty PLTE chunk")
     if h <= 0 or w <= 0 or h * w > 100_000_000:
         raise ValueError(f"implausible PNG dimensions {w}x{h}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]

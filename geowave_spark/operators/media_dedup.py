@@ -109,8 +109,9 @@ def audio_fingerprints(
     shift moves ``t`` but not the hashes, which is what the offset vote in
     :func:`audio_dedup_pairs` exploits.
     """
-    if n_bands > 8 or fan_out > 7 or n_fft > 8192:
-        raise ValueError("hash packing allows n_bands<=8, fan_out<=7, n_fft<=8192")
+    if n_bands > 8 or fan_out > 7 or n_fft > 4096:
+        # max peak bin is n_fft/2, which must fit the 12-bit hash fields
+        raise ValueError("hash packing allows n_bands<=8, fan_out<=7, n_fft<=4096")
 
     def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -206,18 +207,27 @@ def video_frame_hashes(decoded_video: DataFrame, grid: int = 8) -> DataFrame:
     if grid * grid > 64:
         raise ValueError("grid*grid must fit in a 64-bit hash")
 
+    def _cells(img: np.ndarray, gh: int, gw: int) -> np.ndarray:
+        """Block-mean resize to (gh, gw) with every bin guaranteed at least
+        one source pixel — array_split would yield empty (NaN) chunks
+        whenever a frame dimension is smaller than the grid."""
+        h, w = img.shape
+        ye = (np.arange(gh) * h) // gh
+        xe = (np.arange(gw) * w) // gw
+        # reduceat: a repeated start index yields that single row/col, so
+        # upsampled bins nearest-sample instead of going empty
+        rows = np.add.reduceat(img, ye, axis=0)
+        rcnt = np.maximum(np.diff(np.append(ye, h)), 1)
+        cols = np.add.reduceat(rows, xe, axis=1)
+        ccnt = np.maximum(np.diff(np.append(xe, w)), 1)
+        return cols / (rcnt[:, None] * ccnt[None, :])
+
     def _dh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             hashes = []
             for w, h, px in zip(pdf["width"], pdf["height"], pdf["pixels"]):
                 img = np.asarray(px, dtype=np.float64).reshape(int(h), int(w))
-                rows = [r.mean(axis=0) for r in np.array_split(img, grid, axis=0)]
-                cells = np.stack(
-                    [
-                        np.array([c.mean() for c in np.array_split(r, grid + 1)])
-                        for r in rows
-                    ]
-                )  # (grid, grid+1)
+                cells = _cells(img, grid, grid + 1)  # (grid, grid+1)
                 bits = (cells[:, :-1] > cells[:, 1:]).ravel()
                 # bit k of the long = bits[k]; packbits avoids the signed
                 # shift-by-63 overflow a power-of-two dot product would hit

@@ -205,3 +205,23 @@ class TestVideoDedup:
         plan = video_dedup_pairs(hashes)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_small_frames_hash_without_empty_cells(self, spark):
+        """Frames narrower than grid+1 must still produce well-defined
+        hashes (no NaN cells from empty block-mean bins) and keep the
+        brightness invariance."""
+        import warnings
+
+        base = _pattern_frames(0, n=2, dim=8)
+        bright = np.clip(base.astype(np.int64) + 5, 0, 255).astype(np.uint8)
+        rows = [("s_base", _y4m(base)), ("s_bright", _y4m(bright))]
+        decoded = decode_video(_media_df(spark, rows, "video/y4m"), codec="real")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            h = {
+                (r.media_ref, r.frame_idx): r.dhash
+                for r in video_frame_hashes(decoded).collect()
+            }
+        assert all(isinstance(v, int) for v in h.values())
+        for f in range(2):
+            assert h[("s_base", f)] == h[("s_bright", f)]
