@@ -61,29 +61,139 @@ def bmp_bytes(rgb: np.ndarray) -> bytes:
     return file_hdr + info_hdr + body
 
 
+def bmp_bytes_indexed(rgb: np.ndarray, rle: bool = False) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array (<=256 distinct colors) as an
+    8-bit palette BMP, optionally RLE8-compressed (fixtures/export for the
+    palette decode paths)."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB array")
+    h, w = rgb.shape[:2]
+    colors, inverse = np.unique(rgb.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"palette BMP needs <=256 distinct colors, got {len(colors)}")
+    idx = inverse.reshape(h, w).astype(np.uint8)
+    pal = np.zeros((256, 4), np.uint8)
+    pal[: len(colors), :3] = colors[:, ::-1]  # BGRX entries
+    if rle:
+        body = bytearray()
+        for row in idx[::-1]:  # bottom-up
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                body += bytes([run, int(row[x])])
+                x += run
+            body += b"\x00\x00"  # end of line
+        body += b"\x00\x01"  # end of bitmap
+        body = bytes(body)
+        compression = 1
+    else:
+        stride = w + ((-w) % 4)
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, :w] = idx[::-1]
+        body = rows.tobytes()
+        compression = 0
+    data_offset = 14 + 40 + 1024
+    file_hdr = struct.pack("<2sIHHI", b"BM", data_offset + len(body), 0, 0, data_offset)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, compression, len(body), 2835, 2835, 256, 0
+    )
+    return file_hdr + info_hdr + pal.tobytes() + body
+
+
 def bmp_decode(buf: bytes) -> np.ndarray:
-    """Decode a 24-bit uncompressed BMP into an (h, w, 3) uint8 RGB array."""
+    """Decode a BMP into an (h, w, 3) uint8 RGB array.
+
+    Supports 24-bit and 32-bit (alpha dropped) truecolor, palette at
+    1/4/8 bits (MSB-first sub-byte packing), RLE8 compression, and both
+    bottom-up and top-down row orders."""
     if len(buf) < 54 or buf[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (_, _, _, _, data_offset) = struct.unpack_from("<2sIHHI", buf, 0)
-    (hdr_size, w, h, planes, bpp, compression) = struct.unpack_from(
-        "<IiiHHI", buf, 14
+    (hdr_size, w, h, planes, bpp, compression, _szimg, _xp, _yp, clr_used, _ci) = (
+        struct.unpack_from("<IiiHHIIiiII", buf, 14)
     )
     if hdr_size < 40:
         raise ValueError(f"unsupported BMP header size {hdr_size}")
-    if bpp != 24 or compression != 0:
-        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
     top_down = h < 0
     h = abs(h)
-    row_bytes = w * 3
-    stride = row_bytes + ((-row_bytes) % 4)
-    need = data_offset + stride * h
-    if len(buf) < need:
-        raise ValueError("truncated BMP payload")
-    rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=data_offset)
-    rows = rows.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
-    rgb = rows[:, :, ::-1]  # BGR -> RGB
-    return np.ascontiguousarray(rgb if top_down else rgb[::-1])
+    if w <= 0 or h == 0 or w * h > 100_000_000:
+        raise ValueError(f"implausible BMP dimensions {w}x{h}")
+    if bpp in (24, 32):
+        if compression != 0:
+            raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+        nch = bpp // 8
+        row_bytes = w * nch
+        stride = row_bytes + ((-row_bytes) % 4)
+        if len(buf) < data_offset + stride * h:
+            raise ValueError("truncated BMP payload")
+        rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=data_offset)
+        px = rows.reshape(h, stride)[:, :row_bytes].reshape(h, w, nch)
+        rgb = px[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
+        return np.ascontiguousarray(rgb if top_down else rgb[::-1])
+    if bpp not in (1, 4, 8):
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    n_pal = clr_used or (1 << bpp)
+    pal_off = 14 + hdr_size
+    if len(buf) < pal_off + 4 * n_pal:
+        raise ValueError("truncated BMP palette")
+    pal = np.frombuffer(buf, np.uint8, 4 * n_pal, pal_off).reshape(n_pal, 4)[:, 2::-1]
+    if compression == 0:
+        stride = -(-(w * bpp) // 8)
+        stride += (-stride) % 4  # rows pad to 4-byte boundaries
+        if len(buf) < data_offset + stride * h:
+            raise ValueError("truncated BMP payload")
+        rows = np.frombuffer(
+            buf, dtype=np.uint8, count=stride * h, offset=data_offset
+        ).reshape(h, stride)
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:
+            bits = np.unpackbits(rows, axis=1)
+            vals = bits.reshape(h, -1, bpp)
+            weights = (1 << np.arange(bpp)[::-1]).astype(np.uint16)
+            idx = (vals * weights).sum(axis=2)[:, :w].astype(np.uint8)
+    elif compression == 1 and bpp == 8:  # RLE8
+        idx = np.zeros((h, w), np.uint8)
+        pos, x, y = data_offset, 0, 0
+        n = len(buf)
+        while pos + 2 <= n:
+            c, v = buf[pos], buf[pos + 1]
+            pos += 2
+            if c:  # encoded run
+                end = min(x + c, w)
+                if y < h:
+                    idx[y, x:end] = v
+                x += c
+            elif v == 0:  # end of line
+                x, y = 0, y + 1
+            elif v == 1:  # end of bitmap
+                break
+            elif v == 2:  # delta
+                if pos + 2 > n:
+                    raise ValueError("truncated BMP RLE8 delta")
+                x += buf[pos]
+                y += buf[pos + 1]
+                pos += 2
+            else:  # absolute run of v pixels, word-aligned
+                if pos + v > n:
+                    raise ValueError("truncated BMP RLE8 absolute run")
+                end = min(x + v, w)
+                if y < h:
+                    idx[y, x:end] = np.frombuffer(buf, np.uint8, end - x, pos)
+                x += v
+                pos += v + (v & 1)
+        else:
+            raise ValueError("BMP RLE8 stream missing end-of-bitmap")
+        idx = idx if top_down else idx[::-1]
+        rgb = pal[np.minimum(idx, n_pal - 1)]
+        return np.ascontiguousarray(rgb)
+    else:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    idx = idx if top_down else idx[::-1]
+    return np.ascontiguousarray(pal[np.minimum(idx, n_pal - 1)])
 
 
 def ppm_bytes(rgb: np.ndarray) -> bytes:

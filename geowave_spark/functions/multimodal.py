@@ -243,8 +243,17 @@ def synth_image_media_table(
             rgb = (rgb // 51) * 51
         return gif_bytes(rgb, interlace=bool(seed % 2))
 
+    def _bmp(rgb, seed):
+        # rotate truecolor / palette / RLE8 when the palette bound allows
+        from geowave_spark.functions.imagecodec import bmp_bytes_indexed
+
+        variant = (seed >> 11) % 3
+        if variant and len(np.unique(rgb.reshape(-1, 3), axis=0)) <= 256:
+            return bmp_bytes_indexed(rgb, rle=variant == 2)
+        return bmp_bytes(rgb)
+
     if fmt == "bmp":
-        enc = lambda rgb, seed: bmp_bytes(rgb)
+        enc = _bmp
     elif fmt == "ppm":
         enc = lambda rgb, seed: ppm_bytes(rgb)
     elif fmt == "jpeg":
@@ -273,7 +282,7 @@ def synth_image_media_table(
         def enc(rgb, seed):
             choice = (seed >> 8) % 6
             if choice == 0:
-                return bmp_bytes(rgb)
+                return _bmp(rgb, seed)
             if choice == 1:
                 return ppm_bytes(rgb)
             if choice == 2:

@@ -180,6 +180,61 @@ class TestImageCodec:
         with pytest.raises(ValueError, match="unsupported PNG"):
             png_decode(bytes(bad_depth))
 
+    @pytest.mark.parametrize("rle", [False, True])
+    def test_bmp_palette_roundtrip(self, rle):
+        """8-bit palette BMP, plain and RLE8-compressed — lossless."""
+        import numpy as np
+
+        from geowave_spark.functions.imagecodec import (
+            bmp_bytes_indexed,
+            bmp_decode,
+        )
+
+        rng = np.random.RandomState(4)
+        pal = rng.randint(0, 256, (12, 3), dtype=np.uint8)
+        for h, w in ((9, 7), (1, 1), (13, 21)):
+            img = pal[rng.randint(0, 12, (h, w))]
+            assert (bmp_decode(bmp_bytes_indexed(img, rle=rle)) == img).all()
+
+    def test_bmp_32bit_and_subbyte_palette(self):
+        """32-bit BGRA (alpha dropped) and 4-/1-bit palette rows decode."""
+        import struct
+
+        import numpy as np
+
+        from geowave_spark.functions.imagecodec import bmp_decode
+
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 256, (5, 3, 3), dtype=np.uint8)
+        h, w = 5, 3
+        bgra = np.zeros((h, w, 4), np.uint8)
+        bgra[:, :, :3] = img[::-1, :, ::-1]
+        bgra[:, :, 3] = 200
+        body = bgra.tobytes()
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0, len(body), 0, 0, 0, 0)
+        assert (bmp_decode(hdr + info + body) == img).all()
+        for bpp in (4, 1):
+            ncol = 1 << bpp
+            pal = rng.randint(0, 256, (ncol, 3), dtype=np.uint8)
+            idx = rng.randint(0, ncol, (6, 9))
+            stride = -(-(9 * bpp) // 8)
+            stride += (-stride) % 4
+            rows = np.zeros((6, stride), np.uint8)
+            for y in range(6):
+                for x in range(9):
+                    byte, shift = (x * bpp) // 8, 8 - bpp - (x * bpp) % 8
+                    rows[5 - y, byte] |= idx[y, x] << shift
+            palbytes = np.zeros((ncol, 4), np.uint8)
+            palbytes[:, :3] = pal[:, ::-1]
+            off = 14 + 40 + 4 * ncol
+            hdr = struct.pack("<2sIHHI", b"BM", off + rows.size, 0, 0, off)
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, 9, 6, 1, bpp, 0, rows.size, 0, 0, ncol, 0
+            )
+            out = bmp_decode(hdr + info + palbytes.tobytes() + rows.tobytes())
+            assert (out == pal[idx]).all(), bpp
+
     @pytest.mark.parametrize("interlace", [False, True])
     @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
     def test_png_adam7_roundtrip_bit_exact(self, interlace, filter_type):

@@ -364,6 +364,7 @@ class TestMediaCodecs:
         from geowave_spark.functions.gifcodec import gif_anim_bytes, gif_bytes
         from geowave_spark.functions.imagecodec import (
             bmp_bytes,
+            bmp_bytes_indexed,
             decode_image,
             png_bytes,
             png_bytes_indexed,
@@ -430,6 +431,10 @@ class TestMediaCodecs:
             ),
             "tiff_lzw": (
                 tiff_bytes(img, compression="lzw", predictor=True),
+                decode_image,
+            ),
+            "bmp_rle8": (
+                bmp_bytes_indexed((img // 64) * 64, rle=True),
                 decode_image,
             ),
         }
