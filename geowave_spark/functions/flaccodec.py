@@ -388,9 +388,10 @@ def _best_rice(resid: np.ndarray) -> tuple[int, int]:
 
 def _safe_po(po: int, block_size: int, order: int) -> int:
     """Partition order usable for this block: partitions must divide the
-    block evenly AND the first partition must still hold the warmup
-    (block_size >> po >= order) — otherwise fall back to one partition."""
-    if po and (block_size % (1 << po) == 0) and (block_size >> po) >= order:
+    block evenly AND the first partition must be strictly larger than the
+    predictor order (the spec forbids a zero-sample first partition) —
+    otherwise fall back to one partition."""
+    if po and (block_size % (1 << po) == 0) and (block_size >> po) > order:
         return po
     return 0
 

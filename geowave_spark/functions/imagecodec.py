@@ -1,31 +1,31 @@
-"""Dependency-free raster image codecs (BMP 24-bit, PPM P6, PNG 8-bit) in
-pure numpy + stdlib zlib.
+"""Dependency-free raster image codecs (BMP, PPM P6, PNG) in pure numpy +
+stdlib zlib.
 
 De-stubs the ``codec="real"`` path of :mod:`geowave_spark.functions.multimodal`
 for formats whose encodings need no image library, so the container
-constraint (no PIL/libav) doesn't apply.  All are lossless for 8-bit RGB,
-which makes round-trips exactly testable.
+constraint (no PIL/libav) doesn't apply.  All lossless paths round-trip
+bit-exact, which is what makes them testable.
 
 Formats:
-- **BMP**: 14-byte file header + 40-byte BITMAPINFOHEADER, 24 bpp, BI_RGB
-  (uncompressed), rows bottom-up and padded to 4 bytes, BGR byte order.
-  Top-down files (negative height) are accepted on decode.
+- **BMP**: 24/32-bit truecolor (alpha dropped), 1/4/8-bit palette rows
+  (MSB-first sub-byte packing), RLE8 compression, bottom-up and top-down
+  row orders; :func:`bmp_bytes_indexed` writes palette/RLE8 files.
 - **PPM (P6)**: ASCII header ``P6 <w> <h> <maxval>`` (with comment support)
   followed by raw RGB bytes; maxval must be <= 255.
-- **PNG**: 8-bit greyscale / RGB / RGBA (color types 0, 2, 6), no
-  interlace.  DEFLATE via stdlib :mod:`zlib`; all five scanline filters
-  (None/Sub/Up/Average/Paeth) are unfiltered on decode, and the encoder can
-  emit any fixed filter so every unfilter path is round-trip testable.
-- **JPEG (baseline)**: lives in :mod:`geowave_spark.functions.jpegcodec`
-  (DCT + canonical Huffman in pure numpy); :func:`decode_image` dispatches
-  to it on the 0xFFD8 magic.
+- **PNG**: the full matrix — greyscale / truecolor / palette / alpha color
+  types at bit depths 1/2/4/8/16, Adam7 interlace or none, all five
+  scanline filters, CRCs verified.  DEFLATE via stdlib :mod:`zlib`;
+  :func:`png_bytes` / :func:`png_bytes_indexed` can emit every variant so
+  each decode path is round-trip testable.
+- **JPEG (baseline + progressive)**: lives in
+  :mod:`geowave_spark.functions.jpegcodec`; :func:`decode_image`
+  dispatches to it on the 0xFFD8 magic.
 - **GIF (87a/89a)**: lives in :mod:`geowave_spark.functions.gifcodec`
-  (variable-width LZW, interlace, transparency); dispatched on the GIF8
-  magic.
-- **TIFF (baseline)**: lives in :mod:`geowave_spark.functions.tiffcodec`
-  (uncompressed + PackBits strips, 8-bit grey/RGB/RGBA, II/MM byte order);
-  dispatched on the II*/MM* magic.  Progressive JPEG and LZW/JPEG-in-TIFF
-  still raise with the integration point documented in :func:`decode_image`.
+  (variable-width LZW, interlace, transparency, animation); dispatched on
+  the GIF8 magic.
+- **TIFF**: lives in :mod:`geowave_spark.functions.tiffcodec`
+  (none/PackBits/LZW/Deflate strips with predictor, palette, JPEG-in-TIFF,
+  II/MM byte order); dispatched on the II*/MM* magic.
 """
 
 from __future__ import annotations
@@ -181,15 +181,12 @@ def bmp_decode(buf: bytes) -> np.ndarray:
                 if pos + v > n:
                     raise ValueError("truncated BMP RLE8 absolute run")
                 end = min(x + v, w)
-                if y < h:
+                if y < h and x < w:
                     idx[y, x:end] = np.frombuffer(buf, np.uint8, end - x, pos)
                 x += v
                 pos += v + (v & 1)
         else:
             raise ValueError("BMP RLE8 stream missing end-of-bitmap")
-        idx = idx if top_down else idx[::-1]
-        rgb = pal[np.minimum(idx, n_pal - 1)]
-        return np.ascontiguousarray(rgb)
     else:
         raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
     idx = idx if top_down else idx[::-1]

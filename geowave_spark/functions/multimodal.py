@@ -248,8 +248,11 @@ def synth_image_media_table(
         from geowave_spark.functions.imagecodec import bmp_bytes_indexed
 
         variant = (seed >> 11) % 3
-        if variant and len(np.unique(rgb.reshape(-1, 3), axis=0)) <= 256:
-            return bmp_bytes_indexed(rgb, rle=variant == 2)
+        if variant:
+            try:  # bmp_bytes_indexed does the distinct-color scan itself
+                return bmp_bytes_indexed(rgb, rle=variant == 2)
+            except ValueError:
+                pass  # >256 colors: fall back to truecolor
         return bmp_bytes(rgb)
 
     if fmt == "bmp":

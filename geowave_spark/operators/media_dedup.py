@@ -45,6 +45,23 @@ AUDIO_FP_SCHEMA = "media_ref string, t int, fhash long"
 VIDEO_HASH_SCHEMA = "media_ref string, frame_idx int, dhash long"
 
 
+def _block_cells(img: np.ndarray, gh: int, gw: int) -> np.ndarray:
+    """Block-mean resize to (gh, gw) with every bin guaranteed at least one
+    source pixel — array_split would yield empty (NaN) chunks whenever a
+    frame dimension is smaller than the grid.  Module-level so the
+    no-empty-bin invariant is unit-testable outside Spark workers."""
+    h, w = img.shape
+    ye = (np.arange(gh) * h) // gh
+    xe = (np.arange(gw) * w) // gw
+    # reduceat: a repeated start index yields that single row/col, so
+    # upsampled bins nearest-sample instead of going empty
+    rows = np.add.reduceat(img, ye, axis=0)
+    rcnt = np.maximum(np.diff(np.append(ye, h)), 1)
+    cols = np.add.reduceat(rows, xe, axis=1)
+    ccnt = np.maximum(np.diff(np.append(xe, w)), 1)
+    return cols / (rcnt[:, None] * ccnt[None, :])
+
+
 def _frame_spectra(x: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
     """(n_frames, n_fft//2+1) magnitude spectra of a mono float signal."""
     if len(x) < n_fft:
@@ -207,27 +224,12 @@ def video_frame_hashes(decoded_video: DataFrame, grid: int = 8) -> DataFrame:
     if grid * grid > 64:
         raise ValueError("grid*grid must fit in a 64-bit hash")
 
-    def _cells(img: np.ndarray, gh: int, gw: int) -> np.ndarray:
-        """Block-mean resize to (gh, gw) with every bin guaranteed at least
-        one source pixel — array_split would yield empty (NaN) chunks
-        whenever a frame dimension is smaller than the grid."""
-        h, w = img.shape
-        ye = (np.arange(gh) * h) // gh
-        xe = (np.arange(gw) * w) // gw
-        # reduceat: a repeated start index yields that single row/col, so
-        # upsampled bins nearest-sample instead of going empty
-        rows = np.add.reduceat(img, ye, axis=0)
-        rcnt = np.maximum(np.diff(np.append(ye, h)), 1)
-        cols = np.add.reduceat(rows, xe, axis=1)
-        ccnt = np.maximum(np.diff(np.append(xe, w)), 1)
-        return cols / (rcnt[:, None] * ccnt[None, :])
-
     def _dh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             hashes = []
             for w, h, px in zip(pdf["width"], pdf["height"], pdf["pixels"]):
                 img = np.asarray(px, dtype=np.float64).reshape(int(h), int(w))
-                cells = _cells(img, grid, grid + 1)  # (grid, grid+1)
+                cells = _block_cells(img, grid, grid + 1)  # (grid, grid+1)
                 bits = (cells[:, :-1] > cells[:, 1:]).ravel()
                 # bit k of the long = bits[k]; packbits avoids the signed
                 # shift-by-63 overflow a power-of-two dot product would hit

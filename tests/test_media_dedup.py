@@ -206,22 +206,42 @@ class TestVideoDedup:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
-    def test_small_frames_hash_without_empty_cells(self, spark):
-        """Frames narrower than grid+1 must still produce well-defined
-        hashes (no NaN cells from empty block-mean bins) and keep the
-        brightness invariance."""
+    def test_block_cells_never_produces_empty_bins(self):
+        """Unit pin for the dHash resize kernel: frames narrower/shorter
+        than the grid must yield finite cells (array_split produced NaN
+        from empty chunks), exact block means when dims divide, and
+        nearest-sample values when upsampling."""
         import warnings
 
+        from geowave_spark.operators.media_dedup import _block_cells
+
+        rng = np.random.RandomState(0)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            for h, w in ((8, 8), (4, 3), (1, 1), (16, 16), (5, 9)):
+                cells = _block_cells(rng.rand(h, w), 8, 9)
+                assert cells.shape == (8, 9)
+                assert np.isfinite(cells).all(), (h, w)
+        # exact block mean when dims divide evenly
+        img = np.arange(32, dtype=np.float64).reshape(4, 8)
+        got = _block_cells(img, 2, 4)
+        want = img.reshape(2, 2, 4, 2).mean(axis=(1, 3))
+        assert np.allclose(got, want)
+        # upsampling nearest-samples rows (no interpolation invented)
+        up = _block_cells(np.array([[1.0, 2.0]]), 2, 2)
+        assert np.allclose(up, [[1.0, 2.0], [1.0, 2.0]])
+
+    def test_small_frames_hash_end_to_end(self, spark):
+        """8-wide frames through the Spark stage: hashes are well-defined
+        and keep the brightness invariance."""
         base = _pattern_frames(0, n=2, dim=8)
         bright = np.clip(base.astype(np.int64) + 5, 0, 255).astype(np.uint8)
         rows = [("s_base", _y4m(base)), ("s_bright", _y4m(bright))]
         decoded = decode_video(_media_df(spark, rows, "video/y4m"), codec="real")
-        with warnings.catch_warnings():
-            warnings.simplefilter("error", RuntimeWarning)
-            h = {
-                (r.media_ref, r.frame_idx): r.dhash
-                for r in video_frame_hashes(decoded).collect()
-            }
+        h = {
+            (r.media_ref, r.frame_idx): r.dhash
+            for r in video_frame_hashes(decoded).collect()
+        }
         assert all(isinstance(v, int) for v in h.values())
         for f in range(2):
             assert h[("s_base", f)] == h[("s_bright", f)]
