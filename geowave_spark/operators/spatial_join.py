@@ -363,13 +363,6 @@ def pip_join(
     if point_cell_col is None and mode != "hex":
         points = with_point_cells(points, lon_col, lat_col, cfg, cell_col="_pcell").drop("tier")
         point_cell_col = "_pcell"
-        if mode == "tiered" and not points.isStreaming:
-            # the tier loop unions one probe scan per tier: cache the encoded
-            # probe so the (Python) encode UDF runs once, not once per tier
-            # (streaming probes can't persist — they re-encode per tier scan,
-            # which each micro-batch pays ~n_tiers times; acceptable because
-            # the per-batch probe is small by construction)
-            points = _CACHES.add(points.persist())
 
     # avoid name collisions with the probe side (points may carry their own
     # geom_wkt); the zone geometry travels as _zwkt through the join
@@ -410,22 +403,42 @@ def pip_join(
         if catalog is not None:
             zcells = zcells.drop("_zwkt")
         zcells = _CACHES.add(zcells.persist())
-        tiers = [r[0] for r in zcells.select("_ztier").distinct().collect()]
-        parts = []
-        for t in sorted(tiers, reverse=True):
-            build = zcells.filter(F.col("_ztier") == t).drop("_ztier")
-            build = F.broadcast(build) if broadcast_zones else build
-            # coalesce makes the join key non-nullable so Catalyst skips the
-            # isnotnull pre-filter that would re-evaluate the encode UDF on
-            # every probe row (sentinel -1 never equals a real cell)
-            probe = points.withColumn(
-                "_jcell",
-                F.coalesce(cell_at_tier(F.col(point_cell_col), cfg.finest, int(t)), F.lit(-1)),
-            )
-            parts.append(probe.join(build, probe["_jcell"] == build["_zcell"], "inner"))
-        joined = parts[0]
-        for p in parts[1:]:
-            joined = joined.unionByName(p)
+        # SINGLE probe-side pass (the 100-TB side is read exactly once):
+        # collect the distinct zone tiers (bounded by len(cfg.tiers), usually
+        # 2-4 — a driver job on the SMALL side only), then explode each probe
+        # row to one (tier, ancestor_cell) struct per zone tier present and
+        # run ONE two-column equi-join.  Replaces the round-3 per-tier
+        # union-of-joins that re-scanned the probe relation once per tier.
+        # Each point has exactly one ancestor cell per tier, so the
+        # pair-uniqueness invariant is unchanged.
+        tiers = sorted(r[0] for r in zcells.select("_ztier").distinct().collect())
+        # coalesce makes the join key non-nullable so Catalyst skips the
+        # isnotnull pre-filter that would re-evaluate the encode UDF on
+        # every probe row (sentinel -1 never equals a real cell)
+        tier_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(int(t)).cast("byte").alias("t"),
+                    F.coalesce(
+                        cell_at_tier(F.col(point_cell_col), cfg.finest, int(t)),
+                        F.lit(-1),
+                    ).alias("c"),
+                )
+                for t in tiers
+            ]
+        )
+        probe = (
+            points.withColumn("_tc", F.explode(tier_structs))
+            .withColumn("_jtier", F.col("_tc.t"))
+            .withColumn("_jcell", F.col("_tc.c"))
+            .drop("_tc")
+        )
+        build = F.broadcast(zcells) if broadcast_zones else zcells
+        joined = probe.join(
+            build,
+            (probe["_jtier"] == build["_ztier"]) & (probe["_jcell"] == build["_zcell"]),
+            "inner",
+        ).drop("_jtier", "_ztier")
     else:
         if cover_bits is None:
             cover_bits = (

@@ -19,9 +19,9 @@ tests/test_streaming.py::TestStreamingPipJoin.
 Unsupported under streaming (explicitly raised, never silently wrong):
 ``salt_hot`` (hot-cell detection is a counts pass over the probe — a
 streaming agg feeding a join; per-micro-batch skew is bounded by the
-batch size anyway).  mode='tiered' works but re-encodes the probe once
-per tier scan per micro-batch (the batch path persists the encoded probe;
-streams can't persist).
+batch size anyway).  mode='tiered' composes cleanly: the single-pass
+packed (tier, ancestor_cell) probe explode is pure per-row work, so each
+micro-batch encodes the probe exactly once.
 """
 
 from __future__ import annotations

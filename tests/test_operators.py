@@ -53,6 +53,24 @@ class TestPipJoin:
         }
         assert a == b == c and len(a) > 0
 
+    def test_tiered_single_probe_scan(self, spark, geo001):
+        """Scale contract: tiered mode must read the probe relation exactly
+        ONCE (a packed (tier, ancestor_cell) explode + one equi-join), not
+        once per zone tier — at 10^12 docs the probe side is the 100-TB
+        side.  Pinned by counting probe-parquet scans in the physical plan;
+        both the broadcast and the shuffle variant are checked."""
+        from geowave_spark.operators.spatial_join import pip_join
+
+        pts = _pts(spark, geo001)
+        zones = _zones(spark, geo001)
+        for bc in (True, False):
+            out = pip_join(pts, zones, mode="tiered", broadcast_zones=bc)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            n_probe_scans = sum(
+                1 for ln in plan.splitlines() if "points.parquet" in ln and "Scan" in ln
+            )
+            assert n_probe_scans == 1, f"broadcast={bc}: {n_probe_scans} probe scans"
+
     def test_no_duplicate_pairs(self, spark, geo001):
         from geowave_spark.operators.spatial_join import pip_join
 
