@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 
-from geowave_spark.sfc import DEFAULT_CONFIG, SpatialConfig, cells_covering_bbox
+from geowave_spark.sfc import DEFAULT_CONFIG, SpatialConfig
 
 from .indexing import cell_at_tier, with_point_cells
 
@@ -46,19 +46,28 @@ def tier_for_distance(
     return max(usable) if usable else min(t for t in cfg.tiers if t > 0)
 
 
+def _split_rows(rows: np.ndarray, keys: np.ndarray, n: int) -> pd.Series:
+    """Exploded (row, key) pairs (row-sorted) -> Series of per-row key lists."""
+    counts = np.bincount(rows, minlength=n)
+    return pd.Series([s.tolist() for s in np.split(keys, np.cumsum(counts)[:-1])])
+
+
 def expansion_cells_udf(distance_deg: float, bits: int, cfg: SpatialConfig = DEFAULT_CONFIG):
     """pandas UDF: query point -> primary + ring expansion cells (its bbox
-    inflated by the search distance, covered at the distance tier)."""
+    inflated by the search distance, covered at the distance tier).  The
+    whole Arrow batch covers in one vectorized pass
+    (:func:`~geowave_spark.sfc.cells_covering_bboxes`) — no per-row Python."""
 
     @F.pandas_udf(ArrayType(LongType()))
     def _cells(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        out = []
-        for x, y in zip(lon.to_numpy(np.float64), lat.to_numpy(np.float64)):
-            cells = cells_covering_bbox(
-                x - distance_deg, y - distance_deg, x + distance_deg, y + distance_deg, bits, cfg
-            )
-            out.append(cells.tolist())
-        return pd.Series(out)
+        from geowave_spark.sfc import cells_covering_bboxes
+
+        x = lon.to_numpy(np.float64)
+        y = lat.to_numpy(np.float64)
+        rows, keys = cells_covering_bboxes(
+            x - distance_deg, y - distance_deg, x + distance_deg, y + distance_deg, bits, cfg
+        )
+        return _split_rows(rows, keys, len(x))
 
     return _cells
 
@@ -366,29 +375,28 @@ def geodesic_expansion_cells_udf(
     """pandas UDF: query point -> expansion cells of its GEODESIC ball:
     the lat half-width is radius/111.19 km-per-degree; the lon half-width
     divides by cos(lat) (meridians converge), clamped near the poles where
-    the ball wraps all longitudes."""
+    the ball wraps all longitudes.  Batched like :func:`expansion_cells_udf`
+    — the per-row work is the numpy where/cos, not a Python loop."""
 
     @F.pandas_udf(ArrayType(LongType()))
     def _cells(lon: pd.Series, lat: pd.Series) -> pd.Series:
         from geowave_spark.functions.distance import KM_PER_DEG
+        from geowave_spark.sfc import cells_covering_bboxes
 
         dlat = radius_km / KM_PER_DEG
-        out = []
-        for x, y in zip(lon.to_numpy(np.float64), lat.to_numpy(np.float64)):
-            c = np.cos(np.radians(min(abs(y) + dlat, 89.9999)))
-            dlon = radius_km / (KM_PER_DEG * max(c, 1e-9))
-            if dlon >= 180.0 or abs(y) + dlat >= 90.0:
-                # the ball wraps the pole (or all longitudes): cover every
-                # meridian explicitly — x +- 180 would wrap to a DEGENERATE
-                # range in normalize_lon_range (full circle folds onto one
-                # line), silently dropping candidates
-                cells = cells_covering_bbox(-180.0, y - dlat, 180.0, y + dlat, bits, cfg)
-            else:
-                cells = cells_covering_bbox(
-                    x - dlon, y - dlat, x + dlon, y + dlat, bits, cfg
-                )
-            out.append(cells.tolist())
-        return pd.Series(out)
+        x = lon.to_numpy(np.float64)
+        y = lat.to_numpy(np.float64)
+        c = np.cos(np.radians(np.minimum(np.abs(y) + dlat, 89.9999)))
+        dlon = radius_km / (KM_PER_DEG * np.maximum(c, 1e-9))
+        # a ball wrapping the pole (or all longitudes) covers every meridian
+        # explicitly — x +- 180 would wrap to a DEGENERATE range in
+        # normalize_lon_range (full circle folds onto one line), silently
+        # dropping candidates
+        wraps = (dlon >= 180.0) | (np.abs(y) + dlat >= 90.0)
+        lo = np.where(wraps, -180.0, x - dlon)
+        hi = np.where(wraps, 180.0, x + dlon)
+        rows, keys = cells_covering_bboxes(lo, y - dlat, hi, y + dlat, bits, cfg)
+        return _split_rows(rows, keys, len(x))
 
     return _cells
 
