@@ -44,6 +44,21 @@ from pyspark.sql import functions as F
 
 POINT_COLS = ["source", "track_id", "point_idx", "ts", "lon", "lat", "elevation"]
 
+# Whole-file parses (GPX, GeoJSON lines=False) make ONE Arrow row / ONE task
+# out of each file: a multi-GB upload would OOM an executor with an opaque
+# Arrow error.  Refuse clearly instead — the same implausible-input
+# discipline as the media codecs' dimension guards.
+MAX_WHOLE_FILE_BYTES = 256 * 1024 * 1024
+
+
+def _guard_whole_file(name: str, body: str | bytes, max_bytes: int, what: str) -> None:
+    if len(body) > max_bytes:
+        raise ValueError(
+            f"{what} file {name!r} is {len(body):,} bytes, above the "
+            f"whole-file parse bound of {max_bytes:,} (one file = one task "
+            f"= one Arrow row here); split the file or raise max_file_bytes"
+        )
+
 
 def read_gdelt(spark: SparkSession, path: str) -> DataFrame:
     """GDELT event export (tab-separated) -> normalized points + event attrs.
@@ -170,7 +185,9 @@ GPX_SCHEMA = (
 )
 
 
-def read_gpx(spark: SparkSession, path: str) -> DataFrame:
+def read_gpx(
+    spark: SparkSession, path: str, max_file_bytes: int = MAX_WHOLE_FILE_BYTES
+) -> DataFrame:
     """GPX (XML) files -> normalized points via stdlib ``xml.etree``.
 
     One whole file per row (``wholetext``) — GPX files are per-device
@@ -195,6 +212,7 @@ def read_gpx(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for fname, xml in zip(pdf["file"], pdf["xml"]):
+                _guard_whole_file(fname, xml, max_file_bytes, "GPX")
                 root = ET.fromstring(xml)
                 base = fname.rsplit("/", 1)[-1]
                 trk_i = 0
@@ -305,7 +323,12 @@ def _geojson_to_geoms(g: dict) -> list[tuple[str, object]]:
     raise ValueError(f"unsupported GeoJSON geometry type {t!r}")
 
 
-def read_geojson(spark: SparkSession, path: str, lines: bool = True) -> DataFrame:
+def read_geojson(
+    spark: SparkSession,
+    path: str,
+    lines: bool = True,
+    max_file_bytes: int = MAX_WHOLE_FILE_BYTES,
+) -> DataFrame:
     """GeoJSON -> (feature id, WKT geometry, properties JSON) rows.
 
     ``lines=True`` reads newline-delimited GeoJSON (one Feature per line —
@@ -352,6 +375,8 @@ def read_geojson(spark: SparkSession, path: str, lines: bool = True) -> DataFram
         for pdf in batches:
             rows = []
             for fname, body in zip(pdf["file"], pdf["body"]):
+                if not lines:
+                    _guard_whole_file(fname, body, max_file_bytes, "GeoJSON")
                 base = fname.rsplit("/", 1)[-1]
                 for fi, feat in enumerate(_features(_json.loads(body))):
                     fid = str(feat.get("id", fi))

@@ -289,7 +289,9 @@ def parse_dbf(buf: bytes) -> list[dict | None]:
 # ----------------------------------------------------------------- reader
 
 
-def read_shapefile(spark: SparkSession, path: str) -> DataFrame:
+def read_shapefile(
+    spark: SparkSession, path: str, max_file_bytes: int | None = None
+) -> DataFrame:
     """Shapefile(s) -> (source, record_no, geom_type, geom_wkt, attributes)
     rows.  ``path`` is a glob that must match the ``.shp`` files and their
     sibling ``.dbf`` files (e.g. ``/data/zones.*`` or ``/data/*``); a .shp
@@ -298,6 +300,10 @@ def read_shapefile(spark: SparkSession, path: str) -> DataFrame:
     together) — same convention as the GeoJSON reader's multi-part
     explode."""
     from geowave_spark.geometry.wkt import geom_to_wkt
+    from geowave_spark.sources.formats import MAX_WHOLE_FILE_BYTES, _guard_whole_file
+
+    if max_file_bytes is None:
+        max_file_bytes = MAX_WHOLE_FILE_BYTES
 
     bins = (
         spark.read.format("binaryFile")
@@ -313,6 +319,10 @@ def read_shapefile(spark: SparkSession, path: str) -> DataFrame:
         shp = dbf = None
         stem = ""
         for p, c in zip(pdf["path"], pdf["content"]):
+            # one stem = one applyInPandas group = one task: refuse a
+            # single payload that can't be one Arrow row, same discipline
+            # as the whole-file text parses
+            _guard_whole_file(p, c, max_file_bytes, "shapefile member")
             stem = p.rsplit("/", 1)[-1].rsplit(".", 1)[0]
             if p.lower().endswith(".shp"):
                 shp = bytes(c)

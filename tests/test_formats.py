@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from geowave_spark.sources.formats import (
     POINT_COLS,
     read_gdelt,
+    read_geojson,
     read_geolife,
     read_gpx,
     read_tdrive,
@@ -165,6 +166,35 @@ class TestGpx:
         cells = with_point_cells(pts, lon_col="lon", lat_col="lat")
         rows = cells.select("cell").collect()
         assert len(rows) == pts.count() and all(r.cell is not None for r in rows)
+
+
+class TestWholeFileSizeGuard:
+    """A single whole-file payload above the bound must refuse with a clear
+    error (one file = one Arrow row = one task on these paths), never an
+    opaque executor OOM."""
+
+    def test_gpx_oversized_refused(self, spark, tmp_path):
+        p = tmp_path / "big.gpx"
+        p.write_text(GPX)
+        with pytest.raises(Exception, match="whole-file parse bound"):
+            read_gpx(spark, str(p), max_file_bytes=64).collect()
+
+    def test_geojson_wholefile_oversized_refused(self, spark, tmp_path):
+        p = tmp_path / "big.geojson"
+        p.write_text(
+            '{"type":"Feature","geometry":{"type":"Point","coordinates":[1,2]},"properties":null}'
+        )
+        with pytest.raises(Exception, match="whole-file parse bound"):
+            read_geojson(spark, str(p), lines=False, max_file_bytes=16).collect()
+        # ndjson mode splits by line and must NOT be subject to the guard
+        assert read_geojson(spark, str(p), lines=True, max_file_bytes=16).count() == 1
+
+    def test_shapefile_oversized_refused(self, spark, tmp_path):
+        from geowave_spark.sources.shapefile import read_shapefile, shp_bytes
+
+        (tmp_path / "pts.shp").write_bytes(shp_bytes([("point", (1.5, -2.25))]))
+        with pytest.raises(Exception, match="whole-file parse bound"):
+            read_shapefile(spark, str(tmp_path / "pts.*"), max_file_bytes=16).collect()
 
 
 class TestGeoJson:
