@@ -541,6 +541,8 @@ def flac_bytes(
     if samples.ndim == 1:
         samples = samples[:, None]
     n, ch = samples.shape
+    if n == 0:
+        raise ValueError("cannot encode an empty FLAC stream (zero samples)")
     if ch > 8:
         raise ValueError("FLAC supports at most 8 channels")
     if stereo not in ("independent", "mid_side"):

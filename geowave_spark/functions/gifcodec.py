@@ -61,6 +61,10 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
                 prev = None
                 continue
             if code == end:
+                if len(out) < n_pixels:
+                    raise ValueError(
+                        f"GIF LZW stream ended after {len(out)} of {n_pixels} pixels"
+                    )
                 return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
             if code < len(table):
                 entry = table[code]
@@ -431,6 +435,10 @@ def gif_anim_bytes(
     n, h, w = frames.shape[:3]
     if n == 0 or fps <= 0:
         raise ValueError("need at least one frame and a positive fps")
+    if disposal_override is not None and len(disposal_override) != n:
+        raise ValueError(
+            f"disposal_override has {len(disposal_override)} entries for {n} frames"
+        )
     colors, inverse = np.unique(frames.reshape(-1, 3), axis=0, return_inverse=True)
     if len(colors) > 255:
         raise ValueError(f"animated GIF encoder needs <=255 distinct colors, got {len(colors)}")

@@ -647,6 +647,16 @@ class TestFlacCodec:
         assert rate == 16000 and (y == x2).all()
         return buf
 
+    def test_empty_input_refused(self):
+        # zero samples would emit a frame-less stream flac_decode itself
+        # rejects — fail fast at encode time instead
+        import numpy as np
+
+        from geowave_spark.functions.flaccodec import flac_bytes
+
+        with pytest.raises(ValueError, match="empty"):
+            flac_bytes(np.zeros(0, np.int16))
+
     def test_roundtrip_battery_bit_exact(self):
         import numpy as np
 
@@ -1036,6 +1046,13 @@ class TestGifAnimation:
         assert fps == 20 and out.shape == frames.shape
         assert (out == frames).all()
 
+    def test_disposal_override_length_mismatch_refused(self):
+        from geowave_spark.functions.gifcodec import gif_anim_bytes
+
+        frames = self._frames(n=4)
+        with pytest.raises(ValueError, match="disposal_override"):
+            gif_anim_bytes(frames, disposal_override=[1, 1])
+
     def test_patch_mode_is_smaller(self):
         from geowave_spark.functions.gifcodec import gif_anim_bytes
 
@@ -1278,6 +1295,17 @@ class TestGifCodec:
 
         rgb = self._palimg((37, 53), 200)
         assert (gif_decode(gif_bytes(rgb, interlace=interlace)) == rgb).all()
+
+    def test_short_lzw_stream_refused_with_codec_error(self):
+        # a stream whose END code lands before the image is filled must
+        # raise the codec's own error, not numpy's reshape failure
+        import numpy as np
+
+        from geowave_spark.functions.gifcodec import _lzw_decode, _lzw_encode
+
+        data = _lzw_encode(np.arange(10, dtype=np.uint8) % 4, 2)
+        with pytest.raises(ValueError, match="ended after"):
+            _lzw_decode(data, 2, 100)
 
     def test_dictionary_growth_and_reset(self):
         # 200x300 random 200-color noise forces width growth to 12 bits and
