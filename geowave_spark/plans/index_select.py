@@ -167,6 +167,7 @@ def routed_points_query(
     t_bits: int = 10,
     ts_col: str = "event_ts",
     layouts: dict | None = None,
+    refine=None,
 ) -> tuple[DataFrame, str]:
     """End-to-end cost-based routing: materialize both layouts' key columns,
     estimate each layout's scan cardinality for the constraints, execute the
@@ -174,7 +175,13 @@ def routed_points_query(
     route-independent (plain box+time semantics) while the SCAN is the
     chosen index's.  This is the reference's getIndices -> query loop
     (`ChooseBestMatchIndexQueryStrategy` feeding `AccumuloDataStore.query`)
-    as one function.  Returns (rows, winning layout name)."""
+    as one function.  Returns (rows, winning layout name).
+
+    ``refine`` substitutes the post-scan exact predicate (the CQL front-end
+    passes its full compiled filter here, mirroring CQLQuery.java's "the CQL
+    filter covers the baseQuery": the key-range scan only prunes, the fine
+    filter re-verifies every row).  The (bbox, ts) constraints must then be
+    over-inclusive w.r.t. ``refine`` for the output to stay exact."""
     import datetime as dt
 
     from pyspark.sql import functions as F
@@ -233,14 +240,16 @@ def routed_points_query(
     winner, _ = choose_best_index(candidates, constraints)
 
     minx, miny, maxx, maxy = bbox
-    exact = (
-        (F.col("lon") >= minx)
-        & (F.col("lon") <= maxx)
-        & (F.col("lat") >= miny)
-        & (F.col("lat") <= maxy)
-        & (F.col(ts_col) >= F.lit(ts_lo))
-        & (F.col(ts_col) < F.lit(ts_hi))
-    )
+    exact = refine
+    if exact is None:
+        exact = (
+            (F.col("lon") >= minx)
+            & (F.col("lon") <= maxx)
+            & (F.col("lat") >= miny)
+            & (F.col("lat") <= maxy)
+            & (F.col(ts_col) >= F.lit(ts_lo))
+            & (F.col(ts_col) < F.lit(ts_hi))
+        )
     # predicate range budget: 64 ranges keeps the OR-chain expression tree
     # shallow (Catalyst recurses per node — thousands of ranges overflow the
     # planner stack); the decomposers stay over-inclusive under the cap and

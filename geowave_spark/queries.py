@@ -953,6 +953,38 @@ def q_routed_box_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the CQL front-end's driver query: one string exercising the spatial op,
+# the temporal op, and plain attribute predicates together, so extraction
+# must pull BOTH index constraints and the fine filter must re-verify all
+# three families (CQLQuery.java:59-100's exact flow)
+CQL_ROUTED = (
+    f"BBOX(geom, {BOX[0]}, {BOX[1]}, {BOX[2]}, {BOX[3]}) "
+    f"AND event_ts DURING {TS_LO.replace(' ', 'T')}/{TS_HI.replace(' ', 'T')} "
+    "AND magnitude >= 10 AND category IN ('cat1', 'cat3')"
+)
+
+
+def q_cql_spatial_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 front-end: OGC CQL string -> parsed filter -> extracted geometry +
+    time constraints -> cost-based index routing -> key-range scan -> full
+    CQL re-verify (functions/cql.py + plans/cql_route.py, mirroring
+    CQLQuery.java:59-100 / ExtractGeometryFilterVisitor /
+    ExtractTimeFilterVisitor).  Output is route-independent; the oracle is
+    the plain SQL translation of the same string."""
+    from geowave_spark.plans.cql_route import cql_routed_query
+
+    pts = _geo(spark, sf_dir, "points")
+    out, _route = cql_routed_query(pts, CQL_ROUTED)
+    return out.select(
+        "fid",
+        "lon",
+        "lat",
+        "magnitude",
+        "category",
+        F.unix_millis(F.col("event_ts").cast("timestamp")).alias("event_ms"),
+    )
+
+
 S2_BITS = 6
 
 
@@ -1938,6 +1970,14 @@ def build_oracles() -> dict[str, str]:
             WHERE lon >= {BOX[0]} AND lon <= {BOX[2]} AND lat >= {BOX[1]} AND lat <= {BOX[3]}
               AND event_ts >= TIMESTAMP '{TS_LO}' AND event_ts < TIMESTAMP '{TS_HI}'
         """,
+        # plain SQL translation of CQL_ROUTED (DURING is strict per FES)
+        "cql_spatial_routed": f"""
+            SELECT fid, lon, lat, magnitude, category,
+                   epoch_ms(event_ts) AS event_ms FROM {pts}
+            WHERE lon >= {BOX[0]} AND lon <= {BOX[2]} AND lat >= {BOX[1]} AND lat <= {BOX[3]}
+              AND event_ts > TIMESTAMP '{TS_LO}' AND event_ts < TIMESTAMP '{TS_HI}'
+              AND magnitude >= 10 AND category IN ('cat1', 'cat3')
+        """,
         "kmeans_clusters": _kmeans_oracle(),
         "dbscan_clusters": _dbscan_oracle(),
         "dbscan_hulls": _dbscan_hulls_oracle(),
@@ -2026,6 +2066,7 @@ ALL_QUERIES = {
     "hex_cell_counts": q_hex_cell_counts,
     "knn_hexring": q_knn_hexring,
     "routed_box_temporal": q_routed_box_temporal,
+    "cql_spatial_routed": q_cql_spatial_routed,
     "docs_zone_join": q_docs_zone_join,
     "docs_zone_within": q_docs_zone_within,
     "events_sessionization": q_events_sessionization,
@@ -2065,28 +2106,23 @@ DRIVER_EXCLUDED = {
     "spatiotemporal_bins": "single-entry case of tracks_st_insertion's ranged 3D bin contract (K6)",
     "lexicoder_rank": "K8 codec contract (export path only — query-time ordering is native); oracle-checked via parity tests",
     "ann_ivf_topk": "probe-all IVF == exact top-k (quantizer-independent); pruned-nprobe recall pinned in test_text_pipeline",
-    "s2_cell_counts": "cube-face K5 backend twin of hex_cell_counts (green r02 driver row; Catalyst/SQL twin parity tests)",
-    "pip_join": "single-tier case of pip_join_tiered — same J1 refine path (green r01+r02 rows; entry() smoke-runs it every round)",
     "pip_join_hex": "hex-bucketed twin of pip_join_tiered — same refine, H3-family bucket keys (equality pytest + parity oracle)",
+    # r04 rotation: pip_join + s2_cell_counts rode on r01/r02 rows only, so
+    # they rotate INTO the driver surface this round; these three green-r03
+    # twins rotate out to parity-test coverage to make room
+    "subsample_resolution": "F7 twin of subsample_zorder (green r03 row; same bin-arithmetic family, zorder sibling stays registered)",
+    "docs_box_query": "S1 box scan on the documents table (green r03 row; spatial_box_query pins the operator, docs coverage continues via docs_polygon_query/docs_zone_join)",
+    "dateline_box_query": "F1 dateline-wrap case of spatial_box_query (green r03 row; wrap edge rules pinned by pytest + parity oracle)",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut
 # off at 50, so front-loading guarantees the newest entries get their row)
-_NEW_IN_R03 = [
-    "hex_cell_counts",
-    "knn_hexring",
-    "kde_comparison",
-    "visibility_filter",
-    "subsample_zorder",
-    "cms_category_sketch",
-    "knn_haversine",
-    "distance_join",
-    "events_asof_join",
-    "events_rollup_cascade",
-    "tracks_st_insertion",
-    "points_track_interval_join",
+_NEW_IN_R04 = [
+    "cql_spatial_routed",  # new this round (CQL front-end)
+    "pip_join",  # rotated in: rode on green r01+r02 rows only
+    "s2_cell_counts",  # rotated in: rode on a green r02 row only
 ]
-QUERIES = {n: ALL_QUERIES[n] for n in _NEW_IN_R03}
+QUERIES = {n: ALL_QUERIES[n] for n in _NEW_IN_R04}
 QUERIES.update(
     {
         n: q
