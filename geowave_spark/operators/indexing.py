@@ -154,6 +154,80 @@ def with_spatiotemporal_cells(
     )
 
 
+def biased_st_cell_udf(bias: str = "spatial"):
+    """pandas UDF: (lon, lat, ts) -> compact-Hilbert key at the reference's
+    BIAS allocation — SPATIAL (25,25,10), BALANCED (20,20,20), TEMPORAL
+    (10,10,40) bits for (lon, lat, within-year fraction)
+    (`SpatialTemporalDimensionalityTypeProvider.java:149-190`, keyed by
+    uzaygezen's CompactHilbertCurve in `HilbertSFC.java:114-165`; our
+    transform is `sfc/compact_hilbert.py`, pinned by its rank-oracle tests).
+    The year rides separately as `time_bin`, like the reference's bin-id
+    prefix; every allocation packs to 60 bits (LongType-safe)."""
+    from geowave_spark.sfc import lat_bins, lon_bins
+    from geowave_spark.sfc.compact_hilbert import BIAS_BITS, compact_hilbert_encode
+
+    dims = BIAS_BITS[bias]
+
+    @F.pandas_udf(LongType())
+    def _enc(lon: pd.Series, lat: pd.Series, ts: pd.Series) -> pd.Series:
+        x = lon_bins(lon.to_numpy(np.float64), dims[0])
+        y = lat_bins(lat.to_numpy(np.float64), dims[1])
+        t = _year_fraction_bins(ts.to_numpy("datetime64[us]"), dims[2])
+        key = compact_hilbert_encode(
+            [x.astype(np.uint64), y.astype(np.uint64), t.astype(np.uint64)], dims
+        )
+        return pd.Series(key)
+
+    return _enc
+
+
+def _year_fraction_bins(t64: np.ndarray, bits: int) -> np.ndarray:
+    """Within-year time fraction -> integer bins (TemporalBinningStrategy's
+    normalized position inside the YEAR bin)."""
+    year_start = t64.astype("datetime64[Y]").astype("datetime64[us]")
+    next_start = (t64.astype("datetime64[Y]") + np.timedelta64(1, "Y")).astype(
+        "datetime64[us]"
+    )
+    a = (t64 - year_start).astype("int64")
+    b = (next_start - year_start).astype("int64")
+    t = np.floor((a.astype(np.float64) / b.astype(np.float64)) * (1 << bits)).astype(
+        np.int64
+    )
+    np.clip(t, 0, (1 << bits) - 1, out=t)
+    return t
+
+
+def biased_st_decode_udf(bias: str = "spatial"):
+    """pandas UDF: compact-Hilbert bias key -> (xb, yb, tb) per-dim bins
+    (the K9 key->cell inverse for the bias layouts)."""
+    from geowave_spark.sfc.compact_hilbert import BIAS_BITS, compact_hilbert_decode
+
+    dims = BIAS_BITS[bias]
+
+    @F.pandas_udf("xb long, yb long, tb long")
+    def _dec(k: pd.Series) -> pd.DataFrame:
+        x, y, t = compact_hilbert_decode(k.to_numpy(np.int64), dims)
+        return pd.DataFrame({"xb": x, "yb": y, "tb": t})
+
+    return _dec
+
+
+def with_biased_st_cells(
+    df: DataFrame,
+    bias: str = "spatial",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    ts_col: str = "event_ts",
+    cell_col: str = "st_cell",
+) -> DataFrame:
+    """K6 bias variants: adds (time_bin = year, <cell_col> = compact-Hilbert
+    key at the bias' unequal bit allocation)."""
+    return df.withColumn("time_bin", F.year(F.col(ts_col))).withColumn(
+        cell_col,
+        biased_st_cell_udf(bias)(F.col(lon_col), F.col(lat_col), F.col(ts_col)),
+    )
+
+
 ST_TIERS = tuple(range(0, 11))
 ST_MAX_DUP = 8  # 2^ndims for 3 dims (TieredSFCIndexStrategy.java:44 rule)
 

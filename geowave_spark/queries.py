@@ -418,6 +418,41 @@ def q_tracks_st_insertion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_st_insertion_biased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 bias variants (tracks_st_insertion's unequal-bits sibling): each
+    point's insertion key under the SPATIAL (25,25,10) and TEMPORAL
+    (10,10,40) bit allocations
+    (`SpatialTemporalDimensionalityTypeProvider.java:149-190`), computed by
+    the compact-Hilbert transform (`sfc/compact_hilbert.py`, uzaygezen's
+    algorithm in `HilbertSFC.java:114-165`), then decoded BACK to per-dim
+    bins executor-side.  The oracle re-derives the bins by pure SQL
+    arithmetic, so a green row proves each biased key is a faithful
+    bijection of the correct (lon, lat, year-fraction) bins at that bias'
+    precision; the curve's visit ORDER (not SQL-expressible) is pinned by
+    the rank-oracle vectors in tests/test_sfc.py."""
+    from geowave_spark.operators.indexing import (
+        biased_st_decode_udf as dec_udf,
+        with_biased_st_cells,
+    )
+
+    pts = _geo(spark, sf_dir, "points")
+    df = with_biased_st_cells(pts, "spatial", cell_col="sp_key")
+    df = with_biased_st_cells(df, "temporal", cell_col="tm_key")
+    df = df.withColumn("_s", dec_udf("spatial")(F.col("sp_key"))).withColumn(
+        "_t", dec_udf("temporal")(F.col("tm_key"))
+    )
+    return df.select(
+        "fid",
+        "time_bin",
+        F.col("_s.xb").alias("s_xb"),
+        F.col("_s.yb").alias("s_yb"),
+        F.col("_s.tb").alias("s_tb"),
+        F.col("_t.xb").alias("t_xb"),
+        F.col("_t.yb").alias("t_yb"),
+        F.col("_t.tb").alias("t_tb"),
+    )
+
+
 def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary over the driver's relational tables —
     the A-family statistics operators applied to a non-spatial corpus (same
@@ -1954,6 +1989,29 @@ def build_oracles() -> dict[str, str]:
         "docs_zone_join": _docs_zone_join_oracle(),
         "docs_zone_within": _docs_zone_within_oracle(),
         "tracks_st_insertion": _tracks_st_insertion_oracle(),
+        # bias bins re-derived arithmetically: lon/lat via the engine's
+        # normalization edge rule (ceil - 1, clamped), time via the
+        # fraction-of-year floor rule; 2^25 = 33554432, 2^10 = 1024,
+        # 2^40 = 1099511627776
+        "st_insertion_biased": f"""
+            WITH frac AS (
+              SELECT fid,
+                     CAST(date_part('year', event_ts) AS INT) AS time_bin,
+                     lon,
+                     LEAST(GREATEST(lat, -90.0), 90.0) AS clat,
+                     CAST(datediff('microsecond', date_trunc('year', event_ts), event_ts) AS DOUBLE)
+                       / CAST(datediff('microsecond', date_trunc('year', event_ts),
+                                       date_trunc('year', event_ts) + INTERVAL 1 YEAR) AS DOUBLE) AS f
+              FROM {pts})
+            SELECT fid, time_bin,
+                   CAST(GREATEST(CEIL(((lon + 180.0) / 360.0) * 33554432) - 1, 0) AS BIGINT) AS s_xb,
+                   CAST(GREATEST(CEIL(((clat + 180.0) / 360.0) * 33554432) - 1, 0) AS BIGINT) AS s_yb,
+                   CAST(FLOOR(f * 1024) AS BIGINT) AS s_tb,
+                   CAST(GREATEST(CEIL(((lon + 180.0) / 360.0) * 1024) - 1, 0) AS BIGINT) AS t_xb,
+                   CAST(GREATEST(CEIL(((clat + 180.0) / 360.0) * 1024) - 1, 0) AS BIGINT) AS t_yb,
+                   CAST(FLOOR(f * 1099511627776) AS BIGINT) AS t_tb
+            FROM frac
+        """,
         "orders_by_region": """
             SELECT r.r_name, o.o_orderstatus,
                    CAST(count(*) AS BIGINT) AS n_orders,
@@ -2080,6 +2138,7 @@ ALL_QUERIES = {
     "events_rollup_cascade": q_events_rollup_cascade,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "tracks_st_insertion": q_tracks_st_insertion,
+    "st_insertion_biased": q_st_insertion_biased,
     "orders_by_region": q_orders_by_region,
     "points_track_interval_join": q_points_track_interval_join,
 }
@@ -2113,12 +2172,14 @@ DRIVER_EXCLUDED = {
     "subsample_resolution": "F7 twin of subsample_zorder (green r03 row; same bin-arithmetic family, zorder sibling stays registered)",
     "docs_box_query": "S1 box scan on the documents table (green r03 row; spatial_box_query pins the operator, docs coverage continues via docs_polygon_query/docs_zone_join)",
     "dateline_box_query": "F1 dateline-wrap case of spatial_box_query (green r03 row; wrap edge rules pinned by pytest + parity oracle)",
+    "events_windowed_counts": "A5 tumbling-window twin of events_rollup_cascade (green r03 row; same calendar-window groupBy family, the cascade registers the general case)",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut
 # off at 50, so front-loading guarantees the newest entries get their row)
 _NEW_IN_R04 = [
     "cql_spatial_routed",  # new this round (CQL front-end)
+    "st_insertion_biased",  # new this round (compact-Hilbert K6 bias)
     "pip_join",  # rotated in: rode on green r01+r02 rows only
     "s2_cell_counts",  # rotated in: rode on a green r02 row only
 ]
