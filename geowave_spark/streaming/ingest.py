@@ -48,6 +48,18 @@ def read_docs_stream(
     return reader.parquet(input_dir)
 
 
+def kafka_connector_available(spark: SparkSession) -> bool:
+    """True when the `spark-sql-kafka-0-10` connector is on the session
+    classpath (provides KafkaSourceProvider)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def read_docs_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -61,10 +73,19 @@ def read_docs_kafka_stream(
     downstream operators (`indexed_docs_stream` neither knows nor cares
     which source produced them).
 
-    The kafka connector jar ships with Spark distributions but not this
-    sandbox, so constructing the source raises at load() here; the
-    format-swap compatibility is what tests/test_streaming.py pins — the
-    post-source plan is built from one shared code path."""
+    The kafka connector jar (`spark-sql-kafka-0-10`) ships with Spark
+    distributions but not this sandbox (no network to fetch it — re-checked
+    this round), so the source is refused HERE with a clear error instead of
+    Spark's DATA_SOURCE_NOT_FOUND at load(); the format-swap compatibility
+    is what tests/test_streaming.py pins — the post-source plan is built
+    from one shared code path."""
+    if not kafka_connector_available(spark):
+        raise RuntimeError(
+            "read_docs_kafka_stream needs the spark-sql-kafka-0-10 connector "
+            "jar on the Spark classpath; this environment has none (offline "
+            "sandbox). Use read_docs_stream (file source) — every downstream "
+            "operator consumes the identical columns."
+        )
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)

@@ -145,16 +145,20 @@ class TestKafkaTwin:
         b = {(r.doc_id, r.cell) for r in direct.select("doc_id", "cell").collect()}
         assert a == b and len(a) > 0
 
-    def test_kafka_source_constructs_until_connector_load(self, spark):
-        """The kafka reader builds its full option set; only the final
-        load() needs the connector jar (absent in this sandbox)."""
+    def test_kafka_source_refused_without_connector(self, spark):
+        """No connector jar in this sandbox -> the reader must refuse with
+        its own documented error (naming the jar and the file-source twin),
+        not Spark's opaque DATA_SOURCE_NOT_FOUND at load()."""
         import pytest
 
-        from geowave_spark.streaming.ingest import read_docs_kafka_stream
+        from geowave_spark.streaming.ingest import (
+            kafka_connector_available,
+            read_docs_kafka_stream,
+        )
 
-        with pytest.raises(Exception) as ei:
+        assert not kafka_connector_available(spark)  # sandbox precondition
+        with pytest.raises(RuntimeError, match="spark-sql-kafka-0-10"):
             read_docs_kafka_stream(spark, "broker:9092", "docs")
-        assert "kafka" in str(ei.value).lower()
 
 
 class TestStreamingMediaDecode:

@@ -64,6 +64,26 @@ class TestIndexedLayout:
         assert "PARTITIONED BY (tier)" in ddl
         assert "WRITE ORDERED BY (tier, cell)" in ddl
 
+    def test_iceberg_write_refused_without_runtime(self, spark, geo001):
+        """format='iceberg' without the runtime jar must refuse with the
+        documented error (naming the jar and the parquet twin), not a
+        ClassNotFoundException mid-write."""
+        import pytest
+
+        from geowave_spark.sources.tables import (
+            iceberg_runtime_available,
+            write_indexed,
+        )
+
+        assert not iceberg_runtime_available(spark)  # sandbox precondition
+        pts = spark.read.parquet(str(geo001 / "points.parquet")).limit(10)
+        from geowave_spark.operators.indexing import with_point_cells
+
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            write_indexed(with_point_cells(pts), "cat.db.points", format="iceberg")
+        with pytest.raises(ValueError, match="unsupported"):
+            write_indexed(with_point_cells(pts), "p", format="orc")
+
 
 class TestWkbStorage:
     def test_indexed_write_with_wkb_codec_roundtrips(self, spark, geo001, tmp_path):
