@@ -57,6 +57,10 @@ HEADLINE = [
     # the north star's "encode to H3/S2 cells -> cell-bucketed PIP join",
     # bucketed on hex cells end to end (same refine, same result rows)
     "pip_join_hex",
+    # round-4 additions: CQL string -> constraint extraction -> cost-based
+    # routed scan, and the K6 bias keys (compact Hilbert, unequal bits)
+    "cql_spatial_routed",
+    "st_insertion_biased",
 ]
 
 
