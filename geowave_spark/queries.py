@@ -999,6 +999,65 @@ CQL_ROUTED = (
 )
 
 
+def q_st_biased_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 for the BIAS layouts: box+time constraints decomposed to compact-
+    Hilbert key ranges on the SPATIAL-bias (25,25,10) keys
+    (`sfc/compact_hilbert.py::compact_hilbert_ranges`, the uzaygezen
+    BacktrackingQueryBuilder role in `HilbertSFC.decomposeRange`), scanned
+    as a pushable key predicate + exact refine — so the oracle is the plain
+    box+time SQL and a green row proves the ranged scan over biased keys
+    loses nothing.  Range exactness itself is pinned exhaustively in
+    tests/test_sfc.py (keys-in-ranges == cells-in-box on small grids)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from geowave_spark.operators.indexing import with_biased_st_cells
+    from geowave_spark.sfc.compact_hilbert import BIAS_BITS, compact_hilbert_ranges
+    from geowave_spark.sfc.tiered import lat_bins, lon_bins, value_bins
+
+    dims = BIAS_BITS["spatial"]
+    minx, miny, maxx, maxy = BOX
+    t_lo, t_hi = dt.datetime(2012, 3, 1), dt.datetime(2012, 9, 1)
+    y0, y1 = dt.datetime(2012, 1, 1), dt.datetime(2013, 1, 1)
+    span = (y1 - y0).total_seconds()
+    flo = (t_lo - y0).total_seconds() / span
+    fhi = (t_hi - y0).total_seconds() / span
+    xlo = int(lon_bins(np.array([minx]), dims[0], is_min=True)[0])
+    xhi = int(lon_bins(np.array([maxx]), dims[0], is_min=False)[0])
+    ylo = int(lat_bins(np.array([miny]), dims[1], is_min=True)[0])
+    yhi = int(lat_bins(np.array([maxy]), dims[1], is_min=False)[0])
+    tlo = int(value_bins(np.array([flo]), dims[2], is_min=True)[0])
+    thi = int(value_bins(np.array([fhi]), dims[2], is_min=False)[0])
+    # 64-range budget keeps the OR-chain shallow (the engine-wide Catalyst
+    # rule); the descent stays over-inclusive under the cap
+    ranges = compact_hilbert_ranges((xlo, ylo, tlo), (xhi, yhi, thi), dims, 64)
+    pred = None
+    for a, b in ranges:
+        p = (F.col("sp_key") >= a) & (F.col("sp_key") <= b)
+        pred = p if pred is None else (pred | p)
+    exact = (
+        (F.col("lon") >= minx)
+        & (F.col("lon") <= maxx)
+        & (F.col("lat") >= miny)
+        & (F.col("lat") <= maxy)
+        & (F.col("event_ts") >= F.lit(t_lo))
+        & (F.col("event_ts") < F.lit(t_hi))
+    )
+    pts = _geo(spark, sf_dir, "points")
+    df = with_biased_st_cells(pts, "spatial", cell_col="sp_key")
+    return (
+        df.filter((F.col("time_bin") == 2012) & pred)
+        .filter(exact)
+        .select(
+            "fid",
+            "lon",
+            "lat",
+            F.unix_millis(F.col("event_ts").cast("timestamp")).alias("event_ms"),
+        )
+    )
+
+
 def q_cql_spatial_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 front-end: OGC CQL string -> parsed filter -> extracted geometry +
     time constraints -> cost-based index routing -> key-range scan -> full
@@ -2028,6 +2087,12 @@ def build_oracles() -> dict[str, str]:
             WHERE lon >= {BOX[0]} AND lon <= {BOX[2]} AND lat >= {BOX[1]} AND lat <= {BOX[3]}
               AND event_ts >= TIMESTAMP '{TS_LO}' AND event_ts < TIMESTAMP '{TS_HI}'
         """,
+        "st_biased_box_query": f"""
+            SELECT fid, lon, lat, epoch_ms(event_ts) AS event_ms FROM {pts}
+            WHERE lon >= {BOX[0]} AND lon <= {BOX[2]} AND lat >= {BOX[1]} AND lat <= {BOX[3]}
+              AND event_ts >= TIMESTAMP '2012-03-01 00:00:00'
+              AND event_ts < TIMESTAMP '2012-09-01 00:00:00'
+        """,
         # plain SQL translation of CQL_ROUTED (DURING is strict per FES)
         "cql_spatial_routed": f"""
             SELECT fid, lon, lat, magnitude, category,
@@ -2139,6 +2204,7 @@ ALL_QUERIES = {
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "tracks_st_insertion": q_tracks_st_insertion,
     "st_insertion_biased": q_st_insertion_biased,
+    "st_biased_box_query": q_st_biased_box_query,
     "orders_by_region": q_orders_by_region,
     "points_track_interval_join": q_points_track_interval_join,
 }
@@ -2173,6 +2239,7 @@ DRIVER_EXCLUDED = {
     "docs_box_query": "S1 box scan on the documents table (green r03 row; spatial_box_query pins the operator, docs coverage continues via docs_polygon_query/docs_zone_join)",
     "dateline_box_query": "F1 dateline-wrap case of spatial_box_query (green r03 row; wrap edge rules pinned by pytest + parity oracle)",
     "events_windowed_counts": "A5 tumbling-window twin of events_rollup_cascade (green r03 row; same calendar-window groupBy family, the cascade registers the general case)",
+    "spatial_polygon_query": "S1/F2 polygon-scan twin of docs_polygon_query on the points table (green r03 row; box scan stays registered via spatial_box_query)",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut
@@ -2180,6 +2247,7 @@ DRIVER_EXCLUDED = {
 _NEW_IN_R04 = [
     "cql_spatial_routed",  # new this round (CQL front-end)
     "st_insertion_biased",  # new this round (compact-Hilbert K6 bias)
+    "st_biased_box_query",  # new this round (K2 range decomposition on bias keys)
     "pip_join",  # rotated in: rode on green r01+r02 rows only
     "s2_cell_counts",  # rotated in: rode on a green r02 row only
 ]

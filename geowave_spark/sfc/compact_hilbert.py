@@ -186,28 +186,28 @@ def compact_hilbert_encode(
     return h.astype(np.int64)
 
 
-def compact_hilbert_decode(
-    h: np.ndarray, dims_bits: tuple[int, ...]
+def _decode_levels(
+    hh: np.ndarray, dims_bits: tuple[int, ...], levels: int, key_bits: int
 ) -> list[np.ndarray]:
-    """Inverse of :func:`compact_hilbert_encode` (bit-exact round-trip)."""
+    """Shared decode loop: consume the top ``levels`` curve levels of keys
+    that are ``key_bits`` wide.  Returns per-dim PARTIAL bins — dim j's top
+    ``max(0, dims_bits[j] - (M - levels))`` bits, right-aligned."""
     n = len(dims_bits)
-    total = sum(dims_bits)
     M = max(dims_bits)
-    hh = np.asarray(h).astype(np.uint64)
     size = hh.shape
     x = [np.zeros(size, dtype=np.uint64) for _ in range(n)]
     e = np.zeros(size, dtype=np.uint64)
     d = np.zeros(size, dtype=np.uint64)
     nn = np.uint64(n)
     consumed = 0
-    for i in range(M - 1, -1, -1):
+    for i in range(M - 1, M - 1 - levels, -1):
         mu_axes = 0
         for j, m in enumerate(dims_bits):
             if m > i:
                 mu_axes |= 1 << j
         nbits = bin(mu_axes).count("1")
         consumed += nbits
-        r = (hh >> np.uint64(total - consumed)) & _mask(nbits)
+        r = (hh >> np.uint64(key_bits - consumed)) & _mask(nbits)
         rot = (d + _ONE) % nn
         mu_rot = _rotr(np.full(size, mu_axes, dtype=np.uint64), rot, n)
         pi = _rotr(e, rot, n) & ~mu_rot & _mask(n)
@@ -219,4 +219,87 @@ def compact_hilbert_decode(
                 x[j] |= ((l >> np.uint64(j)) & _ONE) << np.uint64(i)
         e = e ^ _rotl(_entry(w), rot, n)
         d = (d + _dirn(w, n) + _ONE) % nn
-    return [c.astype(np.int64) for c in x]
+    # right-align the partial bins (bits below level M-levels are unknown)
+    i0 = M - levels
+    return [c >> np.uint64(min(m, i0)) for c, m in zip(x, dims_bits)]
+
+
+def compact_hilbert_decode(
+    h: np.ndarray, dims_bits: tuple[int, ...]
+) -> list[np.ndarray]:
+    """Inverse of :func:`compact_hilbert_encode` (bit-exact round-trip)."""
+    M = max(dims_bits)
+    total = sum(dims_bits)
+    hh = np.asarray(h).astype(np.uint64)
+    return [c.astype(np.int64) for c in _decode_levels(hh, dims_bits, M, total)]
+
+
+def compact_hilbert_ranges(
+    bin_lo: tuple[int, ...],
+    bin_hi: tuple[int, ...],
+    dims_bits: tuple[int, ...],
+    max_ranges: int = 5000,
+) -> list[tuple[int, int]]:
+    """Query box (inclusive per-dim bin ranges at full resolution) ->
+    contiguous inclusive compact-Hilbert key ranges (K2 for the BIAS
+    layouts — the uzaygezen ``BacktrackingQueryBuilder`` role that
+    ``HilbertSFC.decomposeRange`` delegates to).
+
+    Same contract as ``decompose_query_ranges``: descend the curve's
+    prefix tree level by level; regions fully inside the query emit their
+    whole key subrange, boundary regions refine; when the budget binds,
+    boundary regions emit over-inclusively — never under-inclusive.  The
+    prefix property this relies on (the first K bits of a compact key
+    identify an axis-aligned box) is exactly the standard curve's, with
+    per-level fan-out 2^popcount(extract mask)."""
+    n = len(dims_bits)
+    M = max(dims_bits)
+    total = sum(dims_bits)
+    lo = [int(v) for v in bin_lo]
+    hi = [int(v) for v in bin_hi]
+    ranges: list[tuple[int, int]] = []
+    frontier = np.array([0], dtype=np.uint64)  # key prefixes, `level` levels
+    consumed = 0
+    for level in range(1, M + 1):
+        i = M - level  # curve level being consumed; also remaining levels
+        mu_axes = 0
+        for j, m in enumerate(dims_bits):
+            if m > i:
+                mu_axes |= 1 << j
+        nbits = bin(mu_axes).count("1")
+        consumed += nbits
+        children = (
+            (frontier[:, None] << np.uint64(nbits))
+            | np.arange(1 << nbits, dtype=np.uint64)
+        ).ravel()
+        partial = _decode_levels(children, dims_bits, level, consumed)
+        # per-dim spans of each child region at full resolution
+        key_shift = np.uint64(total - consumed)
+        inter = np.ones(len(children), dtype=bool)
+        inside = np.ones(len(children), dtype=bool)
+        for j in range(n):
+            rem = np.uint64(min(dims_bits[j], i))
+            clo = (partial[j] << rem).astype(np.int64)
+            chi = (((partial[j] + _ONE) << rem) - _ONE).astype(np.int64)
+            inter &= (chi >= lo[j]) & (clo <= hi[j])
+            inside &= (clo >= lo[j]) & (chi <= hi[j])
+        for c in children[inter & inside]:
+            ranges.append(
+                (int(c << key_shift), int(((c + _ONE) << key_shift) - _ONE))
+            )
+        frontier = children[inter & ~inside]
+        if len(ranges) + len(frontier) >= max_ranges or level == M:
+            for c in frontier:
+                ranges.append(
+                    (int(c << key_shift), int(((c + _ONE) << key_shift) - _ONE))
+                )
+            break
+    ranges.sort()
+    # merge adjacent/overlapping
+    merged: list[tuple[int, int]] = []
+    for a, b in ranges:
+        if merged and a <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], b))
+        else:
+            merged.append((a, b))
+    return merged

@@ -616,3 +616,67 @@ class TestCompactHilbert:
             compact_hilbert_encode(
                 [np.array([4], np.uint64), np.array([0], np.uint64)], (2, 2)
             )
+
+    @pytest.mark.parametrize("db", [(3, 2), (2, 3), (4, 2, 1), (2, 1, 3), (5, 3)])
+    def test_range_decomposition_exact(self, db):
+        """Unbudgeted descent is EXACT: a key falls in the decomposed ranges
+        iff its cell lies in the query box (exhaustive over the grid, 25
+        random boxes per shape)."""
+        from geowave_spark.sfc.compact_hilbert import (
+            compact_hilbert_encode,
+            compact_hilbert_ranges,
+        )
+
+        rng = np.random.RandomState(0)
+        cs = self._grid(db)
+        h = compact_hilbert_encode(cs, db)
+        for _ in range(25):
+            lo = [rng.randint(0, 1 << m) for m in db]
+            hi = [rng.randint(l, 1 << m) for l, m in zip(lo, db)]
+            rs = compact_hilbert_ranges(tuple(lo), tuple(hi), db, max_ranges=10**9)
+            in_ranges = np.zeros(len(h), dtype=bool)
+            for a, b in rs:
+                in_ranges |= (h >= a) & (h <= b)
+            in_box = np.ones(len(h), dtype=bool)
+            for j, c in enumerate(cs):
+                in_box &= (c >= lo[j]) & (c <= hi[j])
+            assert (in_ranges == in_box).all()
+
+    @pytest.mark.parametrize("db", [(5, 3), (4, 2, 1)])
+    def test_range_decomposition_budget_over_inclusive(self, db):
+        """When the range budget binds, boundary regions emit whole — the
+        result may over-include but NEVER drops a box cell."""
+        from geowave_spark.sfc.compact_hilbert import (
+            compact_hilbert_encode,
+            compact_hilbert_ranges,
+        )
+
+        rng = np.random.RandomState(1)
+        cs = self._grid(db)
+        h = compact_hilbert_encode(cs, db)
+        for _ in range(15):
+            lo = [rng.randint(0, 1 << m) for m in db]
+            hi = [rng.randint(l, 1 << m) for l, m in zip(lo, db)]
+            rs = compact_hilbert_ranges(tuple(lo), tuple(hi), db, max_ranges=8)
+            in_ranges = np.zeros(len(h), dtype=bool)
+            for a, b in rs:
+                in_ranges |= (h >= a) & (h <= b)
+            in_box = np.ones(len(h), dtype=bool)
+            for j, c in enumerate(cs):
+                in_box &= (c >= lo[j]) & (c <= hi[j])
+            assert (in_ranges | ~in_box).all()
+
+    def test_range_decomposition_bias_scale(self):
+        """A realistic (25,25,10) box decomposes to a bounded range set
+        fast (driver-side planning cost)."""
+        import time
+
+        from geowave_spark.sfc.compact_hilbert import compact_hilbert_ranges
+
+        t0 = time.time()
+        rs = compact_hilbert_ranges(
+            (9_000_000, 9_500_000, 100), (9_200_000, 9_700_000, 200), (25, 25, 10), 5000
+        )
+        assert 0 < len(rs) <= 5000 and time.time() - t0 < 2.0
+        assert all(a <= b for a, b in rs)
+        assert all(rs[i][1] < rs[i + 1][0] for i in range(len(rs) - 1))  # merged, sorted
