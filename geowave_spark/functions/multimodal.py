@@ -11,12 +11,12 @@ partitioning) is real and tested end-to-end:
 - ``codec="real"`` ACTUALLY decodes, via dependency-free codecs:
   images — BMP, PPM, PNG (1/2/4/8/16-bit grey/truecolor/palette, Adam7),
   GIF (still + animated), TIFF (none/PackBits/LZW/Deflate strips,
-  predictor, palette, JPEG-in-TIFF), JPEG (baseline + progressive, EXIF
-  GPS); audio — WAV (PCM, G.711 A-law/mu-law, IMA ADPCM) and FLAC;
-  video — Y4M, MJPEG-in-AVI, animated GIF.  Only entropy-coded
-  psychoacoustic/motion formats (MP3/AAC, H.264/VP9) and CCITT fax
-  remain library-bound, raising with the PIL/libav integration point
-  documented at each dispatch.
+  predictor, palette, JPEG-in-TIFF, 1-bit CCITT Group 3/4 fax strips),
+  JPEG (baseline + progressive, EXIF GPS); audio — WAV (PCM, G.711
+  A-law/mu-law, IMA ADPCM) and FLAC; video — Y4M, MJPEG-in-AVI, animated
+  GIF.  Only entropy-coded psychoacoustic/motion formats (MP3/AAC,
+  H.264/VP9) remain library-bound, raising with the PIL/libav
+  integration point documented at each dispatch.
 
 Scale shape: decode and feature extraction run in ``mapInPandas`` so one
 Arrow batch amortizes per-batch model/codec setup; media rows are

@@ -25,6 +25,7 @@ import numpy as np
 _WIDTH, _LENGTH, _BITS, _COMPRESSION, _PHOTO = 256, 257, 258, 259, 262
 _STRIP_OFFSETS, _SAMPLES, _ROWS_PER_STRIP, _STRIP_COUNTS = 273, 277, 278, 279
 _PLANAR, _PREDICTOR, _COLORMAP = 284, 317, 320
+_FILL_ORDER, _T4_OPTIONS, _T6_OPTIONS = 266, 292, 293
 _TILE_TAGS = (322, 323, 324, 325)  # TileWidth/Length/Offsets/ByteCounts
 _JPEG_TABLES = 347
 
@@ -221,11 +222,14 @@ def tiff_decode(buf: bytes) -> np.ndarray:
     comp = t.get(_COMPRESSION, [1])[0]
     planar = t.get(_PLANAR, [1])[0]
     photo = t.get(_PHOTO, [1 if spp == 1 else 2])[0]
+    if list(bits) == [1] and spp == 1 and planar == 1 and photo in (0, 1):
+        # bilevel: uncompressed packed bits, CCITT MH (2) or G4 (4) strips
+        return _decode_bilevel(buf, t, w, h, comp, photo, offsets, counts)
     if any(b != 8 for b in bits) or spp not in (1, 3, 4) or planar != 1:
         raise ValueError(
             f"unsupported TIFF: bits={bits} samples={spp} planar={planar} "
-            "(baseline 8-bit chunky grey/RGB/RGBA only; plug PIL in "
-            "imagecodec.decode_image for the rest)"
+            "(baseline 8-bit chunky grey/RGB/RGBA + 1-bit bilevel only; "
+            "plug PIL in imagecodec.decode_image for the rest)"
         )
     if photo not in (0, 1, 2, 3, 6):
         # 5=separated (CMYK), ...: decoding these as RGB would be silent
@@ -251,7 +255,8 @@ def tiff_decode(buf: bytes) -> np.ndarray:
     if comp not in (1, 5, 7, 8, 32773, 32946):
         raise ValueError(
             f"unsupported TIFF compression {comp} (1=none, 5=LZW, 7=JPEG, "
-            "8/32946=Deflate, 32773=PackBits; CCITT/old-JPEG need a library)"
+            "8/32946=Deflate, 32773=PackBits; 2/4=CCITT supported for 1-bit "
+            "bilevel only; old-JPEG needs a library)"
         )
     predictor = t.get(_PREDICTOR, [1])[0]
     if predictor not in (1, 2):
@@ -321,6 +326,126 @@ def tiff_decode(buf: bytes) -> np.ndarray:
             px = 255 - px
         return np.ascontiguousarray(np.repeat(px, 3, axis=2))
     return np.ascontiguousarray(px[:, :, :3])  # alpha dropped, like PNG
+
+
+def _decode_bilevel(buf, t, w, h, comp, photo, offsets, counts) -> np.ndarray:
+    """1-bit strips -> (h, w, 3) RGB.  Compressions: 1 (packed bits, each
+    row byte-aligned), 2 (CCITT MH) and 4 (CCITT G4) via ``ccittcodec``;
+    3 (G3 with EOLs) is refused — real writers emit 2 or 4 for TIFF."""
+    from geowave_spark.functions.ccittcodec import g4_decode, mh_decode
+
+    if comp not in (1, 2, 4):
+        raise ValueError(
+            f"unsupported bilevel TIFF compression {comp} "
+            "(1=none, 2=CCITT MH, 4=CCITT G4; 3=G3-with-EOLs not emitted "
+            "by TIFF writers in practice)"
+        )
+    if t.get(_T6_OPTIONS, [0])[0] & 2:
+        raise ValueError("CCITT G4 uncompressed mode (T6Options bit 1) not supported")
+    if t.get(_T4_OPTIONS, [0])[0]:
+        raise ValueError("CCITT T4Options flags not supported for compression 2")
+    fill = t.get(_FILL_ORDER, [1])[0]
+    rows_per_strip = t.get(_ROWS_PER_STRIP, [h])[0] or h
+    rows = []
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip = bytes(buf[off : off + cnt])
+        if len(strip) != cnt:
+            raise ValueError("truncated TIFF strip")
+        if fill == 2:  # LSB-first fill order: reverse bits in every byte
+            arr = np.frombuffer(strip, np.uint8)
+            strip = np.packbits(
+                np.unpackbits(arr).reshape(-1, 8)[:, ::-1]
+            ).tobytes()
+        n_rows = min(rows_per_strip, h - si * rows_per_strip)
+        if comp == 2:
+            bitsy = mh_decode(strip, w, n_rows)
+        elif comp == 4:
+            bitsy = g4_decode(strip, w, n_rows)
+        else:  # packed raw bits, each row padded to a byte boundary
+            stride = (w + 7) // 8
+            if len(strip) < n_rows * stride:
+                raise ValueError("bilevel TIFF strip smaller than its rows")
+            arr = np.frombuffer(strip, np.uint8, n_rows * stride).reshape(n_rows, stride)
+            bitsy = np.unpackbits(arr, axis=1)[:, :w].astype(bool)
+        rows.append(bitsy)
+    img = np.concatenate(rows, axis=0)
+    if img.shape[0] < h:
+        raise ValueError("bilevel TIFF strips do not assemble to the stated size")
+    img = img[:h]
+    # sample 1 = code-black; photometric 0 (WhiteIsZero) -> black is dark
+    lum = np.where(img, 0, 255) if photo == 0 else np.where(img, 255, 0)
+    return np.ascontiguousarray(np.repeat(lum.astype(np.uint8)[:, :, None], 3, axis=2))
+
+
+def tiff_bilevel_bytes(
+    img: np.ndarray, compression: str = "ccitt_g4", rows_per_strip: int = 16
+) -> bytes:
+    """Encode a bilevel image as a 1-bit TIFF (photometric 0 = WhiteIsZero,
+    the fax convention).  ``img``: (h, w) bool / 0-1 array, True/1 = black
+    ink.  ``compression``: ``"ccitt_g4"`` (4), ``"ccitt_mh"`` (2), or
+    ``"none"`` (packed bits)."""
+    from geowave_spark.functions.ccittcodec import g4_encode, mh_encode
+
+    codes = {"none": 1, "ccitt_mh": 2, "ccitt_g4": 4}
+    if compression not in codes:
+        raise ValueError(f"unknown bilevel TIFF compression {compression!r}")
+    img = np.asarray(img).astype(bool)
+    if img.ndim != 2:
+        raise ValueError("expected a (h, w) bilevel array")
+    h, w = img.shape
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        rows = img[y0 : y0 + rows_per_strip]
+        if compression == "ccitt_g4":
+            strips.append(g4_encode(rows))
+        elif compression == "ccitt_mh":
+            strips.append(mh_encode(rows))
+        else:
+            strips.append(np.packbits(rows, axis=1).tobytes())
+
+    n_entries = 9
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_entries + 4
+    n_strips = len(strips)
+    if n_strips > 1:
+        offsets_off = data_off
+        data_off += 4 * n_strips
+        counts_off = data_off
+        data_off += 4 * n_strips
+    strip_offsets = []
+    pos = data_off
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+
+    def entry(tag, ttype, count, value):
+        return struct.pack("<HHI", tag, ttype, count) + struct.pack("<I", value)
+
+    e = [
+        entry(_WIDTH, 4, 1, w),
+        entry(_LENGTH, 4, 1, h),
+        entry(_BITS, 3, 1, 1),
+        entry(_COMPRESSION, 3, 1, codes[compression]),
+        entry(_PHOTO, 3, 1, 0),  # WhiteIsZero: the fax polarity
+        entry(
+            _STRIP_OFFSETS, 4, n_strips,
+            strip_offsets[0] if n_strips == 1 else offsets_off,
+        ),
+        entry(_SAMPLES, 3, 1, 1),
+        entry(_ROWS_PER_STRIP, 4, 1, rows_per_strip),
+        entry(
+            _STRIP_COUNTS, 4, n_strips,
+            len(strips[0]) if n_strips == 1 else counts_off,
+        ),
+    ]
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += struct.pack("<H", n_entries) + b"".join(e) + struct.pack("<I", 0)
+    if n_strips > 1:
+        out += struct.pack(f"<{n_strips}I", *strip_offsets)
+        out += struct.pack(f"<{n_strips}I", *(len(s) for s in strips))
+    for s in strips:
+        out += s
+    return bytes(out)
 
 
 def _packbits_encode(row: bytes) -> bytes:
