@@ -133,21 +133,30 @@ def spatial_2d_decomposer(bits: int, max_ranges: int = 5000, cfg=None):
 
 
 def prepare_layouts(
-    pts: DataFrame, xy_bits: int = 10, t_bits: int = 10
+    pts: DataFrame, xy_bits: int = 10, t_bits: int = 10, bias: str | None = None
 ) -> dict:
-    """Ingest-time layout preparation: materialize both layouts' key columns
+    """Ingest-time layout preparation: materialize the layouts' key columns
     and their range histograms ONCE (the reference computes row-range stats
     at ingest, not per query).  Pass the result to routed_points_query so
-    query planning is pure driver arithmetic over the cached histograms."""
+    query planning is pure driver arithmetic over the cached histograms.
+
+    ``bias`` additionally materializes a compact-Hilbert BIAS layout
+    (``"spatial"``/``"temporal"``/``"balanced"``) as a third candidate —
+    the reference's -bias index option sitting beside BALANCED in the same
+    store (`SpatialTemporalDimensionalityTypeProvider`)."""
     from pyspark.sql import functions as F
 
-    from geowave_spark.operators.indexing import with_point_cells, with_spatiotemporal_cells
+    from geowave_spark.operators.indexing import (
+        with_biased_st_cells,
+        with_point_cells,
+        with_spatiotemporal_cells,
+    )
     from geowave_spark.sfc import SpatialConfig
 
     cfg = SpatialConfig(tiers=(0, xy_bits), backend="zorder")
     flat = with_point_cells(pts, cfg=cfg, cell_col="_cell2d").drop("tier").cache()
     st = with_spatiotemporal_cells(pts, spatial_bits=xy_bits, time_bits=t_bits).cache()
-    return {
+    out = {
         "cfg": cfg,
         "flat": flat,
         "st": st,
@@ -155,7 +164,13 @@ def prepare_layouts(
         "h3d_by_years": {},  # filled lazily per queried year set
         "xy_bits": xy_bits,
         "t_bits": t_bits,
+        "bias": bias,
     }
+    if bias is not None:
+        biased = with_biased_st_cells(pts, bias, cell_col="_bias_key").cache()
+        out["biased"] = biased
+        out["hbias_by_years"] = {}
+    return out
 
 
 def routed_points_query(
@@ -168,6 +183,7 @@ def routed_points_query(
     ts_col: str = "event_ts",
     layouts: dict | None = None,
     refine=None,
+    force: str | None = None,
 ) -> tuple[DataFrame, str]:
     """End-to-end cost-based routing: materialize both layouts' key columns,
     estimate each layout's scan cardinality for the constraints, execute the
@@ -234,10 +250,28 @@ def routed_points_query(
             layouts["h3d_by_years"][ykey],
         ),
     ]
+    if layouts.get("bias") is not None:
+        if ykey not in layouts["hbias_by_years"]:
+            layouts["hbias_by_years"][ykey] = build_range_histogram(
+                layouts["biased"].filter(F.col("time_bin").isin(years)), "_bias_key"
+            )
+        candidates.append(
+            CandidateIndex(
+                "spatiotemporal_biased",
+                biased_st_decomposer(layouts["bias"]),
+                layouts["hbias_by_years"][ykey],
+            )
+        )
     # estimate with the first bin's window (bins are structurally alike);
     # the histogram already spans only the touched years
     constraints = {"bbox": bbox, "t_range": (windows[0][1], windows[0][2])}
     winner, _ = choose_best_index(candidates, constraints)
+    if force is not None:
+        # the reference lets a query name its index (QueryOptions.setIndex);
+        # the scan still refines exactly, so forcing never changes results
+        if force not in {c.name for c in candidates}:
+            raise ValueError(f"unknown layout {force!r} to force")
+        winner = force
 
     minx, miny, maxx, maxy = bbox
     exact = refine
@@ -268,6 +302,20 @@ def routed_points_query(
         routed = parts[0]
         for p in parts[1:]:
             routed = routed.unionByName(p)
+    elif winner == "spatiotemporal_biased":
+        parts = []
+        for year, flo, fhi in windows:
+            ranges = biased_key_ranges(
+                minx, miny, maxx, maxy, flo, fhi, layouts["bias"], max_ranges=64
+            )
+            pred = None
+            for lo, hi in ranges:
+                p = (F.col("_bias_key") >= lo) & (F.col("_bias_key") <= hi)
+                pred = p if pred is None else (pred | p)
+            parts.append(layouts["biased"].filter((F.col("time_bin") == year) & pred))
+        routed = parts[0]
+        for p in parts[1:]:
+            routed = routed.unionByName(p)
     else:
         from geowave_spark.sfc.tiered import decompose_query_ranges
 
@@ -277,6 +325,49 @@ def routed_points_query(
             pred = p if pred is None else (pred | p)
         routed = flat.filter(pred)
     return routed.filter(exact), winner
+
+
+def biased_key_ranges(
+    minx: float,
+    miny: float,
+    maxx: float,
+    maxy: float,
+    frac_lo: float,
+    frac_hi: float,
+    bias: str,
+    max_ranges: int = 5000,
+) -> list[tuple[int, int]]:
+    """K2 for the compact-Hilbert BIAS layouts: (bbox, fraction-of-year
+    window) -> inclusive ``_bias_key`` ranges via the prefix-tree descent
+    (`sfc/compact_hilbert.py::compact_hilbert_ranges`)."""
+    import numpy as np
+
+    from geowave_spark.sfc.compact_hilbert import BIAS_BITS, compact_hilbert_ranges
+    from geowave_spark.sfc.tiered import lat_bins, lon_bins, value_bins
+
+    dims = BIAS_BITS[bias]
+    xlo = int(lon_bins(np.array([minx]), dims[0], is_min=True)[0])
+    xhi = int(lon_bins(np.array([maxx]), dims[0], is_min=False)[0])
+    ylo = int(lat_bins(np.array([miny]), dims[1], is_min=True)[0])
+    yhi = int(lat_bins(np.array([maxy]), dims[1], is_min=False)[0])
+    tlo = int(value_bins(np.array([frac_lo]), dims[2], is_min=True)[0])
+    thi = int(value_bins(np.array([min(frac_hi, 1.0)]), dims[2], is_min=False)[0])
+    return compact_hilbert_ranges((xlo, ylo, tlo), (xhi, yhi, thi), dims, max_ranges)
+
+
+def biased_st_decomposer(bias: str, max_ranges: int = 5000):
+    """BIAS layout candidate for the chooser: needs bbox AND a bounded
+    time window, like the 3D layout (any unbounded dimension -> full
+    scan, the reference's `isFullTableScan` rule)."""
+
+    def _d(c: dict):
+        if "bbox" not in c or "t_range" not in c:
+            return None
+        minx, miny, maxx, maxy = c["bbox"]
+        tlo, thi = c["t_range"]
+        return biased_key_ranges(minx, miny, maxx, maxy, tlo, thi, bias, max_ranges)
+
+    return _d
 
 
 def spatiotemporal_3d_decomposer(xy_bits: int, t_bits: int, max_ranges: int = 5000):

@@ -281,3 +281,55 @@ class TestStRangeInsertion:
                         )[0]
                     )
                     assert (pt.year, t, key) in have
+
+
+class TestBiasedLayoutRouting:
+    """The compact-Hilbert BIAS layout as a third chooser candidate
+    (round 4): prepared beside the 2D and 3D layouts, decomposed by the
+    prefix-tree range descent, and — forced or chosen — always yielding
+    the exact plain-filter rows."""
+
+    def test_biased_route_is_exact(self, spark, geo001):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from geowave_spark.plans.index_select import prepare_layouts, routed_points_query
+
+        pts = spark.read.parquet(str(geo001 / "points.parquet"))
+        layouts = prepare_layouts(pts, bias="spatial")
+        bbox = (-75.0, 39.5, -72.0, 42.5)
+        lo, hi = dt.datetime(2012, 6, 1), dt.datetime(2013, 1, 1)
+        want = {
+            r.fid
+            for r in pts.filter(
+                (F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+                & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3])
+                & (F.col("event_ts") >= F.lit(lo)) & (F.col("event_ts") < F.lit(hi))
+            ).select("fid").collect()
+        }
+        # forced through the biased layout: scan prunes on _bias_key ranges
+        out, winner = routed_points_query(
+            pts, bbox, lo, hi, layouts=layouts, force="spatiotemporal_biased"
+        )
+        assert winner == "spatiotemporal_biased"
+        assert {r.fid for r in out.select("fid").collect()} == want and want
+        # left to the chooser, whatever wins still matches
+        out2, winner2 = routed_points_query(pts, bbox, lo, hi, layouts=layouts)
+        assert winner2 in ("spatial_2d", "spatiotemporal_3d", "spatiotemporal_biased")
+        assert {r.fid for r in out2.select("fid").collect()} == want
+
+    def test_force_unknown_layout_refused(self, spark, geo001):
+        import datetime as dt
+
+        import pytest
+
+        from geowave_spark.plans.index_select import routed_points_query
+
+        pts = spark.read.parquet(str(geo001 / "points.parquet"))
+        with pytest.raises(ValueError, match="unknown layout"):
+            routed_points_query(
+                pts, (-75.0, 39.5, -72.0, 42.5),
+                dt.datetime(2012, 6, 1), dt.datetime(2013, 1, 1),
+                force="no_such_index",
+            )
