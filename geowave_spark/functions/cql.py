@@ -40,6 +40,7 @@ import datetime as dt
 import re
 from dataclasses import dataclass, field
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -443,13 +444,24 @@ def parse_cql(cql: str):
 
 @dataclass(frozen=True)
 class CqlBinding:
-    """How CQL attribute names map onto the table's columns: geometry
-    attributes bind to point ``(lon, lat)`` columns (the engine's indexed
-    point tables); everything else is a column reference by name."""
+    """How CQL attribute names map onto the table's columns.
+
+    Point binding (default): geometry attributes bind to ``(lon, lat)``
+    columns — the engine's indexed point tables; spatial predicates are
+    pure Catalyst.
+
+    Areal binding (``wkt_col`` set): geometry attributes bind to a WKT
+    geometry column (the docs/tracks tables' real feature geometries, the
+    reference's GeoTools feature case); spatial predicates run the exact
+    per-kind Arrow-batched refines from ``geometry/predicates.py``
+    (`SpatialQueryFilter.java:182-228` accept semantics).  DWITHIN stays
+    point-binding-only (geometry-to-geometry distance is not modeled).
+    """
 
     lon: str = "lon"
     lat: str = "lat"
     geom_attrs: frozenset = frozenset({"geom", "geometry", "the_geom"})
+    wkt_col: str | None = None
 
 
 def _lit(v) -> Column:
@@ -507,6 +519,12 @@ def _compile(node, b: CqlBinding) -> Column:
         return col.isNotNull() if node.negate else col.isNull()
     if isinstance(node, BBox):
         _require_geom(node.attr, b)
+        if b.wkt_col is not None:
+            from geowave_spark.extract import refine_intersects_box_udf
+
+            return refine_intersects_box_udf(node.minx, node.miny, node.maxx, node.maxy)(
+                F.col(b.wkt_col)
+            )
         lon, lat = F.col(b.lon), F.col(b.lat)
         return (
             (lon >= node.minx)
@@ -516,9 +534,16 @@ def _compile(node, b: CqlBinding) -> Column:
         )
     if isinstance(node, Spatial):
         _require_geom(node.attr, b)
+        if b.wkt_col is not None:
+            return _spatial_wkt_column(node, b)
         return _spatial_column(node, b)
     if isinstance(node, DWithin):
         _require_geom(node.attr, b)
+        if b.wkt_col is not None:
+            raise ValueError(
+                "CQL: DWITHIN is supported for point bindings only "
+                "(geometry-to-geometry distance is not modeled)"
+            )
         from geowave_spark.functions.distance import euclidean_deg_sq, haversine_km
         from geowave_spark.geometry.wkt import geom_centroid, parse_wkt
 
@@ -551,6 +576,85 @@ def _require_geom(attr: str, b: CqlBinding) -> None:
             f"CQL: {attr!r} is not a bound geometry attribute "
             f"(bound: {sorted(b.geom_attrs)})"
         )
+
+
+def _spatial_wkt_column(node: Spatial, b: CqlBinding) -> Column:
+    """Areal-binding spatial predicate: exact per-kind Arrow-batched refine
+    of every data geometry against the query literal
+    (`geometry/predicates.py` dispatch, `SpatialQueryFilter.java:182-228`)."""
+    from pyspark.sql.types import BooleanType
+
+    query_wkt, kind = node.wkt, node.kind
+
+    @F.pandas_udf(BooleanType())
+    def _refine(wkt: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from geowave_spark.geometry.predicates import (
+            PreparedGeometry,
+            geom_intersects_prepared,
+            geom_within_prepared,
+        )
+        from geowave_spark.geometry.wkt import parse_wkt
+
+        qg = parse_wkt(query_wkt)
+        if qg[0] == "point" and kind != "contains":
+            # intersects/disjoint with a point literal reduce to the
+            # data-contains-point test; WITHIN a point only fits a point
+            qx, qy = float(qg[1][0]), float(qg[1][1])
+            out = []
+            for w in wkt:
+                if w is None:
+                    out.append(False)
+                    continue
+                g = parse_wkt(w)
+                if kind == "within":
+                    out.append(g[0] == "point" and g[1][0] == qx and g[1][1] == qy)
+                elif g[0] in ("polygon", "multipolygon"):
+                    out.append(
+                        bool(
+                            PreparedGeometry(g).contains_points(
+                                np.array([qx]), np.array([qy])
+                            )[0]
+                        )
+                    )
+                elif g[0] == "point":
+                    out.append(g[1][0] == qx and g[1][1] == qy)
+                else:
+                    # point-on-linestring is measure-zero; treated as miss
+                    out.append(False)
+            vals = pd.Series(out)
+            return ~vals if kind == "disjoint" else vals
+        if kind == "contains":
+            # data geometry CONTAINS the query POINT literal
+            if qg[0] != "point":
+                raise ValueError("CQL: CONTAINS needs a POINT literal")
+            qx, qy = float(qg[1][0]), float(qg[1][1])
+            out = []
+            for w in wkt:
+                if w is None:
+                    out.append(False)
+                    continue
+                g = parse_wkt(w)
+                if g[0] in ("polygon", "multipolygon"):
+                    out.append(
+                        bool(
+                            PreparedGeometry(g).contains_points(
+                                np.array([qx]), np.array([qy])
+                            )[0]
+                        )
+                    )
+                elif g[0] == "point":
+                    out.append(g[1][0] == qx and g[1][1] == qy)
+                else:
+                    out.append(False)  # a line has no interior to contain
+            return pd.Series(out)
+        prepared = PreparedGeometry(query_wkt)
+        fn = geom_within_prepared if kind == "within" else geom_intersects_prepared
+        vals = pd.Series([bool(w is not None and fn(w, prepared)) for w in wkt])
+        return ~vals if kind == "disjoint" else vals
+
+    return _refine(F.col(b.wkt_col))
 
 
 def _spatial_column(node: Spatial, b: CqlBinding) -> Column:

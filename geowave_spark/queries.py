@@ -1058,6 +1058,28 @@ def q_st_biased_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CQL_DOCS = (
+    f"BBOX(geom, {BOX[0]}, {BOX[1]}, {BOX[2]}, {BOX[3]}) AND n_spans BETWEEN 3 AND 6"
+)
+
+
+def q_cql_docs_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 areal binding: the SAME CQL front-end against a table whose
+    geometry attribute is a real WKT feature column (points/lines/polygons
+    mixed) — BBOX compiles to the exact per-kind intersects refine
+    (`SpatialQueryFilter.java:182-228` accept semantics), attribute
+    predicates stay native.  Oracle: the docs_polygon_query SAT arithmetic
+    plus the attribute clause."""
+    from geowave_spark.functions.cql import CqlBinding, parse_cql, to_column
+
+    docs = _geo(spark, sf_dir, "docs")
+    geo = with_geometry(docs).withColumn("n_spans", F.size("spans"))
+    fine = to_column(parse_cql(CQL_DOCS), CqlBinding(wkt_col="geom_wkt"))
+    return geo.filter(fine).select(
+        "doc_id", "n_spans", F.split("geom_wkt", " ")[0].alias("gkind")
+    )
+
+
 def q_cql_spatial_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 front-end: OGC CQL string -> parsed filter -> extracted geometry +
     time constraints -> cost-based index routing -> key-range scan -> full
@@ -2026,6 +2048,11 @@ def build_oracles() -> dict[str, str]:
         "knn_haversine": _knn_haversine_oracle(),
         "knn_geodesic": _knn_haversine_oracle(),
         "docs_polygon_query": _docs_polygon_oracle(),
+        # areal CQL = the same SAT arithmetic + the attribute clause
+        "cql_docs_bbox": f"""
+            SELECT doc_id, n_spans, gkind FROM ({_docs_polygon_oracle()})
+            WHERE n_spans BETWEEN 3 AND 6
+        """,
         "raster_tiling": _raster_oracle(),
         "raster_pyramid": _raster_oracle(pyramid=True),
         "s2_cell_counts": _s2_oracle(),
@@ -2190,6 +2217,7 @@ ALL_QUERIES = {
     "knn_hexring": q_knn_hexring,
     "routed_box_temporal": q_routed_box_temporal,
     "cql_spatial_routed": q_cql_spatial_routed,
+    "cql_docs_bbox": q_cql_docs_bbox,
     "docs_zone_join": q_docs_zone_join,
     "docs_zone_within": q_docs_zone_within,
     "events_sessionization": q_events_sessionization,
@@ -2240,6 +2268,7 @@ DRIVER_EXCLUDED = {
     "dateline_box_query": "F1 dateline-wrap case of spatial_box_query (green r03 row; wrap edge rules pinned by pytest + parity oracle)",
     "events_windowed_counts": "A5 tumbling-window twin of events_rollup_cascade (green r03 row; same calendar-window groupBy family, the cascade registers the general case)",
     "spatial_polygon_query": "S1/F2 polygon-scan twin of docs_polygon_query on the points table (green r03 row; box scan stays registered via spatial_box_query)",
+    "text_quality": "its quality-signal expressions are the first stage of training_data_filter, which stays registered (green r03 row)",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut
@@ -2248,6 +2277,7 @@ _NEW_IN_R04 = [
     "cql_spatial_routed",  # new this round (CQL front-end)
     "st_insertion_biased",  # new this round (compact-Hilbert K6 bias)
     "st_biased_box_query",  # new this round (K2 range decomposition on bias keys)
+    "cql_docs_bbox",  # new this round (areal-binding CQL)
     "pip_join",  # rotated in: rode on green r01+r02 rows only
     "s2_cell_counts",  # rotated in: rode on a green r02 row only
 ]

@@ -270,3 +270,71 @@ class TestCompileAndRoute:
             to_column(parse_cql(f"CONTAINS(geom, POINT ({row.lon!r} {row.lat!r}))"))
         ).collect()
         assert [r.fid for r in eq] == [row.fid]
+
+
+class TestArealBinding:
+    """CQL against a WKT feature column (the reference's GeoTools feature
+    case): spatial predicates run the exact per-kind refine, DISJOINT is
+    the exact complement, DWITHIN is refused."""
+
+    @pytest.fixture(scope="class")
+    def feats(self, spark):
+        rows = [
+            ("pt_in", "POINT (2.0 2.0)", 4),
+            ("pt_out", "POINT (20.0 2.0)", 4),
+            ("line_cross", "LINESTRING (-5.0 2.5, 5.0 2.5)", 2),
+            ("line_out", "LINESTRING (20.0 0.0, 30.0 5.0)", 2),
+            ("poly_overlap", "POLYGON ((4.0 4.0, 12.0 4.0, 12.0 12.0, 4.0 12.0, 4.0 4.0))", 6),
+            ("poly_inside", "POLYGON ((1.0 1.0, 2.0 1.0, 2.0 2.0, 1.0 2.0, 1.0 1.0))", 6),
+            ("poly_out", "POLYGON ((30.0 30.0, 40.0 30.0, 40.0 40.0, 30.0 40.0, 30.0 30.0))", 6),
+        ]
+        return spark.createDataFrame(rows, "fid string, geom_wkt string, n_spans int")
+
+    def _ids(self, df):
+        return sorted(r.fid for r in df.select("fid").collect())
+
+    def test_bbox_exact_per_kind(self, feats):
+        from geowave_spark.functions.cql import CqlBinding, parse_cql, to_column
+
+        col = to_column(
+            parse_cql("BBOX(geom, 0, 0, 5, 5)"), CqlBinding(wkt_col="geom_wkt")
+        )
+        assert self._ids(feats.filter(col)) == [
+            "line_cross", "poly_inside", "poly_overlap", "pt_in",
+        ]
+
+    def test_intersects_within_disjoint_partition(self, feats):
+        from geowave_spark.functions.cql import CqlBinding, parse_cql, to_column
+
+        b = CqlBinding(wkt_col="geom_wkt")
+        q = "POLYGON ((0.0 0.0, 5.0 0.0, 5.0 5.0, 0.0 5.0, 0.0 0.0))"
+        inter = self._ids(feats.filter(to_column(parse_cql(f"INTERSECTS(geom, {q})"), b)))
+        within = self._ids(feats.filter(to_column(parse_cql(f"WITHIN(geom, {q})"), b)))
+        disj = self._ids(feats.filter(to_column(parse_cql(f"DISJOINT(geom, {q})"), b)))
+        assert inter == ["line_cross", "poly_inside", "poly_overlap", "pt_in"]
+        assert within == ["poly_inside", "pt_in"]  # fully inside only
+        assert sorted(inter + disj) == self._ids(feats)  # exact complement
+        assert set(within) <= set(inter)
+
+    def test_contains_point_literal(self, feats):
+        from geowave_spark.functions.cql import CqlBinding, parse_cql, to_column
+
+        b = CqlBinding(wkt_col="geom_wkt")
+        got = self._ids(
+            feats.filter(to_column(parse_cql("CONTAINS(geom, POINT (5.0 5.0))"), b))
+        )
+        assert got == ["poly_overlap"]
+        # intersects with a point literal reduces to the same containment
+        got2 = self._ids(
+            feats.filter(to_column(parse_cql("INTERSECTS(geom, POINT (5.0 5.0))"), b))
+        )
+        assert got2 == ["poly_overlap"]
+
+    def test_dwithin_refused_and_attrs_compose(self, feats):
+        from geowave_spark.functions.cql import CqlBinding, parse_cql, to_column
+
+        b = CqlBinding(wkt_col="geom_wkt")
+        with pytest.raises(ValueError, match="point bindings only"):
+            to_column(parse_cql("DWITHIN(geom, POINT (0 0), 5, degrees)"), b)
+        col = to_column(parse_cql("BBOX(geom, 0, 0, 5, 5) AND n_spans >= 4"), b)
+        assert self._ids(feats.filter(col)) == ["poly_inside", "poly_overlap", "pt_in"]

@@ -1743,3 +1743,39 @@ class TestCcittCodec:
             mh_decode(b"\xff\xff", 64, 4)
         with pytest.raises(ValueError, match="truncated|invalid|EOL"):
             g4_decode(b"\x00\x00\x00", 64, 4)
+
+    def test_ccitt_fax_corpus_through_spark_decode(self, spark):
+        """Bilevel CCITT TIFF payloads (G4 and MH rotating per ref) decode
+        through the SAME decode_media mapInPandas pass as every other
+        format — magic-byte dispatch lands in the bilevel branch and the
+        grayscale floats are exactly the thresholded pattern."""
+        import hashlib
+
+        import numpy as np
+
+        from geowave_spark.functions.multimodal import decode_media
+        from geowave_spark.functions.tiffcodec import tiff_bilevel_bytes
+
+        def payload(ref):
+            seed = int.from_bytes(hashlib.md5(ref.encode()).digest()[:4], "big")
+            ink = np.random.RandomState(seed).rand(8, 8) < 0.4
+            comp = "ccitt_g4" if seed % 2 else "ccitt_mh"
+            return ink, tiff_bilevel_bytes(ink, comp)
+
+        refs = [f"fax{i:03d}" for i in range(24)]
+        rows = [
+            (r, "image", 8, 8, 1, payload(r)[1]) for r in refs
+        ]
+        table = spark.createDataFrame(
+            rows,
+            "media_ref string, media_type string, width int, height int, "
+            "n_frames int, content binary",
+        )
+        got = {r.media_ref: r for r in decode_media(table, codec="real").collect()}
+        assert len(got) == 24
+        for ref in refs:
+            ink, _ = payload(ref)
+            want = np.where(ink, 0.0, 1.0).astype(np.float32).ravel()
+            r = got[ref]
+            assert (r.width, r.height) == (8, 8)
+            assert np.allclose(np.asarray(r.pixels, dtype=np.float32), want)
