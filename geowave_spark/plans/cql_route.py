@@ -41,11 +41,14 @@ def cql_routed_query(
     ts_col: str = "event_ts",
     binding: CqlBinding = CqlBinding(),
     layouts: dict | None = None,
+    bias: str | None = None,
 ) -> tuple[DataFrame, str]:
     """CQL string in -> (exact rows, route taken).
 
-    Route is one of ``spatial_2d`` / ``spatiotemporal_3d`` / ``full_scan``;
-    whatever the route, the result equals ``pts.filter(to_column(ast))``.
+    Route is one of ``spatial_2d`` / ``spatiotemporal_3d`` /
+    ``spatiotemporal_biased`` (when ``bias`` or bias-carrying ``layouts``
+    are given) / ``full_scan``; whatever the route, the result equals
+    ``pts.filter(to_column(ast))``.
     """
     ast = parse_cql(cql)
     fine = to_column(ast, binding)
@@ -54,6 +57,11 @@ def cql_routed_query(
 
     if bbox is None or _degenerate(bbox):
         return pts.filter(fine), "full_scan"
+
+    if layouts is None and bias is not None:
+        from geowave_spark.plans.index_select import prepare_layouts
+
+        layouts = prepare_layouts(pts, xy_bits, t_bits, bias=bias)
 
     if trange is not None:
         from geowave_spark.plans.index_select import routed_points_query

@@ -338,3 +338,20 @@ class TestArealBinding:
             to_column(parse_cql("DWITHIN(geom, POINT (0 0), 5, degrees)"), b)
         col = to_column(parse_cql("BBOX(geom, 0, 0, 5, 5) AND n_spans >= 4"), b)
         assert self._ids(feats.filter(col)) == ["poly_inside", "poly_overlap", "pt_in"]
+
+    def test_bias_layout_joins_the_route_choice(self, spark, pts):
+        """With bias layouts prepared, the CQL router considers the
+        compact-Hilbert layout too — and the output stays the plain
+        filter's rows whichever wins."""
+        from geowave_spark.plans.cql_route import cql_routed_query
+
+        cql = (
+            "BBOX(geom, -5, -5, 5, 5) AND "
+            "event_ts DURING 2020-02-01T00:00:00/2020-03-01T00:00:00"
+        )
+        plain = sorted(
+            r.fid for r in pts.filter(to_column(parse_cql(cql))).select("fid").collect()
+        )
+        routed, route = cql_routed_query(pts, cql, xy_bits=8, t_bits=8, bias="spatial")
+        assert route in ("spatial_2d", "spatiotemporal_3d", "spatiotemporal_biased")
+        assert sorted(r.fid for r in routed.select("fid").collect()) == plain and plain

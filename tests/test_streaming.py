@@ -427,3 +427,40 @@ class TestStreamingKnn:
         stream = spark.readStream.schema(pts.schema).parquet(str(geo001))
         with pytest.raises(ValueError, match="static"):
             knn_join_stream(stream, stream, 5, 1.5, "o", "c")
+
+
+class TestStreamingCql:
+    """A parsed CQL filter is a plain Catalyst Column (plus Arrow UDFs for
+    areal bindings), so the SAME compiled predicate runs under Structured
+    Streaming unchanged — stream rows equal the batch filter exactly."""
+
+    def test_cql_filter_stream_equals_batch(self, spark, geo001, tmp_path):
+        import shutil
+
+        from geowave_spark.functions.cql import parse_cql, to_column
+
+        pts_dir = tmp_path / "cql_pts"
+        pts_dir.mkdir()
+        shutil.copy(geo001 / "points.parquet", pts_dir / "part-000.parquet")
+        batch = spark.read.parquet(str(pts_dir))
+        cql = (
+            "INTERSECTS(geom, POLYGON ((-75.0 39.5, -72.0 39.5, -72.0 42.5, "
+            "-75.0 42.5, -75.0 39.5))) AND magnitude >= 10 "
+            "AND category IN ('cat1', 'cat3')"
+        )
+        col = to_column(parse_cql(cql))
+        stream = spark.readStream.schema(batch.schema).parquet(str(pts_dir))
+        out = str(tmp_path / "cql_out")
+        q = (
+            stream.filter(col)
+            .select("fid", "lon", "lat")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "cql_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r.fid for r in spark.read.parquet(out).collect()}
+        want = {r.fid for r in batch.filter(col).select("fid").collect()}
+        assert got == want and got
