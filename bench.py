@@ -58,9 +58,12 @@ HEADLINE = [
     # bucketed on hex cells end to end (same refine, same result rows)
     "pip_join_hex",
     # round-4 additions: CQL string -> constraint extraction -> cost-based
-    # routed scan, and the K6 bias keys (compact Hilbert, unequal bits)
+    # routed scan, the K6 bias keys (compact Hilbert, unequal bits), the
+    # K2 range scan over those keys, and the areal-binding CQL refine
     "cql_spatial_routed",
     "st_insertion_biased",
+    "st_biased_box_query",
+    "cql_docs_bbox",
 ]
 
 

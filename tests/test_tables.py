@@ -129,3 +129,51 @@ class TestIngestStats:
         mid = int(h.bounds[len(h.bounds) // 2])
         half = h.cardinality([(int(h.bounds[0]), mid)])
         assert 0.3 * h.total_rows <= half <= 0.7 * h.total_rows
+
+
+class TestBiasedIndexedWrite:
+    """The compact-Hilbert bias keys work as a WRITTEN index layout too:
+    keys persisted sorted-within-files, scanned back with decomposed range
+    predicates that reach the parquet scan (PushedFilters) — the 100-TB
+    contract for the bias layouts, not just an in-memory column."""
+
+    def test_biased_scan_pushes_key_ranges(self, spark, geo001, tmp_path):
+        import datetime as dt
+
+        import numpy as np
+
+        from geowave_spark.operators.indexing import with_biased_st_cells
+        from geowave_spark.plans.index_select import biased_key_ranges
+
+        pts = spark.read.parquet(str(geo001 / "points.parquet"))
+        keyed = with_biased_st_cells(pts, "spatial", cell_col="bias_key")
+        path = str(tmp_path / "biased_idx")
+        (
+            keyed.repartition(4, "time_bin")
+            .sortWithinPartitions("time_bin", "bias_key")
+            .write.partitionBy("time_bin")
+            .parquet(path)
+        )
+        back = spark.read.parquet(path)
+
+        bbox = (-75.0, 39.5, -72.0, 42.5)
+        ranges = biased_key_ranges(*bbox, 0.0, 1.0, "spatial", max_ranges=64)
+        pred = None
+        for a, b in ranges:
+            p = (F.col("bias_key") >= a) & (F.col("bias_key") <= b)
+            pred = p if pred is None else (pred | p)
+        exact = (
+            (F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+            & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3])
+        )
+        got = {r.fid for r in back.filter(pred).filter(exact).select("fid").collect()}
+        want = {r.fid for r in pts.filter(exact).select("fid").collect()}
+        assert got == want and got
+
+        spark.conf.set("spark.sql.maxMetadataStringLength", "40000")
+        try:
+            plan = back.filter(pred)._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.unset("spark.sql.maxMetadataStringLength")
+        pushed = plan.split("PushedFilters", 1)
+        assert len(pushed) == 2 and "bias_key" in pushed[1][:40000]
