@@ -439,6 +439,58 @@ def parse_cql(cql: str):
     return _Parser(_tokenize(cql)).parse()
 
 
+def to_cql(node) -> str:
+    """AST -> CQL string such that ``parse_cql(to_cql(ast)) == ast``
+    (children of logic nodes are parenthesized to preserve structure;
+    pinned by a hypothesis round-trip over generated ASTs)."""
+
+    def lit(v) -> str:
+        if isinstance(v, dt.datetime):
+            return v.isoformat()
+        if isinstance(v, float):
+            return repr(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    if isinstance(node, And):
+        return " AND ".join(f"({to_cql(c)})" for c in node.children)
+    if isinstance(node, Or):
+        return " OR ".join(f"({to_cql(c)})" for c in node.children)
+    if isinstance(node, Not):
+        return f"NOT ({to_cql(node.child)})"
+    if isinstance(node, Include):
+        return "INCLUDE"
+    if isinstance(node, Exclude):
+        return "EXCLUDE"
+    if isinstance(node, Cmp):
+        return f"{node.attr} {node.op} {lit(node.value)}"
+    if isinstance(node, Between):
+        neg = "NOT " if node.negate else ""
+        return f"{node.attr} {neg}BETWEEN {lit(node.lo)} AND {lit(node.hi)}"
+    if isinstance(node, In):
+        neg = "NOT " if node.negate else ""
+        return f"{node.attr} {neg}IN ({', '.join(lit(v) for v in node.values)})"
+    if isinstance(node, Like):
+        op = "ILIKE" if node.nocase else "LIKE"
+        neg = "NOT " if node.negate else ""
+        return f"{node.attr} {neg}{op} {lit(node.pattern)}"
+    if isinstance(node, IsNull):
+        return f"{node.attr} IS {'NOT ' if node.negate else ''}NULL"
+    if isinstance(node, BBox):
+        return (
+            f"BBOX({node.attr}, {node.minx!r}, {node.miny!r}, "
+            f"{node.maxx!r}, {node.maxy!r})"
+        )
+    if isinstance(node, Spatial):
+        return f"{node.kind.upper()}({node.attr}, {node.wkt})"
+    if isinstance(node, DWithin):
+        return f"DWITHIN({node.attr}, {node.wkt}, {node.dist!r}, {node.units})"
+    if isinstance(node, During):
+        return f"{node.attr} DURING {node.t0.isoformat()}/{node.t1.isoformat()}"
+    if isinstance(node, TCmp):
+        return f"{node.attr} {node.kind.upper()} {node.t.isoformat()}"
+    raise TypeError(f"cannot serialize {node!r}")
+
+
 # ------------------------------------------------------------- compilation
 
 

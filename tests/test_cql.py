@@ -355,3 +355,97 @@ class TestArealBinding:
         routed, route = cql_routed_query(pts, cql, xy_bits=8, t_bits=8, bias="spatial")
         assert route in ("spatial_2d", "spatiotemporal_3d", "spatiotemporal_biased")
         assert sorted(r.fid for r in routed.select("fid").collect()) == plain and plain
+
+
+class TestParserRoundtripHypothesis:
+    """Generated-AST robustness: serialize with to_cql, re-parse, require
+    node-exact equality — the parser/serializer pair cannot disagree on any
+    construct the grammar admits."""
+
+    @staticmethod
+    def _strategies():
+        import string
+
+        from hypothesis import strategies as st
+
+        from geowave_spark.functions import cql as C
+
+        ident = st.text(string.ascii_lowercase, min_size=1, max_size=8).filter(
+            lambda s: s.upper() not in C._KEYWORDS and s.upper() not in C._WKT_TYPES
+        )
+        num = st.floats(
+            allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+        )
+        text = st.text(
+            string.ascii_letters + string.digits + " '%_-.", max_size=12
+        )
+        when = st.datetimes(
+            min_value=dt.datetime(1000, 1, 1), max_value=dt.datetime(9000, 1, 1)
+        )
+        literal = st.one_of(num, text, when)
+
+        def point():
+            return num.flatmap(
+                lambda x: num.map(lambda y: f"POINT ({x!r} {y!r})")
+            )
+
+        def polygon():
+            def mk(vals):
+                x0, y0, w, h = vals
+                ring = (
+                    f"{x0!r} {y0!r}, {x0 + abs(w) + 1!r} {y0!r}, "
+                    f"{x0 + abs(w) + 1!r} {y0 + abs(h) + 1!r}, {x0!r} {y0 + abs(h) + 1!r}, "
+                    f"{x0!r} {y0!r}"
+                )
+                return f"POLYGON (({ring}))"
+
+            return st.tuples(num, num, num, num).map(mk)
+
+        wkt = st.one_of(point(), polygon())
+        leaf = st.one_of(
+            st.builds(C.Cmp, ident, st.sampled_from(["=", "<>", "<", "<=", ">", ">="]), literal),
+            st.builds(C.Between, ident, num, num, st.booleans()),
+            st.builds(
+                C.In, ident, st.lists(literal, min_size=1, max_size=4).map(tuple), st.booleans()
+            ),
+            st.builds(C.Like, ident, text, st.booleans(), st.booleans()),
+            st.builds(C.IsNull, ident, st.booleans()),
+            st.builds(C.BBox, ident, num, num, num, num),
+            st.builds(
+                C.Spatial,
+                st.sampled_from(["intersects", "contains", "within", "disjoint"]),
+                ident,
+                wkt,
+            ),
+            st.builds(
+                C.DWithin, ident, wkt, num.map(abs),
+                st.sampled_from(["meters", "kilometers", "degrees"]),
+            ),
+            st.builds(C.During, ident, when, when),
+            st.builds(
+                C.TCmp, ident, st.sampled_from(["before", "after", "tequals"]), when
+            ),
+            st.just(C.Include()),
+            st.just(C.Exclude()),
+        )
+
+        def extend(children):
+            return st.one_of(
+                st.lists(children, min_size=2, max_size=4).map(lambda c: C.And(tuple(c))),
+                st.lists(children, min_size=2, max_size=4).map(lambda c: C.Or(tuple(c))),
+                children.map(C.Not),
+            )
+
+        return st.recursive(leaf, extend, max_leaves=12)
+
+    def test_to_cql_parse_roundtrip(self):
+        from hypothesis import given, settings
+
+        from geowave_spark.functions.cql import parse_cql, to_cql
+
+        @settings(max_examples=300, deadline=None)
+        @given(self._strategies())
+        def run(ast):
+            assert parse_cql(to_cql(ast)) == ast
+
+        run()
