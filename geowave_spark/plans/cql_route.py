@@ -102,6 +102,53 @@ def cql_routed_query(
     return flat.filter(pred).filter(fine), "spatial_2d"
 
 
+def cql_areal_routed_query(
+    indexed: DataFrame,
+    cql: str,
+    binding: CqlBinding | None = None,
+    id_col: str = "doc_id",
+    cfg=None,
+    max_ranges_per_tier: int = 16,
+) -> tuple[DataFrame, str]:
+    """CQL against a tiered-indexed EXTENT table (the ``ingest_extents`` /
+    ``write_indexed`` layout: ``tier`` partition column, ``cell`` insertion
+    keys, ``num_duplicates``) — the reference's CQL-over-feature-store path:
+    extract the filter's envelope, prune each tier's cells with decomposed
+    key ranges (tier dirs partition-prune, cell ranges row-group-prune on
+    the sorted files), drop multi-cell duplicates (F5), re-verify with the
+    full CQL column.  Correct because K1 insertion cells COVER each
+    extent's bbox and K2 ranges cover every cell intersecting the query
+    envelope at that tier — a qualifying extent always shares at least one
+    (tier, cell) with the decomposition."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark.sfc import DEFAULT_CONFIG
+    from geowave_spark.sfc.tiered import decompose_query_ranges, normalize_lon_range
+
+    cfg = cfg or DEFAULT_CONFIG
+    binding = binding or CqlBinding(wkt_col="geom_wkt")
+    ast = parse_cql(cql)
+    fine = to_column(ast, binding)
+    bbox = extract_bbox(ast)
+    if bbox is None or _degenerate(bbox):
+        return indexed.filter(fine).dropDuplicates([id_col]), "full_scan"
+    minx, miny, maxx, maxy = bbox
+    pred = None
+    for t in cfg.tiers:
+        tier_pred = None
+        for lo_lon, hi_lon in normalize_lon_range(minx, maxx):
+            for lo, hi in decompose_query_ranges(
+                lo_lon, miny, hi_lon, maxy, bits=t, max_ranges=max_ranges_per_tier, cfg=cfg
+            ):
+                p = (F.col("cell") >= lo) & (F.col("cell") <= hi)
+                tier_pred = p if tier_pred is None else (tier_pred | p)
+        if tier_pred is not None:
+            p = (F.col("tier") == t) & tier_pred
+            pred = p if pred is None else (pred | p)
+    routed = indexed.filter(pred) if pred is not None else indexed
+    return routed.filter(fine).dropDuplicates([id_col]), "tiered_extent"
+
+
 def _degenerate(bbox) -> bool:
     minx, miny, maxx, maxy = bbox
     return minx > maxx or miny > maxy

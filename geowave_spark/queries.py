@@ -1080,6 +1080,36 @@ def q_cql_docs_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cql_areal_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cql_docs_bbox THROUGH the tiered extent index: the docs are written
+    once per sf as an ingest_extents layout (tier dirs + cell-sorted files,
+    cached beside the geo fixtures), then the CQL's envelope prunes
+    tier+cell ranges before the same fine filter — the reference's
+    CQL-over-feature-store scan.  Same oracle as cql_docs_bbox because the
+    routed output is exact (route-independence also pinned in
+    tests/test_cql.py)."""
+    from geowave_spark.plans.cql_route import cql_areal_routed_query
+    from geowave_spark.sources.tables import ingest_extents, read_indexed
+
+    d = geo_dir_for(sf_dir)
+    path = d / "docs_extent_cql_idx"
+    if not (path / "_SUCCESS").exists():
+        docs = with_geometry(_geo(spark, sf_dir, "docs")).withColumn(
+            "n_spans", F.size("spans")
+        )
+        ingest_extents(
+            docs.select(
+                "doc_id", "geom_wkt", "n_spans", "minx", "miny", "maxx", "maxy"
+            ),
+            str(path),
+        )
+    back = read_indexed(spark, str(path))
+    routed, _route = cql_areal_routed_query(back, CQL_DOCS)
+    return routed.select(
+        "doc_id", "n_spans", F.split("geom_wkt", " ")[0].alias("gkind")
+    )
+
+
 def q_cql_spatial_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 front-end: OGC CQL string -> parsed filter -> extracted geometry +
     time constraints -> cost-based index routing -> key-range scan -> full
@@ -2053,6 +2083,11 @@ def build_oracles() -> dict[str, str]:
             SELECT doc_id, n_spans, gkind FROM ({_docs_polygon_oracle()})
             WHERE n_spans BETWEEN 3 AND 6
         """,
+        # routed twin: exact refine makes the indexed scan route-invisible
+        "cql_areal_routed": f"""
+            SELECT doc_id, n_spans, gkind FROM ({_docs_polygon_oracle()})
+            WHERE n_spans BETWEEN 3 AND 6
+        """,
         "raster_tiling": _raster_oracle(),
         "raster_pyramid": _raster_oracle(pyramid=True),
         "s2_cell_counts": _s2_oracle(),
@@ -2218,6 +2253,7 @@ ALL_QUERIES = {
     "routed_box_temporal": q_routed_box_temporal,
     "cql_spatial_routed": q_cql_spatial_routed,
     "cql_docs_bbox": q_cql_docs_bbox,
+    "cql_areal_routed": q_cql_areal_routed,
     "docs_zone_join": q_docs_zone_join,
     "docs_zone_within": q_docs_zone_within,
     "events_sessionization": q_events_sessionization,
@@ -2269,6 +2305,7 @@ DRIVER_EXCLUDED = {
     "events_windowed_counts": "A5 tumbling-window twin of events_rollup_cascade (green r03 row; same calendar-window groupBy family, the cascade registers the general case)",
     "spatial_polygon_query": "S1/F2 polygon-scan twin of docs_polygon_query on the points table (green r03 row; box scan stays registered via spatial_box_query)",
     "text_quality": "its quality-signal expressions are the first stage of training_data_filter, which stays registered (green r03 row)",
+    "cql_areal_routed": "indexed-scan routed twin of cql_docs_bbox (same oracle; tier+cell pruning exactness pinned in tests/test_cql.py)",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut

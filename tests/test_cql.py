@@ -449,3 +449,52 @@ class TestParserRoundtripHypothesis:
             assert parse_cql(to_cql(ast)) == ast
 
         run()
+
+
+class TestArealRoutedQuery:
+    """CQL over a tiered-indexed extent table (the reference's CQL-over-
+    feature-store path): tier+cell pruning, F5 dedup, full-CQL re-verify —
+    identical doc sets to the plain filter."""
+
+    def test_indexed_scan_matches_plain_filter(self, spark, geo001, tmp_path):
+        from pyspark.sql import functions as F
+
+        from geowave_spark.extract import with_geometry
+        from geowave_spark.functions.cql import CqlBinding, parse_cql, to_column
+        from geowave_spark.plans.cql_route import cql_areal_routed_query
+        from geowave_spark.sources.tables import ingest_extents, read_indexed
+
+        docs = with_geometry(spark.read.parquet(str(geo001 / "docs.parquet")))
+        docs = docs.withColumn("n_spans", F.size("spans"))
+        path = str(tmp_path / "docs_cql_idx")
+        ingest_extents(
+            docs.select("doc_id", "geom_wkt", "n_spans", "minx", "miny", "maxx", "maxy"),
+            path,
+        )
+        back = read_indexed(spark, path)
+
+        cql = (
+            "BBOX(geom, -75.0, 39.5, -72.0, 42.5) AND n_spans >= 3"
+        )
+        routed, route = cql_areal_routed_query(back, cql)
+        assert route == "tiered_extent"
+        got = {r.doc_id for r in routed.select("doc_id").collect()}
+        fine = to_column(parse_cql(cql), CqlBinding(wkt_col="geom_wkt"))
+        want = {r.doc_id for r in docs.filter(fine).select("doc_id").collect()}
+        assert got == want and got
+
+        # a polygon INTERSECTS runs the same prune (envelope) + exact refine
+        cql2 = (
+            "INTERSECTS(geom, POLYGON ((-75.0 39.5, -72.0 39.5, -72.0 42.5, "
+            "-75.0 42.5, -75.0 39.5)))"
+        )
+        routed2, _ = cql_areal_routed_query(back, cql2)
+        got2 = {r.doc_id for r in routed2.select("doc_id").collect()}
+        fine2 = to_column(parse_cql(cql2), CqlBinding(wkt_col="geom_wkt"))
+        want2 = {r.doc_id for r in docs.filter(fine2).select("doc_id").collect()}
+        assert got2 == want2 and got2
+
+        # non-spatial CQL: full scan, still exact, still deduped
+        routed3, route3 = cql_areal_routed_query(back, "n_spans = 4")
+        assert route3 == "full_scan"
+        assert routed3.count() == docs.filter("n_spans = 4").count()
