@@ -1092,7 +1092,9 @@ def q_cql_areal_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geowave_spark.sources.tables import ingest_extents, read_indexed
 
     d = geo_dir_for(sf_dir)
-    path = d / "docs_extent_cql_idx"
+    # sibling of the fixture dir — writing INSIDE it would corrupt
+    # directory-wide reads of the fixtures (mixed partition roots)
+    path = d.parent / f"{d.name}_extent_cql_idx"
     if not (path / "_SUCCESS").exists():
         docs = with_geometry(_geo(spark, sf_dir, "docs")).withColumn(
             "n_spans", F.size("spans")
