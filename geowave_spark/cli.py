@@ -1,0 +1,427 @@
+"""Operational command-line surface: the reference's ``geowave`` CLI.
+
+Mirrors ``GeoWaveMain`` (reference ``core/cli/.../GeoWaveMain.java`` +
+``CLIOperationDriver.java``): one flat operation name dispatches to an
+operation implementation, exactly the set the reference registers via its
+three ``CLIOperationProviderSpi`` providers —
+
+ingest family (``core/ingest/.../IngestCLIOperationProvider.java:27-88``):
+  ``localingest``      localToGW: local files -> format plugin -> indexed store
+  ``stage``            hdfsstage analog: local files -> staged intermediate
+                       (parquet instead of avro-on-HDFS; same two-phase shape)
+  ``poststage``        staged intermediate -> indexed store
+  ``kafkaingest``      kafkaToGW: refused offline (no kafka connector jar),
+                       same fail-fast contract as streaming/ingest.py
+  ``clear``            drop the type's tables from the store
+
+debug-query family (``extensions/cli/debug/DebugOperationsProvider.java``):
+  ``bbox``             BBOXQuery.java: -east/-west/-north/-south box scan,
+                       ``--useAggregation`` = server-side count (count runs
+                       inside the pruned scan, no row decode to the client)
+  ``clientCql``        ClientSideCQLQuery.java: full scan, CQL evaluated
+                       client-side after decode — the consistency-check twin
+  ``serverCql``        CQLQuery.java: constraint extraction -> index routing
+                       -> key-range scan -> full CQL re-verify server-side
+  ``fullscan``         FullTableScan.java: decode every row, count
+  ``fullscanMinimal``  MinimalFullTable.java: count without deserialization
+                       (parquet row-group metadata count; no column decode)
+
+stats family (``extensions/cli/stats/StatsOperationCLIProvider.java``):
+  ``stats``            StatsOperation.java: drop + recalculate the store's
+                       row-range statistics by re-scanning the table
+  ``dumpstats``        DumpStatsOperation.java: print every statistic
+
+A *store* is a directory; each ingested type is an indexed table at
+``<store>/<type>`` (tier-partitioned, cell-sorted parquet with a
+``_stats.json`` row-range histogram — the engine's datastore layout from
+``sources/tables.write_indexed``).  Staged intermediates live under
+``<store>/_staged/<type>``.
+
+Run as ``python -m geowave_spark.cli <operation> [options]`` or via
+``spark-submit --py-files geowave_spark.zip -m``-style wrappers on a
+cluster; every operation builds (or reuses) the session from
+``geowave_spark.session.get_spark``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+POINT_FORMATS = ("gdelt", "tdrive", "geolife", "gpx")
+GEOM_FORMATS = ("geojson", "shapefile")
+
+
+def _read_format(spark: SparkSession, fmt: str, path: str) -> DataFrame:
+    """Dispatch to the format plugin (S4 family, sources/formats.py)."""
+    from geowave_spark.sources import formats
+
+    if fmt == "gdelt":
+        return formats.read_gdelt(spark, path)
+    if fmt == "tdrive":
+        return formats.read_tdrive(spark, path)
+    if fmt == "geolife":
+        return formats.read_geolife(spark, path)
+    if fmt == "gpx":
+        return formats.read_gpx(spark, path)
+    if fmt == "geojson":
+        return formats.read_geojson(spark, path)
+    if fmt == "shapefile":
+        from geowave_spark.sources.shapefile import read_shapefile
+
+        return read_shapefile(spark, path)
+    raise ValueError(f"unknown ingest format {fmt!r} (choose from "
+                     f"{POINT_FORMATS + GEOM_FORMATS})")
+
+
+def _with_wkt_bbox(df: DataFrame, wkt_col: str = "geom_wkt") -> DataFrame:
+    """bbox columns for a WKT geometry column (extent-ingest prep) — same
+    Arrow-batched envelope derivation as extract.with_geometry's generic
+    path (GeometryUtils.java:45-81)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType([StructField(c, DoubleType()) for c in
+                         ("minx", "miny", "maxx", "maxy")])
+
+    @F.pandas_udf(schema)
+    def _bbox(wkt: pd.Series) -> pd.DataFrame:
+        from geowave_spark.geometry.wkt import geom_bbox, parse_wkt
+
+        out = np.full((len(wkt), 4), np.nan, dtype=np.float64)
+        for i, w in enumerate(wkt):
+            if w:
+                out[i] = geom_bbox(parse_wkt(w))
+        return pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    b = _bbox(F.col(wkt_col))
+    for c in ("minx", "miny", "maxx", "maxy"):
+        df = df.withColumn(c, b[c])
+    return df.filter(F.col("minx").isNotNull())
+
+
+def _normalize(spark: SparkSession, fmt: str, path: str) -> DataFrame:
+    """Format plugin output, normalized for indexing (the adapter-encode
+    half of the ingest lifecycle, SURVEY §3.4)."""
+    df = _read_format(spark, fmt, path)
+    if fmt in GEOM_FORMATS:
+        return _with_wkt_bbox(df)
+    return df
+
+
+def _ingest_normalized(df: DataFrame, fmt: str, table: str) -> None:
+    """Index + write the normalized rows (IndexStrategy.getInsertionIds ->
+    sorted write, AccumuloKeyValuePairGenerator/BatchWriter analog)."""
+    from geowave_spark.sources.tables import ingest_extents, ingest_points
+
+    if fmt in GEOM_FORMATS:
+        ingest_extents(df, table, stats=True)
+    else:
+        ingest_points(df, table, stats=True)
+
+
+def _table_dir(store: str, typename: str) -> Path:
+    return Path(store) / typename
+
+
+def _staged_dir(store: str, typename: str) -> Path:
+    return Path(store) / "_staged" / typename
+
+
+def _resolve_type(store: str, typename: str | None) -> str:
+    """Default to the store's sole type, like the reference defaulting to
+    the sole adapter when -typename is omitted."""
+    if typename:
+        return typename
+    kids = sorted(
+        p.name for p in Path(store).iterdir()
+        if p.is_dir() and not p.name.startswith("_")
+    ) if Path(store).is_dir() else []
+    if len(kids) != 1:
+        raise SystemExit(
+            f"--type is required: store {store!r} holds {len(kids)} types "
+            f"({', '.join(kids) or 'none'})"
+        )
+    return kids[0]
+
+
+def _get_spark() -> SparkSession:
+    from geowave_spark.session import get_spark
+
+    return get_spark("geowave-cli")
+
+
+# ---------------------------------------------------------------- ingest ops
+
+
+def op_localingest(a) -> int:
+    spark = _get_spark()
+    df = _normalize(spark, a.format, a.input)
+    _ingest_normalized(df, a.format, str(_table_dir(a.store, a.type)))
+    n = spark.read.parquet(str(_table_dir(a.store, a.type))).count()
+    print(f"ingested {n} indexed rows into {_table_dir(a.store, a.type)}")
+    return 0
+
+
+def op_stage(a) -> int:
+    spark = _get_spark()
+    out = _staged_dir(a.store, a.type)
+    df = _normalize(spark, a.format, a.input)
+    df.write.mode("overwrite").parquet(str(out))
+    meta = {"format": a.format}
+    (out / "_ingest_format.json").write_text(json.dumps(meta))
+    print(f"staged {spark.read.parquet(str(out)).count()} rows at {out}")
+    return 0
+
+
+def op_poststage(a) -> int:
+    spark = _get_spark()
+    staged = _staged_dir(a.store, a.type)
+    if not (staged / "_SUCCESS").exists():
+        raise SystemExit(f"nothing staged for type {a.type!r} at {staged}")
+    fmt = json.loads((staged / "_ingest_format.json").read_text())["format"]
+    df = spark.read.parquet(str(staged))
+    _ingest_normalized(df, fmt, str(_table_dir(a.store, a.type)))
+    n = spark.read.parquet(str(_table_dir(a.store, a.type))).count()
+    print(f"ingested {n} indexed rows into {_table_dir(a.store, a.type)}")
+    return 0
+
+
+def op_kafkaingest(a) -> int:
+    """kafkaToGW: structurally supported (streaming/ingest.py builds the
+    identical plan from a file source), but the kafka *connector* jar is
+    absent offline — same fail-fast contract as read_docs_kafka_stream."""
+    spark = _get_spark()
+    from geowave_spark.streaming.ingest import kafka_connector_available
+
+    if not kafka_connector_available(spark):
+        print(
+            "kafkaingest: the spark-sql-kafka connector jar is not on this "
+            "classpath (offline sandbox ships none). The identical "
+            "Structured-Streaming plan runs from a file source via "
+            "geowave_spark.streaming.ingest.read_docs_stream; on a cluster, "
+            "add --packages org.apache.spark:spark-sql-kafka-0-10_2.13 and "
+            "re-run.",
+            file=sys.stderr,
+        )
+        return 2
+    raise NotImplementedError("kafka connector present but wiring untested here")
+
+
+def op_clear(a) -> int:
+    cleared = []
+    for p in (_table_dir(a.store, a.type), _staged_dir(a.store, a.type)):
+        if p.exists():
+            shutil.rmtree(p)
+            cleared.append(str(p))
+    print(f"cleared: {', '.join(cleared) or 'nothing'}")
+    return 0
+
+
+# ----------------------------------------------------------------- query ops
+
+
+def _finish_query(df: DataFrame, a, t0: float) -> int:
+    """Shared client finish: optional parquet output, count + timing print
+    (AbstractGeoWaveQuery.java:104's 'Got N results in X')."""
+    if getattr(a, "output", None):
+        df.write.mode("overwrite").parquet(a.output)
+        n = df.sparkSession.read.parquet(a.output).count()
+    else:
+        n = df.count()
+    print(f"Got {n} results in {time.monotonic() - t0:.2f}s")
+    return 0
+
+
+def op_bbox(a) -> int:
+    """BBOXQuery.java: envelope -> SFC key-range predicate (K2 row-group
+    pruning on the cell-sorted table) + coarse lon/lat check; points need no
+    finer refine (the envelope IS the geometry).  --useAggregation = count
+    inside the scan (CountAggregation via AggregationIterator), i.e. the
+    aggregate runs before anything reaches the client."""
+    spark = _get_spark()
+    t0 = time.monotonic()
+    table = str(_table_dir(a.store, _resolve_type(a.store, a.type)))
+    from geowave_spark.operators.range_query import spatial_query_points
+    from geowave_spark.sources.tables import read_indexed
+
+    wkt = (f"POLYGON (({a.west} {a.south}, {a.east} {a.south}, "
+           f"{a.east} {a.north}, {a.west} {a.north}, {a.west} {a.south}))")
+    hit = spatial_query_points(read_indexed(spark, table), wkt, cell_col="cell")
+    if a.useAggregation:
+        n = hit.agg(F.count("*").alias("count")).collect()[0]["count"]
+        print(f"Got {n} results in {time.monotonic() - t0:.2f}s")
+        return 0
+    return _finish_query(hit, a, t0)
+
+
+def op_client_cql(a) -> int:
+    """ClientSideCQLQuery.java: full table scan, CQL evaluated on decoded
+    rows with NO index constraint extraction — the slow-but-simple twin kept
+    'primarily useful for consistency checking' against serverCql."""
+    spark = _get_spark()
+    t0 = time.monotonic()
+    table = str(_table_dir(a.store, _resolve_type(a.store, a.type)))
+    from geowave_spark.functions.cql import parse_cql, to_column
+    from geowave_spark.sources.tables import read_indexed
+
+    rows = read_indexed(spark, table).filter(to_column(parse_cql(a.cql)))
+    return _finish_query(rows, a, t0)
+
+
+def op_server_cql(a) -> int:
+    """CQLQuery.java:59-100: extract geometry + time constraints from the
+    CQL, route through the cost-based index chooser, key-range scan, then
+    re-verify the FULL CQL against every row server-side."""
+    spark = _get_spark()
+    t0 = time.monotonic()
+    table = str(_table_dir(a.store, _resolve_type(a.store, a.type)))
+    from geowave_spark.plans.cql_route import cql_routed_query
+    from geowave_spark.sources.tables import read_indexed
+
+    rows, route = cql_routed_query(
+        read_indexed(spark, table), a.cql, ts_col=a.ts_col
+    )
+    print(f"route: {route}")
+    return _finish_query(rows, a, t0)
+
+
+def op_fullscan(a) -> int:
+    """FullTableScan.java: decode every row (all columns materialize), count."""
+    spark = _get_spark()
+    t0 = time.monotonic()
+    table = str(_table_dir(a.store, _resolve_type(a.store, a.type)))
+    from geowave_spark.sources.tables import read_indexed
+
+    df = read_indexed(spark, table)
+    # force full decode of every column (the 'with iterators +
+    # deserialization' leg): hash all columns so column pruning can't skip any
+    n = df.select(F.xxhash64(*df.columns).alias("h")).count()
+    print(f"Got {n} results in {time.monotonic() - t0:.2f}s")
+    return 0
+
+
+def op_fullscan_minimal(a) -> int:
+    """MinimalFullTable.java: count with no deserialization — COUNT(*) over
+    parquet resolves from row-group metadata, no column decode at all."""
+    spark = _get_spark()
+    t0 = time.monotonic()
+    table = str(_table_dir(a.store, _resolve_type(a.store, a.type)))
+    n = spark.read.parquet(table).count()
+    print(f"Got {n} results in {time.monotonic() - t0:.2f}s")
+    return 0
+
+
+# ----------------------------------------------------------------- stats ops
+
+
+def op_stats(a) -> int:
+    """StatsOperation.java: removeAllStatistics + full-scan recalculation of
+    the row-range histogram (RowRangeHistogramStatistics), rewritten beside
+    the table for the cost-based planner."""
+    spark = _get_spark()
+    table = _table_dir(a.store, _resolve_type(a.store, a.type))
+    stats_file = table / "_stats.json"
+    if stats_file.exists():
+        stats_file.unlink()  # removeAllStatistics
+    from geowave_spark.plans.index_select import build_range_histogram
+    from geowave_spark.sources.tables import _fs_write_text
+
+    h = build_range_histogram(
+        spark.read.parquet(str(table)).select("cell"), "cell"
+    )
+    _fs_write_text(
+        spark,
+        str(stats_file),
+        json.dumps({"bounds": h.bounds.tolist(), "total_rows": h.total_rows}),
+    )
+    print(f"recalculated statistics for {table} ({h.total_rows} rows)")
+    return 0
+
+
+def op_dumpstats(a) -> int:
+    """DumpStatsOperation.java: print every statistic for the type."""
+    spark = _get_spark()
+    table = _table_dir(a.store, _resolve_type(a.store, a.type))
+    from geowave_spark.sources.tables import read_index_stats
+
+    h = read_index_stats(spark, str(table))
+    print(f"[{table.name}] row_range_histogram: total_rows={h.total_rows} "
+          f"buckets={len(h.bounds) - 1}")
+    print(f"[{table.name}] key_bounds: [{h.bounds[0]:.0f}, {h.bounds[-1]:.0f}]")
+    return 0
+
+
+# --------------------------------------------------------------- dispatcher
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="geowave-spark",
+        description=__doc__.splitlines()[0],
+    )
+    sub = p.add_subparsers(dest="operation", required=True)
+
+    def add(name, fn, help_, store=True, typed=True):
+        sp = sub.add_parser(name, help=help_)
+        sp.set_defaults(fn=fn)
+        if store:
+            sp.add_argument("--store", required=True,
+                            help="store directory (datastore analog)")
+        if typed:
+            sp.add_argument("--type", default=None,
+                            help="type name (adapter id analog); "
+                                 "defaults to the store's sole type")
+        return sp
+
+    for name, fn in (("localingest", op_localingest), ("stage", op_stage)):
+        sp = add(name, fn, f"{name}: local files -> "
+                 + ("indexed store" if name == "localingest" else "staging"))
+        sp.add_argument("--input", required=True)
+        sp.add_argument("--format", required=True,
+                        choices=POINT_FORMATS + GEOM_FORMATS)
+        # --type required for ingest (it CREATES the type)
+        for act in sp._actions:
+            if act.dest == "type":
+                act.required = True
+
+    add("poststage", op_poststage, "staged intermediate -> indexed store")
+    add("kafkaingest", op_kafkaingest, "kafka -> indexed store (needs connector jar)")
+    add("clear", op_clear, "drop a type's tables from the store")
+
+    sp = add("bbox", op_bbox, "bbox query over an indexed store")
+    for side in ("north", "south", "east", "west"):
+        sp.add_argument(f"--{side}", type=float, required=True)
+    sp.add_argument("--useAggregation", action="store_true",
+                    help="server-side count (no row decode)")
+    sp.add_argument("--output", default=None, help="write hits as parquet")
+
+    for name, fn in (("clientCql", op_client_cql), ("serverCql", op_server_cql)):
+        sp = add(name, fn, f"{name} CQL query")
+        sp.add_argument("--cql", required=True)
+        sp.add_argument("--output", default=None)
+        if name == "serverCql":
+            sp.add_argument("--ts-col", default="event_ts")
+
+    add("fullscan", op_fullscan, "full scan with row decode")
+    add("fullscanMinimal", op_fullscan_minimal, "count without deserialization")
+    add("stats", op_stats, "recalculate statistics")
+    add("dumpstats", op_dumpstats, "print statistics")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    a = _build_parser().parse_args(argv)
+    return a.fn(a)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -61,7 +61,7 @@ def cql_routed_query(
     if layouts is None and bias is not None:
         from geowave_spark.plans.index_select import prepare_layouts
 
-        layouts = prepare_layouts(pts, xy_bits, t_bits, bias=bias)
+        layouts = prepare_layouts(pts, xy_bits, t_bits, bias=bias, ts_col=ts_col)
 
     if trange is not None:
         from geowave_spark.plans.index_select import routed_points_query
@@ -89,7 +89,7 @@ def cql_routed_query(
     from geowave_spark.sfc.tiered import decompose_query_ranges
 
     if layouts is None:
-        layouts = prepare_layouts(pts, xy_bits, t_bits)
+        layouts = prepare_layouts(pts, xy_bits, t_bits, ts_col=ts_col)
     cfg = layouts["cfg"]
     flat = layouts["flat"]
     minx, miny, maxx, maxy = bbox

@@ -133,7 +133,11 @@ def spatial_2d_decomposer(bits: int, max_ranges: int = 5000, cfg=None):
 
 
 def prepare_layouts(
-    pts: DataFrame, xy_bits: int = 10, t_bits: int = 10, bias: str | None = None
+    pts: DataFrame,
+    xy_bits: int = 10,
+    t_bits: int = 10,
+    bias: str | None = None,
+    ts_col: str = "event_ts",
 ) -> dict:
     """Ingest-time layout preparation: materialize the layouts' key columns
     and their range histograms ONCE (the reference computes row-range stats
@@ -155,7 +159,9 @@ def prepare_layouts(
 
     cfg = SpatialConfig(tiers=(0, xy_bits), backend="zorder")
     flat = with_point_cells(pts, cfg=cfg, cell_col="_cell2d").drop("tier").cache()
-    st = with_spatiotemporal_cells(pts, spatial_bits=xy_bits, time_bits=t_bits).cache()
+    st = with_spatiotemporal_cells(
+        pts, spatial_bits=xy_bits, time_bits=t_bits, ts_col=ts_col
+    ).cache()
     out = {
         "cfg": cfg,
         "flat": flat,
@@ -167,7 +173,7 @@ def prepare_layouts(
         "bias": bias,
     }
     if bias is not None:
-        biased = with_biased_st_cells(pts, bias, cell_col="_bias_key").cache()
+        biased = with_biased_st_cells(pts, bias, cell_col="_bias_key", ts_col=ts_col).cache()
         out["biased"] = biased
         out["hbias_by_years"] = {}
     return out
@@ -209,7 +215,7 @@ def routed_points_query(
     # several full-table passes of planning overhead — fine for one-shot
     # exploration, wrong for a query service
     if layouts is None:
-        layouts = prepare_layouts(pts, xy_bits, t_bits)
+        layouts = prepare_layouts(pts, xy_bits, t_bits, ts_col=ts_col)
     cfg = layouts["cfg"]
     flat = layouts["flat"]
     st = layouts["st"]

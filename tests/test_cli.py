@@ -1,0 +1,193 @@
+"""The geowave CLI surface (geowave_spark/cli.py vs GeoWaveMain.java).
+
+Every operation runs in-process through cli.main(argv) — get_spark()'s
+getOrCreate reuses the pytest session — over a store ingested by the CLI
+itself, and each query op is checked against the direct-API result it must
+equal (the reference keeps clientCql around precisely as the consistency
+twin of serverCql; we hold ALL query ops to that standard)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from geowave_spark import cli
+
+N = 400
+
+
+@pytest.fixture(scope="module")
+def tdrive_csv(tmp_path_factory):
+    """Deterministic taxi traces: lon in [-60, 60), lat in [-30, 30),
+    one point per minute across two calendar days."""
+    rows = []
+    for i in range(N):
+        taxi = i % 8
+        lon = -60.0 + (i * 0.3) % 120.0
+        lat = -30.0 + (i * 0.17) % 60.0
+        day = 1 + (i % 2)
+        rows.append(f"{taxi},2021-06-{day:02d} {(i // 60) % 24:02d}:{i % 60:02d}:00,{lon:.4f},{lat:.4f}")
+    p = tmp_path_factory.mktemp("cli") / "taxis.txt"
+    p.write_text("\n".join(rows) + "\n")
+    return p
+
+
+@pytest.fixture(scope="module")
+def store(spark, tdrive_csv, tmp_path_factory):
+    """A store with one CLI-ingested type."""
+    d = tmp_path_factory.mktemp("cli") / "store"
+    rc = cli.main([
+        "localingest", "--store", str(d), "--type", "taxis",
+        "--input", str(tdrive_csv), "--format", "tdrive",
+    ])
+    assert rc == 0
+    return d
+
+
+class TestIngest:
+    def test_localingest_wrote_indexed_layout(self, spark, store):
+        df = spark.read.parquet(str(store / "taxis"))
+        assert df.count() == N
+        assert {"cell", "tier", "lon", "lat", "ts"} <= set(df.columns)
+        # stats sidecar written (RowRangeHistogramStatistics analog)
+        assert (store / "taxis" / "_stats.json").exists()
+
+    def test_stage_then_poststage_equals_localingest(self, spark, store,
+                                                     tdrive_csv, tmp_path):
+        d = tmp_path / "store2"
+        assert cli.main(["stage", "--store", str(d), "--type", "taxis",
+                         "--input", str(tdrive_csv), "--format", "tdrive"]) == 0
+        assert (d / "_staged" / "taxis" / "_SUCCESS").exists()
+        assert cli.main(["poststage", "--store", str(d), "--type", "taxis"]) == 0
+        a = spark.read.parquet(str(store / "taxis"))
+        b = spark.read.parquet(str(d / "taxis"))
+        assert a.count() == b.count() == N
+        assert a.exceptAll(b).count() == 0  # two-phase == one-phase
+
+    def test_poststage_nothing_staged(self, tmp_path):
+        with pytest.raises(SystemExit):
+            cli.main(["poststage", "--store", str(tmp_path), "--type", "nope"])
+
+    def test_kafkaingest_refused_offline(self, store):
+        assert cli.main(["kafkaingest", "--store", str(store),
+                         "--type", "taxis"]) == 2
+
+    def test_clear(self, spark, tdrive_csv, tmp_path):
+        d = tmp_path / "store3"
+        assert cli.main(["stage", "--store", str(d), "--type", "t",
+                         "--input", str(tdrive_csv), "--format", "tdrive"]) == 0
+        assert cli.main(["clear", "--store", str(d), "--type", "t"]) == 0
+        assert not (d / "_staged" / "t").exists()
+
+    def test_geojson_extent_ingest(self, spark, tmp_path):
+        feats = [
+            {"type": "Feature", "id": f"z{i}",
+             "geometry": {"type": "Polygon", "coordinates":
+                          [[[i, 0], [i + 1, 0], [i + 1, 1], [i, 1], [i, 0]]]},
+             "properties": {"name": f"zone{i}"}}
+            for i in range(6)
+        ]
+        src = tmp_path / "zones.geojsonl"
+        src.write_text("\n".join(json.dumps(f) for f in feats) + "\n")
+        d = tmp_path / "storeg"
+        assert cli.main(["localingest", "--store", str(d), "--type", "zones",
+                         "--input", str(src), "--format", "geojson"]) == 0
+        df = spark.read.parquet(str(d / "zones"))
+        # tiered insertion cells: >= one row per feature, bbox columns real
+        assert df.select("feature_id").distinct().count() == 6
+        assert {"cell", "tier", "minx", "maxx", "geom_wkt"} <= set(df.columns)
+        row = df.filter(F.col("feature_id") == "z0").first()
+        assert (row.minx, row.maxx) == (0.0, 1.0)
+
+
+BOX = {"west": -10.0, "east": 25.0, "south": -20.0, "north": 15.0}
+
+
+def _expected_box_count(spark, store):
+    df = spark.read.parquet(str(store / "taxis"))
+    return df.filter(
+        (F.col("lon") >= BOX["west"]) & (F.col("lon") <= BOX["east"])
+        & (F.col("lat") >= BOX["south"]) & (F.col("lat") <= BOX["north"])
+    ).count()
+
+
+class TestQueries:
+    def test_bbox_matches_direct_filter(self, spark, store, capsys, tmp_path):
+        out = tmp_path / "hits"
+        rc = cli.main([
+            "bbox", "--store", str(store), "--type", "taxis",
+            "--west", str(BOX["west"]), "--east", str(BOX["east"]),
+            "--south", str(BOX["south"]), "--north", str(BOX["north"]),
+            "--output", str(out),
+        ])
+        assert rc == 0
+        expect = _expected_box_count(spark, store)
+        assert expect > 0
+        assert spark.read.parquet(str(out)).count() == expect
+        assert f"Got {expect} results" in capsys.readouterr().out
+
+    def test_bbox_use_aggregation_same_count(self, spark, store, capsys):
+        rc = cli.main([
+            "bbox", "--store", str(store),  # --type omitted: sole type
+            "--west", str(BOX["west"]), "--east", str(BOX["east"]),
+            "--south", str(BOX["south"]), "--north", str(BOX["north"]),
+            "--useAggregation",
+        ])
+        assert rc == 0
+        expect = _expected_box_count(spark, store)
+        assert f"Got {expect} results" in capsys.readouterr().out
+
+    CQL = ("BBOX(geom, -10, -20, 25, 15) AND "
+           "ts DURING 2021-06-01T00:00:00Z/2021-06-01T23:59:59Z")
+
+    def _expected_cql_count(self, spark, store):
+        df = spark.read.parquet(str(store / "taxis"))
+        return df.filter(
+            (F.col("lon") >= -10) & (F.col("lon") <= 25)
+            & (F.col("lat") >= -20) & (F.col("lat") <= 15)
+            & (F.col("ts") > "2021-06-01 00:00:00")
+            & (F.col("ts") < "2021-06-01 23:59:59")
+        ).count()
+
+    def test_client_and_server_cql_agree(self, spark, store, capsys):
+        """The reference's stated purpose for clientCql: consistency
+        checking against the server-side path."""
+        expect = self._expected_cql_count(spark, store)
+        assert expect > 0
+        assert cli.main(["clientCql", "--store", str(store),
+                         "--cql", self.CQL]) == 0
+        client_out = capsys.readouterr().out
+        assert cli.main(["serverCql", "--store", str(store),
+                         "--cql", self.CQL, "--ts-col", "ts"]) == 0
+        server_out = capsys.readouterr().out
+        assert f"Got {expect} results" in client_out
+        assert f"Got {expect} results" in server_out
+        assert "route:" in server_out
+
+    def test_fullscan_both_legs(self, store, capsys):
+        assert cli.main(["fullscan", "--store", str(store)]) == 0
+        assert f"Got {N} results" in capsys.readouterr().out
+        assert cli.main(["fullscanMinimal", "--store", str(store)]) == 0
+        assert f"Got {N} results" in capsys.readouterr().out
+
+
+class TestStats:
+    def test_recalc_and_dump(self, spark, store, capsys):
+        sidecar = store / "taxis" / "_stats.json"
+        before = json.loads(sidecar.read_text())
+        sidecar.unlink()
+        assert cli.main(["stats", "--store", str(store),
+                         "--type", "taxis"]) == 0
+        after = json.loads(sidecar.read_text())
+        assert after["total_rows"] == N
+        assert after == before  # recalc from same data is deterministic
+        assert cli.main(["dumpstats", "--store", str(store)]) == 0
+        out = capsys.readouterr().out
+        assert f"total_rows={N}" in out
+        assert "row_range_histogram" in out
+
+    def test_missing_type_resolution_errors(self, tmp_path):
+        with pytest.raises(SystemExit):
+            cli.main(["dumpstats", "--store", str(tmp_path)])
