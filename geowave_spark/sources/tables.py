@@ -183,3 +183,40 @@ def iceberg_ddl(table: str, schema_cols: dict[str, str]) -> str:
         "TBLPROPERTIES ('write.distribution-mode'='hash')\n"
         f";\nALTER TABLE {table} WRITE ORDERED BY (tier, cell);"
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    path: str | None = None,
+    key_col: str = "cell",
+    mode: str = "overwrite",
+) -> None:
+    """Write a cell-BUCKETED table: hash-bucketed + bucket-sorted on the key.
+
+    Partition-dir layout (:func:`write_indexed`) serves single-table scans —
+    range pruning on the sorted key.  Bucketing serves repeated JOINS: two
+    tables bucketed on the same key with the same bucket count co-locate
+    matching keys in matching files, so every later equi-join on the key
+    (the engine's cell-bucketed PIP/distance/dedup joins) runs with ZERO
+    exchange on either side — at 100 TB that deletes the dominant shuffle
+    from every query against a reference layer ingested once.  This is the
+    storage-level analog of the reference pre-splitting tablets by key so
+    scans land on co-located ranges (`AccumuloMRUtils.getSplits`), and the
+    literal "bucketing for co-located joins" technique Spark offers.
+
+    Bucketed tables must go through the session catalog (``saveAsTable``);
+    ``path`` makes it an external table so the files live where every other
+    table lives.  Readers use :func:`read_bucketed`, and Catalyst uses the
+    bucket spec automatically — no reader-side hint needed."""
+    w = df.write.mode(mode).bucketBy(n_buckets, key_col).sortBy(key_col)
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Scan a bucketed table THROUGH the catalog — ``spark.read.parquet`` on
+    the same files would drop the bucket spec and re-shuffle every join."""
+    return spark.table(table)
