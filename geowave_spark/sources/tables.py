@@ -209,8 +209,20 @@ def write_bucketed(
     Bucketed tables must go through the session catalog (``saveAsTable``);
     ``path`` makes it an external table so the files live where every other
     table lives.  Readers use :func:`read_bucketed`, and Catalyst uses the
-    bucket spec automatically — no reader-side hint needed."""
-    w = df.write.mode(mode).bucketBy(n_buckets, key_col).sortBy(key_col)
+    bucket spec automatically — no reader-side hint needed.
+
+    The pre-write ``repartition(n_buckets, key)`` uses the same hash the
+    bucket spec does, so every bucket lands in exactly ONE file — without
+    it each upstream task writes its own file per bucket (task x bucket
+    file explosion), and a multi-file bucket forfeits the sort: readers
+    must re-sort before every merge join, keeping the only cost bucketing
+    is supposed to delete besides the shuffle."""
+    w = (
+        df.repartition(n_buckets, df[key_col])
+        .write.mode(mode)
+        .bucketBy(n_buckets, key_col)
+        .sortBy(key_col)
+    )
     if path is not None:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
