@@ -31,6 +31,20 @@ stats family (``extensions/cli/stats/StatsOperationCLIProvider.java``):
                        row-range statistics by re-scanning the table
   ``dumpstats``        DumpStatsOperation.java: print every statistic
 
+splits family (``extensions/datastores/accumulo/.../split/
+AccumuloSplitsOperationCLIProvider.java`` -> ``AccumuloUtils.java:801-1040``;
+the reference moves tablet split points, the Spark analog rewrites the
+table's file splits — same storage-level knob):
+  ``splitquantile``        --num partitions at sampled key quantiles: every
+                           file holds an equal ROW share of contiguous key
+                           space (setSplitsByQuantile)
+  ``splitequalinterval``   --num contiguous equal-WIDTH key intervals
+                           (setSplitsByNumSplits)
+  ``presplitpartitionid``  --num hash partitions: even file sizes whatever
+                           the key skew (setSplitsByRandomPartitions)
+  ``splitnumrecords``      --num ENTRIES per split; split count derived from
+                           the table's row count (setSplitsByNumRows)
+
 A *store* is a directory; each ingested type is an indexed table at
 ``<store>/<type>`` (tier-partitioned, cell-sorted parquet with a
 ``_stats.json`` row-range histogram — the engine's datastore layout from
@@ -360,6 +374,52 @@ def op_dumpstats(a) -> int:
     return 0
 
 
+# ---------------------------------------------------------------- splits ops
+
+
+def _resplit(a, strategy: str, n: int | None) -> int:
+    """Shared splits-op body (AbstractAccumuloSplitsOperation.java): resolve
+    the type's table, rewrite it with split boundaries chosen by
+    ``strategy`` (sources/tables.split_partitions), refresh the stats
+    sidecar.  The rewrite goes through a sibling temp dir then renames —
+    Spark cannot overwrite a path it is still reading."""
+    spark = _get_spark()
+    table = _table_dir(a.store, _resolve_type(a.store, a.type))
+    from geowave_spark.sources.tables import read_indexed, write_indexed
+
+    df = read_indexed(spark, str(table)).cache()
+    total = df.count()
+    if n is None:
+        # splitnumrecords: --num is entries PER split (setSplitsByNumRows
+        # walks keys accumulating `num` rows per tablet == quantile splits
+        # with a derived split count)
+        n = max(1, -(-total // a.num))
+        strategy = "quantile"
+    write_indexed(df, str(table) + ".__resplit", files_per_tier=n,
+                  split_strategy=strategy, stats=True)
+    df.unpersist()
+    shutil.rmtree(table)
+    Path(str(table) + ".__resplit").rename(table)
+    print(f"resplit {table} into {n} splits ({strategy}), {total} rows")
+    return 0
+
+
+def op_split_quantile(a) -> int:
+    return _resplit(a, "quantile", a.num)
+
+
+def op_split_equal_interval(a) -> int:
+    return _resplit(a, "equal_interval", a.num)
+
+
+def op_presplit_partition_id(a) -> int:
+    return _resplit(a, "hash", a.num)
+
+
+def op_split_num_records(a) -> int:
+    return _resplit(a, "quantile", None)
+
+
 # --------------------------------------------------------------- dispatcher
 
 
@@ -410,6 +470,21 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--output", default=None)
         if name == "serverCql":
             sp.add_argument("--ts-col", default="event_ts")
+
+    for name, fn, help_ in (
+        ("splitquantile", op_split_quantile,
+         "re-split table files at sampled key quantiles"),
+        ("splitequalinterval", op_split_equal_interval,
+         "re-split table files at equal-width key intervals"),
+        ("presplitpartitionid", op_presplit_partition_id,
+         "re-split table files by partition-id hash"),
+        ("splitnumrecords", op_split_num_records,
+         "re-split table files to --num entries per split"),
+    ):
+        sp = add(name, fn, help_)
+        sp.add_argument("--num", type=int, required=True,
+                        help="number of partitions (entries per split for "
+                             "splitnumrecords)")
 
     add("fullscan", op_fullscan, "full scan with row decode")
     add("fullscanMinimal", op_fullscan_minimal, "count without deserialization")

@@ -40,6 +40,7 @@ def write_indexed(
     wkt_col: str = "geom_wkt",
     stats: bool = False,
     format: str = "parquet",
+    split_strategy: str = "hash",
 ) -> None:
     """Write an indexed table: tier partition dirs, cell-sorted files.
 
@@ -68,7 +69,7 @@ def write_indexed(
 
         out = out.withColumn("geom_wkb", wkt_to_wkb(out[wkt_col])).drop(wkt_col)
     if files_per_tier is not None:
-        out = out.repartition(files_per_tier, "tier", "cell")
+        out = split_partitions(out, files_per_tier, split_strategy)
     out = out.sortWithinPartitions("tier", "cell")
     if format == "iceberg":
         spark = df.sparkSession
@@ -232,3 +233,42 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Scan a bucketed table THROUGH the catalog — ``spark.read.parquet`` on
     the same files would drop the bucket spec and re-shuffle every join."""
     return spark.table(table)
+
+
+def split_partitions(df: DataFrame, n: int, strategy: str = "hash") -> DataFrame:
+    """Choose how rows land in the ``n`` write splits — the reference's
+    Accumulo split-strategy family (`AccumuloSplitsOperationCLIProvider.java`,
+    `AccumuloUtils.java:801-1040`), where tablet split points come from the
+    key distribution:
+
+    - ``"hash"``: hash-repartition on (tier, cell) — presplitpartitionid's
+      uniform-by-partition-id analog; even file sizes regardless of key
+      skew, but a key-range scan touches every file.
+    - ``"quantile"``: range-repartition on (tier, cell) — splitquantile:
+      boundaries from sampled key quantiles, so every file covers an equal
+      ROW share of contiguous key space; range scans prune to few files
+      even under skew.  The scale default for read-mostly tables.
+    - ``"equal_interval"``: contiguous equal-WIDTH key intervals —
+      splitequalinterval: boundaries at fixed key strides (one min/max agg,
+      then arithmetic).  Files map 1:1 to uniform grid regions (useful when
+      downstream work is per-region), but skewed data skews file sizes.
+    """
+    if strategy == "hash":
+        return df.repartition(n, "tier", "cell")
+    if strategy == "quantile":
+        return df.repartitionByRange(n, "tier", "cell")
+    if strategy == "equal_interval":
+        from pyspark.sql import functions as F
+
+        lo, hi = df.agg(F.min("cell"), F.max("cell")).collect()[0]
+        width = max((int(hi) - int(lo) + n) // n, 1)
+        bucket = F.least(
+            F.lit(n - 1), ((F.col("cell") - F.lit(int(lo))) / F.lit(width)).cast("int")
+        )
+        return (
+            df.withColumn("_split", bucket)
+            .repartitionByRange(n, "tier", "_split")
+            .drop("_split")
+        )
+    raise ValueError(f"unknown split strategy {strategy!r} "
+                     "(hash | quantile | equal_interval)")

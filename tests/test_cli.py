@@ -191,3 +191,58 @@ class TestStats:
     def test_missing_type_resolution_errors(self, tmp_path):
         with pytest.raises(SystemExit):
             cli.main(["dumpstats", "--store", str(tmp_path)])
+
+
+class TestSplits:
+    """The accsplits op family (AccumuloSplitsOperationCLIProvider.java):
+    each op rewrites the type's file splits; rows and stats must survive."""
+
+    @pytest.fixture()
+    def own_store(self, tdrive_csv, tmp_path):
+        d = tmp_path / "store_splits"
+        assert cli.main([
+            "localingest", "--store", str(d), "--type", "taxis",
+            "--input", str(tdrive_csv), "--format", "tdrive",
+        ]) == 0
+        return d
+
+    @staticmethod
+    def _tier_files(table_dir):
+        tiers = [p for p in table_dir.iterdir() if p.name.startswith("tier=")]
+        assert len(tiers) == 1
+        return list(tiers[0].glob("*.parquet"))
+
+    def test_splitquantile_rewrites_preserving_rows(self, spark, own_store,
+                                                    capsys):
+        before = {tuple(r) for r in
+                  spark.read.parquet(str(own_store / "taxis")).collect()}
+        assert cli.main(["splitquantile", "--store", str(own_store),
+                         "--num", "3"]) == 0
+        assert "into 3 splits (quantile)" in capsys.readouterr().out
+        assert len(self._tier_files(own_store / "taxis")) == 3
+        after = {tuple(r) for r in
+                 spark.read.parquet(str(own_store / "taxis")).collect()}
+        assert after == before
+        # stats sidecar refreshed alongside (AbstractAccumuloSplitsOperation
+        # keeps the store queryable afterwards)
+        assert (own_store / "taxis" / "_stats.json").exists()
+        assert json.loads(
+            (own_store / "taxis" / "_stats.json").read_text()
+        )["total_rows"] == N
+
+    def test_presplitpartitionid_and_equalinterval(self, own_store, capsys):
+        assert cli.main(["presplitpartitionid", "--store", str(own_store),
+                         "--num", "4"]) == 0
+        assert "into 4 splits (hash)" in capsys.readouterr().out
+        assert len(self._tier_files(own_store / "taxis")) == 4
+        assert cli.main(["splitequalinterval", "--store", str(own_store),
+                         "--num", "2"]) == 0
+        assert "(equal_interval)" in capsys.readouterr().out
+        assert len(self._tier_files(own_store / "taxis")) <= 2
+
+    def test_splitnumrecords_derives_split_count(self, own_store, capsys):
+        # --num is entries PER split: 400 rows / 100 per split -> 4 splits
+        assert cli.main(["splitnumrecords", "--store", str(own_store),
+                         "--num", "100"]) == 0
+        assert "into 4 splits" in capsys.readouterr().out
+        assert len(self._tier_files(own_store / "taxis")) == 4

@@ -177,3 +177,90 @@ class TestBiasedIndexedWrite:
             spark.conf.unset("spark.sql.maxMetadataStringLength")
         pushed = plan.split("PushedFilters", 1)
         assert len(pushed) == 2 and "bias_key" in pushed[1][:40000]
+
+
+class TestSplitStrategies:
+    """split_partitions: the Accumulo split-strategy family
+    (AccumuloSplitsOperationCLIProvider.java, AccumuloUtils.java:801-1040)
+    re-expressed as write-split placement."""
+
+    @pytest.fixture(scope="class")
+    def pts(self, spark, geo001):
+        return spark.read.parquet(str(geo001 / "points.parquet"))
+
+    @staticmethod
+    def _tier_files(root):
+        tier_dirs = [p for p in root.iterdir() if p.name.startswith("tier=")]
+        assert len(tier_dirs) == 1  # point table: single finest tier
+        return sorted(tier_dirs[0].glob("*.parquet"))
+
+    def test_quantile_contiguous_equal_row_share(self, spark, pts, tmp_path):
+        from geowave_spark.sources.tables import ingest_points
+
+        path = tmp_path / "q"
+        ingest_points(pts, str(path), files_per_tier=4,
+                      split_strategy="quantile")
+        files = self._tier_files(path)
+        assert len(files) == 4
+        spans, counts = [], []
+        for f in files:
+            cells = pq.read_table(f, columns=["cell"])["cell"].to_pylist()
+            assert cells == sorted(cells)  # still cell-sorted within file
+            spans.append((cells[0], cells[-1]))
+            counts.append(len(cells))
+        # setSplitsByQuantile: contiguous, non-overlapping key ranges ...
+        spans.sort()
+        for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+            assert hi1 <= lo2
+        # ... each holding ~an equal ROW share (sampled boundaries: loose 2x)
+        assert max(counts) <= 2 * max(min(counts), 1)
+        assert sum(counts) == pts.count()
+
+    def test_equal_interval_buckets_never_straddle(self, spark, pts, tmp_path):
+        from geowave_spark.sources.tables import ingest_points
+
+        n = 4
+        path = tmp_path / "ei"
+        ingest_points(pts, str(path), files_per_tier=n,
+                      split_strategy="equal_interval")
+        files = self._tier_files(path)
+        assert 1 < len(files) <= n
+        # derive the fixed-stride bucket for every row the same way the
+        # writer does; setSplitsByNumSplits semantics = a bucket (uniform
+        # key interval) is never split across two files
+        all_cells = [pq.read_table(f, columns=["cell"])["cell"].to_pylist()
+                     for f in files]
+        flat = [c for cs in all_cells for c in cs]
+        lo, hi = min(flat), max(flat)
+        width = max((hi - lo + n) // n, 1)
+        bucket_to_files = {}
+        for i, cs in enumerate(all_cells):
+            for c in cs:
+                b = min(n - 1, (c - lo) // width)
+                bucket_to_files.setdefault(b, set()).add(i)
+        assert all(len(fs) == 1 for fs in bucket_to_files.values())
+        assert sum(map(len, all_cells)) == pts.count()
+
+    def test_hash_even_files_any_skew(self, spark, pts, tmp_path):
+        from geowave_spark.sources.tables import ingest_points
+
+        # worst-case key skew: every row in one hot cell region
+        skew = pts.withColumn("lon", F.lit(10.0)).withColumn("lat", F.lit(10.0))
+        path = tmp_path / "h"
+        ingest_points(skew, str(path), files_per_tier=4, split_strategy="hash")
+        files = self._tier_files(path)
+        # one cell -> one hash partition: all rows in a single file, but the
+        # strategy itself never errors; with real spread files even out
+        path2 = tmp_path / "h2"
+        ingest_points(pts, str(path2), files_per_tier=4, split_strategy="hash")
+        files2 = self._tier_files(path2)
+        counts = [pq.read_metadata(f).num_rows for f in files2]
+        assert len(files2) == 4 and max(counts) <= 3 * max(min(counts), 1)
+        assert sum(counts) == pts.count()
+        assert sum(pq.read_metadata(f).num_rows for f in files) == pts.count()
+
+    def test_unknown_strategy_rejected(self, pts):
+        from geowave_spark.sources.tables import split_partitions
+
+        with pytest.raises(ValueError, match="split strategy"):
+            split_partitions(pts, 4, "fibonacci")
