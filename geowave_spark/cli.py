@@ -31,6 +31,25 @@ stats family (``extensions/cli/stats/StatsOperationCLIProvider.java``):
                        row-range statistics by re-scanning the table
   ``dumpstats``        DumpStatsOperation.java: print every statistic
 
+analytic family (``analytics/mapreduce/.../
+MapReduceAnalyticOperationCLIProvider.java`` — the reference launches
+MapReduce job runners; here each op is the engine's Spark operator over the
+store, results land as parquet at ``--output``):
+  ``kmeansparallel``   MultiLevelKMeansClusteringJobRunner: k-means|| init +
+                       Lloyd; writes (id, cluster, dist_sq), prints centroids
+  ``kmeansjump``       MultiLevelJumpKMeansClusteringJobRunner: pick k by the
+                       distortion jump method over --kmin..--kmax, then run
+  ``dbscan``           DBScanIterationsJobRunner: density clustering
+  ``nn``               GeoWaveExtractNNJobRunner: every neighbor pair within
+                       --distance (the epsilon-neighborhood self-join)
+  ``kde``              KDEJobRunner: Gaussian-splat pyramid levels
+                       --minLevel..--maxLevel into tiled raster rows
+
+raster family (``extensions/adapters/raster/.../RasterOperationCLIProvider
+.java``):
+  ``raster-resize``    RasterTileResizeJobRunner: re-tile a KDE/raster table
+                       to a new tile size without recomputing weights
+
 splits family (``extensions/datastores/accumulo/.../split/
 AccumuloSplitsOperationCLIProvider.java`` -> ``AccumuloUtils.java:801-1040``;
 the reference moves tablet split points, the Spark analog rewrites the
@@ -374,6 +393,123 @@ def op_dumpstats(a) -> int:
     return 0
 
 
+# -------------------------------------------------------------- analytic ops
+
+
+def _store_points(a, spark: SparkSession) -> DataFrame:
+    """The type's rows with a guaranteed unique id column for the analytics
+    (the reference keys MR tuples by data id; ingested stores may lack one,
+    so synthesize a deterministic-for-this-layout row id)."""
+    from geowave_spark.sources.tables import read_indexed
+
+    df = read_indexed(spark, str(_table_dir(a.store, _resolve_type(a.store, a.type))))
+    id_col = getattr(a, "id_col", None)
+    if id_col:
+        return df, id_col
+    # string id: the k-means|| sampler seeds from md5(id)
+    return df.withColumn(
+        "_rowid", F.monotonically_increasing_id().cast("string")
+    ), "_rowid"
+
+
+def op_kmeans_parallel(a) -> int:
+    """MultiLevelKMeansClusteringJobRunner: k-means|| sampling
+    (KSamplerMapReduce) seeds Lloyd iterations (KMeansMapReduce)."""
+    spark = _get_spark()
+    from geowave_spark.operators.clustering import kmeans, kmeans_parallel_init
+
+    pts, id_col = _store_points(a, spark)
+    init = kmeans_parallel_init(pts, a.k, id_col=id_col)
+    assign, centroids = kmeans(pts, a.k, max_iters=a.maxIters,
+                               id_col=id_col, init=init)
+    assign.write.mode("overwrite").parquet(a.output)
+    for i, (lon, lat) in enumerate(centroids):
+        print(f"centroid {i}: ({lon:.6f}, {lat:.6f})")
+    print(f"kmeansparallel: k={a.k}, assignments at {a.output}")
+    return 0
+
+
+def op_kmeans_jump(a) -> int:
+    """MultiLevelJumpKMeansClusteringJobRunner: distortion-jump k selection,
+    then the final clustering at the chosen k."""
+    spark = _get_spark()
+    from geowave_spark.operators.clustering import (
+        kmeans, kmeans_jump, kmeans_parallel_init)
+
+    pts, id_col = _store_points(a, spark)
+    best_k, js = kmeans_jump(pts, (a.kmin, a.kmax), id_col=id_col)
+    assign, _ = kmeans(pts, best_k, id_col=id_col,
+                       init=kmeans_parallel_init(pts, best_k, id_col=id_col))
+    assign.write.mode("overwrite").parquet(a.output)
+    print(f"kmeansjump: best k={best_k} "
+          f"(jumps: {', '.join(f'{k}={v:.3g}' for k, v in sorted(js.items()))})")
+    return 0
+
+
+def op_dbscan(a) -> int:
+    """DBScanIterationsJobRunner: clusters written as (id, cluster, is_core);
+    noise rows absent, exactly the operator's contract."""
+    spark = _get_spark()
+    from geowave_spark.operators.clustering import dbscan
+
+    pts, id_col = _store_points(a, spark)
+    out = dbscan(pts, a.eps, a.minpts, id_col=id_col)
+    out.write.mode("overwrite").parquet(a.output)
+    n = spark.read.parquet(a.output)
+    print(f"dbscan: {n.count()} clustered points in "
+          f"{n.select('cluster').distinct().count()} clusters at {a.output}")
+    return 0
+
+
+def op_nn(a) -> int:
+    """GeoWaveExtractNNJobRunner: the epsilon-neighborhood self-join — every
+    ordered neighbor pair within --distance (NNMapReduce.java:119-291)."""
+    spark = _get_spark()
+    from geowave_spark.operators.knn import distance_join
+
+    pts, id_col = _store_points(a, spark)
+    left = pts.select(
+        F.col(id_col).alias("qid"),
+        F.col("lon").alias("qlon"), F.col("lat").alias("qlat"),
+    )
+    pairs = distance_join(
+        left, pts, a.distance, right_id_col=id_col, right_cell_col="cell"
+    ).filter(F.col("qid") != F.col(id_col))
+    pairs.write.mode("overwrite").parquet(a.output)
+    print(f"nn: {spark.read.parquet(a.output).count()} neighbor pairs "
+          f"within {a.distance} at {a.output}")
+    return 0
+
+
+def op_kde(a) -> int:
+    """KDEJobRunner: Gaussian-splat pyramid (R1-R4) over the type's points."""
+    spark = _get_spark()
+    from geowave_spark.operators.kde import kde_pyramid
+
+    pts, _ = _store_points(a, spark)
+    cells = kde_pyramid(pts, min_level=a.minLevel, max_level=a.maxLevel,
+                        tile_size=a.tileSize)
+    cells.write.mode("overwrite").parquet(a.output)
+    n = spark.read.parquet(a.output).count()
+    print(f"kde: {n} posts across levels {a.minLevel}..{a.maxLevel} "
+          f"at {a.output}")
+    return 0
+
+
+def op_raster_resize(a) -> int:
+    """RasterTileResizeJobRunner: re-tile an existing KDE/raster parquet
+    output to a new tile size; weights/bands invariant (R7)."""
+    spark = _get_spark()
+    from geowave_spark.operators.kde import resize_pyramid
+
+    cells = spark.read.parquet(a.input)
+    out = resize_pyramid(cells, a.oldTileSize, a.newTileSize)
+    out.write.mode("overwrite").parquet(a.output)
+    print(f"raster-resize: {a.oldTileSize} -> {a.newTileSize}, "
+          f"{spark.read.parquet(a.output).count()} posts at {a.output}")
+    return 0
+
+
 # ---------------------------------------------------------------- splits ops
 
 
@@ -470,6 +606,43 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--output", default=None)
         if name == "serverCql":
             sp.add_argument("--ts-col", default="event_ts")
+
+    def add_analytic(name, fn, help_):
+        sp = add(name, fn, help_)
+        sp.add_argument("--output", required=True, help="result parquet path")
+        sp.add_argument("--id-col", default=None,
+                        help="unique id column (default: synthesized row id)")
+        return sp
+
+    sp = add_analytic("kmeansparallel", op_kmeans_parallel,
+                      "k-means|| clustering over the store")
+    sp.add_argument("--k", type=int, required=True)
+    sp.add_argument("--maxIters", type=int, default=10)
+
+    sp = add_analytic("kmeansjump", op_kmeans_jump,
+                      "k-means with k chosen by the jump method")
+    sp.add_argument("--kmin", type=int, default=2)
+    sp.add_argument("--kmax", type=int, default=8)
+
+    sp = add_analytic("dbscan", op_dbscan, "density-based clustering")
+    sp.add_argument("--eps", type=float, required=True)
+    sp.add_argument("--minpts", type=int, required=True)
+
+    sp = add_analytic("nn", op_nn, "neighbor pairs within a distance")
+    sp.add_argument("--distance", type=float, required=True)
+
+    sp = add_analytic("kde", op_kde, "kernel density estimate pyramid")
+    sp.add_argument("--minLevel", type=int, default=1)
+    sp.add_argument("--maxLevel", type=int, default=8)
+    sp.add_argument("--tileSize", type=int, default=1)
+
+    sp = sub.add_parser("raster-resize",
+                        help="re-tile a KDE/raster output to a new tile size")
+    sp.set_defaults(fn=op_raster_resize)
+    sp.add_argument("--input", required=True, help="cells parquet path")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--oldTileSize", type=int, required=True)
+    sp.add_argument("--newTileSize", type=int, required=True)
 
     for name, fn, help_ in (
         ("splitquantile", op_split_quantile,

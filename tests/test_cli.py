@@ -246,3 +246,85 @@ class TestSplits:
                          "--num", "100"]) == 0
         assert "into 4 splits" in capsys.readouterr().out
         assert len(self._tier_files(own_store / "taxis")) == 4
+
+
+class TestAnalytics:
+    """The analytic op family (MapReduceAnalyticOperationCLIProvider.java):
+    each CLI run is checked against the direct operator API or a brute-force
+    recomputation, the same consistency-twin standard as the query ops."""
+
+    def test_kmeansparallel(self, spark, store, tmp_path, capsys):
+        out = tmp_path / "km"
+        assert cli.main(["kmeansparallel", "--store", str(store),
+                         "--k", "3", "--output", str(out)]) == 0
+        txt = capsys.readouterr().out
+        assert "centroid 0:" in txt and "centroid 2:" in txt
+        assign = spark.read.parquet(str(out))
+        assert assign.count() == N
+        assert assign.select("cluster").distinct().count() == 3
+        assert assign.filter(F.col("dist_sq") < 0).count() == 0
+
+    def test_kmeansjump_picks_k_in_range(self, spark, store, tmp_path, capsys):
+        out = tmp_path / "kj"
+        assert cli.main(["kmeansjump", "--store", str(store), "--kmin", "2",
+                         "--kmax", "3", "--output", str(out)]) == 0
+        txt = capsys.readouterr().out
+        assert "best k=" in txt
+        k = int(txt.split("best k=")[1].split()[0])
+        assert 2 <= k <= 3
+        assign = spark.read.parquet(str(out))
+        assert assign.count() == N
+        assert assign.select("cluster").distinct().count() == k
+
+    def test_dbscan(self, spark, store, tmp_path, capsys):
+        out = tmp_path / "db"
+        assert cli.main(["dbscan", "--store", str(store), "--eps", "3.0",
+                         "--minpts", "3", "--output", str(out)]) == 0
+        res = spark.read.parquet(str(out))
+        n_pts, n_clusters = res.count(), res.select("cluster").distinct().count()
+        assert 0 < n_pts <= N and 0 < n_clusters < n_pts
+        assert f"{n_pts} clustered points in {n_clusters} clusters" \
+            in capsys.readouterr().out
+
+    def test_nn_matches_bruteforce(self, spark, store, tmp_path):
+        import numpy as np
+
+        out = tmp_path / "nn"
+        d = 2.5
+        assert cli.main(["nn", "--store", str(store), "--distance", str(d),
+                         "--output", str(out)]) == 0
+        pdf = spark.read.parquet(str(store / "taxis")).select("lon", "lat").toPandas()
+        xy = pdf[["lon", "lat"]].to_numpy()
+        d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(axis=2)
+        expect = int((d2 <= d * d).sum()) - len(xy)  # ordered pairs, no self
+        assert expect > 0
+        assert spark.read.parquet(str(out)).count() == expect
+
+    def test_kde_matches_direct_operator(self, spark, store, tmp_path):
+        from geowave_spark.operators.kde import kde_pyramid
+
+        out = tmp_path / "kde"
+        assert cli.main(["kde", "--store", str(store), "--minLevel", "1",
+                         "--maxLevel", "3", "--tileSize", "2",
+                         "--output", str(out)]) == 0
+        got = spark.read.parquet(str(out))
+        want = kde_pyramid(spark.read.parquet(str(store / "taxis")),
+                           min_level=1, max_level=3, tile_size=2)
+        assert got.count() == want.count()
+        assert (got.agg(F.sum("weight_scaled")).collect()[0][0]
+                == want.agg(F.sum("weight_scaled")).collect()[0][0])
+
+    def test_raster_resize_preserves_posts(self, spark, store, tmp_path):
+        src, out = tmp_path / "kde2", tmp_path / "resized"
+        assert cli.main(["kde", "--store", str(store), "--minLevel", "1",
+                         "--maxLevel", "3", "--tileSize", "2",
+                         "--output", str(src)]) == 0
+        assert cli.main(["raster-resize", "--input", str(src),
+                         "--output", str(out), "--oldTileSize", "2",
+                         "--newTileSize", "1"]) == 0
+        a = spark.read.parquet(str(src))
+        b = spark.read.parquet(str(out))
+        # R7 invariant: post count and total weight survive re-tiling
+        assert a.count() == b.count()
+        assert (a.agg(F.sum("weight_scaled")).collect()[0][0]
+                == b.agg(F.sum("weight_scaled")).collect()[0][0])
