@@ -59,9 +59,9 @@ def cql_routed_query(
         return pts.filter(fine), "full_scan"
 
     if layouts is None and bias is not None:
-        from geowave_spark.plans.index_select import prepare_layouts
+        from geowave_spark.plans.index_select import layouts_for
 
-        layouts = prepare_layouts(pts, xy_bits, t_bits, bias=bias, ts_col=ts_col)
+        layouts = layouts_for(pts, xy_bits, t_bits, bias=bias, ts_col=ts_col)
 
     if trange is not None:
         from geowave_spark.plans.index_select import routed_points_query
@@ -85,11 +85,11 @@ def cql_routed_query(
     # spatial-only: scan the 2D tiered layout's key ranges
     from pyspark.sql import functions as F
 
-    from geowave_spark.plans.index_select import prepare_layouts
+    from geowave_spark.plans.index_select import layouts_for
     from geowave_spark.sfc.tiered import decompose_query_ranges
 
     if layouts is None:
-        layouts = prepare_layouts(pts, xy_bits, t_bits, ts_col=ts_col)
+        layouts = layouts_for(pts, xy_bits, t_bits, ts_col=ts_col)
     cfg = layouts["cfg"]
     flat = layouts["flat"]
     minx, miny, maxx, maxy = bbox

@@ -179,6 +179,54 @@ def prepare_layouts(
     return out
 
 
+# session-lifetime layout registry: the reference's long-lived DataStore
+# loads index metadata + row-range statistics ONCE and serves every query
+# from them (`BaseDataStore` holding `IndexStore`/`DataStatisticsStore`);
+# rebuilding per query call costs two key-column materializations plus an
+# approxQuantile histogram — measured at ~2/3 of cql_spatial_routed's
+# latency (BENCH/BASELINE.md §7).
+_LAYOUTS: dict[tuple, dict] = {}
+
+
+def layouts_for(
+    pts: DataFrame,
+    xy_bits: int = 10,
+    t_bits: int = 10,
+    bias: str | None = None,
+    ts_col: str = "event_ts",
+) -> dict:
+    """prepare_layouts memoized on the table's semantic identity.
+
+    The key is the canonicalized analyzed-plan hash (stable across separate
+    reads of the same files; a rewritten table lists different files, so it
+    misses and rebuilds).  Entries hold cached DataFrames — call
+    :func:`release_layouts` to drop them (e.g. after replacing a table
+    in-place within one session)."""
+    key = (
+        pts._jdf.queryExecution().analyzed().semanticHash(),
+        xy_bits, t_bits, bias, ts_col,
+    )
+    hit = _LAYOUTS.get(key)
+    if hit is None:
+        hit = _LAYOUTS[key] = prepare_layouts(
+            pts, xy_bits, t_bits, bias=bias, ts_col=ts_col
+        )
+    return hit
+
+
+def release_layouts() -> None:
+    """Unpersist and forget every registered layout."""
+    while _LAYOUTS:
+        _, layouts = _LAYOUTS.popitem()
+        for k in ("flat", "st", "biased"):
+            df = layouts.get(k)
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+
+
 def routed_points_query(
     pts: DataFrame,
     bbox: tuple[float, float, float, float],
@@ -211,11 +259,11 @@ def routed_points_query(
     from geowave_spark.operators.indexing import st_cell_ranges
 
     # layouts + histograms come from prepare_layouts (ingest-time) when
-    # provided; the self-contained default builds them per call, which costs
-    # several full-table passes of planning overhead — fine for one-shot
-    # exploration, wrong for a query service
+    # provided; the self-contained default goes through the session-lifetime
+    # registry, so repeated queries against the same table plan from the
+    # already-built histograms (the reference's long-lived DataStore shape)
     if layouts is None:
-        layouts = prepare_layouts(pts, xy_bits, t_bits, ts_col=ts_col)
+        layouts = layouts_for(pts, xy_bits, t_bits, ts_col=ts_col)
     cfg = layouts["cfg"]
     flat = layouts["flat"]
     st = layouts["st"]

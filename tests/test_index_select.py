@@ -333,3 +333,42 @@ class TestBiasedLayoutRouting:
                 dt.datetime(2012, 6, 1), dt.datetime(2013, 1, 1),
                 force="no_such_index",
             )
+
+
+class TestLayoutRegistry:
+    """layouts_for: the long-lived-DataStore analog — index metadata +
+    row-range histograms built once per table per session, not per query."""
+
+    def test_memoized_on_semantic_identity(self, spark, geo001):
+        from geowave_spark.plans import index_select as isel
+
+        isel.release_layouts()
+        a = spark.read.parquet(str(geo001 / "points.parquet"))
+        b = spark.read.parquet(str(geo001 / "points.parquet"))
+        la = isel.layouts_for(a, 8, 8)
+        # a SEPARATE read of the same files shares the entry (semantic key)
+        assert isel.layouts_for(b, 8, 8) is la
+        # different layout parameters are a different entry
+        assert isel.layouts_for(a, 9, 8) is not la
+        isel.release_layouts()
+        assert isel.layouts_for(a, 8, 8) is not la  # released -> rebuilt
+
+    def test_routed_query_plans_from_registry(self, spark, geo001, monkeypatch):
+        from geowave_spark.plans import index_select as isel
+        from geowave_spark.plans.cql_route import cql_routed_query
+
+        isel.release_layouts()
+        calls = []
+        real = isel.prepare_layouts
+        monkeypatch.setattr(
+            isel, "prepare_layouts",
+            lambda *a, **k: (calls.append(1), real(*a, **k))[1],
+        )
+        pts = spark.read.parquet(str(geo001 / "points.parquet"))
+        cql = "BBOX(geom, -75, 39.5, -72, 42.5)"
+        r1, route1 = cql_routed_query(pts, cql)
+        n1 = r1.count()
+        r2, route2 = cql_routed_query(pts, cql)
+        assert r2.count() == n1 > 0 and route1 == route2
+        assert len(calls) == 1  # second query planned from cached layouts
+        isel.release_layouts()
