@@ -34,6 +34,10 @@ class CacheRegistry:
 
 
 def release_all() -> None:
-    """Drop every operator family's outstanding caches (session cleanup)."""
+    """Drop every operator family's outstanding caches plus the layout
+    registry (session cleanup)."""
     for r in _REGISTRIES:
         r.release()
+    from geowave_spark.plans.index_select import release_layouts
+
+    release_layouts()

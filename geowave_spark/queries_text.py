@@ -176,6 +176,28 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (the RAM-resident 100 TB path: PQ codes shrink the probed
+    candidate payload ~32x) in its probe-all + rerank-all configuration —
+    exact-rerank of every probed candidate makes the output the exact top-k
+    for ANY trained codebook, so the brute-force SQL is a true oracle of the
+    full mechanics (IVF assign, probe explode, PQ encode, ADC LUT plumbing,
+    equi-join, rerank window).  The pruned regime (nprobe 4, bounded rerank)
+    is pinned in tests/test_ann_recall.py."""
+    from geowave_spark.operators.similarity import ivfpq_topk
+
+    return ivfpq_topk(
+        _embs(spark, sf_dir),
+        _ann_queries(spark, sf_dir),
+        k=ANN_K,
+        n_centroids=ANN_IVF_LISTS,
+        nprobe=ANN_IVF_LISTS,
+        m=8,
+        n_codes=64,
+        rerank=None,
+    )
+
+
 MIN_TOKENS = 5
 
 
@@ -407,6 +429,20 @@ def build_text_oracles() -> dict[str, str]:
               WHERE e.vec_id <> q.vec_id)
             WHERE rank <= {ANN_K}
         """,
+        # probe-all + rerank-all IVF-PQ == exact top-k (see q_ann_ivfpq_topk)
+        # — same SQL as ann_cosine_topk on purpose: that equality IS the
+        # contract
+        "ann_ivfpq_topk": f"""
+            SELECT qid, vec_id, rank FROM (
+              SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {cos} DESC, e.vec_id) AS rank
+              FROM embeddings e,
+                   (SELECT * FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0) q
+              WHERE e.vec_id <> q.vec_id)
+            WHERE rank <= {ANN_K}
+        """,
         "ann_lsh_topk": f"""
             WITH c AS (SELECT *, {bucket('e')} AS bucket FROM embeddings e),
             qp AS (
@@ -451,6 +487,7 @@ TEXT_QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "training_data_filter": q_training_data_filter,
     "token_stats": q_token_stats,
