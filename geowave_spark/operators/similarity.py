@@ -460,6 +460,30 @@ def adc_cosine(codes_col, lut_col, pq_norm_sq_col, q_norm_sq_col):
     return dot / F.sqrt(q_norm_sq_col * pq_norm_sq_col)
 
 
+def pq_encode_corpus(
+    corpus: DataFrame,
+    centroids: list,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ingest-time corpus encode: adds ``_list`` (IVF list id), ``_pq``
+    (m int codes) and ``_pq_norm`` (reconstruction norm^2).  At 100 TB these
+    three columns are STORED with the table (like the SFC cell columns) so
+    query time reads codes instead of vectors for the candidate scan —
+    write the table partitioned/bucketed by ``_list`` and the probe join
+    prunes to nprobe/n_centroids of the files."""
+    assign1 = _nearest_centroids_udf(centroids, 1)
+    enc = _pq_encode_udf(codebooks)(F.col(vec_col))
+    return (
+        corpus.withColumn("_list", F.element_at(assign1(F.col(vec_col)), 1))
+        .withColumn("_enc", enc)
+        .withColumn("_pq", F.col("_enc.codes"))
+        .withColumn("_pq_norm", F.col("_enc.norm_sq"))
+        .drop("_enc")
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -475,6 +499,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    pre_encoded: bool = False,
 ) -> DataFrame:
     """IVF-PQ ANN: IVF list pruning + ADC scoring on PQ codes + exact cosine
     rerank of the ``rerank`` best ADC candidates per query (Jegou et al.
@@ -492,27 +517,36 @@ def ivfpq_topk(
     ``rerank=None`` reranks ALL probed candidates exactly, making the output
     definitionally identical to :func:`ivf_topk` for any trained codebook —
     and, at probe-all, to the exact top-k: the oracle mode.  Pruned-regime
-    recall is measured in tests/test_ann_recall.py."""
-    if centroids is None:
-        centroids = ivf_train_centroids(
-            corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    recall is measured in tests/test_ann_recall.py.
+
+    ``pre_encoded=True`` means ``corpus`` already carries the
+    ``_list``/``_pq``/``_pq_norm`` columns from :func:`pq_encode_corpus`
+    (encoded + persisted at ingest — the 100 TB shape); ``centroids`` and
+    ``codebooks`` must then be the SAME ones the encode used (they still
+    drive the query side)."""
+    if pre_encoded:
+        if centroids is None or codebooks is None:
+            raise ValueError(
+                "pre_encoded corpus needs the centroids + codebooks it was "
+                "encoded with (the query side probes/LUTs from them)"
+            )
+        missing = {"_list", "_pq", "_pq_norm"} - set(corpus.columns)
+        if missing:
+            raise ValueError(f"pre_encoded corpus lacks {sorted(missing)}")
+        c = corpus.select(id_col, vec_col, "_list", "_pq", "_pq_norm")
+    else:
+        if centroids is None:
+            centroids = ivf_train_centroids(
+                corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+            )
+        if codebooks is None:
+            codebooks = pq_train_codebooks(
+                corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+            )
+        c = pq_encode_corpus(corpus, centroids, codebooks, id_col, vec_col).select(
+            id_col, vec_col, "_list", "_pq", "_pq_norm"
         )
-    if codebooks is None:
-        codebooks = pq_train_codebooks(
-            corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
-        )
-    assign1 = _nearest_centroids_udf(centroids, 1)
     probeN = _nearest_centroids_udf(centroids, nprobe)
-    enc = _pq_encode_udf(codebooks)(F.col(vec_col))
-    c = (
-        corpus.withColumn("_list", F.element_at(assign1(F.col(vec_col)), 1))
-        .withColumn("_enc", enc)
-        .select(
-            id_col, vec_col, "_list",
-            F.col("_enc.codes").alias("_pq"),
-            F.col("_enc.norm_sq").alias("_pq_norm"),
-        )
-    )
     q = (
         queries.withColumn("_lut", _pq_lut_udf(codebooks)(F.col(qvec_col)))
         .withColumn("_qnorm", _norm_sq(F.col(qvec_col)))

@@ -188,3 +188,36 @@ class TestIvfPqRecall:
                           nprobe=8, rerank=40).collect()}
         recall = len(got & exact) / len(exact)
         assert recall >= 0.55, f"general-regime recall {recall:.3f} regressed"
+
+    def test_pre_encoded_corpus_roundtrip(self, spark, tmp_path):
+        """The 100 TB shape: codes encoded + persisted at ingest, read back,
+        searched with pre_encoded=True — identical output to encode-per-call."""
+        from geowave_spark.operators.similarity import (
+            ivf_train_centroids, ivfpq_topk, pq_encode_corpus,
+            pq_train_codebooks)
+
+        embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        queries = embs.selectExpr("vec_id as qid", "embedding as qvec").limit(20)
+        cents = ivf_train_centroids(embs, n_centroids=8)
+        books = pq_train_codebooks(embs, m=8, n_codes=16)
+        path = str(tmp_path / "encoded")
+        pq_encode_corpus(embs, cents, books).write.parquet(path)
+        stored = spark.read.parquet(path)
+        a = {(r.qid, r.vec_id, r.rank) for r in
+             ivfpq_topk(stored, queries, k=5, centroids=cents, codebooks=books,
+                        nprobe=3, rerank=20, pre_encoded=True).collect()}
+        b = {(r.qid, r.vec_id, r.rank) for r in
+             ivfpq_topk(embs, queries, k=5, centroids=cents, codebooks=books,
+                        nprobe=3, rerank=20).collect()}
+        assert a == b and a
+
+    def test_pre_encoded_guards(self, spark):
+        from geowave_spark.operators.similarity import ivfpq_topk
+
+        embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = embs.selectExpr("vec_id as qid", "embedding as qvec").limit(2)
+        with pytest.raises(ValueError, match="centroids"):
+            ivfpq_topk(embs, q, pre_encoded=True)
+        with pytest.raises(ValueError, match="lacks"):
+            ivfpq_topk(embs, q, centroids=[[0.0] * 64], codebooks=[[[0.0] * 8]],
+                       pre_encoded=True)
