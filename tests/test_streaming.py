@@ -464,3 +464,96 @@ class TestStreamingCql:
         got = {r.fid for r in spark.read.parquet(out).collect()}
         want = {r.fid for r in batch.filter(col).select("fid").collect()}
         assert got == want and got
+
+
+class TestAnnStream:
+    """streaming/ann.py: IVF-PQ top-k per micro-batch over a static
+    pre-encoded corpus — stream output must equal the batch operator."""
+
+    def _vec_feed(self, spark, tmp_path, two_files=False):
+        embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        queries = embs.selectExpr("vec_id as qid", "embedding as qvec").limit(40)
+        inp = tmp_path / "qvecs"
+        inp.mkdir()
+        first = queries.filter(F.col("qid") % 2 == 0) if two_files else queries
+        first.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "q1"))
+        for f in (tmp_path / "q1").glob("*.parquet"):
+            f.rename(inp / "part-000.parquet")
+        if two_files:
+            queries.filter(F.col("qid") % 2 == 1).coalesce(1).write.mode(
+                "overwrite").parquet(str(tmp_path / "q2"))
+        return embs, queries, inp
+
+    def test_stream_equals_batch(self, spark, tmp_path):
+        from geowave_spark.operators.similarity import (
+            ivf_train_centroids, ivfpq_topk, pq_train_codebooks)
+        from geowave_spark.streaming.ann import ann_topk_stream
+
+        embs, queries, inp = self._vec_feed(spark, tmp_path)
+        cents = ivf_train_centroids(embs, n_centroids=8)
+        books = pq_train_codebooks(embs, m=8, n_codes=16)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        stream_q = spark.readStream.schema(queries.schema).parquet(str(inp))
+        q = ann_topk_stream(
+            stream_q, embs, k=5, output_dir=out, checkpoint_dir=ckpt,
+            centroids=cents, codebooks=books, nprobe=3, rerank=20,
+            available_now=True,
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.qid, r.vec_id, r.rank)
+            for r in spark.read.parquet(out).select("qid", "vec_id", "rank").collect()
+        }
+        want = {
+            (r.qid, r.vec_id, r.rank)
+            for r in ivfpq_topk(embs, queries, k=5, centroids=cents,
+                                codebooks=books, nprobe=3, rerank=20).collect()
+        }
+        assert got == want and got
+
+    def test_resumes_from_checkpoint(self, spark, tmp_path):
+        import shutil
+
+        from geowave_spark.operators.similarity import (
+            ivf_train_centroids, ivfpq_topk, pq_train_codebooks)
+        from geowave_spark.streaming.ann import ann_topk_stream
+
+        embs, queries, inp = self._vec_feed(spark, tmp_path, two_files=True)
+        cents = ivf_train_centroids(embs, n_centroids=8)
+        books = pq_train_codebooks(embs, m=8, n_codes=16)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        def run_once():
+            stream_q = spark.readStream.schema(queries.schema).parquet(str(inp))
+            q = ann_topk_stream(
+                stream_q, embs, k=5, output_dir=out, checkpoint_dir=ckpt,
+                centroids=cents, codebooks=books, nprobe=3, rerank=20,
+                available_now=True,
+            )
+            q.awaitTermination(180)
+
+        run_once()
+        n_first = spark.read.parquet(out).count()
+        for f in (tmp_path / "q2").glob("*.parquet"):
+            shutil.copy(f, inp / "part-001.parquet")
+        run_once()
+        rows = [
+            (r.qid, r.vec_id, r.rank)
+            for r in spark.read.parquet(out).select("qid", "vec_id", "rank").collect()
+        ]
+        assert len(rows) > n_first, "restart processed nothing new"
+        assert len(rows) == len(set(rows)), "restart duplicated rows"
+        want = {
+            (r.qid, r.vec_id, r.rank)
+            for r in ivfpq_topk(embs, queries, k=5, centroids=cents,
+                                codebooks=books, nprobe=3, rerank=20).collect()
+        }
+        assert set(rows) == want, "restart lost or fabricated rows"
+
+    def test_wrong_sides_refused(self, spark, tmp_path):
+        from geowave_spark.streaming.ann import ann_topk_stream
+
+        embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = embs.selectExpr("vec_id as qid", "embedding as qvec")
+        with pytest.raises(ValueError, match="streaming"):
+            ann_topk_stream(q, embs, k=5, output_dir="x", checkpoint_dir="y")
