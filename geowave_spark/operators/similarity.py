@@ -470,9 +470,14 @@ def pq_encode_corpus(
     """Ingest-time corpus encode: adds ``_list`` (IVF list id), ``_pq``
     (m int codes) and ``_pq_norm`` (reconstruction norm^2).  At 100 TB these
     three columns are STORED with the table (like the SFC cell columns) so
-    query time reads codes instead of vectors for the candidate scan —
-    write the table partitioned/bucketed by ``_list`` and the probe join
-    prunes to nprobe/n_centroids of the files."""
+    query time reads codes instead of vectors for the candidate scan.
+    Store the table partitioned/bucketed by ``_list``: bucketing makes the
+    probe equi-join shuffle-free on the corpus side, and when the probed
+    list set is known up front (small query batches), a static
+    ``_list.isin(probed)`` filter partition-prunes the scan to
+    nprobe/n_centroids of the files (the UDF-derived probe side defeats
+    dynamic partition pruning — checked empirically, so the static filter
+    is the honest path)."""
     assign1 = _nearest_centroids_udf(centroids, 1)
     enc = _pq_encode_udf(codebooks)(F.col(vec_col))
     return (
@@ -500,6 +505,7 @@ def ivfpq_topk(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     pre_encoded: bool = False,
+    prune_scan: bool = False,
 ) -> DataFrame:
     """IVF-PQ ANN: IVF list pruning + ADC scoring on PQ codes + exact cosine
     rerank of the ``rerank`` best ADC candidates per query (Jegou et al.
@@ -523,7 +529,17 @@ def ivfpq_topk(
     ``_list``/``_pq``/``_pq_norm`` columns from :func:`pq_encode_corpus`
     (encoded + persisted at ingest — the 100 TB shape); ``centroids`` and
     ``codebooks`` must then be the SAME ones the encode used (they still
-    drive the query side)."""
+    drive the query side).
+
+    ``prune_scan=True`` additionally collects the distinct probed list ids
+    (one tiny job: <= nprobe x |queries| ints) and filters the corpus with
+    a static ``_list IN (...)`` predicate BEFORE the join — on a corpus
+    stored ``partitionBy("_list")`` that partition-prunes the scan to
+    ~nprobe/n_centroids of the files.  The explicit filter exists because
+    the UDF-derived probe side defeats dynamic partition pruning (checked
+    empirically).  Use for bounded query batches; with corpus-sized query
+    sets the probed-list set approaches all lists and the extra job buys
+    nothing."""
     if pre_encoded:
         if centroids is None or codebooks is None:
             raise ValueError(
@@ -552,6 +568,9 @@ def ivfpq_topk(
         .withColumn("_qnorm", _norm_sq(F.col(qvec_col)))
         .withColumn("_list", F.explode(probeN(F.col(qvec_col))))
     )
+    if prune_scan:
+        probed = [r[0] for r in q.select("_list").distinct().collect()]
+        c = c.filter(F.col("_list").isin(probed))
     cand = c.join(q, "_list").filter(F.col(id_col) != F.col(qid_col))
     if rerank is not None:
         adc = adc_cosine(

@@ -221,3 +221,30 @@ class TestIvfPqRecall:
         with pytest.raises(ValueError, match="lacks"):
             ivfpq_topk(embs, q, centroids=[[0.0] * 64], codebooks=[[[0.0] * 8]],
                        pre_encoded=True)
+
+    def test_prune_scan_partition_prunes(self, spark, tmp_path):
+        """prune_scan=True on a _list-partitioned store: identical output,
+        and the static IN filter reaches the scan as a PartitionFilter."""
+        from pyspark.sql import functions as F
+
+        from geowave_spark.operators.similarity import (
+            ivf_train_centroids, ivfpq_topk, pq_encode_corpus,
+            pq_train_codebooks)
+
+        embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        queries = embs.selectExpr("vec_id as qid", "embedding as qvec").limit(10)
+        cents = ivf_train_centroids(embs, n_centroids=8)
+        books = pq_train_codebooks(embs, m=8, n_codes=16)
+        path = str(tmp_path / "enc_by_list")
+        pq_encode_corpus(embs, cents, books).write.partitionBy("_list").parquet(path)
+        stored = spark.read.parquet(path)
+        kw = dict(k=5, centroids=cents, codebooks=books, nprobe=2, rerank=20,
+                  pre_encoded=True)
+        plain = ivfpq_topk(stored, queries, **kw)
+        pruned = ivfpq_topk(stored, queries, prune_scan=True, **kw)
+        assert ({(r.qid, r.vec_id, r.rank) for r in pruned.collect()}
+                == {(r.qid, r.vec_id, r.rank) for r in plain.collect()})
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        scan = [ln for ln in plan.splitlines()
+                if "PartitionFilters" in ln and "_list" in ln.split("PartitionFilters")[1][:120]]
+        assert scan, "the _list IN filter must reach the scan as a PartitionFilter"
