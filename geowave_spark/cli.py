@@ -176,7 +176,7 @@ def _resolve_type(store: str, typename: str | None) -> str:
         return typename
     kids = sorted(
         p.name for p in Path(store).iterdir()
-        if p.is_dir() and not p.name.startswith("_")
+        if p.is_dir() and not p.name.startswith("_") and ".__" not in p.name
     ) if Path(store).is_dir() else []
     if len(kids) != 1:
         raise SystemExit(
@@ -396,15 +396,22 @@ def op_dumpstats(a) -> int:
 # -------------------------------------------------------------- analytic ops
 
 
-def _store_points(a, spark: SparkSession) -> DataFrame:
-    """The type's rows with a guaranteed unique id column for the analytics
-    (the reference keys MR tuples by data id; ingested stores may lack one,
-    so synthesize a deterministic-for-this-layout row id)."""
+def _store_points(a, spark: SparkSession) -> tuple[DataFrame, str]:
+    """The type's rows plus the name of a guaranteed unique id column for
+    the analytics (the reference keys MR tuples by data id; ingested stores
+    may lack one, so synthesize a deterministic-for-this-layout row id).
+    Callers that evaluate the frame in more than one plan branch (op_nn's
+    self-join) MUST persist it first: monotonically_increasing_id is only
+    stable per evaluation."""
     from geowave_spark.sources.tables import read_indexed
 
     df = read_indexed(spark, str(_table_dir(a.store, _resolve_type(a.store, a.type))))
     id_col = getattr(a, "id_col", None)
     if id_col:
+        if id_col not in df.columns:
+            raise SystemExit(
+                f"--id-col {id_col!r} not in table columns {df.columns}"
+            )
         return df, id_col
     # string id: the k-means|| sampler seeds from md5(id)
     return df.withColumn(
@@ -468,14 +475,20 @@ def op_nn(a) -> int:
     from geowave_spark.operators.knn import distance_join
 
     pts, id_col = _store_points(a, spark)
-    left = pts.select(
-        F.col(id_col).alias("qid"),
-        F.col("lon").alias("qlon"), F.col("lat").alias("qlat"),
-    )
-    pairs = distance_join(
-        left, pts, a.distance, right_id_col=id_col, right_cell_col="cell"
-    ).filter(F.col("qid") != F.col(id_col))
-    pairs.write.mode("overwrite").parquet(a.output)
+    # persist: the self-join evaluates pts in two plan branches, and the
+    # synthesized row id must be the SAME in both (see _store_points)
+    pts = pts.persist()
+    try:
+        left = pts.select(
+            F.col(id_col).alias("qid"),
+            F.col("lon").alias("qlon"), F.col("lat").alias("qlat"),
+        )
+        pairs = distance_join(
+            left, pts, a.distance, right_id_col=id_col, right_cell_col="cell"
+        ).filter(F.col("qid") != F.col(id_col))
+        pairs.write.mode("overwrite").parquet(a.output)
+    finally:
+        pts.unpersist()
     print(f"nn: {spark.read.parquet(a.output).count()} neighbor pairs "
           f"within {a.distance} at {a.output}")
     return 0
@@ -517,12 +530,20 @@ def _resplit(a, strategy: str, n: int | None) -> int:
     """Shared splits-op body (AbstractAccumuloSplitsOperation.java): resolve
     the type's table, rewrite it with split boundaries chosen by
     ``strategy`` (sources/tables.split_partitions), refresh the stats
-    sidecar.  The rewrite goes through a sibling temp dir then renames —
-    Spark cannot overwrite a path it is still reading."""
+    sidecar.  The rewrite goes through a sibling temp dir (Spark cannot
+    overwrite a path it is still reading), then swaps old->aside, new->in,
+    delete aside — so a crash at any point leaves either the old or the
+    new table resolvable, never neither."""
+    if a.num <= 0:
+        raise SystemExit(f"--num must be positive, got {a.num}")
     spark = _get_spark()
     table = _table_dir(a.store, _resolve_type(a.store, a.type))
     from geowave_spark.sources.tables import read_indexed, write_indexed
 
+    tmp, aside = Path(str(table) + ".__resplit"), Path(str(table) + ".__old")
+    for leftover in (tmp, aside):  # a previous crashed run's debris
+        if leftover.exists():
+            shutil.rmtree(leftover)
     df = read_indexed(spark, str(table)).cache()
     total = df.count()
     if n is None:
@@ -531,11 +552,18 @@ def _resplit(a, strategy: str, n: int | None) -> int:
         # with a derived split count)
         n = max(1, -(-total // a.num))
         strategy = "quantile"
-    write_indexed(df, str(table) + ".__resplit", files_per_tier=n,
+    write_indexed(df, str(tmp), files_per_tier=n,
                   split_strategy=strategy, stats=True)
     df.unpersist()
-    shutil.rmtree(table)
-    Path(str(table) + ".__resplit").rename(table)
+    table.rename(aside)
+    tmp.rename(table)
+    shutil.rmtree(aside)
+    # same-session readers must not plan from the replaced files: drop the
+    # layout registry + operator caches (index_select.layouts_for keys on
+    # the file list, but cached DataFrames may still pin deleted parts)
+    from geowave_spark.cache import release_all
+
+    release_all()
     print(f"resplit {table} into {n} splits ({strategy}), {total} rows")
     return 0
 

@@ -571,22 +571,42 @@ def ivfpq_topk(
     if prune_scan:
         probed = [r[0] for r in q.select("_list").distinct().collect()]
         c = c.filter(F.col("_list").isin(probed))
-    cand = c.join(q, "_list").filter(F.col(id_col) != F.col(qid_col))
+    exact_cos = _dot(F.col(vec_col), F.col(qvec_col)) / F.sqrt(
+        _norm_sq(F.col(vec_col)) * _norm_sq(F.col(qvec_col))
+    )
     if rerank is not None:
+        # the candidate stage reads CODES ONLY: the corpus vector column
+        # enters neither the probe join nor the ADC-rank window exchange
+        # (which carries just (qid, id, adc) rows) — this projection IS the
+        # 32x-payload claim; vectors are fetched by id for the winners only
         adc = adc_cosine(
             F.col("_pq"), F.col("_lut"), F.col("_pq_norm"), F.col("_qnorm")
         )
         wa = Window.partitionBy(qid_col).orderBy(F.col("_adc").desc(), F.col(id_col))
-        cand = (
-            cand.withColumn("_adc", adc)
+        top = (
+            c.select(id_col, "_list", "_pq", "_pq_norm")
+            .join(q.select(qid_col, "_list", "_lut", "_qnorm"), "_list")
+            .filter(F.col(id_col) != F.col(qid_col))
+            .select(qid_col, id_col, adc.alias("_adc"))
             .withColumn("_adc_rank", F.row_number().over(wa))
             .filter(F.col("_adc_rank") <= rerank)
+            .select(qid_col, id_col)
         )
-    scored = cand.withColumn(
-        "cos",
-        _dot(F.col(vec_col), F.col(qvec_col))
-        / F.sqrt(_norm_sq(F.col(vec_col)) * _norm_sq(F.col(qvec_col))),
-    )
+        scored = (
+            top.join(c.select(id_col, vec_col), id_col)
+            .join(queries.select(qid_col, qvec_col), qid_col)
+            .withColumn("cos", exact_cos)
+        )
+    else:
+        # rerank-all (oracle/validation mode == ivf_topk): every probed
+        # candidate is exact-scored, so vectors necessarily flow here and
+        # the PQ columns prune away — ADC itself is pinned by pytest
+        scored = (
+            c.select(id_col, vec_col, "_list")
+            .join(q.select(qid_col, qvec_col, "_list"), "_list")
+            .filter(F.col(id_col) != F.col(qid_col))
+            .withColumn("cos", exact_cos)
+        )
     w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -197,13 +197,18 @@ def layouts_for(
 ) -> dict:
     """prepare_layouts memoized on the table's semantic identity.
 
-    The key is the canonicalized analyzed-plan hash (stable across separate
-    reads of the same files; a rewritten table lists different files, so it
-    misses and rebuilds).  Entries hold cached DataFrames — call
-    :func:`release_layouts` to drop them (e.g. after replacing a table
-    in-place within one session)."""
+    The key combines the canonicalized analyzed-plan hash (stable across
+    separate reads of the same files) with the scan's resolved FILE LIST —
+    semanticHash alone is path-based, so an in-place rewrite would
+    otherwise serve stale layouts (verified: overwriting a parquet dir
+    leaves the hash unchanged).  Rewritten tables list different part
+    files, so they miss and rebuild.  Entries hold cached DataFrames —
+    :func:`release_layouts` drops them (and rewrite paths like the CLI
+    splits ops call it), since non-file invalidation (e.g. an updated
+    in-memory view) is not detectable here."""
     key = (
         pts._jdf.queryExecution().analyzed().semanticHash(),
+        hash(tuple(sorted(pts.inputFiles()))),
         xy_bits, t_bits, bias, ts_col,
     )
     hit = _LAYOUTS.get(key)

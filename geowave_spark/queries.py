@@ -2297,7 +2297,7 @@ DRIVER_EXCLUDED = {
     "spatiotemporal_bins": "single-entry case of tracks_st_insertion's ranged 3D bin contract (K6)",
     "lexicoder_rank": "K8 codec contract (export path only — query-time ordering is native); oracle-checked via parity tests",
     "ann_ivf_topk": "probe-all IVF == exact top-k (quantizer-independent); pruned-nprobe recall pinned in test_text_pipeline",
-    "ann_ivfpq_topk": "probe-all + rerank-all IVF-PQ == exact top-k (codebook-independent); ADC fidelity + pruned recall pinned in test_ann_recall",
+    "ann_ivfpq_topk": "probe-all + rerank-all IVF-PQ == exact top-k (codebook-independent; pins the IVF mechanics — rerank-all prunes the PQ columns, so ADC fidelity + pruned recall are pinned in test_ann_recall instead)",
     "pip_join_hex": "hex-bucketed twin of pip_join_tiered — same refine, H3-family bucket keys (equality pytest + parity oracle)",
     # r04 rotation: pip_join + s2_cell_counts rode on r01/r02 rows only, so
     # they rotate INTO the driver surface this round; these three green-r03

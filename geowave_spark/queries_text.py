@@ -180,10 +180,12 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (the RAM-resident 100 TB path: PQ codes shrink the probed
     candidate payload ~32x) in its probe-all + rerank-all configuration —
     exact-rerank of every probed candidate makes the output the exact top-k
-    for ANY trained codebook, so the brute-force SQL is a true oracle of the
-    full mechanics (IVF assign, probe explode, PQ encode, ADC LUT plumbing,
-    equi-join, rerank window).  The pruned regime (nprobe 4, bounded rerank)
-    is pinned in tests/test_ann_recall.py."""
+    for ANY trained codebook, so the brute-force SQL is a true oracle of
+    the IVF mechanics (assign, probe explode, equi-join, window top-k).
+    In rerank-all mode Catalyst prunes the unused PQ columns, so the
+    encode/ADC plumbing is NOT on this oracle's path — it is pinned
+    separately in tests/test_ann_recall.py (ADC fidelity mae, pruned-regime
+    recall, pre-encoded round-trip)."""
     from geowave_spark.operators.similarity import ivfpq_topk
 
     return ivfpq_topk(

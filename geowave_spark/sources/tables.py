@@ -252,6 +252,15 @@ def split_partitions(df: DataFrame, n: int, strategy: str = "hash") -> DataFrame
       splitequalinterval: boundaries at fixed key strides (one min/max agg,
       then arithmetic).  Files map 1:1 to uniform grid regions (useful when
       downstream work is per-region), but skewed data skews file sizes.
+
+    Contract note for multi-tier tables: ``"hash"`` scatters EVERY tier
+    across the ``n`` partitions (so a tier-partitioned write yields up to n
+    files PER tier — the historical ``files_per_tier`` behavior), while the
+    two contiguous strategies produce ``n`` partitions TOTAL ordered by
+    (tier, cell) — a tier then spans roughly its row share of the n files.
+    Contiguity across the whole key space is the point of those strategies
+    (matching Accumulo tablets, which are global ranges), so callers sizing
+    per-tier file counts should use ``"hash"``.
     """
     if strategy == "hash":
         return df.repartition(n, "tier", "cell")
@@ -261,6 +270,8 @@ def split_partitions(df: DataFrame, n: int, strategy: str = "hash") -> DataFrame
         from pyspark.sql import functions as F
 
         lo, hi = df.agg(F.min("cell"), F.max("cell")).collect()[0]
+        if lo is None:  # empty input: nothing to stride over
+            return df.repartition(n, "tier", "cell")
         width = max((int(hi) - int(lo) + n) // n, 1)
         bucket = F.least(
             F.lit(n - 1), ((F.col("cell") - F.lit(int(lo))) / F.lit(width)).cast("int")

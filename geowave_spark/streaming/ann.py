@@ -28,12 +28,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from geowave_spark.cache import CacheRegistry
 from geowave_spark.operators.similarity import (
     ivf_train_centroids,
     ivfpq_topk,
     pq_encode_corpus,
     pq_train_codebooks,
 )
+
+# each new stream releases the previous stream's cached encode; a session
+# can drop everything via geowave_spark.cache.release_all()
+_CACHES = CacheRegistry()
 
 
 def ann_topk_stream(
@@ -55,11 +60,20 @@ def ann_topk_stream(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     available_now: bool = False,
+    pre_encoded: bool = False,
 ):
     """Serve IVF-PQ top-k continuously: ``queries`` is a streaming DataFrame
     of (qid, qvec), ``corpus`` a static embedding layer.  Returns the
     started ``StreamingQuery``; results land under
-    ``<output_dir>/batch_id=<n>/`` as parquet."""
+    ``<output_dir>/batch_id=<n>/`` as parquet.
+
+    ``pre_encoded=True`` is the 100 TB shape: ``corpus`` already carries
+    the ``_list``/``_pq``/``_pq_norm`` columns (stored at ingest via
+    :func:`pq_encode_corpus`) and ``centroids``/``codebooks`` are the ones
+    it was encoded with — the stream then encodes NOTHING and caches
+    nothing; otherwise the quantizer trains and the corpus encodes + caches
+    once at stream construction (the cache is registered so a later stream
+    or ``cache.release_all()`` releases it)."""
     if not queries.isStreaming:
         raise ValueError("queries must be a streaming DataFrame (readStream)")
     if corpus.isStreaming:
@@ -69,20 +83,29 @@ def ann_topk_stream(
             "invalidates emitted rows) — re-plan on layer updates instead"
         )
 
-    # train + encode + cache the static side once for the stream's lifetime
-    if centroids is None:
-        centroids = ivf_train_centroids(
-            corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    if pre_encoded:
+        if centroids is None or codebooks is None:
+            raise ValueError(
+                "pre_encoded corpus needs the centroids + codebooks it was "
+                "encoded with (the query side probes/LUTs from them)"
+            )
+        enc = corpus
+    else:
+        # train + encode + cache the static side once for the stream's life
+        if centroids is None:
+            centroids = ivf_train_centroids(
+                corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+            )
+        if codebooks is None:
+            codebooks = pq_train_codebooks(
+                corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+            )
+        _CACHES.release()
+        enc = _CACHES.add(
+            pq_encode_corpus(corpus, centroids, codebooks, id_col, vec_col)
+            .select(id_col, vec_col, "_list", "_pq", "_pq_norm")
+            .cache()
         )
-    if codebooks is None:
-        codebooks = pq_train_codebooks(
-            corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
-        )
-    enc = (
-        pq_encode_corpus(corpus, centroids, codebooks, id_col, vec_col)
-        .select(id_col, vec_col, "_list", "_pq", "_pq_norm")
-        .cache()
-    )
 
     def _run_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = ivfpq_topk(

@@ -372,3 +372,20 @@ class TestLayoutRegistry:
         assert r2.count() == n1 > 0 and route1 == route2
         assert len(calls) == 1  # second query planned from cached layouts
         isel.release_layouts()
+
+    def test_inplace_rewrite_misses(self, spark, geo001, tmp_path):
+        """The key includes the resolved file list: overwriting a table at
+        the same path MUST miss (semanticHash alone is path-based and would
+        serve stale layouts — verified empirically in review)."""
+        from geowave_spark.plans import index_select as isel
+
+        isel.release_layouts()
+        p = str(tmp_path / "pts")
+        src = spark.read.parquet(str(geo001 / "points.parquet"))
+        src.write.parquet(p)
+        la = isel.layouts_for(spark.read.parquet(p), 8, 8)
+        src.limit(100).write.mode("overwrite").parquet(p)
+        lb = isel.layouts_for(spark.read.parquet(p), 8, 8)
+        assert lb is not la
+        assert lb["h2d"].total_rows == 100
+        isel.release_layouts()
