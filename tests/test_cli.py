@@ -247,6 +247,22 @@ class TestSplits:
         assert "into 4 splits" in capsys.readouterr().out
         assert len(self._tier_files(own_store / "taxis")) == 4
 
+    def test_leftover_temp_dirs_ignored_and_cleaned(self, own_store):
+        """A crashed run's .__resplit debris must not pollute type
+        resolution and must be swept by the next splits op."""
+        (own_store / "taxis.__resplit").mkdir()
+        # --type omitted: 'taxis' still resolves as the sole type
+        assert cli.main(["dumpstats", "--store", str(own_store)]) == 0
+        assert cli.main(["splitquantile", "--store", str(own_store),
+                         "--num", "2"]) == 0
+        assert not (own_store / "taxis.__resplit").exists()
+        assert not (own_store / "taxis.__old").exists()
+
+    def test_num_must_be_positive(self, own_store):
+        with pytest.raises(SystemExit, match="positive"):
+            cli.main(["splitnumrecords", "--store", str(own_store),
+                      "--num", "0"])
+
 
 class TestAnalytics:
     """The analytic op family (MapReduceAnalyticOperationCLIProvider.java):
