@@ -265,3 +265,105 @@ def simhash_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
         .withColumn("rep_id", F.min(id_col).over(w))
         .select(id_col, "simhash", "n_bucket", "rep_id")
     )
+
+
+def connected_components(
+    edges: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """Connected components over an undirected edge list ``(u, v)`` via
+    alternating large-star / small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14).  Returns ``(u, label)``
+    for every node that appears in any edge, where ``label`` is the MINIMUM
+    node id in its component.
+
+    Why this and not label propagation: each round here is two
+    groupBy/join passes on node keys and the algorithm provably converges
+    in O(log n) rounds on ANY graph shape — a min-label-propagation loop
+    needs O(diameter) rounds, and near-dup chains (a~b~c~... boilerplate
+    gradients) produce long paths at corpus scale.  Every pass is a plain
+    equi-join/agg on the node id (uniform after hashing); nothing crosses
+    the driver but a per-round convergence scalar, and each round's edge
+    set is localCheckpoint-ed so the iterative plan never grows.
+
+    Invariant carried between rounds: every edge is oriented (hi, lo) with
+    ``lo < hi`` — large-star emits (v, min) with v > u >= min, small-star
+    emits (x, min) with x > min — so the star-forest fixpoint IS the
+    component labeling.
+    """
+    e = (
+        edges.select(F.col(edges.columns[0]).alias("u"), F.col(edges.columns[1]).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star over the symmetric closure: for each u, attach every
+        # strictly larger neighbor to m = min(u, Γ(u))
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("u", "mv").alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: edges are (u, v<u); per u attach u and all neighbors
+        # to m = min(Γ⁻(u)) — m < u so orientation is preserved.  NO
+        # collect_set here: a star root's neighborhood is the whole
+        # component at convergence, so materializing it as one array is an
+        # OOM at 10^12 docs — emit the two edge families as a join + agg
+        # instead (min is a partial agg; the skewed join key is AQE's job).
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        own = mins2.select("u", F.col("m").alias("v"))
+        rest = (
+            large.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        new_e = own.union(rest).distinct().localCheckpoint()
+        # bit_xor, not sum: the edge set is distinct so xor is a sound set
+        # signature, and it cannot overflow under ANSI mode
+        sig = new_e.agg(
+            F.count("*").alias("n"), F.expr("bit_xor(xxhash64(u, v))").alias("h")
+        ).first()
+        e = new_e
+        if sig["n"] == 0 or prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    # at the fixpoint every edge is (member, root); roots label themselves
+    roots = e.select(F.col("v").alias("u"), F.col("v").alias("label")).distinct()
+    return e.select(F.col("u"), F.col("v").alias("label")).union(roots)
+
+
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Transitive near-duplicate clusters over the WHOLE corpus:
+    ``(doc_id, cluster_id, cluster_size)`` for every document, where
+    ``cluster_id`` is the minimum doc id reachable through the MinHash
+    near-dup pair graph (transitive closure — a~b and b~c put a, b, c in
+    ONE cluster even when a and c share no band) and singletons are their
+    own cluster of size 1.  ``cluster_id == doc_id`` selects the canonical
+    representative, the principled keep-one rule a pair-drop filter only
+    approximates.
+
+    Pass ``pairs`` to reuse an existing (id_a, id_b, ...) pair table;
+    otherwise :func:`minhash_lsh_pairs` builds it at ``threshold``.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, text_col, id_col, threshold)
+    labels = connected_components(pairs.select("id_a", "id_b"))
+    out = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(labels.withColumnRenamed("u", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("label", "doc_id").alias("cluster_id"))
+    )
+    sizes = out.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return out.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")

@@ -31,6 +31,7 @@ from geowave_spark.operators.dedup import (
     ROWS_PER_BAND,
     SHINGLE_N,
     SIMHASH_BITS,
+    dup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -77,6 +78,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dup_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters over the whole corpus: large-star /
+    small-star connected components on the MinHash pair graph; the oracle
+    re-derives the same labels with a recursive CTE (min reachable id)."""
+    return dup_clusters(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,6 +363,28 @@ def build_text_oracles() -> dict[str, str]:
             SELECT sid AS doc_id, {mins_cols}, {bands} FROM sig
         """,
         "dedup_minhash_lsh": lsh_sql,
+        # transitive closure of the SAME pair graph: recursive CTE floods
+        # every reachable label, MIN picks the component id — the SQL
+        # ground truth for the large-star/small-star operator
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            pairs AS ({lsh_sql}),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b AS u, id_a AS v FROM pairs),
+            reach(u, lbl) AS (
+              SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v),
+            labels AS (SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY u),
+            everydoc AS (
+              SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+            SELECT doc_id, cluster_id,
+                   COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM everydoc
+        """,
         "training_data_filter": f"""
             WITH reps AS (
               SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
@@ -483,6 +513,7 @@ TEXT_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
     "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "lang_id": q_lang_id,

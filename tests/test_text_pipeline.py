@@ -56,6 +56,65 @@ class TestDedup:
         # every LSH-surfaced pair is jaccard-verified, so lsh ⊆ exact
         assert lsh <= exact
 
+    def test_connected_components_match_union_find(self, spark):
+        import random
+
+        from geowave_spark.operators.dedup import connected_components
+
+        random.seed(13)
+        nodes = [f"d{i:04d}" for i in range(150)]
+        # a 40-edge chain (worst case for label propagation) + random noise
+        edges = [(nodes[i], nodes[i + 1]) for i in range(40)]
+        edges += [(random.choice(nodes), random.choice(nodes)) for _ in range(80)]
+        got = {
+            r.u: r.label
+            for r in connected_components(spark.createDataFrame(edges, ["u", "v"])).collect()
+        }
+        parent: dict[str, str] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        edge_nodes = set()
+        for a, b in edges:
+            if a != b:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+                edge_nodes |= {a, b}
+        comps: dict[str, list[str]] = {}
+        for x in edge_nodes:
+            comps.setdefault(find(x), []).append(x)
+        expect = {x: min(members) for members in comps.values() for x in members}
+        assert got == expect
+
+    def test_dup_clusters_transitive_and_partitioning(self, spark, docs):
+        """a~b and b~c must land in ONE cluster even when a and c share no
+        band; cluster ids partition the corpus with consistent sizes."""
+        from geowave_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
+
+        out = dup_clusters(docs, threshold=0.3).collect()
+        assert len(out) == docs.count()  # every document labeled exactly once
+        sizes: dict[str, int] = {}
+        members: dict[str, list[str]] = {}
+        for r in out:
+            sizes[r.cluster_id] = r.cluster_size
+            members.setdefault(r.cluster_id, []).append(r.doc_id)
+        for cid, m in members.items():
+            assert sizes[cid] == len(m)
+            assert cid == min(m)  # canonical id is the component minimum
+        # transitive closure of the pair graph: both ends of every pair
+        # carry the same cluster id
+        label = {r.doc_id: r.cluster_id for r in out}
+        pairs = minhash_lsh_pairs(docs, threshold=0.3).collect()
+        assert pairs, "fixture corpus must contain near-dup pairs"
+        for p in pairs:
+            assert label[p.id_a] == label[p.id_b]
+
     def test_simhash_deterministic_and_16bit(self, spark, docs):
         from geowave_spark.operators.dedup import simhash
 
