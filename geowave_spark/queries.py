@@ -2310,12 +2310,14 @@ DRIVER_EXCLUDED = {
     "text_quality": "its quality-signal expressions are the first stage of training_data_filter, which stays registered (green r03 row)",
     "cql_areal_routed": "indexed-scan routed twin of cql_docs_bbox (same oracle; tier+cell pruning exactness pinned in tests/test_cql.py)",
     "dedup_ngram_jaccard": "the shared-shingle Jaccard join IS dedup_minhash_lsh's verify stage (green r03 row); rotated out for dedup_clusters, which exercises the same pair graph transitively",
+    "lang_id": "its argmax fold is computed verbatim inside training_data_filter AND train_split_stratified, both registered (green r03 row); rotated out for train_split_stratified",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut
 # off at 50, so front-loading guarantees the newest entries get their row)
 _NEW_IN_R04 = [
     "dedup_clusters",  # new this round (large-star/small-star transitive dedup)
+    "train_split_stratified",  # new this round (deterministic split + stratified sample)
     "cql_spatial_routed",  # new this round (CQL front-end)
     "st_insertion_biased",  # new this round (compact-Hilbert K6 bias)
     "st_biased_box_query",  # new this round (K2 range decomposition on bias keys)

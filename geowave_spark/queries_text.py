@@ -80,6 +80,50 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dup_groups(_docs(spark, sf_dir))
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SAMPLE_FRACTION = 0.2
+SAMPLE_PER_STRATUM = {"en": 0.5}
+
+
+def q_train_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test hash-split + per-language stratified
+    sample, reported as per-(split, lang) stats: the reproducible-split
+    contract every training pipeline needs (a pure function of doc_id —
+    re-runs, engine swaps, and later ingests never move a document)."""
+    from geowave_spark.operators.sampling import hash_split, stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    base = hash_split(docs, SPLIT_WEIGHTS).select(
+        "doc_id",
+        "split",
+        lang_id(tokens(F.col("text"))).alias("pred_lang"),
+        F.size(tokens(F.col("text"))).alias("n_toks"),
+    )
+    full = base.groupBy("split", "pred_lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_toks").alias("sum_tokens")
+    )
+    samp = (
+        stratified_sample(
+            base,
+            SAMPLE_FRACTION,
+            strata_col="pred_lang",
+            per_stratum=SAMPLE_PER_STRATUM,
+        )
+        .groupBy("split", "pred_lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        full.join(samp, ["split", "pred_lang"], "left")
+        .select(
+            "split",
+            "pred_lang",
+            "n_docs",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            "sum_tokens",
+        )
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters over the whole corpus: large-star /
     small-star connected components on the MinHash pair graph; the oracle
@@ -277,6 +321,28 @@ def _band_exprs() -> list[str]:
     return out
 
 
+def _train_split_sql(pred: str) -> str:
+    """Oracle for q_train_split_stratified: the same md5-draw arithmetic
+    (hash_split_sql / unit_hash_sql are the operators' own SQL twins, so the
+    oracle independence lives in the aggregation + the DuckDB hash engine)."""
+    from geowave_spark.operators.sampling import hash_split_sql, unit_hash_sql
+
+    split = hash_split_sql(SPLIT_WEIGHTS, "doc_id")
+    draw = unit_hash_sql("doc_id", "sample-v1")
+    rate = f"CASE WHEN pred_lang = 'en' THEN {SAMPLE_PER_STRATUM['en']!r} ELSE {SAMPLE_FRACTION!r} END"
+    return f"""
+        WITH base AS (
+          SELECT doc_id, {split} AS split, {pred} AS pred_lang,
+                 len({_TOKS}) AS n_toks, {draw} AS draw
+          FROM documents)
+        SELECT split, pred_lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN draw < {rate} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               CAST(SUM(n_toks) AS BIGINT) AS sum_tokens
+        FROM base GROUP BY split, pred_lang
+    """
+
+
 def build_text_oracles() -> dict[str, str]:
     mins_cols = ", ".join(f"m{i}" for i in range(NUM_PERM))
     bands = ", ".join(_band_exprs())
@@ -362,6 +428,7 @@ def build_text_oracles() -> dict[str, str]:
             sig AS (SELECT sid, {mins_cols} FROM mins)
             SELECT sid AS doc_id, {mins_cols}, {bands} FROM sig
         """,
+        "train_split_stratified": _train_split_sql(pred),
         "dedup_minhash_lsh": lsh_sql,
         # transitive closure of the SAME pair graph: recursive CTE floods
         # every reachable label, MIN picks the component id — the SQL
@@ -514,6 +581,7 @@ TEXT_QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
+    "train_split_stratified": q_train_split_stratified,
     "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "lang_id": q_lang_id,

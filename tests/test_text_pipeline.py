@@ -115,6 +115,46 @@ class TestDedup:
         for p in pairs:
             assert label[p.id_a] == label[p.id_b]
 
+    def test_hash_split_is_stable_and_exhaustive(self, spark, docs):
+        """Every doc gets exactly one split; assignment is a pure function
+        of doc_id — the same doc lands in the same split when the corpus
+        shrinks (late-ingest stability) and fractions are near the weights."""
+        from geowave_spark.operators.sampling import hash_split
+
+        w = {"train": 0.8, "val": 0.1, "test": 0.1}
+        full = {r.doc_id: r.split for r in hash_split(docs, w).select("doc_id", "split").collect()}
+        assert len(full) == docs.count()
+        n = len(full)
+        from collections import Counter
+
+        counts = Counter(full.values())
+        assert set(counts) <= set(w)
+        for name, frac in w.items():
+            assert abs(counts[name] / n - frac) < 0.06  # 500-doc corpus noise
+        # subset invariance: hashing half the corpus reproduces the labels
+        half = hash_split(docs.limit(n // 2), w).select("doc_id", "split").collect()
+        assert all(full[r.doc_id] == r.split for r in half)
+        # a different salt is an independent draw: assignments actually move
+        moved = hash_split(docs, w, salt="split-v2").select("doc_id", "split").collect()
+        assert any(full[r.doc_id] != r.split for r in moved)
+
+    def test_stratified_sample_rates_and_determinism(self, spark, docs):
+        from geowave_spark.functions.text import lang_id, tokens
+        from geowave_spark.operators.sampling import stratified_sample
+
+        base = docs.select("doc_id", lang_id(tokens(F.col("text"))).alias("lang"))
+        kept = stratified_sample(base, 0.2, strata_col="lang", per_stratum={"en": 0.5})
+        again = {r.doc_id for r in kept.collect()}
+        assert {r.doc_id for r in kept.collect()} == again  # deterministic
+        totals = {r.lang: r.n for r in base.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        got = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        for lang, n_total in totals.items():
+            rate = 0.5 if lang == "en" else 0.2
+            if n_total >= 50:
+                assert abs(got.get(lang, 0) / n_total - rate) < 0.12
+        # kept set is a subset: sampling never fabricates rows
+        assert again <= {r.doc_id for r in base.collect()}
+
     def test_simhash_deterministic_and_16bit(self, spark, docs):
         from geowave_spark.operators.dedup import simhash
 
