@@ -267,6 +267,32 @@ def simhash_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Benchmark-contamination audit: ``(doc_id, bench_id, n_shared)`` for
+    every corpus document sharing >= ``min_shared`` distinct word shingles
+    with a benchmark document — the standard eval-leakage check run before
+    training.  Same output-sensitive shared-shingle join as
+    :func:`ngram_jaccard_pairs` (only co-occurring pairs materialize;
+    ``max_doc_freq`` caps boilerplate shingles at corpus scale), but
+    asymmetric: the benchmark side is small, so its shingle table broadcasts
+    and the 100-TB corpus is read once, map-side."""
+    ca = _shingles(corpus, text_col, id_col, max_doc_freq)
+    cb = _shingles(benchmark, text_col, id_col, max_doc_freq)
+    return (
+        ca.join(F.broadcast(cb.withColumnRenamed("sid", "bench_id")), "sh")
+        .groupBy(F.col("sid").alias(id_col), "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def connected_components(
     edges: DataFrame, max_rounds: int = 50
 ) -> DataFrame:

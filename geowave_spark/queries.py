@@ -2311,6 +2311,7 @@ DRIVER_EXCLUDED = {
     "cql_areal_routed": "indexed-scan routed twin of cql_docs_bbox (same oracle; tier+cell pruning exactness pinned in tests/test_cql.py)",
     "dedup_ngram_jaccard": "the shared-shingle Jaccard join IS dedup_minhash_lsh's verify stage (green r03 row); rotated out for dedup_clusters, which exercises the same pair graph transitively",
     "lang_id": "its argmax fold is computed verbatim inside training_data_filter AND train_split_stratified, both registered (green r03 row); rotated out for train_split_stratified",
+    "distance_join": "fixed-radius sibling of knn_join (green r03 row) — same expansion-cell candidate join + exact haversine refine; J2 stays driver-covered via knn_join and knn_hexring; rotated out for split_contamination",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut
@@ -2318,6 +2319,7 @@ DRIVER_EXCLUDED = {
 _NEW_IN_R04 = [
     "dedup_clusters",  # new this round (large-star/small-star transitive dedup)
     "train_split_stratified",  # new this round (deterministic split + stratified sample)
+    "split_contamination",  # new this round (train/test eval-leakage audit)
     "cql_spatial_routed",  # new this round (CQL front-end)
     "st_insertion_biased",  # new this round (compact-Hilbert K6 bias)
     "st_biased_box_query",  # new this round (K2 range decomposition on bias keys)

@@ -124,6 +124,30 @@ def q_train_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIN_SHARED_SHINGLES = 3
+
+
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage audit composed from the split + shingle operators: for
+    every train-split document sharing >= MIN_SHARED_SHINGLES distinct
+    3-gram shingles with some test-split document, report how many test
+    docs it hits and the worst overlap."""
+    from geowave_spark.operators.dedup import contamination_pairs
+    from geowave_spark.operators.sampling import hash_split
+
+    docs = hash_split(_docs(spark, sf_dir), SPLIT_WEIGHTS)
+    train = docs.filter(F.col("split") == "train")
+    test = docs.filter(F.col("split") == "test")
+    return (
+        contamination_pairs(train, test, min_shared=MIN_SHARED_SHINGLES)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_test_hits"),
+            F.max("n_shared").alias("max_shared"),
+        )
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters over the whole corpus: large-star /
     small-star connected components on the MinHash pair graph; the oracle
@@ -343,6 +367,26 @@ def _train_split_sql(pred: str) -> str:
     """
 
 
+def _split_contamination_sql() -> str:
+    from geowave_spark.operators.sampling import hash_split_sql
+
+    split = hash_split_sql(SPLIT_WEIGHTS, "doc_id")
+    return f"""
+        WITH {_shingle_cte()},
+        split AS (SELECT doc_id, {split} AS split FROM documents),
+        pairs AS (
+          SELECT a.sid AS doc_id, b.sid AS bench_id, count(*) AS n_shared
+          FROM sh a
+          JOIN split sa ON sa.doc_id = a.sid AND sa.split = 'train'
+          JOIN sh b ON b.shv = a.shv
+          JOIN split sb ON sb.doc_id = b.sid AND sb.split = 'test'
+          GROUP BY a.sid, b.sid
+          HAVING count(*) >= {MIN_SHARED_SHINGLES})
+        SELECT doc_id, COUNT(*) AS n_test_hits, MAX(n_shared) AS max_shared
+        FROM pairs GROUP BY doc_id
+    """
+
+
 def build_text_oracles() -> dict[str, str]:
     mins_cols = ", ".join(f"m{i}" for i in range(NUM_PERM))
     bands = ", ".join(_band_exprs())
@@ -429,6 +473,7 @@ def build_text_oracles() -> dict[str, str]:
             SELECT sid AS doc_id, {mins_cols}, {bands} FROM sig
         """,
         "train_split_stratified": _train_split_sql(pred),
+        "split_contamination": _split_contamination_sql(),
         "dedup_minhash_lsh": lsh_sql,
         # transitive closure of the SAME pair graph: recursive CTE floods
         # every reachable label, MIN picks the component id — the SQL
@@ -582,6 +627,7 @@ TEXT_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
     "train_split_stratified": q_train_split_stratified,
+    "split_contamination": q_split_contamination,
     "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "lang_id": q_lang_id,

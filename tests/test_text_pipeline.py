@@ -155,6 +155,24 @@ class TestDedup:
         # kept set is a subset: sampling never fabricates rows
         assert again <= {r.doc_id for r in base.collect()}
 
+    def test_contamination_pairs_detect_planted_leak(self, spark):
+        """A benchmark doc copied (with noise) into the corpus is flagged;
+        unrelated docs are not; n_shared counts distinct shared shingles."""
+        from geowave_spark.operators.dedup import SHINGLE_N, contamination_pairs
+
+        bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        corpus_rows = [
+            ("c_leak", bench_text + " extra tail tokens here"),
+            ("c_clean", "completely different words nothing shared at all ok"),
+        ]
+        corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+        bench = spark.createDataFrame([("b_one", bench_text)], ["doc_id", "text"])
+        got = {(r.doc_id, r.bench_id): r.n_shared for r in
+               contamination_pairs(corpus, bench, min_shared=3).collect()}
+        # the leak shares all 8 of the benchmark's 3-gram shingles
+        bench_shingles = len(bench_text.split()) - SHINGLE_N + 1
+        assert got == {("c_leak", "b_one"): bench_shingles}
+
     def test_simhash_deterministic_and_16bit(self, spark, docs):
         from geowave_spark.operators.dedup import simhash
 
