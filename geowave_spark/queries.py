@@ -2312,6 +2312,7 @@ DRIVER_EXCLUDED = {
     "dedup_ngram_jaccard": "the shared-shingle Jaccard join IS dedup_minhash_lsh's verify stage (green r03 row); rotated out for dedup_clusters, which exercises the same pair graph transitively",
     "lang_id": "its argmax fold is computed verbatim inside training_data_filter AND train_split_stratified, both registered (green r03 row); rotated out for train_split_stratified",
     "distance_join": "fixed-radius sibling of knn_join (green r03 row) — same expansion-cell candidate join + exact haversine refine; J2 stays driver-covered via knn_join and knn_hexring; rotated out for split_contamination",
+    "routed_box_temporal": "index-router twin (green r03 row) — cql_spatial_routed and st_biased_box_query drive the same layouts_for router with constraint extraction on the r04 surface; route-independence stays pinned in tests/test_index_select.py; rotated out for sequence_packing",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut
@@ -2320,6 +2321,7 @@ _NEW_IN_R04 = [
     "dedup_clusters",  # new this round (large-star/small-star transitive dedup)
     "train_split_stratified",  # new this round (deterministic split + stratified sample)
     "split_contamination",  # new this round (train/test eval-leakage audit)
+    "sequence_packing",  # new this round (concat-then-chunk packing manifest)
     "cql_spatial_routed",  # new this round (CQL front-end)
     "st_insertion_biased",  # new this round (compact-Hilbert K6 bias)
     "st_biased_box_query",  # new this round (K2 range decomposition on bias keys)

@@ -125,6 +125,17 @@ def q_train_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIN_SHARED_SHINGLES = 3
+PACK_BUDGET = 256
+PACK_SHARDS = 8
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing manifest at PACK_BUDGET tokens/chunk: the
+    per-document chunk spans a pretraining loader needs (docs straddle
+    chunk boundaries; ordering is deterministic hash-shard + doc id)."""
+    from geowave_spark.operators.packing import pack_chunk_spans
+
+    return pack_chunk_spans(_docs(spark, sf_dir), PACK_BUDGET, PACK_SHARDS)
 
 
 def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,6 +378,26 @@ def _train_split_sql(pred: str) -> str:
     """
 
 
+def _sequence_packing_sql() -> str:
+    b, n = PACK_BUDGET, PACK_SHARDS
+    h = md5_long_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH base AS (
+          SELECT doc_id, {h} % {n} AS shard,
+                 CAST(len({_TOKS}) AS BIGINT) AS n_toks
+          FROM documents),
+        pos AS (
+          SELECT doc_id, shard, n_toks,
+                 CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id)
+                      - n_toks AS BIGINT) AS off
+          FROM base WHERE n_toks > 0)
+        SELECT doc_id, shard, chunk_id,
+               CAST(GREATEST(0, chunk_id * {b} - off) AS BIGINT) AS tok_start,
+               CAST(LEAST(n_toks, (chunk_id + 1) * {b} - off) AS BIGINT) AS tok_end
+        FROM pos, UNNEST(range(off // {b}, (off + n_toks - 1) // {b} + 1)) AS t(chunk_id)
+    """
+
+
 def _split_contamination_sql() -> str:
     from geowave_spark.operators.sampling import hash_split_sql
 
@@ -474,6 +505,7 @@ def build_text_oracles() -> dict[str, str]:
         """,
         "train_split_stratified": _train_split_sql(pred),
         "split_contamination": _split_contamination_sql(),
+        "sequence_packing": _sequence_packing_sql(),
         "dedup_minhash_lsh": lsh_sql,
         # transitive closure of the SAME pair graph: recursive CTE floods
         # every reachable label, MIN picks the component id — the SQL
@@ -628,6 +660,7 @@ TEXT_QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "train_split_stratified": q_train_split_stratified,
     "split_contamination": q_split_contamination,
+    "sequence_packing": q_sequence_packing,
     "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "lang_id": q_lang_id,

@@ -155,6 +155,50 @@ class TestDedup:
         # kept set is a subset: sampling never fabricates rows
         assert again <= {r.doc_id for r in base.collect()}
 
+    def test_pack_chunk_spans_tile_docs_and_fill_chunks(self, spark, docs):
+        """Per doc: spans tile [0, n_tokens) exactly (no gap, no overlap,
+        ordered by chunk).  Per shard: every chunk but the last is exactly
+        full — the concat-then-chunk contract."""
+        from geowave_spark.operators.packing import pack_chunk_spans
+
+        budget = 256
+        out = pack_chunk_spans(docs, budget, n_shards=4).collect()
+        by_doc: dict[int, list] = {}
+        fill: dict[tuple, int] = {}
+        for r in out:
+            assert 0 <= r.tok_start < r.tok_end
+            by_doc.setdefault(r.doc_id, []).append(r)
+            fill[(r.shard, r.chunk_id)] = fill.get((r.shard, r.chunk_id), 0) + (
+                r.tok_end - r.tok_start
+            )
+        n_toks = {r.doc_id: len(r.text.split(" ")) for r in docs.collect()}
+        assert set(by_doc) == {d for d, n in n_toks.items() if n > 0}
+        for doc_id, spans in by_doc.items():
+            spans.sort(key=lambda r: r.chunk_id)
+            assert spans[0].tok_start == 0
+            assert spans[-1].tok_end == n_toks[doc_id]
+            for a, b in zip(spans, spans[1:]):
+                assert a.tok_end == b.tok_start  # contiguous, non-overlapping
+                assert b.chunk_id == a.chunk_id + 1
+        last_chunk = {}
+        for shard, chunk in fill:
+            last_chunk[shard] = max(last_chunk.get(shard, -1), chunk)
+        for (shard, chunk), n in fill.items():
+            if chunk != last_chunk[shard]:
+                assert n == budget, f"shard {shard} chunk {chunk} holds {n}"
+            else:
+                assert 0 < n <= budget
+
+    def test_pack_chunk_spans_validates_inputs(self, spark, docs):
+        import pytest as _pytest
+
+        from geowave_spark.operators.packing import pack_chunk_spans
+
+        with _pytest.raises(ValueError, match="budget"):
+            pack_chunk_spans(docs, 0)
+        with _pytest.raises(ValueError, match="n_shards"):
+            pack_chunk_spans(docs, 64, n_shards=0)
+
     def test_contamination_pairs_detect_planted_leak(self, spark):
         """A benchmark doc copied (with noise) into the corpus is flagged;
         unrelated docs are not; n_shared counts distinct shared shingles."""
