@@ -84,6 +84,37 @@ def hash_split_sql(weights: dict[str, float], id_expr: str, salt: str = "split-v
     return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
 
 
+def domain_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    c: float,
+    id_col: str = "doc_id",
+    salt: str = "mixture-v1",
+) -> DataFrame:
+    """Inverse-sqrt domain rebalancing: keep each row of domain ``d`` with
+    probability ``min(1, c / sqrt(n_d))`` — common domains are downsampled
+    toward ``c * sqrt(n_d)`` kept rows, rare domains pass through whole (the
+    sqrt-temperature mixture every multi-source pretraining corpus applies;
+    α = 0.5 in the usual ``w_d ∝ n_d^α`` notation, expressed without the
+    normalizing sum so every arithmetic op is IEEE-exact and the DuckDB
+    oracle reproduces the kept set bit-for-bit: sqrt, one division, one
+    min — all correctly rounded, no order-dependent float summation).
+
+    Plan shape at 10^12 rows: one partial-agg count per domain (domains are
+    few), a broadcast join of the tiny rate table, and the same
+    deterministic md5 draw as :func:`hash_split` — map-only over the corpus,
+    reproducible across runs/engines/partitionings.  Appends ``_nd``
+    (domain size) and ``_rate`` columns alongside the kept rows.
+    """
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_nd"))
+    rates = counts.withColumn(
+        "_rate",
+        F.least(F.lit(1.0), F.lit(float(c)) / F.sqrt(F.col("_nd").cast("double"))),
+    )
+    joined = df.join(F.broadcast(rates), domain_col)
+    return joined.filter(_unit_hash(F.col(id_col), salt) < F.col("_rate"))
+
+
 def stratified_sample(
     df: DataFrame,
     fraction: float,

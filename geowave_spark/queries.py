@@ -2313,6 +2313,14 @@ DRIVER_EXCLUDED = {
     "lang_id": "its argmax fold is computed verbatim inside training_data_filter AND train_split_stratified, both registered (green r03 row); rotated out for train_split_stratified",
     "distance_join": "fixed-radius sibling of knn_join (green r03 row) — same expansion-cell candidate join + exact haversine refine; J2 stays driver-covered via knn_join and knn_hexring; rotated out for split_contamination",
     "routed_box_temporal": "index-router twin (green r03 row) — cql_spatial_routed and st_biased_box_query drive the same layouts_for router with constraint extraction on the r04 surface; route-independence stays pinned in tests/test_index_select.py; rotated out for sequence_packing",
+    # r04 second rotation: five green-r03 rows step aside for the five new
+    # training-data operators (repetition_signals, boilerplate_block_dedup,
+    # lm_quality_score, bpe_pair_counts, domain_mixture_sample)
+    "hex_cell_counts": "K5 hex-backend cell-count twin of s2_cell_counts (green r03 row; hex backend stays driver-covered via the pip_join family's hex twin parity + pytest)",
+    "knn_hexring": "J2 hex-ring twin of knn_join (green r03 row; same adaptive retirement loop, kRing candidate generation pinned by parity oracle + pytest)",
+    "kde_comparison": "R8 seasonal twin of kde_tiles (green r03 row; same splat/sum/tile pipeline with a season split, integer-ppm oracle stays in parity tests)",
+    "dedup_simhash": "F5 hamming-bucket twin of dedup_minhash_lsh (green r03 row; dedup family stays driver-covered via exact/minhash/clusters/embedding)",
+    "doc_fingerprint": "rolling-hash fingerprint (green r03 row; the identical md5-fold convention is exercised by every dedup oracle, parity test keeps the exact pin)",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut
@@ -2328,6 +2336,11 @@ _NEW_IN_R04 = [
     "cql_docs_bbox",  # new this round (areal-binding CQL)
     "pip_join",  # rotated in: rode on green r01+r02 rows only
     "s2_cell_counts",  # rotated in: rode on a green r02 row only
+    "repetition_signals",  # new this round (Gopher repetition quality signals)
+    "boilerplate_block_dedup",  # new this round (RefinedWeb block-level boilerplate removal)
+    "lm_quality_score",  # new this round (CCNet bigram-LM quality gate)
+    "bpe_pair_counts",  # new this round (distributed BPE trainer inner loop)
+    "domain_mixture_sample",  # new this round (inverse-sqrt domain rebalancing)
 ]
 QUERIES = {n: ALL_QUERIES[n] for n in _NEW_IN_R04}
 QUERIES.update(

@@ -317,6 +317,71 @@ def q_training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOCK_TOKENS = 16
+BLOCK_MAX_DOCS = 1
+LM_TOP_K = 1000
+BPE_TOP_N = 50
+MIX_C = 4.0
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition quality signals (single corpus
+    scan, sentinel-row explode keeps short docs in the output)."""
+    from geowave_spark.operators.textclean import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
+def q_boilerplate_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style boilerplate removal on fixed 16-token blocks: blocks
+    appearing in >= 2 distinct docs are banned corpus-wide (broadcast
+    anti-join), texts reassembled in order."""
+    from geowave_spark.operators.textclean import block_dedup
+
+    return block_dedup(_docs(spark, sf_dir), BLOCK_TOKENS, BLOCK_MAX_DOCS)
+
+
+def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality gate: add-one-smoothed bigram LM trained on the
+    hash-split train slice (top-K capped, vocabulary-sized tables), every
+    document scored via broadcast joins — micro-nat-quantized integer sums
+    keep the oracle hash-exact."""
+    from geowave_spark.operators.lm_score import lm_quality_score
+    from geowave_spark.operators.sampling import hash_split
+
+    docs = _docs(spark, sf_dir)
+    train = hash_split(docs, SPLIT_WEIGHTS).filter(F.col("split") == "train").drop("split")
+    return lm_quality_score(docs, train, LM_TOP_K)
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE trainer inner loop: word-type-weighted adjacent
+    character-pair counts, ranked by the greedy merge order."""
+    from geowave_spark.operators.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), BPE_TOP_N)
+
+
+def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-sqrt domain-mixture rebalancing over the ``lang`` column:
+    per-domain report (size, keep rate, deterministic kept count).  The kept
+    set comes from the real operator (count -> broadcast rate -> md5 draw);
+    the report recomputes the rate from the same exact expression so domains
+    whose sample is empty still appear."""
+    from geowave_spark.operators.sampling import domain_mixture_sample
+
+    docs = _docs(spark, sf_dir)
+    kept = domain_mixture_sample(docs, "lang", MIX_C)
+    ks = kept.groupBy("lang").agg(F.count("*").cast("long").alias("n_sampled"))
+    base = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    return base.join(ks, "lang", "left").select(
+        F.col("lang").alias("domain"),
+        "n_docs",
+        F.least(F.lit(1.0), F.lit(MIX_C) / F.sqrt(F.col("n_docs").cast("double"))).alias("rate"),
+        F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+    )
+
+
 # --- oracle SQL -------------------------------------------------------------
 
 _TOKS = "string_split(text, ' ')"
@@ -415,6 +480,143 @@ def _split_contamination_sql() -> str:
           HAVING count(*) >= {MIN_SHARED_SHINGLES})
         SELECT doc_id, COUNT(*) AS n_test_hits, MAX(n_shared) AS max_shared
         FROM pairs GROUP BY doc_id
+    """
+
+
+def _repetition_signals_sql() -> str:
+    bg2 = word_ngrams_sql("toks", 2)
+    bg3 = word_ngrams_sql("toks", 3)
+    frac = (
+        lambda num, den: f"CASE WHEN {den} > 0 THEN CAST({num} AS DOUBLE) / "
+        f"CAST({den} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        bg AS (SELECT doc_id, g, count(*) AS c
+               FROM (SELECT doc_id, unnest({bg2}) AS g FROM t) GROUP BY doc_id, g),
+        b2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                      CAST(max(c) AS BIGINT) AS top_bigram_n,
+                      CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_bigram_n
+               FROM bg GROUP BY doc_id),
+        tg AS (SELECT doc_id, g, count(*) AS c
+               FROM (SELECT doc_id, unnest({bg3}) AS g FROM t) GROUP BY doc_id, g),
+        b3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+                      CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_trigram_n
+               FROM tg GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+               COALESCE(b2.n_bigrams, 0) AS n_bigrams,
+               COALESCE(b2.top_bigram_n, 0) AS top_bigram_n,
+               COALESCE(b2.dup_bigram_n, 0) AS dup_bigram_n,
+               COALESCE(b3.n_trigrams, 0) AS n_trigrams,
+               COALESCE(b3.dup_trigram_n, 0) AS dup_trigram_n,
+               CASE WHEN len(toks) > 0 THEN CAST(1.0 AS DOUBLE)
+                    - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS dup_token_frac,
+               {frac("COALESCE(b2.top_bigram_n, 0)", "COALESCE(b2.n_bigrams, 0)")} AS top_bigram_frac,
+               {frac("COALESCE(b3.dup_trigram_n, 0)", "COALESCE(b3.n_trigrams, 0)")} AS dup_trigram_frac
+        FROM t LEFT JOIN b2 USING (doc_id) LEFT JOIN b3 USING (doc_id)
+    """
+
+
+def _block_dedup_sql() -> str:
+    B = BLOCK_TOKENS
+    bh = md5_long_sql("blk")
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        nb AS (SELECT doc_id, toks, CAST((len(toks) + {B - 1}) // {B} AS INT) AS n_blocks FROM t),
+        hashed AS (
+          SELECT doc_id, i, blk, {bh} AS bh
+          FROM (SELECT doc_id, i,
+                       array_to_string(toks[i * {B} + 1 : i * {B} + {B}], ' ') AS blk
+                FROM nb, UNNEST(range(0, n_blocks)) AS u(i))),
+        banned AS (
+          SELECT bh FROM (SELECT bh, count(DISTINCT doc_id) AS df FROM hashed GROUP BY bh)
+          WHERE df > {BLOCK_MAX_DOCS}),
+        kept AS (
+          SELECT doc_id, CAST(count(*) AS INT) AS n_blocks_kept,
+                 string_agg(blk, ' ' ORDER BY i) AS clean_text
+          FROM hashed WHERE bh NOT IN (SELECT bh FROM banned) GROUP BY doc_id)
+        SELECT nb.doc_id, nb.n_blocks,
+               COALESCE(k.n_blocks_kept, 0) AS n_blocks_kept,
+               COALESCE(k.clean_text, '') AS clean_text
+        FROM nb LEFT JOIN kept k USING (doc_id)
+    """
+
+
+def _lm_quality_score_sql() -> str:
+    from geowave_spark.operators.lm_score import _Q
+    from geowave_spark.operators.sampling import hash_split_sql
+
+    split = hash_split_sql(SPLIT_WEIGHTS, "doc_id")
+    return f"""
+        WITH train AS (
+          SELECT {_TOKS} AS toks FROM documents WHERE ({split}) = 'train'),
+        trainpairs AS (
+          SELECT toks[CAST(i AS INT) + 1] AS w1, toks[CAST(i AS INT) + 2] AS w2
+          FROM train, UNNEST(range(0, len(toks) - 1)) AS u(i)),
+        c2 AS (SELECT w1, w2, count(*) AS c FROM trainpairs GROUP BY w1, w2),
+        lm AS (SELECT w1, w2, c FROM (
+                 SELECT *, row_number() OVER (ORDER BY c DESC, w1, w2) AS rk FROM c2)
+               WHERE rk <= {LM_TOP_K}),
+        ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+        v AS (SELECT count(DISTINCT tok) AS nv
+              FROM (SELECT unnest(toks) AS tok FROM train)),
+        docpairs AS (
+          SELECT doc_id, toks[CAST(i AS INT) + 1] AS w1, toks[CAST(i AS INT) + 2] AS w2
+          FROM (SELECT doc_id, {_TOKS} AS toks FROM documents),
+               UNNEST(range(0, len(toks) - 1)) AS u(i)),
+        scored AS (
+          SELECT d.doc_id,
+                 CAST(floor(ln((COALESCE(lm.c, 0) + 1)
+                               / (COALESCE(ctx.c1, 0) + (SELECT nv FROM v)))
+                            * {_Q}) AS BIGINT) AS lpq
+          FROM docpairs d
+          LEFT JOIN lm ON lm.w1 = d.w1 AND lm.w2 = d.w2
+          LEFT JOIN ctx ON ctx.w1 = d.w1),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+                       CAST(sum(lpq) AS BIGINT) AS s
+                FROM scored GROUP BY doc_id)
+        SELECT doc.doc_id,
+               COALESCE(agg.nb, 0) AS n_bigrams,
+               COALESCE(agg.s, 0) AS sum_logp_q6,
+               CASE WHEN COALESCE(agg.nb, 0) > 0
+                    THEN (CAST(agg.s AS DOUBLE) / {float(_Q)!r}) / agg.nb
+                    ELSE CAST(0 AS DOUBLE) END AS avg_logp
+        FROM documents doc LEFT JOIN agg ON agg.doc_id = doc.doc_id
+    """
+
+
+def _bpe_pair_counts_sql() -> str:
+    return f"""
+        WITH w AS (SELECT word, count(*) AS wf
+                   FROM (SELECT unnest({_TOKS}) AS word FROM documents) GROUP BY word),
+        p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, wf
+              FROM w, UNNEST(range(1, length(word))) AS u(i)),
+        c AS (SELECT pair, CAST(sum(wf) AS BIGINT) AS n FROM p GROUP BY pair),
+        r AS (SELECT pair, n,
+                     CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank
+              FROM c)
+        SELECT pair, n, rank FROM r WHERE rank <= {BPE_TOP_N}
+    """
+
+
+def _domain_mixture_sql() -> str:
+    from geowave_spark.operators.sampling import unit_hash_sql
+
+    draw = unit_hash_sql("doc_id", "mixture-v1")
+    rate = f"LEAST(CAST(1.0 AS DOUBLE), CAST({MIX_C!r} AS DOUBLE) / sqrt(CAST(n_docs AS DOUBLE)))"
+    return f"""
+        WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                     FROM documents GROUP BY lang),
+        r AS (SELECT lang, n_docs, {rate} AS rate FROM cnt),
+        k AS (SELECT d.lang, count(*) AS n_sampled
+              FROM documents d JOIN r USING (lang)
+              WHERE {draw} < r.rate GROUP BY d.lang)
+        SELECT r.lang AS domain, r.n_docs, r.rate,
+               CAST(COALESCE(k.n_sampled, 0) AS BIGINT) AS n_sampled
+        FROM r LEFT JOIN k USING (lang)
     """
 
 
@@ -648,6 +850,11 @@ def build_text_oracles() -> dict[str, str]:
                    CAST(length(text) AS INT) AS n_chars
             FROM documents
         """,
+        "repetition_signals": _repetition_signals_sql(),
+        "boilerplate_block_dedup": _block_dedup_sql(),
+        "lm_quality_score": _lm_quality_score_sql(),
+        "bpe_pair_counts": _bpe_pair_counts_sql(),
+        "domain_mixture_sample": _domain_mixture_sql(),
     }
 
 
@@ -671,4 +878,9 @@ TEXT_QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "training_data_filter": q_training_data_filter,
     "token_stats": q_token_stats,
+    "repetition_signals": q_repetition_signals,
+    "boilerplate_block_dedup": q_boilerplate_block_dedup,
+    "lm_quality_score": q_lm_quality_score,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "domain_mixture_sample": q_domain_mixture_sample,
 }
