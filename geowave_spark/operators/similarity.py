@@ -613,3 +613,91 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(F.col(qid_col), F.col(id_col), F.col("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-prune semantic deduplication
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    embs: DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup (Abbas et al. 2023, "SemDeDup"): cluster the embedding
+    space coarsely, then drop every vector whose cosine to ANY earlier
+    (lower-id) vector in the same cluster reaches ``threshold``.  Returns
+    ``(vec_id, cluster, is_kept)`` for every input row.
+
+    Engine-independent determinism (the whole design):
+
+    - centroids are the ``k`` RAW corpus vectors with the smallest md5-hashed
+      ids — a reproducible uniform draw with NO float averaging, so every
+      number downstream is an IEEE product of stored floats that DuckDB
+      reproduces bit-for-bit (the same trick as the kNN/ANN oracles);
+    - assignment is argmax cosine with ties broken on centroid index;
+    - the prune rule is the paper's upper-triangular sweep (drop x iff some
+      y < x in x's cluster has cos(x, y) >= threshold — y itself need not
+      survive), which needs no recursion: one within-cluster semi-join.
+
+    100 TB shape: the assignment stage is a broadcast crossJoin against k
+    rows (k is ~n/target_cluster_size at scale — still broadcastable at
+    k=10^5); the prune stage is a self-equi-join keyed on the cluster id,
+    the candidate volume sum(c_i^2) bounded by cluster occupancy the same
+    way IVF bounds its probe lists.  Hot clusters are AQE's skew-join case;
+    a corpus whose mass collapses into one cluster needs a larger k, not a
+    different operator.  Nothing touches the driver but the k centroid rows.
+    (Reference analog: the reference's dedup layer is key-equality only —
+    `core/store/.../DedupeFilter.java` — semantic dedup is beyond-reference
+    scope per the round brief.)"""
+    from geowave_spark.functions.text import md5_long
+
+    w_h = Window.orderBy("_h")
+    cent = (
+        embs.withColumn("_h", md5_long(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(k)
+        .select(
+            (F.row_number().over(w_h) - 1).alias("_cl"),
+            F.col(vec_col).alias("_cvec"),
+        )
+    )
+    cos_cent = _dot(F.col(vec_col), F.col("_cvec")) / F.sqrt(
+        _norm_sq(F.col(vec_col)) * _norm_sq(F.col("_cvec"))
+    )
+    w_asg = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_cl"))
+    asg = (
+        embs.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("_cos", cos_cent)
+        .withColumn("_rn", F.row_number().over(w_asg))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, F.col("_cl").alias("cluster"))
+    )
+    a = asg.select(
+        F.col(id_col).alias("_id_a"), F.col(vec_col).alias("_va"), "cluster"
+    )
+    b = asg.select(
+        F.col(id_col).alias("_id_b"), F.col(vec_col).alias("_vb"), "cluster"
+    )
+    cos_pair = _dot(F.col("_va"), F.col("_vb")) / F.sqrt(
+        _norm_sq(F.col("_va")) * _norm_sq(F.col("_vb"))
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .withColumn("_cos", cos_pair)
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("_id_b").alias("_dropped_id"))
+        .distinct()
+    )
+    return asg.join(
+        dropped, asg[id_col] == dropped["_dropped_id"], "left"
+    ).select(
+        id_col,
+        "cluster",
+        F.col("_dropped_id").isNull().alias("is_kept"),
+    )

@@ -2321,6 +2321,7 @@ DRIVER_EXCLUDED = {
     "kde_comparison": "R8 seasonal twin of kde_tiles (green r03 row; same splat/sum/tile pipeline with a season split, integer-ppm oracle stays in parity tests)",
     "dedup_simhash": "F5 hamming-bucket twin of dedup_minhash_lsh (green r03 row; dedup family stays driver-covered via exact/minhash/clusters/embedding)",
     "doc_fingerprint": "rolling-hash fingerprint (green r03 row; the identical md5-fold convention is exercised by every dedup oracle, parity test keeps the exact pin)",
+    "dedup_embedding_cosine": "exact all-pairs twin (green r03 row); semdedup_prune drives the same cosine fold through the cluster-then-prune plan on the r04 surface, the LSH-bucketed variant stays recall-pinned in tests/test_ann_recall.py",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut
@@ -2341,6 +2342,7 @@ _NEW_IN_R04 = [
     "lm_quality_score",  # new this round (CCNet bigram-LM quality gate)
     "bpe_pair_counts",  # new this round (distributed BPE trainer inner loop)
     "domain_mixture_sample",  # new this round (inverse-sqrt domain rebalancing)
+    "semdedup_prune",  # new this round (SemDeDup cluster-then-prune semantic dedup)
 ]
 QUERIES = {n: ALL_QUERIES[n] for n in _NEW_IN_R04}
 QUERIES.update(

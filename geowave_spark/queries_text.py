@@ -362,6 +362,25 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_docs(spark, sf_dir), BPE_TOP_N)
 
 
+# SemDeDup knobs: k coarse clusters over the 64-dim embeddings; the prune
+# threshold sits under the corpus's max pairwise cosine (~0.51 at sf0.01,
+# near-orthogonal synthetic vectors) so the within-cluster sweep genuinely
+# drops rows.  Real corpora run >= 0.95 like the LSH dedup.
+SEMDEDUP_K = 8
+SEMDEDUP_THRESHOLD = 0.38
+
+
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-prune semantic dedup): every vector labeled
+    with its coarse cluster and whether the upper-triangular within-cluster
+    cosine sweep keeps it."""
+    from geowave_spark.operators.similarity import semdedup
+
+    return semdedup(
+        _embs(spark, sf_dir), k=SEMDEDUP_K, threshold=SEMDEDUP_THRESHOLD
+    )
+
+
 def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverse-sqrt domain-mixture rebalancing over the ``lang`` column:
     per-domain report (size, keep rate, deterministic kept count).  The kept
@@ -620,6 +639,48 @@ def _domain_mixture_sql() -> str:
     """
 
 
+def _cos_sql(lx: str, rx: str) -> str:
+    """DuckDB cosine between two 64-dim FLOAT[] column refs, same fold order
+    as ``operators.similarity._dot``: sequential double accumulation."""
+
+    def dot(a: str, b: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, 65), i -> "
+            f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+            "(acc, v) -> acc + v)"
+        )
+
+    return f"{dot(lx, rx)} / sqrt({dot(lx, lx)} * {dot(rx, rx)})"
+
+
+def _semdedup_sql() -> str:
+    """Independent SemDeDup: same deterministic centroid draw (k smallest
+    md5-hashed ids, raw vectors), argmax-cosine assignment, upper-triangular
+    within-cluster prune — as one CTE chain."""
+    h = md5_long_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+        WITH cent AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS cl, embedding AS cvec
+          FROM (SELECT {h} AS h, embedding FROM embeddings ORDER BY 1
+                LIMIT {SEMDEDUP_K})),
+        asg AS (
+          SELECT vec_id, embedding, cl FROM (
+            SELECT e.vec_id, e.embedding, c.cl,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cl
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id
+          WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {SEMDEDUP_THRESHOLD})
+        SELECT a.vec_id, CAST(a.cl AS INT) AS cluster,
+               d.vec_id IS NULL AS is_kept
+        FROM asg a LEFT JOIN dropped d USING (vec_id)
+    """
+
+
 def build_text_oracles() -> dict[str, str]:
     mins_cols = ", ".join(f"m{i}" for i in range(NUM_PERM))
     bands = ", ".join(_band_exprs())
@@ -855,6 +916,7 @@ def build_text_oracles() -> dict[str, str]:
         "lm_quality_score": _lm_quality_score_sql(),
         "bpe_pair_counts": _bpe_pair_counts_sql(),
         "domain_mixture_sample": _domain_mixture_sql(),
+        "semdedup_prune": _semdedup_sql(),
     }
 
 
@@ -883,4 +945,5 @@ TEXT_QUERIES = {
     "lm_quality_score": q_lm_quality_score,
     "bpe_pair_counts": q_bpe_pair_counts,
     "domain_mixture_sample": q_domain_mixture_sample,
+    "semdedup_prune": q_semdedup_prune,
 }

@@ -248,3 +248,46 @@ class TestIvfPqRecall:
         scan = [ln for ln in plan.splitlines()
                 if "PartitionFilters" in ln and "_list" in ln.split("PartitionFilters")[1][:120]]
         assert scan, "the _list IN filter must reach the scan as a PartitionFilter"
+
+
+class TestSemDeDup:
+    """Invariants of the cluster-then-prune semantic dedup (the oracle pins
+    exactness; these pin the semantics the oracle can't see by row-hash)."""
+
+    def test_planted_twins_pruned(self, spark, near_dup_corpus):
+        """Every planted near-dup twin (cos >= 0.95 to its base) must be
+        dropped, every base must survive: twins share the base's cluster at
+        this geometry, and the upper-triangular sweep keeps the lower id."""
+        from geowave_spark.operators.similarity import semdedup
+
+        out = semdedup(near_dup_corpus, k=4, threshold=0.95).collect()
+        by_id = {r.vec_id: r for r in out}
+        n = len(out)
+        bases = [r for r in out if r.vec_id < 1_000_000]
+        twins = [r for r in out if r.vec_id >= 1_000_000]
+        assert len(bases) and len(twins) and len(bases) == len(twins)
+        # a twin may only survive if it landed in a different cluster than
+        # its base (possible at cluster boundaries); count those honestly
+        escaped = [
+            t for t in twins
+            if t.is_kept and by_id[t.vec_id - 1_000_000].cluster == t.cluster
+        ]
+        assert not escaped, f"{len(escaped)} same-cluster twins survived"
+        assert all(b.is_kept for b in bases), "a base vector was pruned"
+        assert n == len(bases) + len(twins)
+
+    def test_output_covers_input_exactly_once(self, spark):
+        from geowave_spark.operators.similarity import semdedup
+
+        embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = semdedup(embs, k=4, threshold=0.4)
+        assert out.count() == embs.count()
+        assert out.select("vec_id").distinct().count() == embs.count()
+
+    def test_threshold_one_keeps_everything_distinct(self, spark):
+        """threshold > max pairwise cosine => nothing is pruned."""
+        from geowave_spark.operators.similarity import semdedup
+
+        embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = semdedup(embs, k=4, threshold=1.0000001)
+        assert out.filter(~out.is_kept).count() == 0
