@@ -2322,6 +2322,7 @@ DRIVER_EXCLUDED = {
     "dedup_simhash": "F5 hamming-bucket twin of dedup_minhash_lsh (green r03 row; dedup family stays driver-covered via exact/minhash/clusters/embedding)",
     "doc_fingerprint": "rolling-hash fingerprint (green r03 row; the identical md5-fold convention is exercised by every dedup oracle, parity test keeps the exact pin)",
     "dedup_embedding_cosine": "exact all-pairs twin (green r03 row); semdedup_prune drives the same cosine fold through the cluster-then-prune plan on the r04 surface, the LSH-bucketed variant stays recall-pinned in tests/test_ann_recall.py",
+    "cql_attribute_filter": "F4 native-expression path (green r03 row); the CQL string front-end now drives the same predicate family on the r04 surface via cql_docs_bbox + cql_spatial_routed, and text_like_query keeps the parity pin",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut
@@ -2343,6 +2344,7 @@ _NEW_IN_R04 = [
     "bpe_pair_counts",  # new this round (distributed BPE trainer inner loop)
     "domain_mixture_sample",  # new this round (inverse-sqrt domain rebalancing)
     "semdedup_prune",  # new this round (SemDeDup cluster-then-prune semantic dedup)
+    "pii_redact",  # new this round (compliance scrub: emails/SSNs/phones/IPs)
 ]
 QUERIES = {n: ALL_QUERIES[n] for n in _NEW_IN_R04}
 QUERIES.update(

@@ -362,6 +362,60 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_docs(spark, sf_dir), BPE_TOP_N)
 
 
+def _plant_pii(doc_id: F.Column, text: F.Column) -> F.Column:
+    """Deterministic PII planting: the corpus is synthetic word soup with no
+    real PII, so the query seeds one finding per doc_id%5 class — the same
+    concat both engines compute, per the round brief's synthesise-at-small-
+    scale rule.  The operator itself never sees the planting logic."""
+    m = (doc_id % 5).cast("int")
+    return F.concat(
+        text,
+        F.when(m == 0, F.concat(F.lit(" contact user"), doc_id.cast("string"), F.lit("@example.com")))
+        .when(m == 1, F.concat(F.lit(" call 555-"), F.lpad((doc_id % 1000).cast("string"), 3, "0"), F.lit("-4567")))
+        .when(m == 2, F.concat(F.lit(" from 10.0."), (doc_id % 256).cast("string"), F.lit(".17")))
+        .when(m == 3, F.concat(F.lit(" ssn 123-45-"), F.lpad((doc_id % 10000).cast("string"), 4, "0")))
+        .otherwise(F.lit("")),
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the (PII-planted) documents: per-rule substitution
+    counts + the md5 of the redacted text (the value contract — emitting
+    megabytes of redacted text through the compare would test nothing
+    more)."""
+    from geowave_spark.operators.pii import pii_redact
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _plant_pii(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    out = pii_redact(docs, "text")
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ipv4",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+def _pii_redact_sql() -> str:
+    from geowave_spark.operators.pii import pii_rules_sql
+
+    plant = """text || CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+          WHEN 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4567'
+          WHEN 2 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17'
+          WHEN 3 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END"""
+    counts, redacted = pii_rules_sql("t")
+    return f"""
+        WITH p AS (SELECT doc_id, {plant} AS t FROM documents)
+        SELECT doc_id, {', '.join(counts)}, md5({redacted}) AS redacted_md5
+        FROM p
+    """
+
+
 # SemDeDup knobs: k coarse clusters over the 64-dim embeddings; the prune
 # threshold sits under the corpus's max pairwise cosine (~0.51 at sf0.01,
 # near-orthogonal synthetic vectors) so the within-cluster sweep genuinely
@@ -917,6 +971,7 @@ def build_text_oracles() -> dict[str, str]:
         "bpe_pair_counts": _bpe_pair_counts_sql(),
         "domain_mixture_sample": _domain_mixture_sql(),
         "semdedup_prune": _semdedup_sql(),
+        "pii_redact": _pii_redact_sql(),
     }
 
 
@@ -946,4 +1001,5 @@ TEXT_QUERIES = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "domain_mixture_sample": q_domain_mixture_sample,
     "semdedup_prune": q_semdedup_prune,
+    "pii_redact": q_pii_redact,
 }

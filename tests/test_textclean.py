@@ -253,3 +253,54 @@ class TestDomainMixture:
             for r in domain_mixture_sample(docs, "lang", 4.0, salt="mixture-v2").collect()
         }
         assert a != b
+
+
+class TestPiiRedact:
+    def test_planted_pii_found_and_scrubbed(self, spark):
+        """Each rule fires on its planted class; the redacted text contains
+        no residual match of ANY rule (re-running the scrub is a no-op)."""
+        from pyspark.sql import functions as F
+
+        from geowave_spark.operators.pii import PII_RULES, pii_redact
+        from geowave_spark.queries_text import _plant_pii
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        planted = docs.select(
+            "doc_id", _plant_pii(F.col("doc_id"), F.col("text")).alias("text")
+        )
+        out = pii_redact(planted, "text").cache()
+        agg = out.agg(
+            *[F.sum(f"n_{k}").alias(k) for k, _, _ in PII_RULES]
+        ).first()
+        for kind, _, _ in PII_RULES:
+            assert agg[kind] > 0, f"rule {kind} never fired on planted corpus"
+        residual = out.select(
+            *[
+                F.sum(F.regexp_count("text_redacted", F.lit(pat))).alias(kind)
+                for kind, pat, _ in PII_RULES
+            ]
+        ).first()
+        assert all(residual[k] == 0 for k, _, _ in PII_RULES), residual
+        out.unpersist()
+
+    def test_counts_equal_replacements(self, spark):
+        """n_<kind> is the exact number of substitutions: planted docs carry
+        one finding each, unplanted (doc_id%5==4) carry zero."""
+        from pyspark.sql import functions as F
+
+        from geowave_spark.operators.pii import pii_redact
+        from geowave_spark.queries_text import _plant_pii
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        planted = docs.select(
+            "doc_id", _plant_pii(F.col("doc_id"), F.col("text")).alias("text")
+        )
+        out = pii_redact(planted, "text").withColumn(
+            "total",
+            F.col("n_email") + F.col("n_ssn") + F.col("n_phone") + F.col("n_ipv4"),
+        )
+        bad = out.filter(
+            ((F.col("doc_id") % 5 == 4) & (F.col("total") != 0))
+            | ((F.col("doc_id") % 5 != 4) & (F.col("total") != 1))
+        ).count()
+        assert bad == 0
