@@ -576,3 +576,46 @@ def with_salt(df: DataFrame, key_col: str, buckets: int, salt_col: str = "salt")
     sub-partitions.  Caller joins on (key, salt) with the build side exploded
     across all bucket values."""
     return df.withColumn(salt_col, F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets)).cast("int"))
+
+
+def with_geohash(
+    df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    precision: int = 5,
+    out_col: str = "geohash",
+) -> DataFrame:
+    """Standard geohash (Niemeyer base32 Morton key) as PURE Catalyst
+    expressions — quantize, interleave bit-by-bit, map 5-bit groups through
+    the alphabet.  Mirrors `sfc/geohash.py` (the numpy twin pinned against
+    it in tests); SQL oracles re-derive the identical arithmetic.  Prefix
+    truncation = parent cell, so the tiered-layout machinery (cell_at_tier)
+    has a text-keyed analog: substr(geohash, 1, p') IS the coarser cell."""
+    from geowave_spark.sfc.geohash import BASE32, lonlat_bits
+
+    lb, tb = lonlat_bits(precision)
+    lonq = F.least(
+        F.floor((F.col(lon_col).cast("double") + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lb))),
+        F.lit((1 << lb) - 1),
+    ).cast("long")
+    latq = F.least(
+        F.floor((F.col(lat_col).cast("double") + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << tb))),
+        F.lit((1 << tb) - 1),
+    ).cast("long")
+    total = 5 * precision
+    code = F.lit(0).cast("long")
+    for k in range(total):
+        if k % 2 == 0:
+            bit = F.shiftright(lonq, lb - 1 - k // 2).bitwiseAND(F.lit(1))
+        else:
+            bit = F.shiftright(latq, tb - 1 - (k - 1) // 2).bitwiseAND(F.lit(1))
+        code = F.shiftleft(code, 1).bitwiseOR(bit)
+    alphabet = F.array(*[F.lit(c) for c in BASE32])
+    chars = [
+        F.element_at(
+            alphabet,
+            (F.shiftright(code, 5 * (precision - 1 - j)).bitwiseAND(F.lit(31)) + F.lit(1)).cast("int"),
+        )
+        for j in range(precision)
+    ]
+    return df.withColumn(out_col, F.concat(*chars))

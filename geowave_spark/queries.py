@@ -1152,6 +1152,57 @@ def q_s2_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GEOHASH_PRECISION = 5
+
+
+def q_geohash_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 geohash backend (sfc/geohash.py): per-geohash point counts at
+    precision 5 — the standard Niemeyer base32 Morton key, computed as pure
+    Catalyst bit arithmetic (operators/indexing.py with_geohash), so keys
+    interoperate with every public geohash library.  The reference's
+    Z-order backend (`ZOrderSFC.java:62-158`) is the binary-keyed sibling;
+    prefix truncation here plays cell_at_tier's role."""
+    from geowave_spark.operators.indexing import with_geohash
+
+    pts = _geo(spark, sf_dir, "points")
+    return (
+        with_geohash(pts, precision=GEOHASH_PRECISION)
+        .groupBy("geohash")
+        .agg(F.count("*").alias("n"), F.min("fid").alias("first_fid"))
+    )
+
+
+def _geohash_oracle() -> str:
+    """Same quantize/interleave/base32 arithmetic as one SQL expression."""
+    from geowave_spark.sfc.geohash import lonlat_bits
+
+    p = GEOHASH_PRECISION
+    lb, tb = lonlat_bits(p)
+    lonq = f"LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * {float(1 << lb)}) AS BIGINT), {(1 << lb) - 1})"
+    latq = f"LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * {float(1 << tb)}) AS BIGINT), {(1 << tb) - 1})"
+    terms = []
+    total = 5 * p
+    for k in range(total):
+        if k % 2 == 0:
+            terms.append(f"(((lonq >> {lb - 1 - k // 2}) & 1) << {total - 1 - k})")
+        else:
+            terms.append(f"(((latq >> {tb - 1 - (k - 1) // 2}) & 1) << {total - 1 - k})")
+    code = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST(((code >> {5 * (p - 1 - j)}) & 31) + 1 AS INT), 1)"
+        for j in range(p)
+    )
+    return f"""
+        WITH q AS (SELECT fid, {lonq} AS lonq, {latq} AS latq
+                   FROM '{GEO_SF001}/points.parquet'),
+        c AS (SELECT fid, {code} AS code FROM q)
+        SELECT {chars} AS geohash, CAST(count(*) AS BIGINT) AS n,
+               MIN(fid) AS first_fid
+        FROM c GROUP BY code
+    """
+
+
 HEX_RES = 6
 
 
@@ -2094,6 +2145,7 @@ def build_oracles() -> dict[str, str]:
         "raster_pyramid": _raster_oracle(pyramid=True),
         "s2_cell_counts": _s2_oracle(),
         "hex_cell_counts": _hex_oracle(),
+        "geohash_cell_counts": _geohash_oracle(),
         # the hex-kRing join must reproduce the exact kNN answer — same
         # brute-force oracle as knn_join (independent algorithm either way)
         "knn_hexring": f"""
@@ -2251,6 +2303,7 @@ ALL_QUERIES = {
     "raster_pyramid": q_raster_pyramid,
     "s2_cell_counts": q_s2_cell_counts,
     "hex_cell_counts": q_hex_cell_counts,
+    "geohash_cell_counts": q_geohash_cell_counts,
     "knn_hexring": q_knn_hexring,
     "routed_box_temporal": q_routed_box_temporal,
     "cql_spatial_routed": q_cql_spatial_routed,
@@ -2322,6 +2375,7 @@ DRIVER_EXCLUDED = {
     "dedup_simhash": "F5 hamming-bucket twin of dedup_minhash_lsh (green r03 row; dedup family stays driver-covered via exact/minhash/clusters/embedding)",
     "doc_fingerprint": "rolling-hash fingerprint (green r03 row; the identical md5-fold convention is exercised by every dedup oracle, parity test keeps the exact pin)",
     "dedup_embedding_cosine": "exact all-pairs twin (green r03 row); semdedup_prune drives the same cosine fold through the cluster-then-prune plan on the r04 surface, the LSH-bucketed variant stays recall-pinned in tests/test_ann_recall.py",
+    "knn_haversine": "J3 broadcast-centroid kNN (green r03 row); the haversine refine and window top-k are the same exprs knn_join drives on the r04 surface, and the brute==bucketed equality pytest keeps the J3 pin",
     "cql_attribute_filter": "F4 native-expression path (green r03 row); the CQL string front-end now drives the same predicate family on the r04 surface via cql_docs_bbox + cql_spatial_routed, and text_like_query keeps the parity pin",
 }
 
@@ -2345,6 +2399,7 @@ _NEW_IN_R04 = [
     "domain_mixture_sample",  # new this round (inverse-sqrt domain rebalancing)
     "semdedup_prune",  # new this round (SemDeDup cluster-then-prune semantic dedup)
     "pii_redact",  # new this round (compliance scrub: emails/SSNs/phones/IPs)
+    "geohash_cell_counts",  # new this round (K5 geohash text-keyed backend)
 ]
 QUERIES = {n: ALL_QUERIES[n] for n in _NEW_IN_R04}
 QUERIES.update(

@@ -680,3 +680,67 @@ class TestCompactHilbert:
         assert 0 < len(rs) <= 5000 and time.time() - t0 < 2.0
         assert all(a <= b for a, b in rs)
         assert all(rs[i][1] < rs[i + 1][0] for i in range(len(rs) - 1))  # merged, sorted
+
+
+class TestGeohash:
+    """K5 geohash backend: public-convention pins + round trips."""
+
+    KNOWN = [
+        # (lon, lat, precision-5 geohash) — standard published values
+        (-0.1278, 51.5074, "gcpvj"),   # London
+        (139.6917, 35.6895, "xn774"),  # Tokyo
+        (-74.0060, 40.7128, "dr5re"),  # New York
+        (0.0, 0.0, "s0000"),           # origin
+    ]
+
+    def test_known_values(self):
+        import numpy as np
+
+        from geowave_spark.sfc.geohash import geohash_encode
+
+        lon = np.array([c[0] for c in self.KNOWN])
+        lat = np.array([c[1] for c in self.KNOWN])
+        assert list(geohash_encode(lon, lat, 5)) == [c[2] for c in self.KNOWN]
+
+    def test_decode_box_contains_point(self):
+        import numpy as np
+
+        from geowave_spark.sfc.geohash import geohash_decode_box, geohash_encode
+
+        rng = np.random.RandomState(3)
+        lon = rng.uniform(-180, 180, 200)
+        lat = rng.uniform(-90, 90, 200)
+        for p in (1, 3, 5, 7):
+            for x, y, h in zip(lon, lat, geohash_encode(lon, lat, p)):
+                x0, y0, x1, y1 = geohash_decode_box(h)
+                assert x0 <= x < x1 + 1e-12 and y0 <= y < y1 + 1e-12
+
+    def test_prefix_is_parent(self):
+        import numpy as np
+
+        from geowave_spark.sfc.geohash import geohash_encode
+
+        rng = np.random.RandomState(4)
+        lon = rng.uniform(-180, 180, 500)
+        lat = rng.uniform(-90, 90, 500)
+        h7 = geohash_encode(lon, lat, 7)
+        h4 = geohash_encode(lon, lat, 4)
+        assert all(a[:4] == b for a, b in zip(h7, h4))
+
+    def test_spark_expr_equals_numpy(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from geowave_spark.operators.indexing import with_geohash
+        from geowave_spark.sfc.geohash import geohash_encode
+
+        pts = spark.read.parquet("/root/repo/data/geo/sf0.001/points.parquet")
+        rows = (
+            with_geohash(pts, precision=6)
+            .select("fid", "lon", "lat", "geohash")
+            .collect()
+        )
+        lon = np.array([r.lon for r in rows])
+        lat = np.array([r.lat for r in rows])
+        expect = geohash_encode(lon, lat, 6)
+        assert all(r.geohash == e for r, e in zip(rows, expect))
