@@ -1,0 +1,149 @@
+"""Getis-Ord Gi* hotspot detection over gridded point counts.
+
+The classic local spatial statistic (Getis & Ord 1992; Ord & Getis 1995):
+for each occupied grid cell i with binary 3x3 queen-contiguity weights,
+
+    Gi* = (sum_j x_j  -  Xbar * W_i)
+          / ( S * sqrt( (n * W_i - W_i^2) / (n - 1) ) )
+
+where j ranges over i's occupied neighbors incl. itself, W_i = their count,
+n = occupied cells, Xbar/S the global mean/std of cell counts.  |Gi*| > ~2
+flags statistically hot (cold) cells — the standard first pass over event
+data the reference serves to density renderers (its KDE pyramid,
+`analytics/mapreduce/.../kde/`, answers the same "where is it hot" question
+non-parametrically; Gi* adds the significance test).
+
+Determinism & oracle story: every input to the statistic is an INTEGER
+(cell counts, neighbor counts, their sums), so the handful of double ops
+(two divides, two sqrts) are bit-identical in any IEEE engine as long as
+the expression tree is written in the same shape — which `gi_star_sql`
+guarantees by construction.  The emitted z-score is quantized to ppm with
+FLOOR so hashes compare exactly.
+
+100 TB shape: one shuffle to grid the points (groupBy cell), one cell-keyed
+equi-join for the neighborhood (the probe side explodes to the 9 literal
+queen offsets — rows x9, never points x9, since cells << points), and the
+3-number global reduce broadcasts back.  No window over a global ordering,
+no Python, no driver data but the 3 aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUEEN_OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+def cell_counts(
+    points: DataFrame,
+    cell_deg: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Grid the points: (xb, yb, x) with x = count in the cell."""
+    return (
+        points.groupBy(
+            F.floor(F.col(lon_col) / F.lit(cell_deg)).cast("long").alias("xb"),
+            F.floor(F.col(lat_col) / F.lit(cell_deg)).cast("long").alias("yb"),
+        )
+        .agg(F.count("*").alias("x"))
+    )
+
+
+def gi_star(
+    points: DataFrame,
+    cell_deg: float = 1.0,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Per occupied cell: (xb, yb, n_neighbors, gi_ppm) — Gi* z-score in
+    parts-per-million (FLOOR-quantized; see module docstring)."""
+    cells = cell_counts(points, cell_deg, lon_col, lat_col)
+
+    # neighborhood: explode each cell to its 9 queen positions, equi-join
+    # back on the cell key — the broadcast-offsets pattern every ring join
+    # in this engine uses (operators/knn.py kRing)
+    offs = F.array(
+        *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in QUEEN_OFFSETS]
+    )
+    probed = (
+        cells.withColumn("_o", F.explode(offs))
+        .select(
+            (F.col("xb") + F.col("_o.dx")).alias("xb"),
+            (F.col("yb") + F.col("_o.dy")).alias("yb"),
+            F.col("x").alias("_xj"),
+        )
+    )
+    nb = (
+        cells.select("xb", "yb")
+        .join(probed, ["xb", "yb"])
+        .groupBy("xb", "yb")
+        .agg(F.count("*").alias("wn"), F.sum("_xj").alias("wx"))
+    )
+
+    g = cells.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("x").cast("double").alias("_sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("_sx2"),
+    )
+    # the z-score expression tree mirrors gi_star_sql term for term
+    wn_d = F.col("wn").cast("double")
+    mean = F.col("_sx") / F.col("_n")
+    s = F.sqrt(F.col("_sx2") / F.col("_n") - mean * mean)
+    denom = s * F.sqrt((F.col("_n") * wn_d - wn_d * wn_d) / (F.col("_n") - F.lit(1.0)))
+    z = (F.col("wx").cast("double") - mean * wn_d) / denom
+    # degenerate inputs make the statistic undefined, not infinite: S = 0
+    # (every occupied cell holds the same count) and W_i = n (one cell's
+    # neighborhood covers ALL occupied cells) both zero the denominator —
+    # emit NULL, mirrored in gi_star_sql
+    return (
+        nb.crossJoin(F.broadcast(g))
+        .select(
+            "xb",
+            "yb",
+            F.col("wn").alias("n_neighbors"),
+            F.when(denom > 0, F.floor(z * F.lit(1000000.0)).cast("long"))
+            .otherwise(F.lit(None).cast("long"))
+            .alias("gi_ppm"),
+        )
+    )
+
+
+def gi_star_sql(points_path: str, cell_deg: float) -> str:
+    """The DuckDB twin: same statistic, same expression shape, declarative
+    BETWEEN neighborhood (the oracle optimizes for clarity, not scale)."""
+    return f"""
+        WITH cells AS (
+          SELECT CAST(FLOOR(lon / {cell_deg!r}) AS BIGINT) AS xb,
+                 CAST(FLOOR(lat / {cell_deg!r}) AS BIGINT) AS yb,
+                 count(*) AS x
+          FROM '{points_path}' GROUP BY 1, 2),
+        g AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(SUM(x) AS DOUBLE) AS sx,
+                 CAST(SUM(x * x) AS DOUBLE) AS sx2
+          FROM cells),
+        nb AS (
+          SELECT c.xb, c.yb,
+                 CAST(count(*) AS BIGINT) AS wn,
+                 SUM(o.x) AS wx
+          FROM cells c JOIN cells o
+            ON o.xb BETWEEN c.xb - 1 AND c.xb + 1
+           AND o.yb BETWEEN c.yb - 1 AND c.yb + 1
+          GROUP BY c.xb, c.yb)
+        SELECT nb.xb, nb.yb, wn AS n_neighbors,
+               CASE WHEN sqrt(g.sx2 / g.n - (g.sx / g.n) * (g.sx / g.n))
+                         * sqrt((g.n * CAST(wn AS DOUBLE)
+                                 - CAST(wn AS DOUBLE) * CAST(wn AS DOUBLE))
+                                / (g.n - 1.0)) > 0
+               THEN CAST(FLOOR(
+                 (CAST(wx AS DOUBLE) - (g.sx / g.n) * CAST(wn AS DOUBLE))
+                 / (sqrt(g.sx2 / g.n - (g.sx / g.n) * (g.sx / g.n))
+                    * sqrt((g.n * CAST(wn AS DOUBLE)
+                            - CAST(wn AS DOUBLE) * CAST(wn AS DOUBLE))
+                           / (g.n - 1.0)))
+                 * 1000000.0) AS BIGINT)
+               ELSE NULL END AS gi_ppm
+        FROM nb, g
+    """

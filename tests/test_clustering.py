@@ -154,3 +154,37 @@ class TestKMeansRunners:
         want = set(sorted(sizes, key=lambda c: (-sizes[c], c))[:3])
         assert kept_ids == want
         assert kept.count() == sum(sizes[c] for c in want)
+
+
+class TestGiStar:
+    def test_planted_hotspot_is_max_z(self, spark):
+        """200 points packed into one cell over a uniform background: that
+        cell must carry the maximum Gi* and clear the 1.96 significance bar;
+        far-away background cells must not."""
+        from geowave_spark.operators.hotspot import gi_star
+
+        rows = []
+        # uniform background: one point per cell on a 20x20 grid
+        for i in range(20):
+            for j in range(20):
+                rows.append((float(i) + 0.5, float(j) + 0.5))
+        # hotspot: 200 extra points inside cell (10, 10)
+        rows += [(10.5, 10.5)] * 200
+        pts = spark.createDataFrame(rows, "lon double, lat double")
+        out = {(r.xb, r.yb): r for r in gi_star(pts, cell_deg=1.0).collect()}
+        hot = out[(10, 10)]
+        assert hot.gi_ppm == max(r.gi_ppm for r in out.values())
+        assert hot.gi_ppm > 1_960_000
+        assert out[(0, 0)].gi_ppm < 1_960_000
+
+    def test_neighbor_counts(self, spark):
+        """Queen contiguity over a full grid: interior cells see 9 occupied
+        neighbors, corners 4, edges 6."""
+        from geowave_spark.operators.hotspot import gi_star
+
+        rows = [(float(i) + 0.5, float(j) + 0.5) for i in range(5) for j in range(5)]
+        pts = spark.createDataFrame(rows, "lon double, lat double")
+        out = {(r.xb, r.yb): r.n_neighbors for r in gi_star(pts, cell_deg=1.0).collect()}
+        assert out[(2, 2)] == 9
+        assert out[(0, 0)] == 4
+        assert out[(0, 2)] == 6
