@@ -1,0 +1,108 @@
+"""Trajectory operators over LINESTRING tracks: vertex explosion and
+stay-point detection.
+
+Stay-points (Li et al. 2008, "Mining user similarity based on location
+history"): a vertex anchors a stay iff the next ``min_run - 1`` vertices of
+the same track all remain within ``radius_deg`` of it — the distance-only
+variant of the classic detector (the fixture tracks carry no per-vertex
+timestamps; with them the run predicate gains a duration term, same plan).
+
+Plan shape: WKT parse + posexplode is one narrow projection; the run
+predicate is ``min_run - 1`` LEAD columns over (track, vertex-order) — one
+shuffle on the track id, bounded window state, no Python anywhere.  At
+100 TB the window partitions by track id, which is the natural key (tracks
+are bounded; a single track never outgrows an executor).
+
+The reference stores tracks as single geometries and answers range/temporal
+constraints over them (`core/geotime/.../SpatialTemporalQuery.java`);
+per-vertex sequence analytics are beyond-reference scope from the round
+brief's trajectory family.  Distances are squared planar degrees, the
+engine's DBSCAN convention (`operators/clustering.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def track_vertices(
+    tracks: DataFrame, wkt_col: str = "geom_wkt", fid_col: str = "fid"
+) -> DataFrame:
+    """LINESTRING WKT -> (fid, idx, x, y), idx 0-based in vertex order."""
+    body = F.regexp_replace(F.col(wkt_col), r"LINESTRING \(|\)", "")
+    verts = F.transform(
+        F.split(body, ", "),
+        lambda p: F.struct(
+            F.split(p, " ")[0].cast("double").alias("x"),
+            F.split(p, " ")[1].cast("double").alias("y"),
+        ),
+    )
+    return tracks.select(
+        F.col(fid_col).alias("fid"), F.posexplode(verts).alias("idx", "v")
+    ).select("fid", "idx", F.col("v.x").alias("x"), F.col("v.y").alias("y"))
+
+
+def staypoints(
+    tracks: DataFrame,
+    radius_deg: float = 0.15,
+    min_run: int = 3,
+    wkt_col: str = "geom_wkt",
+    fid_col: str = "fid",
+) -> DataFrame:
+    """Stay-point anchors: (fid, anchor_idx, anchor_lon, anchor_lat)."""
+    if min_run < 2:
+        raise ValueError("min_run must be >= 2 (a stay needs a successor)")
+    v = track_vertices(tracks, wkt_col, fid_col)
+    w = Window.partitionBy("fid").orderBy("idx")
+    r2 = radius_deg * radius_deg
+    cond = F.lit(True)
+    for j in range(1, min_run):
+        lx = F.lead("x", j).over(w)
+        ly = F.lead("y", j).over(w)
+        cond = cond & lx.isNotNull() & (
+            (lx - F.col("x")) * (lx - F.col("x"))
+            + (ly - F.col("y")) * (ly - F.col("y"))
+            <= F.lit(r2)
+        )
+    return (
+        v.withColumn("_stay", cond)
+        .filter(F.col("_stay"))
+        .select(
+            "fid",
+            F.col("idx").alias("anchor_idx"),
+            F.col("x").alias("anchor_lon"),
+            F.col("y").alias("anchor_lat"),
+        )
+    )
+
+
+def staypoints_sql(tracks_path: str, radius_deg: float = 0.15, min_run: int = 3) -> str:
+    """DuckDB twin: same parse, same LEAD-run predicate, 0-based idx."""
+    r2 = radius_deg * radius_deg
+    verts = (
+        "list_transform(string_split(replace(replace(geom_wkt, "
+        "'LINESTRING (', ''), ')', ''), ', '), "
+        "p -> struct_pack(x := CAST(string_split(p, ' ')[1] AS DOUBLE), "
+        "y := CAST(string_split(p, ' ')[2] AS DOUBLE)))"
+    )
+    leads = ", ".join(
+        f"lead(x, {j}) OVER w AS x{j}, lead(y, {j}) OVER w AS y{j}"
+        for j in range(1, min_run)
+    )
+    conds = " AND ".join(
+        f"x{j} IS NOT NULL AND (x{j} - x) * (x{j} - x) + (y{j} - y) * (y{j} - y) <= {r2!r}"
+        for j in range(1, min_run)
+    )
+    return f"""
+        WITH raw AS (
+          SELECT fid, unnest({verts}) AS vert,
+                 generate_subscripts({verts}, 1) AS idx1
+          FROM '{tracks_path}'),
+        flat AS (SELECT fid, idx1 - 1 AS idx, vert.x AS x, vert.y AS y FROM raw),
+        led AS (
+          SELECT fid, idx, x, y, {leads}
+          FROM flat WINDOW w AS (PARTITION BY fid ORDER BY idx))
+        SELECT fid, idx AS anchor_idx, x AS anchor_lon, y AS anchor_lat
+        FROM led WHERE {conds}
+    """

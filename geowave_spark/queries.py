@@ -1152,6 +1152,23 @@ def q_s2_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STAY_RADIUS_DEG = 0.15
+STAY_MIN_RUN = 3
+
+
+def q_track_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory stay-point anchors (operators/trajectory.py): vertices of
+    each track whose next min_run-1 vertices stay within the radius — the
+    distance-only Li et al. detector as LEAD windows keyed on the track."""
+    from geowave_spark.operators.trajectory import staypoints
+
+    return staypoints(
+        _geo(spark, sf_dir, "tracks"),
+        radius_deg=STAY_RADIUS_DEG,
+        min_run=STAY_MIN_RUN,
+    )
+
+
 GI_CELL_DEG = 1.0
 
 
@@ -1832,6 +1849,7 @@ def _cms_oracle() -> str:
 
 def build_oracles() -> dict[str, str]:
     from geowave_spark.operators.hotspot import gi_star_sql
+    from geowave_spark.operators.trajectory import staypoints_sql
     from geowave_spark.operators.kde import kde_oracle_sql
     from geowave_spark.operators.kde_compare import kde_comparison_oracle_sql
     from geowave_spark.queries_text import build_text_oracles
@@ -2161,6 +2179,7 @@ def build_oracles() -> dict[str, str]:
         "hex_cell_counts": _hex_oracle(),
         "geohash_cell_counts": _geohash_oracle(),
         "hotspot_gi_star": gi_star_sql(f"{GEO_SF001}/points.parquet", GI_CELL_DEG),
+        "track_staypoints": staypoints_sql(f"{GEO_SF001}/tracks.parquet", STAY_RADIUS_DEG, STAY_MIN_RUN),
         # the hex-kRing join must reproduce the exact kNN answer — same
         # brute-force oracle as knn_join (independent algorithm either way)
         "knn_hexring": f"""
@@ -2320,6 +2339,7 @@ ALL_QUERIES = {
     "hex_cell_counts": q_hex_cell_counts,
     "geohash_cell_counts": q_geohash_cell_counts,
     "hotspot_gi_star": q_hotspot_gi_star,
+    "track_staypoints": q_track_staypoints,
     "knn_hexring": q_knn_hexring,
     "routed_box_temporal": q_routed_box_temporal,
     "cql_spatial_routed": q_cql_spatial_routed,
@@ -2391,6 +2411,7 @@ DRIVER_EXCLUDED = {
     "dedup_simhash": "F5 hamming-bucket twin of dedup_minhash_lsh (green r03 row; dedup family stays driver-covered via exact/minhash/clusters/embedding)",
     "doc_fingerprint": "rolling-hash fingerprint (green r03 row; the identical md5-fold convention is exercised by every dedup oracle, parity test keeps the exact pin)",
     "dedup_embedding_cosine": "exact all-pairs twin (green r03 row); semdedup_prune drives the same cosine fold through the cluster-then-prune plan on the r04 surface, the LSH-bucketed variant stays recall-pinned in tests/test_ann_recall.py",
+    "tracks_st_insertion": "K6 equal-bits ranged 3D insertion (green r03 row); st_insertion_biased + st_biased_box_query drive the K6 family with the harder unequal-bits keys on the r04 surface, the year-bin/fraction arithmetic is shared",
     "dbscan_concave_hulls": "J5 hull stage (green r03 row); dbscan_clusters keeps the membership pin on the r04 surface and the hull-vertex invariant oracle stays in parity tests",
     "knn_haversine": "J3 broadcast-centroid kNN (green r03 row); the haversine refine and window top-k are the same exprs knn_join drives on the r04 surface, and the brute==bucketed equality pytest keeps the J3 pin",
     "cql_attribute_filter": "F4 native-expression path (green r03 row); the CQL string front-end now drives the same predicate family on the r04 surface via cql_docs_bbox + cql_spatial_routed, and text_like_query keeps the parity pin",
@@ -2418,6 +2439,7 @@ _NEW_IN_R04 = [
     "pii_redact",  # new this round (compliance scrub: emails/SSNs/phones/IPs)
     "geohash_cell_counts",  # new this round (K5 geohash text-keyed backend)
     "hotspot_gi_star",  # new this round (Getis-Ord Gi* hotspot z-scores)
+    "track_staypoints",  # new this round (trajectory stay-point detection)
 ]
 QUERIES = {n: ALL_QUERIES[n] for n in _NEW_IN_R04}
 QUERIES.update(

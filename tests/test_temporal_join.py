@@ -107,3 +107,42 @@ class TestIntervalJoin:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestStaypoints:
+    def test_hand_track(self, spark):
+        """One track with a known dwell cluster then jumps: only the vertex
+        whose next two stay inside the radius anchors a stay."""
+        from geowave_spark.operators.trajectory import staypoints
+
+        wkt = "LINESTRING (0 0, 0.05 0.05, 0.01 0.01, 5 5, 5.01 5.01, 9 9)"
+        df = spark.createDataFrame([("t1", wkt)], "fid string, geom_wkt string")
+        out = staypoints(df, radius_deg=0.15, min_run=3).collect()
+        assert [(r.fid, r.anchor_idx) for r in out] == [("t1", 0)]
+        assert out[0].anchor_lon == 0.0 and out[0].anchor_lat == 0.0
+
+    def test_min_run_guard(self, spark):
+        import pytest as _pytest
+
+        from geowave_spark.operators.trajectory import staypoints
+
+        df = spark.createDataFrame(
+            [("t1", "LINESTRING (0 0, 1 1)")], "fid string, geom_wkt string"
+        )
+        with _pytest.raises(ValueError):
+            staypoints(df, min_run=1)
+
+    def test_radius_monotone(self, spark):
+        """Anchors grow monotonically with the radius (set inclusion)."""
+        from geowave_spark.operators.trajectory import staypoints
+
+        tracks = spark.read.parquet("/root/repo/data/geo/sf0.001/tracks.parquet")
+        small = {
+            (r.fid, r.anchor_idx)
+            for r in staypoints(tracks, radius_deg=0.05).collect()
+        }
+        large = {
+            (r.fid, r.anchor_idx)
+            for r in staypoints(tracks, radius_deg=0.3).collect()
+        }
+        assert small <= large and len(large) > len(small)
