@@ -106,3 +106,82 @@ def staypoints_sql(tracks_path: str, radius_deg: float = 0.15, min_run: int = 3)
         SELECT fid, idx AS anchor_idx, x AS anchor_lon, y AS anchor_lat
         FROM led WHERE {conds}
     """
+
+
+def od_endpoints(
+    tracks: DataFrame, wkt_col: str = "geom_wkt", fid_col: str = "fid"
+) -> DataFrame:
+    """(fid, role 'o'|'d', lon, lat): each track's first and last vertex."""
+    body = F.regexp_replace(F.col(wkt_col), r"LINESTRING \(|\)", "")
+    verts = F.transform(
+        F.split(body, ", "),
+        lambda p: F.struct(
+            F.split(p, " ")[0].cast("double").alias("x"),
+            F.split(p, " ")[1].cast("double").alias("y"),
+        ),
+    )
+    ends = F.array(
+        F.struct(F.lit("o").alias("role"), F.element_at(verts, 1).alias("v")),
+        F.struct(F.lit("d").alias("role"), F.element_at(verts, -1).alias("v")),
+    )
+    return tracks.select(F.col(fid_col).alias("fid"), F.explode(ends).alias("e")).select(
+        "fid",
+        F.col("e.role").alias("role"),
+        F.col("e.v.x").alias("lon"),
+        F.col("e.v.y").alias("lat"),
+    )
+
+
+def od_flows(tracks: DataFrame, zones: DataFrame, **pip_kwargs) -> DataFrame:
+    """Origin-destination flow matrix: (origin_zone, dest_zone, n_tracks)
+    over every (origin in zone A, destination in zone B) pair — overlapping
+    zones contribute one flow per containing pair, the deterministic
+    convention the oracle mirrors.
+
+    Plan: ONE cell-bucketed PIP join localizes both endpoints (the endpoint
+    table is 2 rows/track; `operators/spatial_join.pip_join` broadcasts the
+    zones and derives the probe cell with pure Catalyst), then a self-join
+    on the track id pairs origins with destinations, then one groupBy on the
+    zone pair.  At 100 TB every stage keys on uniform ids (track id, zone
+    pair); no stage is quadratic — the self-join is 1:1 per (track,
+    containing-zone)."""
+    ends = od_endpoints(tracks)
+    from geowave_spark.operators.spatial_join import pip_join
+
+    located = pip_join(ends, zones, **pip_kwargs).select("fid", "role", "zone_id")
+    o = located.filter(F.col("role") == "o").select("fid", F.col("zone_id").alias("origin_zone"))
+    d = located.filter(F.col("role") == "d").select("fid", F.col("zone_id").alias("dest_zone"))
+    return (
+        o.join(d, "fid")
+        .groupBy("origin_zone", "dest_zone")
+        .agg(F.count("*").alias("n_tracks"))
+    )
+
+
+def od_flows_sql(tracks_path: str, halfplanes_path: str) -> str:
+    """DuckDB twin: endpoint extraction + half-plane PIP (convex zones) +
+    the same o/d pairing, declaratively."""
+    verts = (
+        "list_transform(string_split(replace(replace(geom_wkt, "
+        "'LINESTRING (', ''), ')', ''), ', '), "
+        "p -> struct_pack(x := CAST(string_split(p, ' ')[1] AS DOUBLE), "
+        "y := CAST(string_split(p, ' ')[2] AS DOUBLE)))"
+    )
+    return f"""
+        WITH v AS (SELECT fid, {verts} AS verts FROM '{tracks_path}'),
+        ends AS (
+          SELECT fid, 'o' AS role, verts[1].x AS px, verts[1].y AS py FROM v
+          UNION ALL
+          SELECT fid, 'd' AS role, verts[-1].x AS px, verts[-1].y AS py FROM v),
+        inz AS (
+          SELECT e.fid, e.role, h.zone_id
+          FROM ends e, (SELECT DISTINCT zone_id FROM '{halfplanes_path}') h
+          WHERE NOT EXISTS (
+            SELECT 1 FROM '{halfplanes_path}' q
+            WHERE q.zone_id = h.zone_id AND q.a * e.px + q.b * e.py > q.c))
+        SELECT o.zone_id AS origin_zone, d.zone_id AS dest_zone,
+               CAST(count(*) AS BIGINT) AS n_tracks
+        FROM inz o JOIN inz d ON o.fid = d.fid AND d.role = 'd'
+        WHERE o.role = 'o'
+        GROUP BY 1, 2
+    """

@@ -1152,6 +1152,17 @@ def q_s2_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_track_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix (operators/trajectory.py od_flows):
+    track endpoints located with ONE cell-bucketed PIP join against the
+    convex zones, o/d paired on the track id, flows counted per zone pair."""
+    from geowave_spark.operators.trajectory import od_flows
+
+    tracks = _geo(spark, sf_dir, "tracks")
+    zones = _geo(spark, sf_dir, "zones").filter(F.col("zclass") == "convex")
+    return od_flows(tracks, zones)
+
+
 STAY_RADIUS_DEG = 0.15
 STAY_MIN_RUN = 3
 
@@ -1849,7 +1860,7 @@ def _cms_oracle() -> str:
 
 def build_oracles() -> dict[str, str]:
     from geowave_spark.operators.hotspot import gi_star_sql
-    from geowave_spark.operators.trajectory import staypoints_sql
+    from geowave_spark.operators.trajectory import od_flows_sql, staypoints_sql
     from geowave_spark.operators.kde import kde_oracle_sql
     from geowave_spark.operators.kde_compare import kde_comparison_oracle_sql
     from geowave_spark.queries_text import build_text_oracles
@@ -2180,6 +2191,7 @@ def build_oracles() -> dict[str, str]:
         "geohash_cell_counts": _geohash_oracle(),
         "hotspot_gi_star": gi_star_sql(f"{GEO_SF001}/points.parquet", GI_CELL_DEG),
         "track_staypoints": staypoints_sql(f"{GEO_SF001}/tracks.parquet", STAY_RADIUS_DEG, STAY_MIN_RUN),
+        "track_od_flows": od_flows_sql(f"{GEO_SF001}/tracks.parquet", f"{GEO_SF001}/zone_halfplanes.parquet"),
         # the hex-kRing join must reproduce the exact kNN answer — same
         # brute-force oracle as knn_join (independent algorithm either way)
         "knn_hexring": f"""
@@ -2340,6 +2352,7 @@ ALL_QUERIES = {
     "geohash_cell_counts": q_geohash_cell_counts,
     "hotspot_gi_star": q_hotspot_gi_star,
     "track_staypoints": q_track_staypoints,
+    "track_od_flows": q_track_od_flows,
     "knn_hexring": q_knn_hexring,
     "routed_box_temporal": q_routed_box_temporal,
     "cql_spatial_routed": q_cql_spatial_routed,
@@ -2411,6 +2424,7 @@ DRIVER_EXCLUDED = {
     "dedup_simhash": "F5 hamming-bucket twin of dedup_minhash_lsh (green r03 row; dedup family stays driver-covered via exact/minhash/clusters/embedding)",
     "doc_fingerprint": "rolling-hash fingerprint (green r03 row; the identical md5-fold convention is exercised by every dedup oracle, parity test keeps the exact pin)",
     "dedup_embedding_cosine": "exact all-pairs twin (green r03 row); semdedup_prune drives the same cosine fold through the cluster-then-prune plan on the r04 surface, the LSH-bucketed variant stays recall-pinned in tests/test_ann_recall.py",
+    "docs_zone_join": "J1 areal intersects join (green r03 row); the areal_join path stays driver-covered by zonal_stats + cql_docs_bbox, and track_od_flows drives the PIP localize stage on the r04 surface",
     "tracks_st_insertion": "K6 equal-bits ranged 3D insertion (green r03 row); st_insertion_biased + st_biased_box_query drive the K6 family with the harder unequal-bits keys on the r04 surface, the year-bin/fraction arithmetic is shared",
     "dbscan_concave_hulls": "J5 hull stage (green r03 row); dbscan_clusters keeps the membership pin on the r04 surface and the hull-vertex invariant oracle stays in parity tests",
     "knn_haversine": "J3 broadcast-centroid kNN (green r03 row); the haversine refine and window top-k are the same exprs knn_join drives on the r04 surface, and the brute==bucketed equality pytest keeps the J3 pin",
@@ -2440,6 +2454,7 @@ _NEW_IN_R04 = [
     "geohash_cell_counts",  # new this round (K5 geohash text-keyed backend)
     "hotspot_gi_star",  # new this round (Getis-Ord Gi* hotspot z-scores)
     "track_staypoints",  # new this round (trajectory stay-point detection)
+    "track_od_flows",  # new this round (origin-destination flow matrix)
 ]
 QUERIES = {n: ALL_QUERIES[n] for n in _NEW_IN_R04}
 QUERIES.update(

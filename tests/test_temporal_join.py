@@ -146,3 +146,29 @@ class TestStaypoints:
             for r in staypoints(tracks, radius_deg=0.3).collect()
         }
         assert small <= large and len(large) > len(small)
+
+
+class TestOdFlows:
+    def test_hand_flow(self, spark):
+        from geowave_spark.operators.trajectory import od_flows
+
+        tracks = spark.createDataFrame(
+            [
+                ("t1", "LINESTRING (0.5 0.5, 2 2, 5.5 5.5)"),
+                ("t2", "LINESTRING (0.2 0.2, 0.8 0.8)"),  # intra-zone flow
+                ("t3", "LINESTRING (9 9, 9.5 9.5)"),  # outside every zone
+            ],
+            "fid string, geom_wkt string",
+        )
+        zones = spark.createDataFrame(
+            [
+                ("A", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+                ("B", "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"),
+            ],
+            "zone_id string, geom_wkt string",
+        )
+        out = {
+            (r.origin_zone, r.dest_zone): r.n_tracks
+            for r in od_flows(tracks, zones).collect()
+        }
+        assert out == {("A", "B"): 1, ("A", "A"): 1}
