@@ -147,3 +147,162 @@ def gi_star_sql(points_path: str, cell_deg: float) -> str:
                ELSE NULL END AS gi_ppm
         FROM nb, g
     """
+
+
+# ---------------------------------------------------------------------------
+# Emerging hotspots: space-time Gi* + Mann-Kendall trend per cell
+# ---------------------------------------------------------------------------
+
+ST_OFFSETS = [
+    (dx, dy, dt) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dt in (-1, 0, 1)
+]
+
+
+def emerging_hotspots(
+    points: DataFrame,
+    cell_deg: float = 1.0,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Space-time hotspot trends (the Esri "emerging hot spot" analysis
+    shape, built from first principles): bin events into (cell, month),
+    score every occupied bin with the space-time Gi* (3x3x3 neighborhood —
+    queen contiguity x adjacent months), then trend each cell's z-series
+    with the Mann-Kendall S statistic.
+
+    Output: (xb, yb, n_bins, mk_s, trend) — trend is
+    'rising'/'falling'/'flat' by the sign of S.
+
+    Everything that feeds the hash is an integer: bin counts, the
+    ppm-quantized z (FLOOR of an expression whose shape gi_star already
+    proved engine-identical), and S = sum of signs of BIGINT differences.
+    Plan: two cell-keyed shuffles (bin, neighborhood join via the 27-offset
+    broadcast explode) + one per-cell pair join whose width is bounded by
+    the month count (<= a few hundred pairs per cell), keyed on the cell."""
+    tb = (F.year(F.col(ts_col)) * F.lit(12) + F.month(F.col(ts_col))).alias("tb")
+    cells = (
+        points.groupBy(
+            F.floor(F.col(lon_col) / F.lit(cell_deg)).cast("long").alias("xb"),
+            F.floor(F.col(lat_col) / F.lit(cell_deg)).cast("long").alias("yb"),
+            tb,
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(dt).alias("dt")
+            )
+            for dx, dy, dt in ST_OFFSETS
+        ]
+    )
+    probed = (
+        cells.withColumn("_o", F.explode(offs))
+        .select(
+            (F.col("xb") + F.col("_o.dx")).alias("xb"),
+            (F.col("yb") + F.col("_o.dy")).alias("yb"),
+            (F.col("tb") + F.col("_o.dt")).alias("tb"),
+            F.col("x").alias("_xj"),
+        )
+    )
+    nb = (
+        cells.select("xb", "yb", "tb")
+        .join(probed, ["xb", "yb", "tb"])
+        .groupBy("xb", "yb", "tb")
+        .agg(F.count("*").alias("wn"), F.sum("_xj").alias("wx"))
+    )
+    g = cells.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("x").cast("double").alias("_sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("_sx2"),
+    )
+    wn_d = F.col("wn").cast("double")
+    mean = F.col("_sx") / F.col("_n")
+    s = F.sqrt(F.col("_sx2") / F.col("_n") - mean * mean)
+    denom = s * F.sqrt((F.col("_n") * wn_d - wn_d * wn_d) / (F.col("_n") - F.lit(1.0)))
+    z = (F.col("wx").cast("double") - mean * wn_d) / denom
+    scored = (
+        nb.crossJoin(F.broadcast(g))
+        .select(
+            "xb",
+            "yb",
+            "tb",
+            F.when(denom > 0, F.floor(z * F.lit(1000000.0)).cast("long"))
+            .otherwise(F.lit(None).cast("long"))
+            .alias("gi_ppm"),
+        )
+        .filter(F.col("gi_ppm").isNotNull())
+    )
+    a = scored.select("xb", "yb", F.col("tb").alias("ta"), F.col("gi_ppm").alias("za"))
+    b = scored.select("xb", "yb", F.col("tb").alias("tc"), F.col("gi_ppm").alias("zc"))
+    pairs = a.join(b, ["xb", "yb"]).filter(F.col("ta") < F.col("tc"))
+    mk = pairs.groupBy("xb", "yb").agg(
+        F.sum(F.signum((F.col("zc") - F.col("za")).cast("double")).cast("long")).alias("mk_s")
+    )
+    nbins = scored.groupBy("xb", "yb").agg(F.count("*").alias("n_bins"))
+    return nbins.join(mk, ["xb", "yb"], "left").select(
+        "xb",
+        "yb",
+        "n_bins",
+        F.coalesce("mk_s", F.lit(0)).alias("mk_s"),
+        F.when(F.coalesce("mk_s", F.lit(0)) > 0, F.lit("rising"))
+        .when(F.coalesce("mk_s", F.lit(0)) < 0, F.lit("falling"))
+        .otherwise(F.lit("flat"))
+        .alias("trend"),
+    )
+
+
+def emerging_hotspots_sql(points_path: str, cell_deg: float = 1.0) -> str:
+    """DuckDB twin: same bins, BETWEEN space-time neighborhood, same z
+    shape, same Mann-Kendall pair sum."""
+    return f"""
+        WITH cells AS (
+          SELECT CAST(FLOOR(lon / {cell_deg!r}) AS BIGINT) AS xb,
+                 CAST(FLOOR(lat / {cell_deg!r}) AS BIGINT) AS yb,
+                 CAST(date_part('year', event_ts) * 12
+                      + date_part('month', event_ts) AS BIGINT) AS tb,
+                 count(*) AS x
+          FROM '{points_path}' GROUP BY 1, 2, 3),
+        g AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(SUM(x) AS DOUBLE) AS sx,
+                 CAST(SUM(x * x) AS DOUBLE) AS sx2
+          FROM cells),
+        nb AS (
+          SELECT c.xb, c.yb, c.tb,
+                 CAST(count(*) AS BIGINT) AS wn, SUM(o.x) AS wx
+          FROM cells c JOIN cells o
+            ON o.xb BETWEEN c.xb - 1 AND c.xb + 1
+           AND o.yb BETWEEN c.yb - 1 AND c.yb + 1
+           AND o.tb BETWEEN c.tb - 1 AND c.tb + 1
+          GROUP BY c.xb, c.yb, c.tb),
+        scored AS (
+          SELECT nb.xb, nb.yb, nb.tb,
+                 CASE WHEN sqrt(g.sx2 / g.n - (g.sx / g.n) * (g.sx / g.n))
+                           * sqrt((g.n * CAST(wn AS DOUBLE)
+                                   - CAST(wn AS DOUBLE) * CAST(wn AS DOUBLE))
+                                  / (g.n - 1.0)) > 0
+                 THEN CAST(FLOOR(
+                   (CAST(wx AS DOUBLE) - (g.sx / g.n) * CAST(wn AS DOUBLE))
+                   / (sqrt(g.sx2 / g.n - (g.sx / g.n) * (g.sx / g.n))
+                      * sqrt((g.n * CAST(wn AS DOUBLE)
+                              - CAST(wn AS DOUBLE) * CAST(wn AS DOUBLE))
+                             / (g.n - 1.0)))
+                   * 1000000.0) AS BIGINT)
+                 ELSE NULL END AS gi_ppm
+          FROM nb, g),
+        sc AS (SELECT * FROM scored WHERE gi_ppm IS NOT NULL),
+        mk AS (
+          SELECT a.xb, a.yb,
+                 SUM(CAST(SIGN(CAST(b.gi_ppm - a.gi_ppm AS DOUBLE)) AS BIGINT)) AS mk_s
+          FROM sc a JOIN sc b ON a.xb = b.xb AND a.yb = b.yb AND a.tb < b.tb
+          GROUP BY a.xb, a.yb),
+        nbins AS (SELECT xb, yb, CAST(count(*) AS BIGINT) AS n_bins FROM sc GROUP BY 1, 2)
+        SELECT nbins.xb, nbins.yb, n_bins,
+               COALESCE(mk.mk_s, 0) AS mk_s,
+               CASE WHEN COALESCE(mk.mk_s, 0) > 0 THEN 'rising'
+                    WHEN COALESCE(mk.mk_s, 0) < 0 THEN 'falling'
+                    ELSE 'flat' END AS trend
+        FROM nbins LEFT JOIN mk ON nbins.xb = mk.xb AND nbins.yb = mk.yb
+    """

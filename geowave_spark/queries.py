@@ -1183,6 +1183,15 @@ def q_track_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 GI_CELL_DEG = 1.0
 
 
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-time Gi* + Mann-Kendall trend per cell (operators/hotspot.py
+    emerging_hotspots): monthly (cell, t) bins, 3x3x3 neighborhood z-scores,
+    per-cell trend classification from the sign-pair sum."""
+    from geowave_spark.operators.hotspot import emerging_hotspots
+
+    return emerging_hotspots(_geo(spark, sf_dir, "points"), cell_deg=GI_CELL_DEG)
+
+
 def q_hotspot_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Getis-Ord Gi* hotspot z-scores over 1-degree gridded point counts
     (operators/hotspot.py) — the significance-tested sibling of the KDE
@@ -1859,7 +1868,7 @@ def _cms_oracle() -> str:
 
 
 def build_oracles() -> dict[str, str]:
-    from geowave_spark.operators.hotspot import gi_star_sql
+    from geowave_spark.operators.hotspot import emerging_hotspots_sql, gi_star_sql
     from geowave_spark.operators.trajectory import od_flows_sql, staypoints_sql
     from geowave_spark.operators.kde import kde_oracle_sql
     from geowave_spark.operators.kde_compare import kde_comparison_oracle_sql
@@ -2190,6 +2199,7 @@ def build_oracles() -> dict[str, str]:
         "hex_cell_counts": _hex_oracle(),
         "geohash_cell_counts": _geohash_oracle(),
         "hotspot_gi_star": gi_star_sql(f"{GEO_SF001}/points.parquet", GI_CELL_DEG),
+        "emerging_hotspots": emerging_hotspots_sql(f"{GEO_SF001}/points.parquet", GI_CELL_DEG),
         "track_staypoints": staypoints_sql(f"{GEO_SF001}/tracks.parquet", STAY_RADIUS_DEG, STAY_MIN_RUN),
         "track_od_flows": od_flows_sql(f"{GEO_SF001}/tracks.parquet", f"{GEO_SF001}/zone_halfplanes.parquet"),
         # the hex-kRing join must reproduce the exact kNN answer — same
@@ -2351,6 +2361,7 @@ ALL_QUERIES = {
     "hex_cell_counts": q_hex_cell_counts,
     "geohash_cell_counts": q_geohash_cell_counts,
     "hotspot_gi_star": q_hotspot_gi_star,
+    "emerging_hotspots": q_emerging_hotspots,
     "track_staypoints": q_track_staypoints,
     "track_od_flows": q_track_od_flows,
     "knn_hexring": q_knn_hexring,
@@ -2424,6 +2435,7 @@ DRIVER_EXCLUDED = {
     "dedup_simhash": "F5 hamming-bucket twin of dedup_minhash_lsh (green r03 row; dedup family stays driver-covered via exact/minhash/clusters/embedding)",
     "doc_fingerprint": "rolling-hash fingerprint (green r03 row; the identical md5-fold convention is exercised by every dedup oracle, parity test keeps the exact pin)",
     "dedup_embedding_cosine": "exact all-pairs twin (green r03 row); semdedup_prune drives the same cosine fold through the cluster-then-prune plan on the r04 surface, the LSH-bucketed variant stays recall-pinned in tests/test_ann_recall.py",
+    "subsample_zorder": "K4/F7 Morton-key subsampling (green r03 row); geohash_cell_counts drives the identical bit-interleave family with text keys on the r04 surface, and subsample_resolution keeps the bin-arithmetic parity pin",
     "docs_zone_join": "J1 areal intersects join (green r03 row); the areal_join path stays driver-covered by zonal_stats + cql_docs_bbox, and track_od_flows drives the PIP localize stage on the r04 surface",
     "tracks_st_insertion": "K6 equal-bits ranged 3D insertion (green r03 row); st_insertion_biased + st_biased_box_query drive the K6 family with the harder unequal-bits keys on the r04 surface, the year-bin/fraction arithmetic is shared",
     "dbscan_concave_hulls": "J5 hull stage (green r03 row); dbscan_clusters keeps the membership pin on the r04 surface and the hull-vertex invariant oracle stays in parity tests",
@@ -2455,6 +2467,7 @@ _NEW_IN_R04 = [
     "hotspot_gi_star",  # new this round (Getis-Ord Gi* hotspot z-scores)
     "track_staypoints",  # new this round (trajectory stay-point detection)
     "track_od_flows",  # new this round (origin-destination flow matrix)
+    "emerging_hotspots",  # new this round (space-time Gi* + Mann-Kendall trends)
 ]
 QUERIES = {n: ALL_QUERIES[n] for n in _NEW_IN_R04}
 QUERIES.update(

@@ -188,3 +188,32 @@ class TestGiStar:
         assert out[(2, 2)] == 9
         assert out[(0, 0)] == 4
         assert out[(0, 2)] == 6
+
+
+class TestEmergingHotspots:
+    def test_planted_rising_cell(self, spark):
+        """A cell whose monthly count grows 1,2,...,8 over a flat background
+        must classify 'rising' with the maximal Mann-Kendall S."""
+        import datetime as dt
+
+        from geowave_spark.operators.hotspot import emerging_hotspots
+
+        rows = []
+        for m in range(1, 9):
+            ts = dt.datetime(2020, m, 15)
+            # flat background: 5 points/month in each of 8 far-apart cells
+            for c in range(8):
+                rows += [(float(20 + 3 * c) + 0.5, 0.5, ts)] * 5
+            # rising cell (0, 0): m points in month m
+            rows += [(0.5, 0.5, ts)] * m
+        pts = spark.createDataFrame(rows, "lon double, lat double, event_ts timestamp")
+        out = {(r.xb, r.yb): r for r in emerging_hotspots(pts, cell_deg=1.0).collect()}
+        rising = out[(0, 0)]
+        assert rising.trend == "rising"
+        # near-maximal S: the raw counts rise strictly (C(8,2) = 28 pairs)
+        # but the 3x3x3 neighborhood smooths edges — the LAST month's
+        # temporal window is truncated (months 7+8 only), dropping its z
+        # below two interior months' -> 2 negative pairs, S = 28 - 2 = 26
+        assert rising.mk_s == 26
+        assert rising.n_bins == 8
+        assert out[(20, 0)].trend == "flat"
