@@ -643,9 +643,12 @@ def semdedup(
       y < x in x's cluster has cos(x, y) >= threshold — y itself need not
       survive), which needs no recursion: one within-cluster semi-join.
 
-    100 TB shape: the assignment stage is a broadcast crossJoin against k
-    rows (k is ~n/target_cluster_size at scale — still broadcastable at
-    k=10^5); the prune stage is a self-equi-join keyed on the cluster id,
+    100 TB shape: the assignment stage is a pure map-side projection — the
+    k centroid vectors ride the plan as literals (one k-row driver fetch,
+    the ivf_train_centroids budget), so NO shuffle touches the corpus until
+    the prune; at k beyond literal-plan comfort (~10^3) the same argmax runs
+    as the IVF assignment UDF closure.  The prune stage is a self-equi-join
+    keyed on the cluster id,
     the candidate volume sum(c_i^2) bounded by cluster occupancy the same
     way IVF bounds its probe lists.  Hot clusters are AQE's skew-join case;
     a corpus whose mass collapses into one cluster needs a larger k, not a
@@ -655,28 +658,27 @@ def semdedup(
     scope per the round brief.)"""
     from geowave_spark.functions.text import md5_long
 
-    w_h = Window.orderBy("_h")
-    cent = (
+    # centroid fetch: ONE tiny job bounded by k rows (the same driver-side
+    # budget as ivf_train_centroids' sample) so the assignment below can be
+    # a literal expression — a pure map-side projection with NO shuffle of
+    # the n x k pairs a crossJoin+window argmax would exchange
+    cent_rows = (
         embs.withColumn("_h", md5_long(F.col(id_col).cast("string")))
         .orderBy("_h")
         .limit(k)
-        .select(
-            (F.row_number().over(w_h) - 1).alias("_cl"),
-            F.col(vec_col).alias("_cvec"),
-        )
+        .select(vec_col)
+        .collect()
     )
-    cos_cent = _dot(F.col(vec_col), F.col("_cvec")) / F.sqrt(
-        _norm_sq(F.col(vec_col)) * _norm_sq(F.col("_cvec"))
-    )
-    w_asg = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_cl"))
-    asg = (
-        embs.select(id_col, vec_col)
-        .crossJoin(F.broadcast(cent))
-        .withColumn("_cos", cos_cent)
-        .withColumn("_rn", F.row_number().over(w_asg))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, F.col("_cl").alias("cluster"))
-    )
+    vec = F.col(vec_col)
+    v_norm = _norm_sq(vec)
+    scored = []
+    for j, r in enumerate(cent_rows):
+        cv = F.array(*[F.lit(float(x)) for x in r[0]])  # float32 -> double is exact
+        cos_j = _dot(vec, cv) / F.sqrt(v_norm * _norm_sq(cv))
+        # greatest over (cos, -j) structs = argmax with smallest-index ties
+        scored.append(F.struct(cos_j.alias("c"), F.lit(-j).alias("n")))
+    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
+    asg = embs.select(id_col, vec_col, (-best["n"]).alias("cluster"))
     a = asg.select(
         F.col(id_col).alias("_id_a"), F.col(vec_col).alias("_va"), "cluster"
     )
