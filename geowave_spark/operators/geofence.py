@@ -1,0 +1,117 @@
+"""Geofence transitions: per-entity enter/exit/switch events against a zone
+layer.
+
+The standard movement-monitoring operator (every fleet/asset tracker runs
+it): order each entity's pings in time, resolve each ping to its containing
+zone, and emit a row whenever consecutive pings disagree — ``enter``
+(outside -> zone), ``exit`` (zone -> outside), ``switch`` (zone -> other
+zone).  The reference answers the *static* half (which pings are inside a
+geofence — `SpatialQuery` + temporal constraints); the transition stream is
+the stateful sequel its users build downstream.
+
+Determinism: overlapping zones resolve to the MINIMUM containing zone_id
+(the same deterministic convention as the kNN tie-breaks); ordering ties
+resolve by (timestamp, fid).  Every emitted column is an integer, string,
+or stored value — nothing derived in float — so the DuckDB twin matches
+bit-for-bit.
+
+100 TB shape: zone resolution is ONE cell-bucketed PIP join (zones
+broadcast, points never exploded — `operators/spatial_join.pip_join`)
+followed by a min-agg on the ping id; the transition scan is one window
+over (entity, time) — a single shuffle keyed by the entity id, which for a
+real tracker corpus (one row group per device) is high-cardinality and
+uniform.  The fixture uses ``category`` as the entity key; pass
+``entity_col`` for a real device id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geowave_spark.operators.spatial_join import pip_join
+
+__all__ = ["geofence_transitions", "geofence_transitions_sql"]
+
+
+def geofence_transitions(
+    points: DataFrame,
+    zones: DataFrame,
+    *,
+    entity_col: str = "category",
+    id_col: str = "fid",
+    ts_col: str = "event_ts",
+    **pip_kwargs,
+) -> DataFrame:
+    """(entity, fid, event_ms, from_zone, to_zone, kind) — one row per
+    consecutive-ping zone change within each entity's timeline."""
+    # fixtures are tz-naive parquet; unix_millis of the UTC reading is the
+    # queries.py convention (session tz pinned to UTC in get_spark)
+    base = points.select(
+        F.col(entity_col).alias("entity"),
+        F.col(id_col).alias("fid"),
+        F.unix_millis(F.col(ts_col).cast("timestamp")).alias("event_ms"),
+        "lon",
+        "lat",
+    )
+    located = (
+        pip_join(base.select("fid", "lon", "lat"), zones, **pip_kwargs)
+        .groupBy("fid")
+        .agg(F.min("zone_id").alias("zone"))
+    )
+    seq = base.join(located, "fid", "left").select("entity", "fid", "event_ms", "zone")
+    w = Window.partitionBy("entity").orderBy("event_ms", "fid")
+    prev = F.lag("zone").over(w)
+    rn = F.row_number().over(w)
+    changed = (rn > 1) & ~F.coalesce(F.col("zone"), F.lit("")).eqNullSafe(
+        F.coalesce(prev, F.lit(""))
+    )
+    kind = (
+        F.when(prev.isNull() & F.col("zone").isNotNull(), F.lit("enter"))
+        .when(prev.isNotNull() & F.col("zone").isNull(), F.lit("exit"))
+        .otherwise(F.lit("switch"))
+    )
+    return (
+        seq.select(
+            "entity",
+            "fid",
+            "event_ms",
+            prev.alias("from_zone"),
+            F.col("zone").alias("to_zone"),
+            changed.alias("_chg"),
+            kind.alias("kind"),
+        )
+        .filter(F.col("_chg"))
+        .drop("_chg")
+    )
+
+
+def geofence_transitions_sql(points_path: str, halfplanes_path: str) -> str:
+    """DuckDB twin: half-plane PIP (convex zones, the od_flows convention),
+    min containing zone, same LAG scan."""
+    return f"""
+        WITH base AS (
+          SELECT category AS entity, fid, epoch_ms(event_ts) AS event_ms,
+                 lon, lat
+          FROM '{points_path}'),
+        located AS (
+          SELECT b.fid, MIN(h.zone_id) AS zone
+          FROM base b, (SELECT DISTINCT zone_id FROM '{halfplanes_path}') h
+          WHERE NOT EXISTS (
+            SELECT 1 FROM '{halfplanes_path}' q
+            WHERE q.zone_id = h.zone_id AND q.a * b.lon + q.b * b.lat > q.c)
+          GROUP BY b.fid),
+        seq AS (
+          SELECT b.entity, b.fid, b.event_ms, l.zone,
+                 lag(l.zone) OVER w AS from_zone,
+                 row_number() OVER w AS rn
+          FROM base b LEFT JOIN located l ON b.fid = l.fid
+          WINDOW w AS (PARTITION BY b.entity ORDER BY b.event_ms, b.fid))
+        SELECT entity, fid, event_ms, from_zone, zone AS to_zone,
+               CASE WHEN from_zone IS NULL AND zone IS NOT NULL THEN 'enter'
+                    WHEN from_zone IS NOT NULL AND zone IS NULL THEN 'exit'
+                    ELSE 'switch' END AS kind
+        FROM seq
+        WHERE rn > 1
+          AND COALESCE(zone, '') IS DISTINCT FROM COALESCE(from_zone, '')
+    """

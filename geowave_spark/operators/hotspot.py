@@ -306,3 +306,128 @@ def emerging_hotspots_sql(points_path: str, cell_deg: float = 1.0) -> str:
                     ELSE 'flat' END AS trend
         FROM nbins LEFT JOIN mk ON nbins.xb = mk.xb AND nbins.yb = mk.yb
     """
+
+
+# ---------------------------------------------------------------------------
+# Global Moran's I: the corpus-wide spatial autocorrelation twin of Gi*
+# ---------------------------------------------------------------------------
+
+NEIGHBOR_OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+
+
+def morans_i(
+    points: DataFrame,
+    cell_deg: float = 1.0,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Global Moran's I (Moran 1950) over gridded point counts with binary
+    queen contiguity (8 neighbors, w_ii = 0), the single-number complement
+    to the per-cell Gi* map:
+
+        I = (n / W) * sum_ij w_ij (x_i - xbar)(x_j - xbar)
+                    / sum_i (x_i - xbar)^2
+
+    Every sum is taken over INTEGERS first (pair count W, pair products
+    P = sum x_i x_j, pair margins T = sum_pairs x_i, plus n / sum x /
+    sum x^2 from the cell table), then the statistic is one pinned float
+    expression over those seven exact numbers:
+
+        num = P - 2*xbar*T + W*xbar^2        (expanding the product)
+        den = Sx2 - n*xbar^2
+        I   = (n / W) * num / den
+
+    so the Spark and DuckDB trees agree bit-for-bit and the emitted value
+    quantizes to ppm with FLOOR.  Degenerate corpora (every occupied cell
+    the same count -> den = 0; no neighboring pairs -> W = 0) emit NULL.
+
+    100 TB shape: identical to :func:`gi_star` — one shuffle grids the
+    points, the pair stage explodes the CELL table (cells << points) by the
+    8 literal offsets into one equi-join, and the result is a 1-row global
+    agg; nothing downstream of the first groupBy scales with the corpus.
+    """
+    cells = cell_counts(points, cell_deg, lon_col, lat_col)
+    offs = F.array(
+        *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in NEIGHBOR_OFFSETS]
+    )
+    probed = cells.withColumn("_o", F.explode(offs)).select(
+        (F.col("xb") + F.col("_o.dx")).alias("xb"),
+        (F.col("yb") + F.col("_o.dy")).alias("yb"),
+        F.col("x").alias("_xj"),
+    )
+    pairs = (
+        cells.select("xb", "yb", F.col("x").alias("_xi"))
+        .join(probed, ["xb", "yb"])
+        .agg(
+            F.count("*").alias("w_pairs"),
+            F.sum(F.col("_xi") * F.col("_xj")).alias("_p"),
+            F.sum("_xi").alias("_t"),
+        )
+    )
+    g = cells.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("x").alias("_sx"),
+        F.sum(F.col("x") * F.col("x")).alias("_sx2"),
+    )
+    n_d = F.col("n_cells").cast("double")
+    w_d = F.col("w_pairs").cast("double")
+    xbar = F.col("_sx").cast("double") / n_d
+    num = F.col("_p").cast("double") - F.lit(2.0) * xbar * F.col("_t").cast("double") + w_d * xbar * xbar
+    den = F.col("_sx2").cast("double") - n_d * xbar * xbar
+    i_expr = (n_d / w_d) * num / den
+    return (
+        pairs.crossJoin(g)
+        .select(
+            "n_cells",
+            "w_pairs",
+            F.when(
+                (F.col("w_pairs") > 0) & (den > 0),
+                F.floor(i_expr * F.lit(1000000.0)).cast("long"),
+            )
+            .otherwise(F.lit(None).cast("long"))
+            .alias("morans_i_ppm"),
+        )
+    )
+
+
+def morans_i_sql(points_path: str, cell_deg: float) -> str:
+    """DuckDB twin: same integer sums, same pinned float combine."""
+    return f"""
+        WITH cells AS (
+          SELECT CAST(FLOOR(lon / {cell_deg!r}) AS BIGINT) AS xb,
+                 CAST(FLOOR(lat / {cell_deg!r}) AS BIGINT) AS yb,
+                 count(*) AS x
+          FROM '{points_path}' GROUP BY 1, 2),
+        p AS (
+          SELECT CAST(count(*) AS BIGINT) AS w_pairs,
+                 SUM(c.x * o.x) AS p, SUM(c.x) AS t
+          FROM cells c JOIN cells o
+            ON o.xb BETWEEN c.xb - 1 AND c.xb + 1
+           AND o.yb BETWEEN c.yb - 1 AND c.yb + 1
+           AND NOT (o.xb = c.xb AND o.yb = c.yb)),
+        g AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                 SUM(x) AS sx, SUM(x * x) AS sx2
+          FROM cells)
+        SELECT g.n_cells, p.w_pairs,
+               CASE WHEN p.w_pairs > 0
+                     AND CAST(g.sx2 AS DOUBLE)
+                         - CAST(g.n_cells AS DOUBLE)
+                           * (CAST(g.sx AS DOUBLE) / CAST(g.n_cells AS DOUBLE))
+                           * (CAST(g.sx AS DOUBLE) / CAST(g.n_cells AS DOUBLE)) > 0
+               THEN CAST(FLOOR(
+                 (CAST(g.n_cells AS DOUBLE) / CAST(p.w_pairs AS DOUBLE))
+                 * (CAST(p.p AS DOUBLE)
+                    - 2.0 * (CAST(g.sx AS DOUBLE) / CAST(g.n_cells AS DOUBLE))
+                          * CAST(p.t AS DOUBLE)
+                    + CAST(p.w_pairs AS DOUBLE)
+                      * (CAST(g.sx AS DOUBLE) / CAST(g.n_cells AS DOUBLE))
+                      * (CAST(g.sx AS DOUBLE) / CAST(g.n_cells AS DOUBLE)))
+                 / (CAST(g.sx2 AS DOUBLE)
+                    - CAST(g.n_cells AS DOUBLE)
+                      * (CAST(g.sx AS DOUBLE) / CAST(g.n_cells AS DOUBLE))
+                      * (CAST(g.sx AS DOUBLE) / CAST(g.n_cells AS DOUBLE)))
+                 * 1000000.0) AS BIGINT)
+               ELSE NULL END AS morans_i_ppm
+        FROM p, g
+    """

@@ -185,3 +185,93 @@ def od_flows_sql(tracks_path: str, halfplanes_path: str) -> str:
         WHERE o.role = 'o'
         GROUP BY 1, 2
     """
+
+
+def track_stats(
+    tracks: DataFrame, wkt_col: str = "geom_wkt", fid_col: str = "fid"
+) -> DataFrame:
+    """Per-track summary: (fid, n_verts, n_segs, length_udeg, duration_ms).
+
+    Length is the planar polyline length in exact integer micro-degrees:
+    each segment's sqrt(dx^2 + dy^2) is FLOOR-quantized to 1e-6 deg BEFORE
+    the sum (the per-term-quantize trick — integer sums are
+    order-independent, and sqrt/multiply of identical doubles are correctly
+    rounded identically in every IEEE engine).
+
+    Plan shape: the whole operator is ONE map-side projection — the vertex
+    array never explodes and nothing shuffles; the per-track fold runs as a
+    Catalyst ``aggregate`` over the parsed array.  At 10^12 tracks this is
+    a pure scan, embarrassingly parallel, with zero Python."""
+    body = F.regexp_replace(F.col(wkt_col), r"LINESTRING \(|\)", "")
+    verts = F.transform(
+        F.split(body, ", "),
+        lambda p: F.struct(
+            F.split(p, " ")[0].cast("double").alias("x"),
+            F.split(p, " ")[1].cast("double").alias("y"),
+        ),
+    )
+    t = tracks.select(
+        F.col(fid_col).alias("fid"),
+        verts.alias("_v"),
+        # fixtures are tz-naive parquet; unix_millis of the UTC reading is
+        # the queries.py convention (session tz pinned to UTC in get_spark)
+        (
+            F.unix_millis(F.col("end_ts").cast("timestamp"))
+            - F.unix_millis(F.col("start_ts").cast("timestamp"))
+        ).alias("duration_ms"),
+    )
+    n = F.size(F.col("_v"))
+    seg = lambda i: F.floor(  # noqa: E731 — segment i -> i+1 in micro-deg
+        F.sqrt(
+            (F.element_at(F.col("_v"), i + 1).x - F.element_at(F.col("_v"), i).x)
+            * (F.element_at(F.col("_v"), i + 1).x - F.element_at(F.col("_v"), i).x)
+            + (F.element_at(F.col("_v"), i + 1).y - F.element_at(F.col("_v"), i).y)
+            * (F.element_at(F.col("_v"), i + 1).y - F.element_at(F.col("_v"), i).y)
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    length = F.aggregate(
+        F.sequence(F.lit(1), n - F.lit(1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + seg(i),
+    )
+    return t.select(
+        "fid",
+        n.alias("n_verts"),
+        (n - F.lit(1)).alias("n_segs"),
+        F.when(n > 1, length).otherwise(F.lit(0).cast("long")).alias("length_udeg"),
+        "duration_ms",
+    )
+
+
+def track_stats_sql(tracks_path: str) -> str:
+    """DuckDB twin: same parse, LEAD-window segment quantization, same
+    integer sums (the oracle favors the declarative unnest over the fold)."""
+    verts = (
+        "list_transform(string_split(replace(replace(geom_wkt, "
+        "'LINESTRING (', ''), ')', ''), ', '), "
+        "p -> struct_pack(x := CAST(string_split(p, ' ')[1] AS DOUBLE), "
+        "y := CAST(string_split(p, ' ')[2] AS DOUBLE)))"
+    )
+    return f"""
+        WITH raw AS (
+          SELECT fid,
+                 epoch_ms(end_ts) - epoch_ms(start_ts) AS duration_ms,
+                 unnest({verts}) AS vert,
+                 generate_subscripts({verts}, 1) AS idx
+          FROM '{tracks_path}'),
+        led AS (
+          SELECT fid, duration_ms, idx, vert.x AS x, vert.y AS y,
+                 lead(vert.x) OVER w AS nx, lead(vert.y) OVER w AS ny
+          FROM raw WINDOW w AS (PARTITION BY fid ORDER BY idx))
+        SELECT fid,
+               CAST(count(*) AS INTEGER) AS n_verts,
+               CAST(count(*) - 1 AS INTEGER) AS n_segs,
+               COALESCE(CAST(SUM(CASE WHEN nx IS NOT NULL THEN
+                 CAST(FLOOR(sqrt((nx - x) * (nx - x) + (ny - y) * (ny - y))
+                            * 1000000.0) AS BIGINT) END) AS BIGINT), 0)
+                 AS length_udeg,
+               MIN(duration_ms) AS duration_ms
+        FROM led
+        GROUP BY fid
+    """

@@ -1202,6 +1202,50 @@ def q_hotspot_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gi_star(_geo(spark, sf_dir, "points"), cell_deg=GI_CELL_DEG)
 
 
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I spatial autocorrelation over the same 1-degree grid
+    as Gi* (operators/hotspot.py morans_i): integer pair/cell sums combined
+    in one pinned float expression, ppm-quantized — the corpus-wide
+    single-number complement to the per-cell hotspot map."""
+    from geowave_spark.operators.hotspot import morans_i
+
+    return morans_i(_geo(spark, sf_dir, "points"), cell_deg=GI_CELL_DEG)
+
+
+def q_idw_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW magnitude surface at occupied 1-degree cell centers
+    (operators/interpolate.py): inverse-square-distance weighted mean over
+    the 3x3 cell neighborhood, per-term FLOOR-quantized weights so every
+    aggregation input is an exact integer — the value-surface sibling of
+    the KDE density pyramid."""
+    from geowave_spark.operators.interpolate import idw_grid
+
+    return idw_grid(_geo(spark, sf_dir, "points"), cell_deg=GI_CELL_DEG)
+
+
+def q_track_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-track summaries (operators/trajectory.py track_stats): vertex and
+    segment counts, planar length in exact integer micro-degrees (per-term
+    quantized), duration in ms — ONE map-side projection, the vertex array
+    folds without ever exploding or shuffling."""
+    from geowave_spark.operators.trajectory import track_stats
+
+    return track_stats(_geo(spark, sf_dir, "tracks"))
+
+
+def q_geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence enter/exit/switch events per entity timeline
+    (operators/geofence.py): one PIP join resolves each ping's (minimum)
+    containing convex zone, one (entity, time) window emits the
+    transitions.  The reference answers the static which-pings-are-inside
+    half; the transition stream is the stateful sequel."""
+    from geowave_spark.operators.geofence import geofence_transitions
+
+    pts = _geo(spark, sf_dir, "points")
+    zones = _geo(spark, sf_dir, "zones").filter(F.col("zclass") == "convex")
+    return geofence_transitions(pts, zones)
+
+
 GEOHASH_PRECISION = 5
 
 
@@ -1868,8 +1912,18 @@ def _cms_oracle() -> str:
 
 
 def build_oracles() -> dict[str, str]:
-    from geowave_spark.operators.hotspot import emerging_hotspots_sql, gi_star_sql
-    from geowave_spark.operators.trajectory import od_flows_sql, staypoints_sql
+    from geowave_spark.operators.hotspot import (
+        emerging_hotspots_sql,
+        gi_star_sql,
+        morans_i_sql,
+    )
+    from geowave_spark.operators.trajectory import (
+        od_flows_sql,
+        staypoints_sql,
+        track_stats_sql,
+    )
+    from geowave_spark.operators.interpolate import idw_grid_sql
+    from geowave_spark.operators.geofence import geofence_transitions_sql
     from geowave_spark.operators.kde import kde_oracle_sql
     from geowave_spark.operators.kde_compare import kde_comparison_oracle_sql
     from geowave_spark.queries_text import build_text_oracles
@@ -2202,6 +2256,12 @@ def build_oracles() -> dict[str, str]:
         "emerging_hotspots": emerging_hotspots_sql(f"{GEO_SF001}/points.parquet", GI_CELL_DEG),
         "track_staypoints": staypoints_sql(f"{GEO_SF001}/tracks.parquet", STAY_RADIUS_DEG, STAY_MIN_RUN),
         "track_od_flows": od_flows_sql(f"{GEO_SF001}/tracks.parquet", f"{GEO_SF001}/zone_halfplanes.parquet"),
+        "morans_i": morans_i_sql(f"{GEO_SF001}/points.parquet", GI_CELL_DEG),
+        "idw_grid": idw_grid_sql(f"{GEO_SF001}/points.parquet", GI_CELL_DEG),
+        "track_stats": track_stats_sql(f"{GEO_SF001}/tracks.parquet"),
+        "geofence_transitions": geofence_transitions_sql(
+            f"{GEO_SF001}/points.parquet", f"{GEO_SF001}/zone_halfplanes.parquet"
+        ),
         # the hex-kRing join must reproduce the exact kNN answer — same
         # brute-force oracle as knn_join (independent algorithm either way)
         "knn_hexring": f"""
@@ -2364,6 +2424,10 @@ ALL_QUERIES = {
     "emerging_hotspots": q_emerging_hotspots,
     "track_staypoints": q_track_staypoints,
     "track_od_flows": q_track_od_flows,
+    "morans_i": q_morans_i,
+    "idw_grid": q_idw_grid,
+    "track_stats": q_track_stats,
+    "geofence_transitions": q_geofence_transitions,
     "knn_hexring": q_knn_hexring,
     "routed_box_temporal": q_routed_box_temporal,
     "cql_spatial_routed": q_cql_spatial_routed,
@@ -2441,6 +2505,10 @@ DRIVER_EXCLUDED = {
     "dbscan_concave_hulls": "J5 hull stage (green r03 row); dbscan_clusters keeps the membership pin on the r04 surface and the hull-vertex invariant oracle stays in parity tests",
     "knn_haversine": "J3 broadcast-centroid kNN (green r03 row); the haversine refine and window top-k are the same exprs knn_join drives on the r04 surface, and the brute==bucketed equality pytest keeps the J3 pin",
     "cql_attribute_filter": "F4 native-expression path (green r03 row); the CQL string front-end now drives the same predicate family on the r04 surface via cql_docs_bbox + cql_spatial_routed, and text_like_query keeps the parity pin",
+    "dedup_exact": "F5 exact dedup (green r03 row); the md5-key convention stays driver-covered by train_split_stratified + boilerplate_block_dedup on the r04 surface, and the duplicate-representative pin stays in training_data_filter",
+    "dedup_minhash_lsh": "minhash banded self-join (green r03 row, headline bench row); dedup_clusters drives the same pair graph through connected components on the r04 surface, split_contamination the same shingle join",
+    "ann_cosine_topk": "brute-force cosine top-k (green r03 row); semdedup_prune drives the identical cosine fold on the r04 surface and ann_lsh_topk keeps a bucketed ANN row on the driver",
+    "token_stats": "subword/token counting (green r03 row); bpe_pair_counts + lm_quality_score drive the tokenization family on the r04 surface and text_quality keeps the parity pin",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut
@@ -2468,6 +2536,10 @@ _NEW_IN_R04 = [
     "track_staypoints",  # new this round (trajectory stay-point detection)
     "track_od_flows",  # new this round (origin-destination flow matrix)
     "emerging_hotspots",  # new this round (space-time Gi* + Mann-Kendall trends)
+    "morans_i",  # new this round (global Moran's I spatial autocorrelation)
+    "idw_grid",  # new this round (IDW value-surface interpolation)
+    "track_stats",  # new this round (zero-shuffle per-track summaries)
+    "geofence_transitions",  # new this round (enter/exit/switch event stream)
 ]
 QUERIES = {n: ALL_QUERIES[n] for n in _NEW_IN_R04}
 QUERIES.update(

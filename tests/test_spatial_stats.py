@@ -1,0 +1,236 @@
+"""Planted-scenario tests for the spatial-statistics / movement wave:
+Moran's I, IDW interpolation, per-track stats, geofence transitions.
+
+Each test constructs an input whose statistic is known by hand (or by an
+independent brute-force recomputation) — the DuckDB hash-parity for these
+operators lives in tests/test_oracle_parity.py / the driver gate; these pin
+the *semantics*.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _pts_df(spark, rows):
+    return spark.createDataFrame(rows, "lon double, lat double")
+
+
+class TestMoransI:
+    def test_checkerboard_is_negative(self, spark):
+        from geowave_spark.operators.hotspot import morans_i
+
+        # 6x6 checkerboard of alternating 1-point / 3-point cells: perfect
+        # negative autocorrelation between queen neighbors on the diagonal
+        # axes, strongly negative I
+        rows = []
+        for cx in range(6):
+            for cy in range(6):
+                n = 1 if (cx + cy) % 2 == 0 else 3
+                rows += [(cx + 0.5, cy + 0.5)] * n
+        out = morans_i(_pts_df(spark, rows), cell_deg=1.0).collect()[0]
+        assert out.n_cells == 36
+        assert out.morans_i_ppm < 0
+
+    def test_two_blocks_is_positive(self, spark):
+        from geowave_spark.operators.hotspot import morans_i
+
+        # one dense 3x3 block and one sparse 3x3 block, far apart: neighbors
+        # agree everywhere -> strongly positive I
+        rows = []
+        for cx in range(3):
+            for cy in range(3):
+                rows += [(cx + 0.5, cy + 0.5)] * 5
+                rows += [(cx + 100.5, cy + 0.5)] * 1
+        out = morans_i(_pts_df(spark, rows), cell_deg=1.0).collect()[0]
+        assert out.morans_i_ppm > 500_000  # I > 0.5
+
+    def test_uniform_counts_null(self, spark):
+        from geowave_spark.operators.hotspot import morans_i
+
+        # every occupied cell holds the same count -> variance 0 -> NULL
+        rows = [(cx + 0.5, 0.5) for cx in range(5)]
+        out = morans_i(_pts_df(spark, rows), cell_deg=1.0).collect()[0]
+        assert out.morans_i_ppm is None
+
+    def test_matches_brute_force(self, spark, geo001):
+        from geowave_spark.operators.hotspot import morans_i
+
+        pts = spark.read.parquet(str(geo001 / "points.parquet"))
+        out = morans_i(pts, cell_deg=1.0).collect()[0]
+        # independent recomputation in plain Python
+        from collections import Counter
+
+        cells = Counter()
+        for r in pts.select("lon", "lat").collect():
+            cells[(math.floor(r.lon), math.floor(r.lat))] += 1
+        n = len(cells)
+        xbar = sum(cells.values()) / n
+        num = w = 0
+        for (cx, cy), xi in cells.items():
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if (dx, dy) == (0, 0):
+                        continue
+                    xj = cells.get((cx + dx, cy + dy))
+                    if xj is not None:
+                        num += (xi - xbar) * (xj - xbar)
+                        w += 1
+        den = sum((x - xbar) ** 2 for x in cells.values())
+        i = (n / w) * num / den
+        assert out.w_pairs == w
+        assert abs(out.morans_i_ppm / 1e6 - i) < 1e-3
+
+
+class TestIdwGrid:
+    def test_single_point_estimates_its_value(self, spark):
+        from geowave_spark.operators.interpolate import idw_grid
+
+        df = spark.createDataFrame(
+            [(0.5, 0.5, 7.25)], "lon double, lat double, magnitude double"
+        )
+        out = idw_grid(df, cell_deg=1.0).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.xb, r.yb, r.n_pts) == (0, 0, 1)
+        # sole neighbor -> weighted mean IS the value (floor to milli)
+        assert r.est_milli == 7250
+
+    def test_weighted_toward_nearer_point(self, spark):
+        from geowave_spark.operators.interpolate import idw_grid
+
+        # target cell (0,0) center (0.5, 0.5): value-10 point sits at the
+        # center, value-0 point sits in the far corner of a neighbor cell
+        df = spark.createDataFrame(
+            [(0.5, 0.5, 10.0), (1.99, 1.99, 0.0)],
+            "lon double, lat double, magnitude double",
+        )
+        rows = {(r.xb, r.yb): r for r in idw_grid(df, cell_deg=1.0).collect()}
+        est = rows[(0, 0)].est_milli / 1000.0
+        assert 9.0 < est <= 10.0  # near point dominates
+        # the far cell's own estimate leans to its resident value-0 point
+        # (weights ~2.0e6 vs ~0.5e6 -> estimate ~2, well under the 5.0
+        # unweighted midpoint)
+        assert rows[(1, 1)].est_milli / 1000.0 < 2.5
+
+    def test_neighborhood_is_3x3(self, spark):
+        from geowave_spark.operators.interpolate import idw_grid
+
+        # a point 2 cells away must NOT contribute
+        df = spark.createDataFrame(
+            [(0.5, 0.5, 10.0), (5.5, 0.5, 0.0)],
+            "lon double, lat double, magnitude double",
+        )
+        rows = {(r.xb, r.yb): r for r in idw_grid(df, cell_deg=1.0).collect()}
+        assert rows[(0, 0)].n_pts == 1 and rows[(0, 0)].est_milli == 10000
+        assert rows[(5, 0)].n_pts == 1 and rows[(5, 0)].est_milli == 0
+
+
+class TestTrackStats:
+    def test_hand_computed_length(self, spark):
+        from geowave_spark.operators.trajectory import track_stats
+
+        df = spark.createDataFrame(
+            [
+                (
+                    "t1",
+                    "LINESTRING (0 0, 3 4, 3 10)",
+                    "2020-01-01 00:00:00",
+                    "2020-01-01 01:00:00",
+                )
+            ],
+            "fid string, geom_wkt string, start_ts string, end_ts string",
+        ).select(
+            "fid",
+            "geom_wkt",
+            F.col("start_ts").cast("timestamp").alias("start_ts"),
+            F.col("end_ts").cast("timestamp").alias("end_ts"),
+        )
+        r = track_stats(df).collect()[0]
+        assert (r.n_verts, r.n_segs) == (3, 2)
+        # segments: 5.0 and 6.0 degrees exactly -> 11_000_000 micro-deg
+        assert r.length_udeg == 11_000_000
+        assert r.duration_ms == 3_600_000
+
+    def test_single_vertex_track(self, spark):
+        from geowave_spark.operators.trajectory import track_stats
+
+        df = spark.createDataFrame(
+            [("t1", "LINESTRING (1 2)", "2020-01-01 00:00:00", "2020-01-01 00:00:00")],
+            "fid string, geom_wkt string, start_ts string, end_ts string",
+        ).select(
+            "fid",
+            "geom_wkt",
+            F.col("start_ts").cast("timestamp").alias("start_ts"),
+            F.col("end_ts").cast("timestamp").alias("end_ts"),
+        )
+        r = track_stats(df).collect()[0]
+        assert (r.n_verts, r.n_segs, r.length_udeg) == (1, 0, 0)
+
+    def test_zero_shuffle_plan(self, spark, geo001):
+        from geowave_spark.operators.trajectory import track_stats
+
+        tracks = spark.read.parquet(str(geo001 / "tracks.parquet"))
+        plan = track_stats(tracks)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure map-side projection
+
+
+class TestGeofenceTransitions:
+    def _zones(self, spark):
+        # two unit-square zones side by side
+        return spark.createDataFrame(
+            [
+                ("za", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "convex"),
+                ("zb", "POLYGON ((2 0, 3 0, 3 1, 2 1, 2 0))", "convex"),
+            ],
+            "zone_id string, geom_wkt string, zclass string",
+        )
+
+    def test_enter_exit_switch(self, spark):
+        from geowave_spark.operators.geofence import geofence_transitions
+
+        pings = [
+            # entity e1: outside -> za (enter), za -> zb (switch), zb -> out (exit)
+            ("e1", "p1", "2020-01-01 00:00:00", 9.5, 9.5),
+            ("e1", "p2", "2020-01-01 00:01:00", 0.5, 0.5),
+            ("e1", "p3", "2020-01-01 00:02:00", 2.5, 0.5),
+            ("e1", "p4", "2020-01-01 00:03:00", 9.5, 9.5),
+            # entity e2: stays inside za the whole time -> no transitions
+            ("e2", "p5", "2020-01-01 00:00:00", 0.2, 0.2),
+            ("e2", "p6", "2020-01-01 00:01:00", 0.8, 0.8),
+        ]
+        df = spark.createDataFrame(
+            pings, "category string, fid string, event_ts string, lon double, lat double"
+        ).select(
+            "category",
+            "fid",
+            F.col("event_ts").cast("timestamp").alias("event_ts"),
+            "lon",
+            "lat",
+        )
+        out = sorted(
+            geofence_transitions(df, self._zones(spark)).collect(),
+            key=lambda r: r.event_ms,
+        )
+        assert [(r.fid, r.from_zone, r.to_zone, r.kind) for r in out] == [
+            ("p2", None, "za", "enter"),
+            ("p3", "za", "zb", "switch"),
+            ("p4", "zb", None, "exit"),
+        ]
+        assert all(r.entity == "e1" for r in out)
+
+    def test_first_ping_never_emits(self, spark):
+        from geowave_spark.operators.geofence import geofence_transitions
+
+        df = spark.createDataFrame(
+            [("e1", "p1", "2020-01-01 00:00:00", 0.5, 0.5)],
+            "category string, fid string, event_ts string, lon double, lat double",
+        ).select(
+            "category",
+            "fid",
+            F.col("event_ts").cast("timestamp").alias("event_ts"),
+            "lon",
+            "lat",
+        )
+        assert geofence_transitions(df, self._zones(spark)).count() == 0
