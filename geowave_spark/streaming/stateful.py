@@ -88,3 +88,112 @@ def streaming_exact_dedup(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming geofence: the batch transition scan with cross-batch state
+# ---------------------------------------------------------------------------
+
+GEOFENCE_OUT_SCHEMA = (
+    "entity string, fid string, event_ms long, from_zone string, "
+    "to_zone string, kind string"
+)
+# last known zone per entity; `primed` distinguishes "never seen" from
+# "last seen outside every zone" (both have last_zone NULL)
+GEOFENCE_STATE_SCHEMA = "last_zone string, primed boolean"
+
+
+def make_geofence_fn():
+    """Per-entity transition fold: batch rows sort by (event_ms, fid), each
+    ping's zone is the MINIMUM containing zone_id (the batch operator's
+    overlap convention — `operators/geofence.py`), and a row is emitted
+    whenever consecutive pings disagree.  The first ping an entity EVER
+    sends only primes the state (exactly the batch scan's rn > 1 guard), so
+    an ordered replay of a static corpus reproduces the batch output
+    bit-for-bit (pinned in tests/test_streaming.py)."""
+
+    def _fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_zone, primed = state.get
+        else:
+            last_zone, primed = None, False
+        out = []
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            batch = pd.concat(frames)
+            # one row per ping: min non-null zone across the PIP rows (the
+            # all-null row from the raw branch keeps outside pings alive)
+            per_ping = (
+                batch.groupby(["event_ms", "fid"], sort=True)["zone"]
+                .agg(lambda s: min((z for z in s if pd.notna(z)), default=None))
+                .reset_index()
+            )
+            for row in per_ping.itertuples(index=False):
+                zone = row.zone
+                if primed and (zone or None) != (last_zone or None):
+                    kind = (
+                        "enter"
+                        if last_zone is None
+                        else ("exit" if zone is None else "switch")
+                    )
+                    out.append((key[0], row.fid, row.event_ms, last_zone, zone, kind))
+                last_zone, primed = zone, True
+        state.update((last_zone, primed))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["entity", "fid", "event_ms", "from_zone", "to_zone", "kind"],
+            )
+
+    return _fn
+
+
+def streaming_geofence(
+    points_stream: DataFrame,
+    zones: DataFrame,
+    *,
+    entity_col: str = "category",
+    id_col: str = "fid",
+    ts_col: str = "event_ts",
+    **pip_kwargs,
+) -> DataFrame:
+    """The geofence transition stream (`operators/geofence.py`) running
+    continuously: zone resolution is the SAME stream-static PIP join the
+    batch operator uses (zones broadcast, pings never exploded), unioned
+    with a null-zone branch so outside pings survive the inner join, then
+    one `applyInPandasWithState` keyed on the entity carries each entity's
+    last zone across micro-batches.
+
+    State is one (string, bool) per entity — bounded by the fleet size, not
+    the stream length.  Ordering contract: within a micro-batch rows fold
+    in (event_ms, fid) order; ACROSS batches the source must deliver each
+    entity's pings in event order (the tracker-feed norm; a watermarked
+    reorder buffer is the standard upstream fix otherwise)."""
+    from geowave_spark.streaming.spatial import pip_join_stream
+
+    if not points_stream.isStreaming:
+        raise ValueError("points must be a streaming DataFrame (readStream)")
+    base = points_stream.select(
+        F.col(entity_col).alias("entity"),
+        F.col(id_col).alias("fid"),
+        F.unix_millis(F.col(ts_col).cast("timestamp")).alias("event_ms"),
+        "lon",
+        "lat",
+    )
+    located = pip_join_stream(base, zones, **pip_kwargs).select(
+        "entity", "fid", "event_ms", F.col("zone_id").alias("zone")
+    )
+    raw = base.select(
+        "entity", "fid", "event_ms", F.lit(None).cast("string").alias("zone")
+    )
+    return (
+        located.unionByName(raw)
+        .groupBy("entity")
+        .applyInPandasWithState(
+            make_geofence_fn(),
+            outputStructType=GEOFENCE_OUT_SCHEMA,
+            stateStructType=GEOFENCE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
