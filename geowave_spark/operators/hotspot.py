@@ -59,7 +59,10 @@ def gi_star(
 ) -> DataFrame:
     """Per occupied cell: (xb, yb, n_neighbors, gi_ppm) — Gi* z-score in
     parts-per-million (FLOOR-quantized; see module docstring)."""
-    cells = cell_counts(points, cell_deg, lon_col, lat_col)
+    # the cell table is grid-bounded (tiny); materialize it ONCE so the
+    # three consumers below (neighbor probe, neighbor join, global agg)
+    # never re-scan the corpus — the engine's read-the-big-side-once rule
+    cells = cell_counts(points, cell_deg, lon_col, lat_col).localCheckpoint()
 
     # neighborhood: explode each cell to its 9 queen positions, equi-join
     # back on the cell key — the broadcast-offsets pattern every ring join
@@ -188,7 +191,7 @@ def emerging_hotspots(
             tb,
         )
         .agg(F.count("*").alias("x"))
-    )
+    ).localCheckpoint()  # (cell, month) bins are grid-bounded: corpus scans once
     offs = F.array(
         *[
             F.struct(
@@ -346,7 +349,9 @@ def morans_i(
     8 literal offsets into one equi-join, and the result is a 1-row global
     agg; nothing downstream of the first groupBy scales with the corpus.
     """
-    cells = cell_counts(points, cell_deg, lon_col, lat_col)
+    # grid-bounded cell table, three consumers: materialize once so the
+    # corpus is scanned exactly once (same rationale as gi_star)
+    cells = cell_counts(points, cell_deg, lon_col, lat_col).localCheckpoint()
     offs = F.array(
         *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in NEIGHBOR_OFFSETS]
     )

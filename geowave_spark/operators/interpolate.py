@@ -57,7 +57,15 @@ def idw_grid(
         F.col(lat_col).alias("_py"),
         F.col(value_col).alias("_v"),
     )
-    targets = keyed.select(F.col("pxb").alias("xb"), F.col("pyb").alias("yb")).distinct()
+    # the occupied-cell table is grid-bounded; materialize it so deriving
+    # targets costs one corpus scan, not one per downstream consumer.  (At
+    # ingest the write_indexed key-histogram sidecar provides this table for
+    # free — pass a precomputed grid as `points` partner in that path.)
+    targets = (
+        keyed.select(F.col("pxb").alias("xb"), F.col("pyb").alias("yb"))
+        .distinct()
+        .localCheckpoint()
+    )
     offs = F.array(
         *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in NEIGHBORHOOD]
     )
