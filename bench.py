@@ -64,6 +64,11 @@ HEADLINE = [
     "st_insertion_biased",
     "st_biased_box_query",
     "cql_docs_bbox",
+    # round-4 continuation: spatial statistics (cells-only neighborhood
+    # join, corpus scanned once) + the PIP-join-fed per-entity transition
+    # window — both shapes a 100-TB movement corpus runs constantly
+    "hotspot_gi_star",
+    "geofence_transitions",
 ]
 
 

@@ -54,6 +54,12 @@ def geofence_transitions(
         "lon",
         "lat",
     )
+    # zone resolution: inner PIP rows (zones broadcast) min-agg per ping,
+    # joined back LEFT so outside pings survive.  The union-then-groupBy
+    # alternative (fold the null branch into one agg) was MEASURED slower
+    # at 4.8M pings (32.3s vs 24.1s, straggler 2.1 vs 1.3): it pushes every
+    # raw row through the wide-key shuffle, while this shape shuffles only
+    # the matched PIP rows plus one fid-keyed join of the base
     located = (
         pip_join(base.select("fid", "lon", "lat"), zones, **pip_kwargs)
         .groupBy("fid")
