@@ -50,6 +50,16 @@ raster family (``extensions/adapters/raster/.../RasterOperationCLIProvider
   ``raster-resize``    RasterTileResizeJobRunner: re-tile a KDE/raster table
                        to a new tile size without recomputing weights
 
+spatial-stats / movement family (beyond the reference CLI; the engine's
+round-4 analytics over the same store layout):
+  ``gistar``           Getis-Ord Gi* hotspot z-scores over gridded counts
+  ``moransi``          global Moran's I (prints the one-row statistic)
+  ``idw``              IDW value-surface interpolation at cell centers
+  ``trackstats``       per-track vertex/length/duration summaries
+  ``staypoints``       stay-point anchors over LINESTRING tracks
+  ``geofence``         per-entity enter/exit/switch transitions against a
+                       zone type in the same store
+
 splits family (``extensions/datastores/accumulo/.../split/
 AccumuloSplitsOperationCLIProvider.java`` -> ``AccumuloUtils.java:801-1040``;
 the reference moves tablet split points, the Spark analog rewrites the
@@ -509,6 +519,114 @@ def op_kde(a) -> int:
     return 0
 
 
+def op_gistar(a) -> int:
+    """Getis-Ord Gi* hotspot z-scores over the store's gridded counts
+    (operators/hotspot.py; the significance-tested sibling of `kde`)."""
+    spark = _get_spark()
+    from geowave_spark.operators.hotspot import gi_star
+
+    pts, _ = _store_points(a, spark)
+    out = gi_star(pts, cell_deg=a.cellDeg)
+    out.write.mode("overwrite").parquet(a.output)
+    hot = spark.read.parquet(a.output).filter(F.col("gi_ppm") > 2_000_000)
+    print(f"gistar: {hot.count()} hot cells (z > 2) at {a.output}")
+    return 0
+
+
+def op_moransi(a) -> int:
+    """Global Moran's I over the store's gridded counts."""
+    spark = _get_spark()
+    from geowave_spark.operators.hotspot import morans_i
+
+    pts, _ = _store_points(a, spark)
+    row = morans_i(pts, cell_deg=a.cellDeg).collect()[0]
+    i = "undefined" if row.morans_i_ppm is None else f"{row.morans_i_ppm / 1e6:.6f}"
+    print(f"moransi: I = {i} over {row.n_cells} cells / {row.w_pairs} neighbor pairs")
+    return 0
+
+
+def op_idw(a) -> int:
+    """IDW value-surface interpolation at occupied cell centers."""
+    spark = _get_spark()
+    from geowave_spark.operators.interpolate import idw_grid
+
+    pts, _ = _store_points(a, spark)
+    if a.valueCol not in pts.columns:
+        raise SystemExit(f"--value-col {a.valueCol!r} not in {pts.columns}")
+    out = idw_grid(pts, cell_deg=a.cellDeg, value_col=a.valueCol)
+    out.write.mode("overwrite").parquet(a.output)
+    print(f"idw: {spark.read.parquet(a.output).count()} cells at {a.output}")
+    return 0
+
+
+def _track_fid_col(a, tracks: DataFrame) -> str:
+    """Track id column: --id-col, else fid, else the ingest readers'
+    feature_id."""
+    for c in (getattr(a, "id_col", None), "fid", "feature_id"):
+        if c and c in tracks.columns:
+            return c
+    raise SystemExit(f"no track id column among {tracks.columns}; pass --id-col")
+
+
+def op_trackstats(a) -> int:
+    """Per-track summaries (vertex/segment counts, micro-degree length,
+    duration) over a LINESTRING store — one map-side projection."""
+    spark = _get_spark()
+    from geowave_spark.operators.trajectory import track_stats
+    from geowave_spark.sources.tables import read_indexed
+
+    tracks = read_indexed(spark, str(_table_dir(a.store, _resolve_type(a.store, a.type))))
+    out = track_stats(tracks, fid_col=_track_fid_col(a, tracks))
+    out.write.mode("overwrite").parquet(a.output)
+    print(f"trackstats: {spark.read.parquet(a.output).count()} tracks at {a.output}")
+    return 0
+
+
+def op_staypoints(a) -> int:
+    """Stay-point anchors over a LINESTRING store (operators/trajectory.py)."""
+    spark = _get_spark()
+    from geowave_spark.operators.trajectory import staypoints
+    from geowave_spark.sources.tables import read_indexed
+
+    tracks = read_indexed(spark, str(_table_dir(a.store, _resolve_type(a.store, a.type))))
+    out = staypoints(tracks, radius_deg=a.radius, min_run=a.minRun,
+                     fid_col=_track_fid_col(a, tracks))
+    out.write.mode("overwrite").parquet(a.output)
+    print(f"staypoints: {spark.read.parquet(a.output).count()} anchors at {a.output}")
+    return 0
+
+
+def op_geofence(a) -> int:
+    """Per-entity geofence enter/exit/switch transitions: the store's point
+    type against a zone type in the same store (operators/geofence.py)."""
+    spark = _get_spark()
+    from geowave_spark.operators.geofence import geofence_transitions
+    from geowave_spark.sources.tables import read_indexed
+
+    pts, _ = _store_points(a, spark)
+    for col in (a.entityCol, a.tsCol):
+        if col not in pts.columns:
+            raise SystemExit(f"column {col!r} not in {pts.columns}")
+    if a.idCol not in pts.columns:
+        # synthesize a deterministic ping id (STABLE across the operator's
+        # two plan branches, unlike monotonically_increasing_id)
+        pts = pts.withColumn(
+            a.idCol,
+            F.md5(F.concat_ws("|", a.entityCol, a.tsCol, "lon", "lat")),
+        )
+    zones = read_indexed(
+        spark, str(_table_dir(a.store, _resolve_type(a.store, a.zonesType)))
+    )
+    if "zone_id" not in zones.columns and "feature_id" in zones.columns:
+        zones = zones.withColumnRenamed("feature_id", "zone_id")
+    out = geofence_transitions(
+        pts, zones, entity_col=a.entityCol, id_col=a.idCol, ts_col=a.tsCol
+    )
+    out.write.mode("overwrite").parquet(a.output)
+    print(f"geofence: {spark.read.parquet(a.output).count()} transitions at {a.output}")
+    return 0
+
+
 def op_raster_resize(a) -> int:
     """RasterTileResizeJobRunner: re-tile an existing KDE/raster parquet
     output to a new tile size; weights/bands invariant (R7)."""
@@ -663,6 +781,34 @@ def _build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--minLevel", type=int, default=1)
     sp.add_argument("--maxLevel", type=int, default=8)
     sp.add_argument("--tileSize", type=int, default=1)
+
+    sp = add_analytic("gistar", op_gistar, "Getis-Ord Gi* hotspot z-scores")
+    sp.add_argument("--cellDeg", type=float, default=1.0)
+
+    # moransi prints its one-row statistic; no --output
+    sp = add("moransi", op_moransi, "global Moran's I spatial autocorrelation")
+    sp.add_argument("--id-col", default=None, help=argparse.SUPPRESS)
+    sp.add_argument("--cellDeg", type=float, default=1.0)
+
+    sp = add_analytic("idw", op_idw, "IDW value-surface interpolation")
+    sp.add_argument("--cellDeg", type=float, default=1.0)
+    sp.add_argument("--value-col", dest="valueCol", default="magnitude")
+
+    sp = add_analytic("trackstats", op_trackstats,
+                      "per-track vertex/length/duration summaries")
+
+    sp = add_analytic("staypoints", op_staypoints,
+                      "stay-point anchors over LINESTRING tracks")
+    sp.add_argument("--radius", type=float, default=0.15)
+    sp.add_argument("--minRun", type=int, default=3)
+
+    sp = add_analytic("geofence", op_geofence,
+                      "per-entity geofence enter/exit/switch transitions")
+    sp.add_argument("--zones-type", dest="zonesType", required=True,
+                    help="zone polygon type in the same store")
+    sp.add_argument("--entity-col", dest="entityCol", default="category")
+    sp.add_argument("--ping-id-col", dest="idCol", default="fid")
+    sp.add_argument("--ts-col", dest="tsCol", default="event_ts")
 
     sp = sub.add_parser("raster-resize",
                         help="re-tile a KDE/raster output to a new tile size")

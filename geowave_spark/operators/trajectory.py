@@ -210,15 +210,19 @@ def track_stats(
             F.split(p, " ")[1].cast("double").alias("y"),
         ),
     )
+    # fixtures are tz-naive parquet; unix_millis of the UTC reading is the
+    # queries.py convention (session tz pinned to UTC in get_spark).  Tracks
+    # ingested without timestamps (e.g. plain GeoJSON) get NULL duration.
+    if "start_ts" in tracks.columns and "end_ts" in tracks.columns:
+        duration = F.unix_millis(F.col("end_ts").cast("timestamp")) - F.unix_millis(
+            F.col("start_ts").cast("timestamp")
+        )
+    else:
+        duration = F.lit(None).cast("long")
     t = tracks.select(
         F.col(fid_col).alias("fid"),
         verts.alias("_v"),
-        # fixtures are tz-naive parquet; unix_millis of the UTC reading is
-        # the queries.py convention (session tz pinned to UTC in get_spark)
-        (
-            F.unix_millis(F.col("end_ts").cast("timestamp"))
-            - F.unix_millis(F.col("start_ts").cast("timestamp"))
-        ).alias("duration_ms"),
+        duration.alias("duration_ms"),
     )
     n = F.size(F.col("_v"))
     seg = lambda i: F.floor(  # noqa: E731 — segment i -> i+1 in micro-deg

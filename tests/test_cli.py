@@ -344,3 +344,133 @@ class TestAnalytics:
         assert a.count() == b.count()
         assert (a.agg(F.sum("weight_scaled")).collect()[0][0]
                 == b.agg(F.sum("weight_scaled")).collect()[0][0])
+
+
+class TestSpatialStatsOps:
+    """The round-4 spatial-stats/movement op family: each CLI run equals the
+    direct operator API over the same store (the analytic-family standard)."""
+
+    @pytest.fixture(scope="class")
+    def geo_store(self, spark, tdrive_csv, tmp_path_factory):
+        """A store holding a point type AND a polygon zone type."""
+        d = tmp_path_factory.mktemp("cli_stats") / "store"
+        assert cli.main(["localingest", "--store", str(d), "--type", "taxis",
+                         "--input", str(tdrive_csv), "--format", "tdrive"]) == 0
+        feats = [
+            {"type": "Feature", "id": f"z{i}",
+             "geometry": {"type": "Polygon", "coordinates":
+                          [[[x0, y0], [x0 + 30, y0], [x0 + 30, y0 + 20],
+                            [x0, y0 + 20], [x0, y0]]]},
+             "properties": {}}
+            for i, (x0, y0) in enumerate([(-60, -30), (-10, -10), (30, 5)])
+        ]
+        src = d.parent / "zones.geojsonl"
+        src.write_text("\n".join(json.dumps(f) for f in feats) + "\n")
+        assert cli.main(["localingest", "--store", str(d), "--type", "zones",
+                         "--input", str(src), "--format", "geojson"]) == 0
+        return d
+
+    def test_gistar_matches_direct(self, spark, geo_store, tmp_path):
+        from geowave_spark.operators.hotspot import gi_star
+
+        out = tmp_path / "gi"
+        assert cli.main(["gistar", "--store", str(geo_store), "--type", "taxis",
+                         "--cellDeg", "5.0", "--output", str(out)]) == 0
+        got = {tuple(r) for r in spark.read.parquet(str(out)).collect()}
+        pts = spark.read.parquet(str(geo_store / "taxis"))
+        want = {tuple(r) for r in gi_star(pts, cell_deg=5.0).collect()}
+        assert got == want and got
+
+    def test_moransi_prints_statistic(self, spark, geo_store, capsys):
+        from geowave_spark.operators.hotspot import morans_i
+
+        assert cli.main(["moransi", "--store", str(geo_store), "--type",
+                         "taxis", "--cellDeg", "5.0"]) == 0
+        txt = capsys.readouterr().out
+        pts = spark.read.parquet(str(geo_store / "taxis"))
+        row = morans_i(pts, cell_deg=5.0).collect()[0]
+        assert f"I = {row.morans_i_ppm / 1e6:.6f}" in txt
+        assert f"{row.n_cells} cells" in txt
+
+    def test_idw_matches_direct(self, spark, geo_store, tmp_path):
+        from geowave_spark.operators.interpolate import idw_grid
+
+        out = tmp_path / "idw"
+        assert cli.main(["idw", "--store", str(geo_store), "--type", "taxis",
+                         "--cellDeg", "5.0", "--value-col", "lat",
+                         "--output", str(out)]) == 0
+        got = {tuple(r) for r in spark.read.parquet(str(out)).collect()}
+        pts = spark.read.parquet(str(geo_store / "taxis"))
+        want = {tuple(r) for r in idw_grid(pts, cell_deg=5.0, value_col="lat").collect()}
+        assert got == want and got
+
+    def test_geofence_matches_direct(self, spark, geo_store, tmp_path):
+        from geowave_spark.operators.geofence import geofence_transitions
+
+        out = tmp_path / "gf"
+        assert cli.main(["geofence", "--store", str(geo_store), "--type",
+                         "taxis", "--zones-type", "zones",
+                         "--entity-col", "track_id", "--ts-col", "ts",
+                         "--output", str(out)]) == 0
+        got = spark.read.parquet(str(out))
+        # direct twin with the same synthesized ping id
+        pts = spark.read.parquet(str(geo_store / "taxis")).withColumn(
+            "fid", F.md5(F.concat_ws("|", "track_id", "ts", "lon", "lat"))
+        )
+        zones = spark.read.parquet(str(geo_store / "zones")).withColumnRenamed(
+            "feature_id", "zone_id"
+        )
+        want = geofence_transitions(pts, zones, entity_col="track_id", ts_col="ts")
+        assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+        assert got.count() > 0
+        assert {r.kind for r in got.collect()} <= {"enter", "exit", "switch"}
+
+    def test_trackstats_and_staypoints_over_linestring_store(
+        self, spark, tmp_path
+    ):
+        from geowave_spark.operators.trajectory import staypoints, track_stats
+
+        feats = [
+            {"type": "Feature", "id": "t0",
+             "geometry": {"type": "LineString",
+                          "coordinates": [[0, 0], [3, 4], [3.01, 4.01],
+                                          [3.02, 4.0], [10, 10]]},
+             "properties": {}},
+            {"type": "Feature", "id": "t1",
+             "geometry": {"type": "LineString",
+                          "coordinates": [[20, 20], [26, 28]]},
+             "properties": {}},
+        ]
+        src = tmp_path / "tracks.geojsonl"
+        src.write_text("\n".join(json.dumps(f) for f in feats) + "\n")
+        d = tmp_path / "store"
+        assert cli.main(["localingest", "--store", str(d), "--type", "tracks",
+                         "--input", str(src), "--format", "geojson"]) == 0
+
+        out = tmp_path / "ts"
+        assert cli.main(["trackstats", "--store", str(d), "--type", "tracks",
+                         "--output", str(out)]) == 0
+        rows = {r.fid: r for r in spark.read.parquet(str(out)).collect()}
+        assert rows["t0"].n_verts == 5 and rows["t1"].n_segs == 1
+        assert rows["t1"].length_udeg == 10_000_000  # 6-8-10 triangle
+        assert rows["t0"].duration_ms is None  # geojson tracks carry no ts
+        tracks = spark.read.parquet(str(d / "tracks"))
+        want = {
+            r.fid: r for r in track_stats(tracks, fid_col="feature_id").collect()
+        }
+        assert {k: tuple(v) for k, v in rows.items()} == {
+            k: tuple(v) for k, v in want.items()
+        }
+
+        out2 = tmp_path / "sp"
+        assert cli.main(["staypoints", "--store", str(d), "--type", "tracks",
+                         "--radius", "0.05", "--minRun", "3",
+                         "--output", str(out2)]) == 0
+        got = {(r.fid, r.anchor_idx) for r in spark.read.parquet(str(out2)).collect()}
+        want2 = {
+            (r.fid, r.anchor_idx)
+            for r in staypoints(tracks, radius_deg=0.05, min_run=3,
+                                fid_col="feature_id").collect()
+        }
+        assert got == want2
+        assert ("t0", 1) in got  # the 3-vertex cluster around (3, 4)
