@@ -279,3 +279,165 @@ def track_stats_sql(tracks_path: str) -> str:
         FROM led
         GROUP BY fid
     """
+
+
+# ---------------------------------------------------------------------------
+# Douglas-Peucker track simplification: distributed split rounds
+# ---------------------------------------------------------------------------
+
+
+def simplify_tracks(
+    tracks: DataFrame,
+    tolerance_deg: float = 0.05,
+    wkt_col: str = "geom_wkt",
+    fid_col: str = "fid",
+) -> DataFrame:
+    """Douglas-Peucker polyline simplification over every track at once:
+    (fid, idx, x, y) — the kept vertices, in original vertex order.
+
+    The classic recursion (keep a segment's farthest interior vertex iff its
+    perpendicular deviation exceeds the tolerance, recurse into both halves)
+    runs as DISTRIBUTED ROUNDS over a segment worklist — the adaptive-kNN /
+    DBSCAN loop pattern: every round joins the active segments to their
+    interior vertices, picks each segment's splitter with one ``max_by``
+    agg, and replaces split segments by their two halves.  All tracks
+    advance together; the number of rounds is the maximum recursion DEPTH
+    across tracks (<= the longest track's vertex count, ~log n for
+    non-adversarial lines), and each round's work is output-sensitive.
+
+    Engine-exact selection rule (the DuckDB twin mirrors it term for term):
+    deviation comparisons avoid the division — ``cross^2 > tol^2 * len2``
+    with cross = (xj-xi)(yi-y) - (xi-x)(yj-yi), all products of stored
+    doubles (correctly rounded identically everywhere); ties on cross^2
+    break to the SMALLEST vertex index; degenerate zero-length segments
+    never split (cross == 0).  Strict ``>`` means a vertex exactly at the
+    tolerance is dropped, the usual convention.
+    """
+    tol2 = float(tolerance_deg) * float(tolerance_deg)
+    verts = track_vertices(tracks, wkt_col, fid_col).localCheckpoint()
+    ends = verts.groupBy("fid").agg(F.max("idx").alias("last"))
+    vi = verts.select("fid", F.col("idx").alias("i"), F.col("x").alias("xi"), F.col("y").alias("yi"))
+    vj = verts.select("fid", F.col("idx").alias("j"), F.col("x").alias("xj"), F.col("y").alias("yj"))
+    active = (
+        ends.filter(F.col("last") > 0)
+        .select("fid", F.lit(0).alias("i"), F.col("last").alias("j"))
+        .join(vi, ["fid", "i"])
+        .join(vj, ["fid", "j"])
+        .select("fid", "i", "xi", "yi", "j", "xj", "yj")
+        .localCheckpoint()
+    )
+    kept = [
+        verts.select("fid", "idx").join(
+            ends.select("fid", F.col("last")), "fid"
+        ).filter((F.col("idx") == 0) | (F.col("idx") == F.col("last"))).select("fid", "idx")
+    ]
+    cross = (F.col("xj") - F.col("xi")) * (F.col("yi") - F.col("y")) - (
+        F.col("xi") - F.col("x")
+    ) * (F.col("yj") - F.col("yi"))
+    len2 = (F.col("xj") - F.col("xi")) * (F.col("xj") - F.col("xi")) + (
+        F.col("yj") - F.col("yi")
+    ) * (F.col("yj") - F.col("yi"))
+    while active.limit(1).count() > 0:
+        cand = (
+            active.join(verts, "fid")
+            .filter((F.col("idx") > F.col("i")) & (F.col("idx") < F.col("j")))
+            .withColumn("_c2", cross * cross)
+            .filter(F.col("_c2") > F.lit(tol2) * len2)
+        )
+        best = cand.groupBy("fid", "i", "j").agg(
+            F.max_by(
+                F.struct(F.col("idx").alias("k"), F.col("x").alias("xk"), F.col("y").alias("yk")),
+                F.struct(F.col("_c2"), (-F.col("idx")).alias("_ni")),
+            ).alias("_b")
+        )
+        split = active.join(best, ["fid", "i", "j"]).select(
+            "fid", "i", "xi", "yi", "j", "xj", "yj",
+            F.col("_b.k").alias("k"), F.col("_b.xk").alias("xk"), F.col("_b.yk").alias("yk"),
+        )
+        kept.append(split.select("fid", F.col("k").alias("idx")).localCheckpoint())
+        halves = F.array(
+            F.struct(
+                F.col("i").alias("i"), F.col("xi").alias("xi"), F.col("yi").alias("yi"),
+                F.col("k").alias("j"), F.col("xk").alias("xj"), F.col("yk").alias("yj"),
+            ),
+            F.struct(
+                F.col("k").alias("i"), F.col("xk").alias("xi"), F.col("yk").alias("yi"),
+                F.col("j").alias("j"), F.col("xj").alias("xj"), F.col("yj").alias("yj"),
+            ),
+        )
+        active = (
+            split.select("fid", F.explode(halves).alias("_h"))
+            .select("fid", "_h.i", "_h.xi", "_h.yi", "_h.j", "_h.xj", "_h.yj")
+            .filter(F.col("j") - F.col("i") > 1)  # no interior vertices -> done
+            .localCheckpoint()
+        )
+    out = kept[0]
+    for k in kept[1:]:
+        out = out.unionByName(k)
+    return out.distinct().join(verts, ["fid", "idx"]).select("fid", "idx", "x", "y")
+
+
+def simplify_tracks_sql(tracks_path: str, tolerance_deg: float = 0.05) -> str:
+    """DuckDB twin: the same recursion as a recursive CTE whose recursive
+    term picks each segment's splitter with a correlated ORDER-BY-LIMIT
+    subquery (same strict >, same smallest-index tie-break) and emits both
+    halves via a 2-row lateral values join (a recursive CTE may reference
+    itself only once)."""
+    tol2 = float(tolerance_deg) * float(tolerance_deg)
+    verts_expr = (
+        "list_transform(string_split(replace(replace(geom_wkt, "
+        "'LINESTRING (', ''), ')', ''), ', '), "
+        "p -> struct_pack(x := CAST(string_split(p, ' ')[1] AS DOUBLE), "
+        "y := CAST(string_split(p, ' ')[2] AS DOUBLE)))"
+    )
+    # the splitter of segment (i..j): farthest interior vertex over the
+    # strict tolerance, ties to the smallest index — NULL when none
+    k_sub = f"""(
+        SELECT v.idx FROM verts v
+        WHERE v.fid = s.fid AND v.idx > s.i AND v.idx < s.j
+          AND ((s.xj - s.xi) * (s.yi - v.y) - (s.xi - v.x) * (s.yj - s.yi))
+            * ((s.xj - s.xi) * (s.yi - v.y) - (s.xi - v.x) * (s.yj - s.yi))
+            > {tol2!r} * ((s.xj - s.xi) * (s.xj - s.xi)
+                          + (s.yj - s.yi) * (s.yj - s.yi))
+        ORDER BY ((s.xj - s.xi) * (s.yi - v.y) - (s.xi - v.x) * (s.yj - s.yi))
+               * ((s.xj - s.xi) * (s.yi - v.y) - (s.xi - v.x) * (s.yj - s.yi))
+               DESC, v.idx ASC
+        LIMIT 1)"""
+    return f"""
+        WITH RECURSIVE raw AS (
+          SELECT fid, unnest({verts_expr}) AS vert,
+                 generate_subscripts({verts_expr}, 1) AS idx1
+          FROM '{tracks_path}'),
+        verts AS (
+          SELECT fid, idx1 - 1 AS idx, vert.x AS x, vert.y AS y FROM raw),
+        ends AS (SELECT fid, MAX(idx) AS last FROM verts GROUP BY fid),
+        seg(fid, i, xi, yi, j, xj, yj) AS (
+          SELECT e.fid, 0, a.x, a.y, e.last, b.x, b.y
+          FROM ends e
+          JOIN verts a ON a.fid = e.fid AND a.idx = 0
+          JOIN verts b ON b.fid = e.fid AND b.idx = e.last
+          WHERE e.last > 0
+          UNION ALL
+          SELECT s.fid,
+                 CASE h.half WHEN 0 THEN s.i ELSE s.k END,
+                 CASE h.half WHEN 0 THEN s.xi ELSE s.xk END,
+                 CASE h.half WHEN 0 THEN s.yi ELSE s.yk END,
+                 CASE h.half WHEN 0 THEN s.k ELSE s.j END,
+                 CASE h.half WHEN 0 THEN s.xk ELSE s.xj END,
+                 CASE h.half WHEN 0 THEN s.yk ELSE s.yj END
+          FROM (
+            SELECT s.*, {k_sub} AS k,
+                   (SELECT v.x FROM verts v
+                    WHERE v.fid = s.fid AND v.idx = {k_sub}) AS xk,
+                   (SELECT v.y FROM verts v
+                    WHERE v.fid = s.fid AND v.idx = {k_sub}) AS yk
+            FROM seg s) s,
+            (VALUES (0), (1)) h(half)
+          WHERE s.k IS NOT NULL),
+        keptseg AS (SELECT fid, i AS idx FROM seg
+                    UNION SELECT fid, j FROM seg
+                    UNION SELECT fid, 0 FROM ends
+                    UNION SELECT fid, last FROM ends)
+        SELECT DISTINCT v.fid, v.idx, v.x, v.y
+        FROM keptseg kv JOIN verts v ON v.fid = kv.fid AND v.idx = kv.idx
+    """

@@ -1233,6 +1233,17 @@ def q_track_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return track_stats(_geo(spark, sf_dir, "tracks"))
 
 
+def q_track_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker simplification over every track at once
+    (operators/trajectory.py simplify_tracks): distributed split rounds —
+    each round one interior-vertex join + one max_by argmax per active
+    segment; rounds = max recursion depth across tracks.  The oracle is the
+    identical recursion as a DuckDB recursive CTE."""
+    from geowave_spark.operators.trajectory import simplify_tracks
+
+    return simplify_tracks(_geo(spark, sf_dir, "tracks"), tolerance_deg=0.05)
+
+
 def q_geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geofence enter/exit/switch events per entity timeline
     (operators/geofence.py): one PIP join resolves each ping's (minimum)
@@ -1919,6 +1930,7 @@ def build_oracles() -> dict[str, str]:
     )
     from geowave_spark.operators.trajectory import (
         od_flows_sql,
+        simplify_tracks_sql,
         staypoints_sql,
         track_stats_sql,
     )
@@ -2259,6 +2271,7 @@ def build_oracles() -> dict[str, str]:
         "morans_i": morans_i_sql(f"{GEO_SF001}/points.parquet", GI_CELL_DEG),
         "idw_grid": idw_grid_sql(f"{GEO_SF001}/points.parquet", GI_CELL_DEG),
         "track_stats": track_stats_sql(f"{GEO_SF001}/tracks.parquet"),
+        "track_simplify": simplify_tracks_sql(f"{GEO_SF001}/tracks.parquet", 0.05),
         "geofence_transitions": geofence_transitions_sql(
             f"{GEO_SF001}/points.parquet", f"{GEO_SF001}/zone_halfplanes.parquet"
         ),
@@ -2427,6 +2440,7 @@ ALL_QUERIES = {
     "morans_i": q_morans_i,
     "idw_grid": q_idw_grid,
     "track_stats": q_track_stats,
+    "track_simplify": q_track_simplify,
     "geofence_transitions": q_geofence_transitions,
     "knn_hexring": q_knn_hexring,
     "routed_box_temporal": q_routed_box_temporal,
@@ -2509,6 +2523,7 @@ DRIVER_EXCLUDED = {
     "dedup_minhash_lsh": "minhash banded self-join (green r03 row, headline bench row); dedup_clusters drives the same pair graph through connected components on the r04 surface, split_contamination the same shingle join",
     "ann_cosine_topk": "brute-force cosine top-k (green r03 row); semdedup_prune drives the identical cosine fold on the r04 surface and ann_lsh_topk keeps a bucketed ANN row on the driver",
     "token_stats": "subword/token counting (green r03 row); bpe_pair_counts + lm_quality_score drive the tokenization family on the r04 surface and text_quality keeps the parity pin",
+    "histogram_fixed_bins": "A6 fixed-bin histogram (green r01+r02+r03 rows); stats_summary + percentile_by_category keep the A-family driver coverage and the parity pin stays identical",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut
@@ -2540,6 +2555,7 @@ _NEW_IN_R04 = [
     "idw_grid",  # new this round (IDW value-surface interpolation)
     "track_stats",  # new this round (zero-shuffle per-track summaries)
     "geofence_transitions",  # new this round (enter/exit/switch event stream)
+    "track_simplify",  # new this round (distributed Douglas-Peucker rounds)
 ]
 QUERIES = {n: ALL_QUERIES[n] for n in _NEW_IN_R04}
 QUERIES.update(

@@ -294,3 +294,79 @@ class TestStreamingGeofence:
         pts = spark.read.parquet(str(geo001 / "points.parquet"))
         with pytest.raises(ValueError, match="streaming"):
             streaming_geofence(pts, zones)
+
+
+class TestSimplifyTracks:
+    """Distributed Douglas-Peucker vs a straightforward recursive reference
+    implementation (the DuckDB recursive-CTE hash parity lives in the driver
+    gate / test_oracle_parity)."""
+
+    @staticmethod
+    def _ref_dp(pts, tol):
+        """Plain recursive DP with the operator's exact selection rule:
+        cross^2 > tol^2 * len2, ties to the smallest index."""
+        tol2 = tol * tol
+        keep = set()
+
+        def rec(i, j):
+            keep.add(i)
+            keep.add(j)
+            xi, yi = pts[i]
+            xj, yj = pts[j]
+            len2 = (xj - xi) ** 2 + (yj - yi) ** 2
+            best, bestc = None, None
+            for k in range(i + 1, j):
+                x, y = pts[k]
+                c2 = ((xj - xi) * (yi - y) - (xi - x) * (yj - yi)) ** 2
+                if c2 > tol2 * len2 and (bestc is None or c2 > bestc):
+                    best, bestc = k, c2
+            if best is not None:
+                rec(i, best)
+                rec(best, j)
+
+        rec(0, len(pts) - 1)
+        return keep
+
+    def _tracks_df(self, spark, rows):
+        return spark.createDataFrame(rows, "fid string, geom_wkt string")
+
+    def test_hand_example(self, spark):
+        from geowave_spark.operators.trajectory import simplify_tracks
+
+        # spike at idx 2 survives; idx 1 and 3 (0.44 deg off the split
+        # segments) drop at tol 0.5 but would survive a tighter tolerance
+        wkt = "LINESTRING (0 0, 1 0.01, 2 1, 3 0.01, 4 0)"
+        out = simplify_tracks(self._tracks_df(spark, [("t", wkt)]), 0.5)
+        assert {r.idx for r in out.collect()} == {0, 2, 4}
+
+    def test_straight_line_collapses_to_endpoints(self, spark):
+        from geowave_spark.operators.trajectory import simplify_tracks
+
+        wkt = "LINESTRING (" + ", ".join(f"{i} {i}" for i in range(12)) + ")"
+        out = simplify_tracks(self._tracks_df(spark, [("t", wkt)]), 0.001)
+        assert {r.idx for r in out.collect()} == {0, 11}
+
+    def test_zero_tolerance_keeps_noncollinear(self, spark):
+        from geowave_spark.operators.trajectory import simplify_tracks
+
+        wkt = "LINESTRING (0 0, 1 1, 2 0, 3 1)"
+        out = simplify_tracks(self._tracks_df(spark, [("t", wkt)]), 0.0)
+        assert {r.idx for r in out.collect()} == {0, 1, 2, 3}
+
+    def test_matches_reference_on_fixture_corpus(self, spark, geo001):
+        from geowave_spark.operators.trajectory import (
+            simplify_tracks,
+            track_vertices,
+        )
+
+        tracks = spark.read.parquet(str(geo001 / "tracks.parquet"))
+        got = {}
+        for r in simplify_tracks(tracks, 0.05).collect():
+            got.setdefault(r.fid, set()).add(r.idx)
+        verts = {}
+        for r in track_vertices(tracks).collect():
+            verts.setdefault(r.fid, []).append((r.idx, r.x, r.y))
+        assert len(got) == len(verts)
+        for fid, vs in verts.items():
+            pts = [(x, y) for _, x, y in sorted(vs)]
+            assert got[fid] == self._ref_dp(pts, 0.05), fid
