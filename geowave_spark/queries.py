@@ -1244,6 +1244,22 @@ def q_track_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simplify_tracks(_geo(spark, sf_dir, "tracks"), tolerance_deg=0.05)
 
 
+HAUSDORFF_DEG = 0.2
+
+
+def q_track_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-similarity self-join (operators/trajectory.py
+    hausdorff_join): every track pair within 0.2 deg discrete Hausdorff
+    distance, found output-sensitively — one vertex explode to threshold-
+    width cells, a 3x3-neighborhood equi-join (the only vertex pairs ever
+    materialized are near pairs), per-vertex min / per-direction max with a
+    coverage proof.  The oracle is brute-force full-matrix Hausdorff over
+    bbox-close pairs — an independent algorithm."""
+    from geowave_spark.operators.trajectory import hausdorff_join
+
+    return hausdorff_join(_geo(spark, sf_dir, "tracks"), threshold_deg=HAUSDORFF_DEG)
+
+
 def q_geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geofence enter/exit/switch events per entity timeline
     (operators/geofence.py): one PIP join resolves each ping's (minimum)
@@ -1930,6 +1946,7 @@ def build_oracles() -> dict[str, str]:
     )
     from geowave_spark.operators.trajectory import (
         od_flows_sql,
+        hausdorff_join_sql,
         simplify_tracks_sql,
         staypoints_sql,
         track_stats_sql,
@@ -2272,6 +2289,7 @@ def build_oracles() -> dict[str, str]:
         "idw_grid": idw_grid_sql(f"{GEO_SF001}/points.parquet", GI_CELL_DEG),
         "track_stats": track_stats_sql(f"{GEO_SF001}/tracks.parquet"),
         "track_simplify": simplify_tracks_sql(f"{GEO_SF001}/tracks.parquet", 0.05),
+        "track_hausdorff": hausdorff_join_sql(f"{GEO_SF001}/tracks.parquet", HAUSDORFF_DEG),
         "geofence_transitions": geofence_transitions_sql(
             f"{GEO_SF001}/points.parquet", f"{GEO_SF001}/zone_halfplanes.parquet"
         ),
@@ -2441,6 +2459,7 @@ ALL_QUERIES = {
     "idw_grid": q_idw_grid,
     "track_stats": q_track_stats,
     "track_simplify": q_track_simplify,
+    "track_hausdorff": q_track_hausdorff,
     "geofence_transitions": q_geofence_transitions,
     "knn_hexring": q_knn_hexring,
     "routed_box_temporal": q_routed_box_temporal,
@@ -2524,6 +2543,7 @@ DRIVER_EXCLUDED = {
     "ann_cosine_topk": "brute-force cosine top-k (green r03 row); semdedup_prune drives the identical cosine fold on the r04 surface and ann_lsh_topk keeps a bucketed ANN row on the driver",
     "token_stats": "subword/token counting (green r03 row); bpe_pair_counts + lm_quality_score drive the tokenization family on the r04 surface and text_quality keeps the parity pin",
     "histogram_fixed_bins": "A6 fixed-bin histogram (green r01+r02+r03 rows); stats_summary + percentile_by_category keep the A-family driver coverage and the parity pin stays identical",
+    "cms_category_sketch": "A9 count-min sketch (green r01+r03 rows); the sketch family stays driver-covered by distinct_count_stats (A8) + percentile_by_category (A7), md5-hash portability pinned by the parity oracle; rotated out for track_hausdorff",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut
@@ -2556,6 +2576,7 @@ _NEW_IN_R04 = [
     "track_stats",  # new this round (zero-shuffle per-track summaries)
     "geofence_transitions",  # new this round (enter/exit/switch event stream)
     "track_simplify",  # new this round (distributed Douglas-Peucker rounds)
+    "track_hausdorff",  # new this round (output-sensitive Hausdorff similarity join)
 ]
 QUERIES = {n: ALL_QUERIES[n] for n in _NEW_IN_R04}
 QUERIES.update(

@@ -370,3 +370,88 @@ class TestSimplifyTracks:
         for fid, vs in verts.items():
             pts = [(x, y) for _, x, y in sorted(vs)]
             assert got[fid] == self._ref_dp(pts, 0.05), fid
+
+
+class TestHausdorffJoin:
+    """Output-sensitive Hausdorff similarity join vs a brute-force reference
+    (the DuckDB full-matrix parity lives in the driver gate)."""
+
+    @staticmethod
+    def _ref_hausdorff(a, b):
+        def directed(p, q):
+            return max(min((px - qx) ** 2 + (py - qy) ** 2 for qx, qy in q) for px, py in p)
+
+        return max(directed(a, b), directed(b, a))
+
+    def _tracks_df(self, spark, rows):
+        return spark.createDataFrame(rows, "fid string, geom_wkt string")
+
+    def test_hand_example(self, spark):
+        from geowave_spark.operators.trajectory import hausdorff_join
+
+        # a/b are 0.05-shifted copies (H = 0.05), c is far from both
+        rows = [
+            ("a", "LINESTRING (0 0, 1 0, 2 0)"),
+            ("b", "LINESTRING (0 0.05, 1 0.05, 2 0.05)"),
+            ("c", "LINESTRING (10 10, 11 10)"),
+        ]
+        out = {(r.fid_a, r.fid_b): r.hd_q for r in hausdorff_join(self._tracks_df(spark, rows), 0.1).collect()}
+        assert set(out) == {("a", "b")}
+        assert out[("a", "b")] == int(0.05 * 0.05 * 1e9)  # 2_500_000
+
+    def test_boundary_inclusive(self, spark):
+        from geowave_spark.operators.trajectory import hausdorff_join
+
+        # distance exactly == threshold must be INCLUDED (<= semantics)
+        rows = [
+            ("a", "LINESTRING (0 0, 1 0)"),
+            ("b", "LINESTRING (0 0.1, 1 0.1)"),
+        ]
+        out = hausdorff_join(self._tracks_df(spark, rows), 0.1).collect()
+        assert len(out) == 1
+        # and strictly-farther is excluded
+        rows2 = [
+            ("a", "LINESTRING (0 0, 1 0)"),
+            ("b", "LINESTRING (0 0.100001, 1 0.100001)"),
+        ]
+        assert hausdorff_join(self._tracks_df(spark, rows2), 0.1).count() == 0
+
+    def test_asymmetric_coverage(self, spark):
+        from geowave_spark.operators.trajectory import hausdorff_join
+
+        # b's vertices all hug a, but a has a stray vertex far from b:
+        # the a->b direction must reject the pair (directedness matters)
+        rows = [
+            ("a", "LINESTRING (0 0, 1 0, 5 5)"),
+            ("b", "LINESTRING (0 0.01, 1 0.01)"),
+        ]
+        assert hausdorff_join(self._tracks_df(spark, rows), 0.1).count() == 0
+
+    def test_matches_bruteforce_on_fixture_sample(self, spark):
+        from geowave_spark.geometry.wkt import parse_wkt
+        from geowave_spark.operators.trajectory import hausdorff_join
+
+        tracks = (
+            spark.read.parquet("/root/repo/data/geo/sf0.01/tracks.parquet")
+            .filter("fid < 'tr_0000200'")
+            .select("fid", "geom_wkt")
+        )
+        rows = tracks.collect()
+        verts = {}
+        for r in rows:
+            kind, parts = parse_wkt(r.geom_wkt)
+            assert kind == "linestring"
+            verts[r.fid] = [(float(x), float(y)) for x, y in parts]
+        t = 0.3
+        expected = {}
+        fids = sorted(verts)
+        for i, fa in enumerate(fids):
+            for fb in fids[i + 1 :]:
+                h = self._ref_hausdorff(verts[fa], verts[fb])
+                if h <= t * t:
+                    expected[(fa, fb)] = int(h * 1e9)
+        got = {
+            (r.fid_a, r.fid_b): r.hd_q
+            for r in hausdorff_join(tracks, t).collect()
+        }
+        assert got == expected and len(expected) > 0
