@@ -436,3 +436,190 @@ def morans_i_sql(points_path: str, cell_deg: float) -> str:
                ELSE NULL END AS morans_i_ppm
         FROM p, g
     """
+
+
+# ---------------------------------------------------------------------------
+# Knox space-time interaction test
+# ---------------------------------------------------------------------------
+
+
+def knox_test(
+    points: DataFrame,
+    dist_deg: float = 0.5,
+    tau_ms: int = 3 * 86_400_000,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Knox (1964) space-time interaction statistic over an event corpus:
+    of all unordered event pairs, how many are close in BOTH space
+    (planar distance <= dist_deg) and time (|dt| <= tau_ms), versus the
+    count expected if spatial and temporal proximity were independent?
+
+        knox_ratio = st_pairs * total_pairs / (space_pairs * time_pairs)
+
+    Ratio >> 1 flags space-time clustering (outbreaks, aftershock
+    sequences, coordinated movement) — the pairwise complement of the
+    cell-binned emerging-hotspot scan above (the reference's closest
+    analog is its spatial-temporal constrained scan,
+    `core/geotime/.../SpatialTemporalQuery.java`, which answers the
+    per-query half; Knox aggregates the interaction globally).
+
+    Output (one row, all BIGINT): n, total_pairs, space_pairs,
+    time_pairs, st_pairs, knox_ppm (ratio FLOOR-quantized to ppm; the
+    divide tree is shape-pinned against the SQL twin, so the double ops
+    are bit-identical cross-engine).
+
+    100 TB shape — every pair count is OUTPUT-SENSITIVE, no n^2 stage:
+
+    * space (+ joint) pairs: grid events at dist_deg; the probe side
+      explodes to its 3x3 cell neighborhood (bounded x9) and equi-joins
+      the build side on the cell — only pairs within ~2*sqrt(2)*d ever
+      materialize (the hausdorff_join bound).  The symmetric neighborhood
+      means each near pair meets in both orientations; fid ordering keeps
+      exactly one.  Exact d^2 filter restores the circle, and the SAME
+      joined rows yield the joint space-AND-time count (one extra |dt|
+      predicate — no second join).
+    * time pairs: identical pattern in 1D — bin at tau, explode to
+      {-1,0,+1} neighboring bins (x3), equi-join on the bin, exact |dt|
+      filter; candidates are bounded by pairs within 2*tau.
+    * the three 1-row aggregates broadcast-crossJoin into the result.
+
+    Each self-join side is a column-pruned scan of (id, lon, lat, ts)
+    only; hot metro cells take the engine's standard salting/AQE
+    treatment, and the time-bin keys are uniform by construction.
+    """
+    d2 = float(dist_deg) * float(dist_deg)
+    c = float(dist_deg)
+    tau = int(tau_ms)
+    # _pid: dense per-row ordering key (any unique id works; xxhash64 of the
+    # position+time tuple is collision-checked by the pair semantics only in
+    # the astronomically unlikely full-tuple tie, where dropping the
+    # duplicate pair is the correct dedup anyway)
+    pts = points.select(
+        F.xxhash64(F.col(lon_col), F.col(lat_col), F.col(ts_col), F.lit(41)).alias("_pid"),
+        F.col(lon_col).cast("double").alias("x"),
+        F.col(lat_col).cast("double").alias("y"),
+        F.unix_millis(F.col(ts_col).cast("timestamp")).alias("ms"),
+    )
+
+    # --- space + joint counts: one 3x3-neighborhood equi-join -------------
+    cells = pts.select(
+        "*",
+        F.floor(F.col("x") / c).cast("long").alias("cx"),
+        F.floor(F.col("y") / c).cast("long").alias("cy"),
+    )
+    nbrs = F.array(
+        *[
+            F.struct(
+                (F.col("cx") + F.lit(dx)).alias("cx"),
+                (F.col("cy") + F.lit(dy)).alias("cy"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = cells.select(
+        F.col("_pid").alias("_pa"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.col("ms").alias("ams"),
+        F.explode(nbrs).alias("nb"),
+    ).select("_pa", "ax", "ay", "ams", F.col("nb.cx").alias("cx"), F.col("nb.cy").alias("cy"))
+    build = cells.select(
+        F.col("_pid").alias("_pb"), F.col("x").alias("bx"), F.col("y").alias("by"),
+        F.col("ms").alias("bms"), "cx", "cy",
+    )
+    near = probe.join(build, ["cx", "cy"]).filter(
+        (F.col("_pa") < F.col("_pb"))
+        & (
+            (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+            + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+            <= F.lit(d2)
+        )
+    )
+    space_agg = near.agg(
+        F.count("*").alias("space_pairs"),
+        # SUM over an empty near set is NULL; the statistic's value is 0
+        F.coalesce(
+            F.sum(
+                F.when(F.abs(F.col("ams") - F.col("bms")) <= F.lit(tau), 1).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("st_pairs"),
+    )
+
+    # --- time count: the 1D twin ------------------------------------------
+    tb = pts.withColumn("_tb", F.floor(F.col("ms") / F.lit(tau)).cast("long"))
+    tprobe = tb.select(
+        F.col("_pid").alias("_pa"),
+        F.col("ms").alias("ams"),
+        F.explode(
+            F.array(*[(F.col("_tb") + F.lit(o)).alias("b") for o in (-1, 0, 1)])
+        ).alias("_tb"),
+    )
+    tbuild = tb.select(F.col("_pid").alias("_pb"), F.col("ms").alias("bms"), "_tb")
+    time_agg = tprobe.join(tbuild, "_tb").filter(
+        (F.col("_pa") < F.col("_pb"))
+        & (F.abs(F.col("ams") - F.col("bms")) <= F.lit(tau))
+    ).agg(F.count("*").alias("time_pairs"))
+
+    n_agg = pts.agg(F.count("*").alias("n"))
+
+    out = n_agg.crossJoin(space_agg).crossJoin(time_agg)
+    total = (F.col("n") * (F.col("n") - F.lit(1)) / F.lit(2)).cast("long")
+    return out.select(
+        F.col("n"),
+        total.alias("total_pairs"),
+        F.col("space_pairs"),
+        F.col("time_pairs"),
+        F.col("st_pairs"),
+        F.when(
+            (F.col("space_pairs") > 0) & (F.col("time_pairs") > 0),
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("st_pairs").cast("double")
+                * total.cast("double")
+                / (F.col("space_pairs").cast("double") * F.col("time_pairs").cast("double"))
+            ).cast("long"),
+        ).alias("knox_ppm"),
+    )
+
+
+def knox_test_sql(
+    points_path: str, dist_deg: float = 0.5, tau_ms: int = 3 * 86_400_000
+) -> str:
+    """DuckDB twin: brute-force over every unordered pair (an independent
+    algorithm — no grid, no binning; the oracle optimizes for clarity).
+    The ppm combine mirrors :func:`knox_test`'s double tree shape-for-shape."""
+    return f"""
+        WITH p AS (
+          SELECT hash(lon, lat, event_ts, 41) AS pid, lon AS x, lat AS y,
+                 epoch_ms(event_ts) AS ms
+          FROM '{points_path}'),
+        pr AS (
+          SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dd,
+                 ABS(a.ms - b.ms) AS dt
+          FROM p a JOIN p b ON a.pid < b.pid),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS total_pairs,
+                 CAST(COALESCE(SUM(CASE WHEN dd <= {dist_deg!r} * {dist_deg!r}
+                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS space_pairs,
+                 CAST(COALESCE(SUM(CASE WHEN dt <= {tau_ms} THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS time_pairs,
+                 CAST(COALESCE(SUM(CASE WHEN dd <= {dist_deg!r} * {dist_deg!r}
+                               AND dt <= {tau_ms} THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS st_pairs
+          FROM pr),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p)
+        SELECT g.n, agg.total_pairs, agg.space_pairs, agg.time_pairs,
+               agg.st_pairs,
+               CASE WHEN agg.space_pairs > 0 AND agg.time_pairs > 0
+               THEN CAST(FLOOR(
+                 1000000.0 * CAST(agg.st_pairs AS DOUBLE)
+                 * CAST(agg.total_pairs AS DOUBLE)
+                 / (CAST(agg.space_pairs AS DOUBLE)
+                    * CAST(agg.time_pairs AS DOUBLE))) AS BIGINT)
+               ELSE NULL END AS knox_ppm
+        FROM g, agg
+    """

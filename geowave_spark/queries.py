@@ -1202,6 +1202,24 @@ def q_hotspot_gi_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gi_star(_geo(spark, sf_dir, "points"), cell_deg=GI_CELL_DEG)
 
 
+KNOX_DIST_DEG = 0.5
+KNOX_TAU_MS = 3 * 86_400_000
+
+
+def q_knox_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox space-time interaction statistic (operators/hotspot.py
+    knox_test): of all unordered event pairs, how many are close in both
+    space (<=0.5 deg) and time (<=3 days) vs the independence expectation —
+    every pair count found output-sensitively (3x3 cell-neighborhood
+    equi-join for space, +-1 bin join for time; no n^2 stage).  The oracle
+    is brute-force over the full pair matrix — an independent algorithm."""
+    from geowave_spark.operators.hotspot import knox_test
+
+    return knox_test(
+        _geo(spark, sf_dir, "points"), dist_deg=KNOX_DIST_DEG, tau_ms=KNOX_TAU_MS
+    )
+
+
 def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global Moran's I spatial autocorrelation over the same 1-degree grid
     as Gi* (operators/hotspot.py morans_i): integer pair/cell sums combined
@@ -1942,6 +1960,7 @@ def build_oracles() -> dict[str, str]:
     from geowave_spark.operators.hotspot import (
         emerging_hotspots_sql,
         gi_star_sql,
+        knox_test_sql,
         morans_i_sql,
     )
     from geowave_spark.operators.trajectory import (
@@ -2286,6 +2305,9 @@ def build_oracles() -> dict[str, str]:
         "track_staypoints": staypoints_sql(f"{GEO_SF001}/tracks.parquet", STAY_RADIUS_DEG, STAY_MIN_RUN),
         "track_od_flows": od_flows_sql(f"{GEO_SF001}/tracks.parquet", f"{GEO_SF001}/zone_halfplanes.parquet"),
         "morans_i": morans_i_sql(f"{GEO_SF001}/points.parquet", GI_CELL_DEG),
+        "knox_test": knox_test_sql(
+            f"{GEO_SF001}/points.parquet", KNOX_DIST_DEG, KNOX_TAU_MS
+        ),
         "idw_grid": idw_grid_sql(f"{GEO_SF001}/points.parquet", GI_CELL_DEG),
         "track_stats": track_stats_sql(f"{GEO_SF001}/tracks.parquet"),
         "track_simplify": simplify_tracks_sql(f"{GEO_SF001}/tracks.parquet", 0.05),
@@ -2456,6 +2478,7 @@ ALL_QUERIES = {
     "track_staypoints": q_track_staypoints,
     "track_od_flows": q_track_od_flows,
     "morans_i": q_morans_i,
+    "knox_test": q_knox_test,
     "idw_grid": q_idw_grid,
     "track_stats": q_track_stats,
     "track_simplify": q_track_simplify,
@@ -2543,7 +2566,8 @@ DRIVER_EXCLUDED = {
     "ann_cosine_topk": "brute-force cosine top-k (green r03 row); semdedup_prune drives the identical cosine fold on the r04 surface and ann_lsh_topk keeps a bucketed ANN row on the driver",
     "token_stats": "subword/token counting (green r03 row); bpe_pair_counts + lm_quality_score drive the tokenization family on the r04 surface and text_quality keeps the parity pin",
     "histogram_fixed_bins": "A6 fixed-bin histogram (green r01+r02+r03 rows); stats_summary + percentile_by_category keep the A-family driver coverage and the parity pin stays identical",
-    "cms_category_sketch": "A9 count-min sketch (green r01+r03 rows); the sketch family stays driver-covered by distinct_count_stats (A8) + percentile_by_category (A7), md5-hash portability pinned by the parity oracle; rotated out for track_hausdorff",
+    "cms_category_sketch": "A9 count-min sketch (green r01+r03 rows); the sketch family stays driver-covered by distinct_count_stats (A8) + stats_summary, md5-hash portability pinned by the parity oracle; rotated out for track_hausdorff",
+    "percentile_by_category": "A7 quantile sketch (green r01+r02+r03 rows); the A-family stays driver-covered by stats_summary (A1-A5) + distinct_count_stats (A8) and the exact-quantile parity pin stays in tests/test_oracle_parity.py; rotated out for knox_test",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut
@@ -2577,6 +2601,7 @@ _NEW_IN_R04 = [
     "geofence_transitions",  # new this round (enter/exit/switch event stream)
     "track_simplify",  # new this round (distributed Douglas-Peucker rounds)
     "track_hausdorff",  # new this round (output-sensitive Hausdorff similarity join)
+    "knox_test",  # new this round (Knox space-time interaction statistic)
 ]
 QUERIES = {n: ALL_QUERIES[n] for n in _NEW_IN_R04}
 QUERIES.update(

@@ -455,3 +455,79 @@ class TestHausdorffJoin:
             for r in hausdorff_join(tracks, t).collect()
         }
         assert got == expected and len(expected) > 0
+
+
+class TestKnoxTest:
+    """Knox space-time interaction vs a brute-force pair-matrix reference
+    (the DuckDB full-matrix parity lives in the driver gate)."""
+
+    def _pts_df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "fid string, lon double, lat double, event_ts timestamp"
+        )
+
+    def test_hand_example(self, spark):
+        from datetime import datetime
+
+        from geowave_spark.operators.hotspot import knox_test
+
+        day = 86_400_000
+        rows = [
+            # a-b: close in space AND time; a-c: close in space only;
+            # a-d: close in time only; b-c/b-d/c-d: neither or one
+            ("a", 0.0, 0.0, datetime(2020, 1, 1)),
+            ("b", 0.1, 0.0, datetime(2020, 1, 2)),
+            ("c", 0.2, 0.1, datetime(2020, 6, 1)),
+            ("d", 30.0, 30.0, datetime(2020, 1, 3)),
+        ]
+        out = knox_test(self._pts_df(spark, rows), dist_deg=0.5, tau_ms=3 * day).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.n, r.total_pairs) == (4, 6)
+        assert r.space_pairs == 3  # ab, ac, bc
+        assert r.time_pairs == 3  # ab, ad, bd
+        assert r.st_pairs == 1  # ab
+        assert r.knox_ppm == int(1e6 * 1 * 6 // (3 * 3))
+
+    def test_boundary_inclusive(self, spark):
+        from datetime import datetime
+
+        from geowave_spark.operators.hotspot import knox_test
+
+        # exactly at the distance and time thresholds -> included (<=)
+        rows = [
+            ("a", 0.0, 0.0, datetime(2020, 1, 1, 0, 0, 0)),
+            ("b", 0.5, 0.0, datetime(2020, 1, 1, 1, 0, 0)),
+        ]
+        r = knox_test(self._pts_df(spark, rows), dist_deg=0.5, tau_ms=3_600_000).collect()[0]
+        assert (r.space_pairs, r.time_pairs, r.st_pairs) == (1, 1, 1)
+        # just beyond either threshold -> excluded
+        rows2 = [
+            ("a", 0.0, 0.0, datetime(2020, 1, 1, 0, 0, 0)),
+            ("b", 0.500001, 0.0, datetime(2020, 1, 1, 1, 0, 0, 1000)),
+        ]
+        r2 = knox_test(self._pts_df(spark, rows2), dist_deg=0.5, tau_ms=3_600_000).collect()[0]
+        assert (r2.space_pairs, r2.time_pairs, r2.st_pairs) == (0, 0, 0)
+        assert r2.knox_ppm is None
+
+    def test_matches_bruteforce_on_fixture(self, spark):
+        from geowave_spark.operators.hotspot import knox_test
+
+        pts = spark.read.parquet("/root/repo/data/geo/sf0.001/points.parquet")
+        rows = pts.select("lon", "lat", "event_ts").collect()
+        d, tau = 0.8, 5 * 86_400_000
+        evs = [(r.lon, r.lat, int(r.event_ts.timestamp() * 1000)) for r in rows]
+        sp = tp = st = 0
+        for i in range(len(evs)):
+            for j in range(i + 1, len(evs)):
+                dd = (evs[i][0] - evs[j][0]) ** 2 + (evs[i][1] - evs[j][1]) ** 2
+                dt = abs(evs[i][2] - evs[j][2])
+                close_s, close_t = dd <= d * d, dt <= tau
+                sp += close_s
+                tp += close_t
+                st += close_s and close_t
+        r = knox_test(pts, dist_deg=d, tau_ms=tau).collect()[0]
+        n = len(evs)
+        assert (r.n, r.total_pairs) == (n, n * (n - 1) // 2)
+        assert (r.space_pairs, r.time_pairs, r.st_pairs) == (sp, tp, st)
+        assert r.knox_ppm == int(1e6 * st * (n * (n - 1) // 2) // (sp * tp))
