@@ -623,3 +623,357 @@ def knox_test_sql(
                ELSE NULL END AS knox_ppm
         FROM g, agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Ripley's K / cross-K colocation
+# ---------------------------------------------------------------------------
+
+
+def _near_pair_dd(
+    pts: DataFrame, dmax: float, *, ordered: bool
+) -> DataFrame:
+    """Squared planar distances of all point pairs within ``dmax``, found
+    output-sensitively: grid at dmax, explode ONE side to its 3x3 cell
+    neighborhood (bounded x9), equi-join on the cell, exact dd filter.
+    ``ordered=True`` keeps each unordered pair once via id ordering (the
+    self-join case); ``ordered=False`` emits every (probe, build) pair once
+    (the two-category cross case, where the sides are disjoint).
+
+    Inputs carry (_pid, x, y); output is a single ``dd`` column — the
+    caller's per-distance counts all aggregate the SAME joined rows, so m
+    radii cost m WHEN-sums, never m joins."""
+    c = float(dmax)
+    cells = pts.select(
+        "*",
+        F.floor(F.col("x") / c).cast("long").alias("cx"),
+        F.floor(F.col("y") / c).cast("long").alias("cy"),
+    )
+    nbrs = F.array(
+        *[
+            F.struct(
+                (F.col("cx") + F.lit(dx)).alias("cx"),
+                (F.col("cy") + F.lit(dy)).alias("cy"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = cells.select(
+        F.col("_pid").alias("_pa"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(nbrs).alias("nb"),
+    ).select("_pa", "ax", "ay", F.col("nb.cx").alias("cx"), F.col("nb.cy").alias("cy"))
+    build = cells.select(
+        F.col("_pid").alias("_pb"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        "cx",
+        "cy",
+    )
+    dd = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    joined = probe.join(build, ["cx", "cy"])
+    if ordered:
+        joined = joined.filter(F.col("_pa") < F.col("_pb"))
+    return joined.filter(dd <= F.lit(c * c)).select(dd.alias("dd"))
+
+
+def ripley_k(
+    points: DataFrame,
+    dists: tuple = (0.25, 0.5, 1.0),
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "fid",
+) -> DataFrame:
+    """Ripley's K function (Ripley 1977) at a ladder of radii — the classic
+    second-order point-pattern statistic: K(d) is the expected number of
+    further points within d of a typical point, scaled by intensity, so
+    K(d) above pi*d^2 flags clustering at that scale and below it
+    regularity.  Uncorrected (naive-boundary) estimator over the observed
+    bounding box:
+
+        K_hat(d) = A * 2 * pairs(d) / (n * (n - 1)),   L(d) = sqrt(K/pi)
+
+    The reference serves the same "at which scales does this corpus
+    cluster" question through its KDE pyramid level sweep
+    (`analytics/mapreduce/.../kde/AccumuloKDEReducer.java:211-239` renders
+    one density per level); Ripley's K quantifies it in one pass.
+
+    Output: one row per radius — d_ppm, pairs (unordered BIGINT), n,
+    k_ppm, l_ppm (FLOOR ppm quantization; the double trees are shape-pinned
+    against :func:`ripley_k_sql`, every aggregate input is exact).
+
+    100 TB shape: ONE output-sensitive candidate join at the LARGEST
+    radius (grid + bounded 3x3 explode on the probe side — the
+    :func:`knox_test` pattern); all m radii are WHEN-sums over those same
+    joined rows, so the pair matrix is never materialized and adding radii
+    adds no joins.  The global reduce is 5 numbers (n + bbox)."""
+    ds = sorted(float(d) for d in dists)
+    if not ds or ds[0] <= 0:
+        raise ValueError("dists must be positive radii")
+    pts = points.select(
+        F.col(id_col).alias("_pid"),
+        F.col(lon_col).cast("double").alias("x"),
+        F.col(lat_col).cast("double").alias("y"),
+    )
+    near = _near_pair_dd(pts, ds[-1], ordered=True)
+    sums = near.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("dd") <= F.lit(d * d), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"_p{i}")
+            for i, d in enumerate(ds)
+        ]
+    )
+    glob = pts.agg(
+        F.count("*").alias("n"),
+        F.min("x").alias("minx"),
+        F.max("x").alias("maxx"),
+        F.min("y").alias("miny"),
+        F.max("y").alias("maxy"),
+    )
+    rows = glob.crossJoin(sums).select(
+        "n",
+        "minx",
+        "maxx",
+        "miny",
+        "maxy",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(round(d * 1_000_000))).cast("long").alias("d_ppm"),
+                        F.col(f"_p{i}").alias("pairs"),
+                    )
+                    for i, d in enumerate(ds)
+                ]
+            )
+        ).alias("r"),
+    )
+    area = (F.col("maxx") - F.col("minx")) * (F.col("maxy") - F.col("miny"))
+    nn = (F.col("n") * (F.col("n") - F.lit(1))).cast("double")
+    kraw = (area * (F.lit(2.0) * F.col("r.pairs").cast("double"))) / nn
+    return rows.select(
+        F.col("r.d_ppm").alias("d_ppm"),
+        F.col("r.pairs").alias("pairs"),
+        F.col("n"),
+        F.when(F.col("n") > 1, F.floor(F.lit(1000000.0) * kraw))
+        .cast("long")
+        .alias("k_ppm"),
+        F.when(
+            F.col("n") > 1,
+            F.floor(F.lit(1000000.0) * F.sqrt(kraw / F.lit(3.141592653589793))),
+        )
+        .cast("long")
+        .alias("l_ppm"),
+    )
+
+
+def ripley_k_sql(points_path: str, dists: tuple = (0.25, 0.5, 1.0)) -> str:
+    """DuckDB twin: brute-force over every unordered pair (no grid — an
+    independent algorithm); the K/L double trees mirror :func:`ripley_k`
+    shape-for-shape so FLOOR-ppm values compare exactly."""
+    ds = sorted(float(d) for d in dists)
+    sums = ",\n                 ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN dd <= {d!r} * {d!r} THEN 1 ELSE 0 END), 0) "
+        f"AS BIGINT) AS _p{i}"
+        for i, d in enumerate(ds)
+    )
+    sel = "\n          UNION ALL ".join(
+        f"SELECT CAST({int(round(d * 1_000_000))} AS BIGINT) AS d_ppm, _p{i} AS pairs FROM s"
+        for i, d in enumerate(ds)
+    )
+    kraw = (
+        "(((g.maxx - g.minx) * (g.maxy - g.miny)) * (2.0 * CAST(sel.pairs AS DOUBLE)))"
+        " / CAST(g.n * (g.n - 1) AS DOUBLE)"
+    )
+    return f"""
+        WITH p AS (SELECT fid AS pid, lon AS x, lat AS y FROM '{points_path}'),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n, min(x) AS minx, max(x) AS maxx,
+                     min(y) AS miny, max(y) AS maxy FROM p),
+        pr AS (SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dd
+               FROM p a JOIN p b ON a.pid < b.pid),
+        s AS (SELECT {sums} FROM pr),
+        sel AS ({sel})
+        SELECT sel.d_ppm, sel.pairs, g.n,
+               CASE WHEN g.n > 1 THEN CAST(FLOOR(1000000.0 * {kraw}) AS BIGINT)
+               ELSE NULL END AS k_ppm,
+               CASE WHEN g.n > 1 THEN CAST(FLOOR(1000000.0 *
+                 SQRT({kraw} / 3.141592653589793)) AS BIGINT)
+               ELSE NULL END AS l_ppm
+        FROM sel, g
+    """
+
+
+def cross_k(
+    points: DataFrame,
+    cat_a: str,
+    cat_b: str,
+    dists: tuple = (0.25, 0.5, 1.0),
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cat_col: str = "category",
+    id_col: str = "fid",
+) -> DataFrame:
+    """Bivariate (cross-type) Ripley's K — the standard colocation
+    statistic: K_ab(d) = A * pairs_ab(d) / (n_a * n_b) counts category-b
+    points within d of category-a points, so K_ab above pi*d^2 flags the
+    two types attracting and below it repelling.  Same naive-boundary
+    estimator and output conventions as :func:`ripley_k` (d_ppm, pairs,
+    n_a, n_b, k_ppm, l_ppm).
+
+    100 TB shape: the corpus is filtered to the two categories BEFORE the
+    candidate join (predicate pushdown on the category column), category a
+    alone explodes to the bounded 3x3 neighborhood, and the equi-join is
+    a-cells x b-cells — disjoint sides, so every cross pair materializes
+    exactly once and no ordering filter is needed."""
+    ds = sorted(float(d) for d in dists)
+    if not ds or ds[0] <= 0:
+        raise ValueError("dists must be positive radii")
+    both = points.filter(F.col(cat_col).isin([cat_a, cat_b])).select(
+        F.col(id_col).alias("_pid"),
+        F.col(lon_col).cast("double").alias("x"),
+        F.col(lat_col).cast("double").alias("y"),
+        F.col(cat_col).alias("_cat"),
+    )
+    c = ds[-1]
+    cells = both.select(
+        "*",
+        F.floor(F.col("x") / c).cast("long").alias("cx"),
+        F.floor(F.col("y") / c).cast("long").alias("cy"),
+    )
+    nbrs = F.array(
+        *[
+            F.struct(
+                (F.col("cx") + F.lit(dx)).alias("cx"),
+                (F.col("cy") + F.lit(dy)).alias("cy"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = (
+        cells.filter(F.col("_cat") == cat_a)
+        .select(
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            F.explode(nbrs).alias("nb"),
+        )
+        .select("ax", "ay", F.col("nb.cx").alias("cx"), F.col("nb.cy").alias("cy"))
+    )
+    build = cells.filter(F.col("_cat") == cat_b).select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), "cx", "cy"
+    )
+    dd = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    near = probe.join(build, ["cx", "cy"]).filter(dd <= F.lit(c * c)).select(
+        dd.alias("dd")
+    )
+    sums = near.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("dd") <= F.lit(d * d), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"_p{i}")
+            for i, d in enumerate(ds)
+        ]
+    )
+    glob = both.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_cat") == cat_a, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("_cat") == cat_b, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_b"),
+        F.min("x").alias("minx"),
+        F.max("x").alias("maxx"),
+        F.min("y").alias("miny"),
+        F.max("y").alias("maxy"),
+    )
+    rows = glob.crossJoin(sums).select(
+        "n_a",
+        "n_b",
+        "minx",
+        "maxx",
+        "miny",
+        "maxy",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(round(d * 1_000_000))).cast("long").alias("d_ppm"),
+                        F.col(f"_p{i}").alias("pairs"),
+                    )
+                    for i, d in enumerate(ds)
+                ]
+            )
+        ).alias("r"),
+    )
+    area = (F.col("maxx") - F.col("minx")) * (F.col("maxy") - F.col("miny"))
+    nn = (F.col("n_a") * F.col("n_b")).cast("double")
+    kraw = (area * F.col("r.pairs").cast("double")) / nn
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return rows.select(
+        F.col("r.d_ppm").alias("d_ppm"),
+        F.col("r.pairs").alias("pairs"),
+        F.col("n_a"),
+        F.col("n_b"),
+        F.when(ok, F.floor(F.lit(1000000.0) * kraw)).cast("long").alias("k_ppm"),
+        F.when(
+            ok, F.floor(F.lit(1000000.0) * F.sqrt(kraw / F.lit(3.141592653589793)))
+        )
+        .cast("long")
+        .alias("l_ppm"),
+    )
+
+
+def cross_k_sql(
+    points_path: str, cat_a: str, cat_b: str, dists: tuple = (0.25, 0.5, 1.0)
+) -> str:
+    """DuckDB twin of :func:`cross_k`: brute-force a x b pair matrix, same
+    pinned double trees."""
+    ds = sorted(float(d) for d in dists)
+    sums = ",\n                 ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN dd <= {d!r} * {d!r} THEN 1 ELSE 0 END), 0) "
+        f"AS BIGINT) AS _p{i}"
+        for i, d in enumerate(ds)
+    )
+    sel = "\n          UNION ALL ".join(
+        f"SELECT CAST({int(round(d * 1_000_000))} AS BIGINT) AS d_ppm, _p{i} AS pairs FROM s"
+        for i, d in enumerate(ds)
+    )
+    kraw = (
+        "(((g.maxx - g.minx) * (g.maxy - g.miny)) * CAST(sel.pairs AS DOUBLE))"
+        " / CAST(g.n_a * g.n_b AS DOUBLE)"
+    )
+    return f"""
+        WITH q AS (SELECT lon AS x, lat AS y, category AS cat FROM '{points_path}'
+                   WHERE category IN ('{cat_a}', '{cat_b}')),
+        g AS (SELECT CAST(COALESCE(SUM(CASE WHEN cat = '{cat_a}' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_a,
+                     CAST(COALESCE(SUM(CASE WHEN cat = '{cat_b}' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_b,
+                     min(x) AS minx, max(x) AS maxx, min(y) AS miny, max(y) AS maxy
+              FROM q),
+        pr AS (SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dd
+               FROM (SELECT * FROM q WHERE cat = '{cat_a}') a,
+                    (SELECT * FROM q WHERE cat = '{cat_b}') b),
+        s AS (SELECT {sums} FROM pr),
+        sel AS ({sel})
+        SELECT sel.d_ppm, sel.pairs, g.n_a, g.n_b,
+               CASE WHEN g.n_a > 0 AND g.n_b > 0
+               THEN CAST(FLOOR(1000000.0 * {kraw}) AS BIGINT) ELSE NULL END AS k_ppm,
+               CASE WHEN g.n_a > 0 AND g.n_b > 0
+               THEN CAST(FLOOR(1000000.0 * SQRT({kraw} / 3.141592653589793)) AS BIGINT)
+               ELSE NULL END AS l_ppm
+        FROM sel, g
+    """

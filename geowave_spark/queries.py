@@ -1220,6 +1220,34 @@ def q_knox_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RIPLEY_DISTS = (0.25, 0.5, 1.0)
+CROSS_K_CATS = ("cat0", "cat1")
+
+
+def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K at three radii (operators/hotspot.py ripley_k): the
+    second-order clustering-scale statistic — ONE output-sensitive
+    candidate join at the largest radius, all radii counted as WHEN-sums
+    over the same joined rows.  The oracle brute-forces the full unordered
+    pair matrix (an independent algorithm)."""
+    from geowave_spark.operators.hotspot import ripley_k
+
+    return ripley_k(_geo(spark, sf_dir, "points"), dists=RIPLEY_DISTS)
+
+
+def q_colocation_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate cross-K colocation of two point categories
+    (operators/hotspot.py cross_k): do cat0 and cat1 events attract or
+    repel at each scale?  Category filter pushes to the scan, only the a
+    side explodes to the bounded 3x3 neighborhood, disjoint sides need no
+    ordering dedup.  Brute-force a x b oracle."""
+    from geowave_spark.operators.hotspot import cross_k
+
+    return cross_k(
+        _geo(spark, sf_dir, "points"), *CROSS_K_CATS, dists=RIPLEY_DISTS
+    )
+
+
 def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global Moran's I spatial autocorrelation over the same 1-degree grid
     as Gi* (operators/hotspot.py morans_i): integer pair/cell sums combined
@@ -1958,10 +1986,12 @@ def _cms_oracle() -> str:
 
 def build_oracles() -> dict[str, str]:
     from geowave_spark.operators.hotspot import (
+        cross_k_sql,
         emerging_hotspots_sql,
         gi_star_sql,
         knox_test_sql,
         morans_i_sql,
+        ripley_k_sql,
     )
     from geowave_spark.operators.trajectory import (
         od_flows_sql,
@@ -2308,6 +2338,10 @@ def build_oracles() -> dict[str, str]:
         "knox_test": knox_test_sql(
             f"{GEO_SF001}/points.parquet", KNOX_DIST_DEG, KNOX_TAU_MS
         ),
+        "ripley_k": ripley_k_sql(f"{GEO_SF001}/points.parquet", RIPLEY_DISTS),
+        "colocation_cross_k": cross_k_sql(
+            f"{GEO_SF001}/points.parquet", *CROSS_K_CATS, RIPLEY_DISTS
+        ),
         "idw_grid": idw_grid_sql(f"{GEO_SF001}/points.parquet", GI_CELL_DEG),
         "track_stats": track_stats_sql(f"{GEO_SF001}/tracks.parquet"),
         "track_simplify": simplify_tracks_sql(f"{GEO_SF001}/tracks.parquet", 0.05),
@@ -2479,6 +2513,8 @@ ALL_QUERIES = {
     "track_od_flows": q_track_od_flows,
     "morans_i": q_morans_i,
     "knox_test": q_knox_test,
+    "ripley_k": q_ripley_k,
+    "colocation_cross_k": q_colocation_cross_k,
     "idw_grid": q_idw_grid,
     "track_stats": q_track_stats,
     "track_simplify": q_track_simplify,
@@ -2568,6 +2604,12 @@ DRIVER_EXCLUDED = {
     "histogram_fixed_bins": "A6 fixed-bin histogram (green r01+r02+r03 rows); stats_summary + percentile_by_category keep the A-family driver coverage and the parity pin stays identical",
     "cms_category_sketch": "A9 count-min sketch (green r01+r03 rows); the sketch family stays driver-covered by distinct_count_stats (A8) + stats_summary, md5-hash portability pinned by the parity oracle; rotated out for track_hausdorff",
     "percentile_by_category": "A7 quantile sketch (green r01+r02+r03 rows); the A-family stays driver-covered by stats_summary (A1-A5) + distinct_count_stats (A8) and the exact-quantile parity pin stays in tests/test_oracle_parity.py; rotated out for knox_test",
+    # landed after the r04 50-row surface filled (every occupant is either
+    # new-this-round or a first-driver-row rotation): full driver-identical
+    # oracle check runs in tests/test_oracle_parity.py; queued for the r05
+    # rotation
+    "ripley_k": "new in r04 after the surface filled — brute-force pair-matrix oracle runs in parity tests; queued to rotate into the r05 driver surface",
+    "colocation_cross_k": "new in r04 after the surface filled — brute-force a x b oracle runs in parity tests; queued to rotate into the r05 driver surface",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut

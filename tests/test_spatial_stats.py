@@ -531,3 +531,78 @@ class TestKnoxTest:
         assert (r.n, r.total_pairs) == (n, n * (n - 1) // 2)
         assert (r.space_pairs, r.time_pairs, r.st_pairs) == (sp, tp, st)
         assert r.knox_ppm == int(1e6 * st * (n * (n - 1) // 2) // (sp * tp))
+
+
+def _fid_pts_df(spark, rows, cat=None):
+    if cat is None:
+        data = [(f"p{i:04d}", x, y) for i, (x, y) in enumerate(rows)]
+        return spark.createDataFrame(data, "fid string, lon double, lat double")
+    data = [(f"p{i:04d}", x, y, c) for i, ((x, y), c) in enumerate(zip(rows, cat))]
+    return spark.createDataFrame(
+        data, "fid string, lon double, lat double, category string"
+    )
+
+
+class TestRipleyK:
+    def test_unit_square_hand_counts(self, spark):
+        """4 corners of a unit square: d=1.0 catches the 4 edges, d=1.5 adds
+        the 2 diagonals (sqrt(2)); A=1, n=4 -> K(1)=2*4/12, hand-quantized."""
+        from geowave_spark.operators.hotspot import ripley_k
+
+        pts = _fid_pts_df(spark, [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)])
+        out = {r.d_ppm: r for r in ripley_k(pts, dists=(0.5, 1.0, 1.5)).collect()}
+        assert out[500_000].pairs == 0
+        assert out[1_000_000].pairs == 4
+        assert out[1_500_000].pairs == 6
+        assert out[1_000_000].k_ppm == int(1e6 * 2.0 * 4 / 12)  # 666666
+        assert out[500_000].k_ppm == 0
+
+    def test_pair_counted_once_across_cell_boundary(self, spark):
+        """Two points 0.2 apart straddling the dmax grid line at x=0 must
+        yield exactly ONE pair despite both orientations meeting in the
+        3x3 neighborhood join."""
+        from geowave_spark.operators.hotspot import ripley_k
+
+        pts = _fid_pts_df(spark, [(-0.1, 0.0), (0.1, 0.0)])
+        row = ripley_k(pts, dists=(1.0,)).collect()[0]
+        assert row.pairs == 1
+
+    def test_cluster_exceeds_csr(self, spark):
+        """A tight blob inside a huge bbox: K(d) far above pi*d^2 (l_ppm far
+        above d_ppm); the two far-corner anchors stretch the bbox."""
+        from geowave_spark.operators.hotspot import ripley_k
+
+        blob = [(50.0 + 0.001 * i, 50.0) for i in range(30)]
+        anchors = [(0.0, 0.0), (100.0, 100.0)]
+        row = ripley_k(_fid_pts_df(spark, blob + anchors), dists=(0.5,)).collect()[0]
+        assert row.pairs == 435  # C(30,2) blob pairs, anchors isolated
+        assert row.l_ppm > 10 * row.d_ppm
+
+
+class TestCrossK:
+    def test_colocated_vs_separated(self, spark):
+        """cat a and cat b interleaved in one blob -> every a-b pair within
+        d; a third far-away category never contaminates the count."""
+        from geowave_spark.operators.hotspot import cross_k
+
+        rows = [(10.0 + 0.01 * i, 20.0) for i in range(10)]
+        cats = ["a" if i % 2 == 0 else "b" for i in range(10)]
+        far = [(80.0, -70.0 + 0.01 * i) for i in range(5)]
+        pts = _fid_pts_df(spark, rows + far, cats + ["c"] * 5)
+        row = cross_k(pts, "a", "b", dists=(1.0,)).collect()[0]
+        assert (row.n_a, row.n_b) == (5, 5)
+        assert row.pairs == 25  # every a-b pair inside the 0.09-wide blob
+        # bbox is the a+b blob only (cat c filtered before the bbox agg);
+        # the blob is a degenerate horizontal line, so area and K are 0
+        assert row.k_ppm == 0
+
+    def test_separated_categories_zero(self, spark):
+        from geowave_spark.operators.hotspot import cross_k
+
+        a = [(0.0, 0.0), (0.1, 0.0)]
+        b = [(50.0, 50.0), (50.1, 50.0)]
+        row = cross_k(
+            _fid_pts_df(spark, a + b, ["a", "a", "b", "b"]), "a", "b", dists=(1.0,)
+        ).collect()[0]
+        assert row.pairs == 0
+        assert row.k_ppm == 0
