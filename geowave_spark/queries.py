@@ -1306,6 +1306,24 @@ def q_track_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hausdorff_join(_geo(spark, sf_dir, "tracks"), threshold_deg=HAUSDORFF_DEG)
 
 
+COTRAVEL_DEG = 0.2  # co-location radius (planar degrees)
+COTRAVEL_TAU_S = 14400  # co-location time window (4 h)
+
+
+def q_cotravel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-traveler detection (operators/cotravel.py): entity pairs whose
+    interpolated track pings repeatedly co-occur within 0.2 deg AND 4 h —
+    a bucketed spatio-temporal self-join on (radius-cell, tau-bin) keys
+    with an orientation rule that makes every qualifying ping pair appear
+    exactly once (no dedup shuffle).  The oracle is an independent
+    time-band IEJoin with the same exact-integer ping interpolation."""
+    from geowave_spark.operators.cotravel import cotravel_pairs
+
+    return cotravel_pairs(
+        _geo(spark, sf_dir, "tracks"), radius_deg=COTRAVEL_DEG, tau_s=COTRAVEL_TAU_S
+    )
+
+
 def q_geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geofence enter/exit/switch events per entity timeline
     (operators/geofence.py): one PIP join resolves each ping's (minimum)
@@ -2000,6 +2018,7 @@ def build_oracles() -> dict[str, str]:
         staypoints_sql,
         track_stats_sql,
     )
+    from geowave_spark.operators.cotravel import cotravel_sql
     from geowave_spark.operators.interpolate import idw_grid_sql
     from geowave_spark.operators.geofence import geofence_transitions_sql
     from geowave_spark.operators.kde import kde_oracle_sql
@@ -2346,6 +2365,9 @@ def build_oracles() -> dict[str, str]:
         "track_stats": track_stats_sql(f"{GEO_SF001}/tracks.parquet"),
         "track_simplify": simplify_tracks_sql(f"{GEO_SF001}/tracks.parquet", 0.05),
         "track_hausdorff": hausdorff_join_sql(f"{GEO_SF001}/tracks.parquet", HAUSDORFF_DEG),
+        "cotravel_pairs": cotravel_sql(
+            f"{GEO_SF001}/tracks.parquet", COTRAVEL_DEG, COTRAVEL_TAU_S
+        ),
         "geofence_transitions": geofence_transitions_sql(
             f"{GEO_SF001}/points.parquet", f"{GEO_SF001}/zone_halfplanes.parquet"
         ),
@@ -2519,6 +2541,7 @@ ALL_QUERIES = {
     "track_stats": q_track_stats,
     "track_simplify": q_track_simplify,
     "track_hausdorff": q_track_hausdorff,
+    "cotravel_pairs": q_cotravel_pairs,
     "geofence_transitions": q_geofence_transitions,
     "knn_hexring": q_knn_hexring,
     "routed_box_temporal": q_routed_box_temporal,
@@ -2610,6 +2633,7 @@ DRIVER_EXCLUDED = {
     # rotation
     "ripley_k": "new in r04 after the surface filled — brute-force pair-matrix oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "colocation_cross_k": "new in r04 after the surface filled — brute-force a x b oracle runs in parity tests; queued to rotate into the r05 driver surface",
+    "cotravel_pairs": "new in r04 after the surface filled — independent time-band IEJoin oracle runs in parity tests; queued to rotate into the r05 driver surface",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut

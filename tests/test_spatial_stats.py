@@ -606,3 +606,91 @@ class TestCrossK:
         ).collect()[0]
         assert row.pairs == 0
         assert row.k_ppm == 0
+
+
+class TestCotravel:
+    """Co-traveler detection (operators/cotravel.py) on planted tracks."""
+
+    def _tracks(self, spark, rows):
+        from datetime import datetime
+
+        def ts(h, m=0):
+            return datetime(2021, 3, 1, h, m)
+
+        data = [(fid, wkt, ts(*t0), ts(*t1)) for fid, wkt, t0, t1 in rows]
+        return spark.createDataFrame(
+            data,
+            "fid string, geom_wkt string, start_ts timestamp_ntz, "
+            "end_ts timestamp_ntz",
+        )
+
+    def test_companions_found_decoys_rejected(self, spark):
+        from geowave_spark.operators.cotravel import cotravel_pairs
+
+        path = "LINESTRING (0 0, 0.5 0, 1 0, 1.5 0)"
+        tracks = self._tracks(
+            spark,
+            [
+                ("a", path, (0,), (3,)),  # a and b: same path, same window
+                ("b", path, (0,), (3,)),
+                ("c", path, (10,), (13,)),  # same path, 10 h later -> no pair
+                (  # same window, 5 deg away -> no pair
+                    "d",
+                    "LINESTRING (5 0, 5.5 0, 6 0, 6.5 0)",
+                    (0,),
+                    (3,),
+                ),
+            ],
+        )
+        out = {
+            (r.fid_a, r.fid_b): r
+            for r in cotravel_pairs(tracks, radius_deg=0.2, tau_s=3600).collect()
+        }
+        assert set(out) == {("a", "b")}
+        # identical 4-ping tracks: only the 4 index-aligned pairs are within
+        # 0.2 deg (consecutive vertices are 0.5 deg apart)
+        assert out[("a", "b")].n_pairs == 4
+
+    def test_exactly_once_across_bin_boundary(self, spark):
+        """Every qualifying ping pair counts once, including pairs whose
+        pings straddle a tau-bin boundary (the dt=+1 join branch)."""
+        from geowave_spark.operators.cotravel import cotravel_pairs
+
+        # 2-vertex tracks => pings at the exact window endpoints.  tau=30min:
+        # a pings at 0:00/1:00, b at 0:45/1:45 -> only (a@1:00, b@0:45)
+        # qualifies, and bins floor(t/30min) are 2 and 1 -> adjacent bins.
+        tracks = self._tracks(
+            spark,
+            [
+                ("a", "LINESTRING (0 0, 0.01 0)", (0, 0), (1, 0)),
+                ("b", "LINESTRING (0 0.01, 0.01 0.01)", (0, 45), (1, 45)),
+            ],
+        )
+        rows = cotravel_pairs(tracks, radius_deg=0.2, tau_s=1800).collect()
+        assert len(rows) == 1
+        assert (rows[0].fid_a, rows[0].fid_b, rows[0].n_pairs) == ("a", "b", 1)
+
+    def test_matches_bruteforce_on_fixture_corpus(self, spark, geo001):
+        """Planted-free ground truth: brute-force O(n^2) over the collected
+        pings of the sf0.001 fixture equals the bucketed join exactly."""
+        from collections import defaultdict
+
+        from geowave_spark.operators.cotravel import cotravel_pairs, track_pings
+
+        tracks = spark.read.parquet(str(geo001 / "tracks.parquet"))
+        pings = track_pings(tracks).collect()
+        tau_u, r2 = 14400 * 1_000_000, 0.2 * 0.2
+        truth = defaultdict(lambda: [0, set()])
+        for i, p in enumerate(pings):
+            for q in pings[i + 1 :]:
+                if p.fid == q.fid or abs(p.tu - q.tu) > tau_u:
+                    continue
+                if (p.x - q.x) ** 2 + (p.y - q.y) ** 2 <= r2:
+                    k = (min(p.fid, q.fid), max(p.fid, q.fid))
+                    truth[k][0] += 1
+                    truth[k][1].add(min(p.tu, q.tu) // tau_u)
+        got = {
+            (r.fid_a, r.fid_b): (r.n_pairs, r.n_bins)
+            for r in cotravel_pairs(tracks, radius_deg=0.2, tau_s=14400).collect()
+        }
+        assert got == {k: (v[0], len(v[1])) for k, v in truth.items()}
