@@ -93,17 +93,15 @@ def track_pings(
     )
 
 
-def cotravel_pairs(
+def cotravel_hits(
     tracks: DataFrame,
     radius_deg: float = 0.2,
     tau_s: int = 14400,
-    min_pairs: int = 1,
 ) -> DataFrame:
-    """Entity pairs with >= ``min_pairs`` ping co-occurrences within
-    ``radius_deg`` planar degrees and ``tau_s`` seconds.
-
-    Returns (fid_a, fid_b, n_pairs, n_bins): fid_a < fid_b, ping-pair count
-    and distinct co-occurrence time bins (earlier ping's bin)."""
+    """One row per qualifying ping pair: (fid_a, fid_b, cobin) with
+    fid_a < fid_b canonical and ``cobin`` = the earlier ping's tau bin —
+    the shared candidate+refine stage under ``cotravel_pairs`` (pair
+    aggregation) and ``convoy_pairs`` (consecutive-bin islands)."""
     if radius_deg <= 0 or tau_s <= 0:
         raise ValueError("radius_deg and tau_s must be positive")
     tau_u = int(tau_s) * US
@@ -170,13 +168,27 @@ def cotravel_pairs(
         .filter(dx * dx + dy * dy <= F.lit(r2))
     )
     lo_t = F.least(F.col("ta"), F.col("tb_u"))
+    return pairs.select(
+        F.least("fid_a", "fid_b").alias("fid_a"),
+        F.greatest("fid_a", "fid_b").alias("fid_b"),
+        F.floor(lo_t / F.lit(tau_u)).cast("long").alias("cobin"),
+    )
+
+
+def cotravel_pairs(
+    tracks: DataFrame,
+    radius_deg: float = 0.2,
+    tau_s: int = 14400,
+    min_pairs: int = 1,
+) -> DataFrame:
+    """Entity pairs with >= ``min_pairs`` ping co-occurrences within
+    ``radius_deg`` planar degrees and ``tau_s`` seconds.
+
+    Returns (fid_a, fid_b, n_pairs, n_bins): fid_a < fid_b, ping-pair count
+    and distinct co-occurrence time bins (earlier ping's bin)."""
     return (
-        pairs.select(
-            F.least("fid_a", "fid_b").alias("lo"),
-            F.greatest("fid_a", "fid_b").alias("hi"),
-            F.floor(lo_t / F.lit(tau_u)).cast("long").alias("cobin"),
-        )
-        .groupBy(F.col("lo").alias("fid_a"), F.col("hi").alias("fid_b"))
+        cotravel_hits(tracks, radius_deg, tau_s)
+        .groupBy("fid_a", "fid_b")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.countDistinct("cobin").alias("n_bins"),
@@ -185,15 +197,57 @@ def cotravel_pairs(
     )
 
 
-def cotravel_sql(
-    tracks_path: str,
+def convoy_pairs(
+    tracks: DataFrame,
     radius_deg: float = 0.2,
     tau_s: int = 14400,
-    min_pairs: int = 1,
-) -> str:
-    """DuckDB twin: independent algorithm — a time-band self-join (no cell
-    bucketing, no orientation trick; IEJoin handles the band) with the same
-    exact-integer ping interpolation and the same refine arithmetic."""
+    min_len: int = 2,
+) -> DataFrame:
+    """Sustained companions: pairs co-located in >= ``min_len``
+    CONSECUTIVE tau bins — the pairwise core of convoy/flock detection
+    (Jeung et al., "Discovery of Convoys in Trajectory Databases",
+    VLDB 2008): a convoy requires density-connection sustained over k
+    consecutive timestamps; the pairwise sustained-k relation is its
+    candidate graph.  Built as gaps-and-islands over the distinct
+    co-occurrence bins: island id = cobin - row_number() is constant
+    exactly on maximal consecutive runs.
+
+    Returns (fid_a, fid_b, n_bins, max_run): total distinct co-bins and
+    the longest consecutive run, filtered to max_run >= min_len.
+
+    100 TB shape: the hits stage is the cotravel bucketed join; after a
+    distinct (pair, bin) agg, the window partitions by pair — million-row
+    partitions would need a pair to co-occur for a million consecutive
+    bins, so the window never skews."""
+    from pyspark.sql.window import Window
+
+    if min_len < 1:
+        raise ValueError("min_len must be >= 1")
+    bins = (
+        cotravel_hits(tracks, radius_deg, tau_s)
+        .select("fid_a", "fid_b", "cobin")
+        .distinct()
+    )
+    w = Window.partitionBy("fid_a", "fid_b").orderBy("cobin")
+    runs = bins.withColumn("isl", F.col("cobin") - F.row_number().over(w)).groupBy(
+        "fid_a", "fid_b", "isl"
+    )
+    return (
+        runs.agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("fid_a", "fid_b")
+        .agg(
+            F.sum("run_len").alias("n_bins"),
+            F.max("run_len").alias("max_run"),
+        )
+        .filter(F.col("max_run") >= F.lit(int(min_len)))
+    )
+
+
+def _hits_ctes(tracks_path: str, radius_deg: float, tau_s: int) -> str:
+    """Shared DuckDB CTE prefix (raw -> pings -> hits): an independent
+    time-band self-join (no cell bucketing, no orientation trick; IEJoin
+    handles the band) with the same exact-integer ping interpolation and
+    the same refine arithmetic as the Spark side."""
     tau_u = int(tau_s) * US
     r2 = float(radius_deg) * float(radius_deg)
     verts = (
@@ -221,10 +275,50 @@ def cotravel_sql(
             AND p2.tu BETWEEN p1.tu - {tau_u} AND p1.tu + {tau_u}
             AND (p1.x - p2.x) * (p1.x - p2.x)
               + (p1.y - p2.y) * (p1.y - p2.y) <= {r2!r})
+    """
+
+
+def cotravel_sql(
+    tracks_path: str,
+    radius_deg: float = 0.2,
+    tau_s: int = 14400,
+    min_pairs: int = 1,
+) -> str:
+    """DuckDB twin of :func:`cotravel_pairs` (see :func:`_hits_ctes`)."""
+    return f"""
+        {_hits_ctes(tracks_path, radius_deg, tau_s)}
         SELECT fid_a, fid_b,
                count(*) AS n_pairs,
                count(DISTINCT cobin) AS n_bins
         FROM hits
         GROUP BY fid_a, fid_b
         HAVING count(*) >= {int(min_pairs)}
+    """
+
+
+def convoy_sql(
+    tracks_path: str,
+    radius_deg: float = 0.2,
+    tau_s: int = 14400,
+    min_len: int = 2,
+) -> str:
+    """DuckDB twin of :func:`convoy_pairs`: same gaps-and-islands over the
+    independent time-band hits join."""
+    return f"""
+        {_hits_ctes(tracks_path, radius_deg, tau_s)},
+        bins AS (SELECT DISTINCT fid_a, fid_b, cobin FROM hits),
+        isl AS (
+          SELECT fid_a, fid_b,
+                 cobin - ROW_NUMBER() OVER (
+                   PARTITION BY fid_a, fid_b ORDER BY cobin) AS isl
+          FROM bins),
+        runs AS (
+          SELECT fid_a, fid_b, count(*) AS run_len
+          FROM isl GROUP BY fid_a, fid_b, isl)
+        SELECT fid_a, fid_b,
+               sum(run_len) AS n_bins,
+               max(run_len) AS max_run
+        FROM runs
+        GROUP BY fid_a, fid_b
+        HAVING max(run_len) >= {int(min_len)}
     """

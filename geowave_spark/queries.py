@@ -1324,6 +1324,22 @@ def q_cotravel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_convoy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sustained companions (operators/cotravel.py): pairs co-located in
+    >= 2 CONSECUTIVE tau bins — the pairwise candidate graph of convoy
+    detection (Jeung et al., VLDB 2008), computed as gaps-and-islands
+    over the cotravel hits stage.  The oracle replays the same islands
+    arithmetic over an independent time-band IEJoin."""
+    from geowave_spark.operators.cotravel import convoy_pairs
+
+    return convoy_pairs(
+        _geo(spark, sf_dir, "tracks"),
+        radius_deg=COTRAVEL_DEG,
+        tau_s=COTRAVEL_TAU_S,
+        min_len=2,
+    )
+
+
 def q_geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geofence enter/exit/switch events per entity timeline
     (operators/geofence.py): one PIP join resolves each ping's (minimum)
@@ -2018,7 +2034,7 @@ def build_oracles() -> dict[str, str]:
         staypoints_sql,
         track_stats_sql,
     )
-    from geowave_spark.operators.cotravel import cotravel_sql
+    from geowave_spark.operators.cotravel import convoy_sql, cotravel_sql
     from geowave_spark.operators.interpolate import idw_grid_sql
     from geowave_spark.operators.geofence import geofence_transitions_sql
     from geowave_spark.operators.kde import kde_oracle_sql
@@ -2368,6 +2384,9 @@ def build_oracles() -> dict[str, str]:
         "cotravel_pairs": cotravel_sql(
             f"{GEO_SF001}/tracks.parquet", COTRAVEL_DEG, COTRAVEL_TAU_S
         ),
+        "convoy_pairs": convoy_sql(
+            f"{GEO_SF001}/tracks.parquet", COTRAVEL_DEG, COTRAVEL_TAU_S, 2
+        ),
         "geofence_transitions": geofence_transitions_sql(
             f"{GEO_SF001}/points.parquet", f"{GEO_SF001}/zone_halfplanes.parquet"
         ),
@@ -2542,6 +2561,7 @@ ALL_QUERIES = {
     "track_simplify": q_track_simplify,
     "track_hausdorff": q_track_hausdorff,
     "cotravel_pairs": q_cotravel_pairs,
+    "convoy_pairs": q_convoy_pairs,
     "geofence_transitions": q_geofence_transitions,
     "knn_hexring": q_knn_hexring,
     "routed_box_temporal": q_routed_box_temporal,
@@ -2634,6 +2654,7 @@ DRIVER_EXCLUDED = {
     "ripley_k": "new in r04 after the surface filled — brute-force pair-matrix oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "colocation_cross_k": "new in r04 after the surface filled — brute-force a x b oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "cotravel_pairs": "new in r04 after the surface filled — independent time-band IEJoin oracle runs in parity tests; queued to rotate into the r05 driver surface",
+    "convoy_pairs": "new in r04 after the surface filled — independent time-band IEJoin + islands oracle runs in parity tests; queued to rotate into the r05 driver surface",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut

@@ -694,3 +694,46 @@ class TestCotravel:
             for r in cotravel_pairs(tracks, radius_deg=0.2, tau_s=14400).collect()
         }
         assert got == {k: (v[0], len(v[1])) for k, v in truth.items()}
+
+    def test_convoy_requires_consecutive_bins(self, spark):
+        """a-b co-occur in bins {0,1,2} -> convoy at min_len 3; a-c only in
+        bins {0,2} (a gap) -> max_run 1, filtered out even at min_len 2."""
+        from geowave_spark.operators.cotravel import convoy_pairs, cotravel_pairs
+
+        # pings at 0h/1h/2h; tau = 3599 s so same-hour pings co-occur
+        # (dt = 0) but adjacent-hour pings (dt = 3600 s) do NOT -> bins are
+        # hours and co-occurrence is strictly per-hour.
+        path = "LINESTRING (0 0, 0.01 0, 0.02 0)"
+        far = "LINESTRING (3 0, 0.01 0.01, 0.02 0.01)"  # bin-1 ping far away
+        tracks = self._tracks(
+            spark,
+            [
+                ("a", path, (0,), (2,)),  # pings at 0h, 1h, 2h -> bins 0,1,2
+                ("b", path, (0,), (2,)),
+                ("c", far, (0,), (2,)),  # near a at bins 1,2 only... vertex0 far
+            ],
+        )
+        got = {
+            (r.fid_a, r.fid_b): (r.n_bins, r.max_run)
+            for r in convoy_pairs(
+                tracks, radius_deg=0.2, tau_s=3599, min_len=2
+            ).collect()
+        }
+        # a-b sustained over bins 0..2; a-c and b-c only bins 1..2 (vertex 0
+        # of c is 3 deg away) -> still a 2-run
+        assert got[("a", "b")] == (3, 3)
+        assert got[("a", "c")] == (2, 2)
+        assert got[("b", "c")] == (2, 2)
+        # raising min_len to 3 keeps only the full-length companions
+        got3 = {
+            (r.fid_a, r.fid_b)
+            for r in convoy_pairs(
+                tracks, radius_deg=0.2, tau_s=3599, min_len=3
+            ).collect()
+        }
+        assert got3 == {("a", "b")}
+        # sanity: cotravel (no consecutiveness) sees all three pairs too
+        assert {
+            (r.fid_a, r.fid_b)
+            for r in cotravel_pairs(tracks, radius_deg=0.2, tau_s=3599).collect()
+        } == {("a", "b"), ("a", "c"), ("b", "c")}
