@@ -2655,6 +2655,7 @@ DRIVER_EXCLUDED = {
     "colocation_cross_k": "new in r04 after the surface filled — brute-force a x b oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "cotravel_pairs": "new in r04 after the surface filled — independent time-band IEJoin oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "convoy_pairs": "new in r04 after the surface filled — independent time-band IEJoin + islands oracle runs in parity tests; queued to rotate into the r05 driver surface",
+    "dsir_resample": "new in r04 after the surface filled — independent DuckDB replay of the quantized importance + Gumbel top-k runs in parity tests; queued to rotate into the r05 driver surface",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut

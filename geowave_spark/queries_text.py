@@ -354,6 +354,24 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_quality_score(docs, train, LM_TOP_K)
 
 
+DSIR_K = 500
+DSIR_BUCKETS = 4096
+DSIR_TARGET = "source = 'src0'"
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/dsir.py): hashed unigram+bigram
+    bucket models for target (source = 'src0') vs the whole corpus,
+    micro-nat-quantized log-ratio importance per document, deterministic
+    Gumbel top-k resample."""
+    from geowave_spark.operators.dsir import dsir_resample
+
+    docs = _docs(spark, sf_dir)
+    return dsir_resample(
+        docs, docs.filter(F.expr(DSIR_TARGET)), DSIR_K, DSIR_BUCKETS
+    )
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE trainer inner loop: word-type-weighted adjacent
     character-pair counts, ranked by the greedy merge order."""
@@ -659,6 +677,12 @@ def _lm_quality_score_sql() -> str:
                     ELSE CAST(0 AS DOUBLE) END AS avg_logp
         FROM documents doc LEFT JOIN agg ON agg.doc_id = doc.doc_id
     """
+
+
+def _dsir_sql() -> str:
+    from geowave_spark.operators.dsir import dsir_sql
+
+    return dsir_sql("documents", DSIR_TARGET, DSIR_K, DSIR_BUCKETS)
 
 
 def _bpe_pair_counts_sql() -> str:
@@ -968,6 +992,7 @@ def build_text_oracles() -> dict[str, str]:
         "repetition_signals": _repetition_signals_sql(),
         "boilerplate_block_dedup": _block_dedup_sql(),
         "lm_quality_score": _lm_quality_score_sql(),
+        "dsir_resample": _dsir_sql(),
         "bpe_pair_counts": _bpe_pair_counts_sql(),
         "domain_mixture_sample": _domain_mixture_sql(),
         "semdedup_prune": _semdedup_sql(),
@@ -998,6 +1023,7 @@ TEXT_QUERIES = {
     "repetition_signals": q_repetition_signals,
     "boilerplate_block_dedup": q_boilerplate_block_dedup,
     "lm_quality_score": q_lm_quality_score,
+    "dsir_resample": q_dsir_resample,
     "bpe_pair_counts": q_bpe_pair_counts,
     "domain_mixture_sample": q_domain_mixture_sample,
     "semdedup_prune": q_semdedup_prune,

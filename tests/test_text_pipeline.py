@@ -419,3 +419,55 @@ class TestTextFunctions:
         )
         out = {r.id: r.lang for r in df.select("id", lang_id(tokens(F.col("text"))).alias("lang")).collect()}
         assert out == {1: "en", 2: "de", 3: "fr"}
+
+
+class TestDsir:
+    """DSIR importance resampling (operators/dsir.py)."""
+
+    def _corpus(self, spark):
+        # target-looking docs speak "alpha beta"; background speaks
+        # "gamma delta"; doc 99 is a perfect mimic of the target domain
+        rows = (
+            [(i, "alpha beta alpha beta alpha", "tgt") for i in range(10)]
+            + [(100 + i, "gamma delta gamma delta gamma", "bg") for i in range(30)]
+            + [(99, "alpha beta alpha beta alpha", "bg")]
+        )
+        return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def test_target_lookalikes_score_highest(self, spark):
+        from geowave_spark.operators.dsir import dsir_importance
+
+        docs = self._corpus(spark)
+        imp = {
+            r.doc_id: r.imp_q6
+            for r in dsir_importance(
+                docs, docs.filter("source = 'tgt'"), n_buckets=256
+            ).collect()
+        }
+        mimic, bg = imp[99], imp[100]
+        assert mimic > 0 > bg  # target n-grams up-weighted, background down
+        # every target doc and the mimic share one importance (same text)
+        assert len({imp[i] for i in range(10)} | {mimic}) == 1
+
+    def test_resample_prefers_target_mass(self, spark):
+        from geowave_spark.operators.dsir import dsir_resample
+
+        docs = self._corpus(spark)
+        top = dsir_resample(
+            docs, docs.filter("source = 'tgt'"), k=11, n_buckets=256
+        ).collect()
+        # importance gap (~ millions of micro-nats) dwarfs Gumbel noise:
+        # the 11 selected docs are exactly the 11 alpha-beta docs
+        assert {r.doc_id for r in top} == set(range(10)) | {99}
+        assert all(r.key_q6 >= r.imp_q6 - 2_000_000 for r in top)
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from geowave_spark.operators.dsir import dsir_importance, dsir_resample
+
+        docs = self._corpus(spark)
+        with _pt.raises(ValueError):
+            dsir_importance(docs, docs, n_buckets=1)
+        with _pt.raises(ValueError):
+            dsir_resample(docs, docs, k=0)
