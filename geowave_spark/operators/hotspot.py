@@ -977,3 +977,148 @@ def cross_k_sql(
                ELSE NULL END AS l_ppm
         FROM sel, g
     """
+
+
+def colocation_pi(
+    points: DataFrame,
+    d: float = 0.25,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cat_col: str = "category",
+    id_col: str = "fid",
+) -> DataFrame:
+    """Colocation-pattern participation index (Shekhar & Huang, SSTD 2001)
+    for every category pair at neighbor radius ``d``: the participation
+    ratio pr(a | {a,b}) is the fraction of a's instances with at least one
+    b-neighbor within d, and PI(a,b) = min(pr(a), pr(b)) — the standard
+    prevalence measure for "these two feature types occur together".
+    Complements :func:`cross_k` (which measures pair *density*; PI measures
+    pattern *coverage* and is robust to a few prolific instances).
+
+    Returns one row per unordered category pair that has at least one
+    neighbor pair: (cat_a, cat_b, pairs, n_a, n_b, part_a, part_b, pi_ppm)
+    with cat_a < cat_b, part_* = distinct participating instances, and
+    pi_ppm the integer-exact floor(1e6 * PI) — no float ever enters, so
+    the oracle is hash-exact by construction.
+
+    100 TB shape: one 3x3 cell-neighborhood self-join (the
+    :func:`_near_pair_dd` discipline — probe side explodes x9, build side
+    keeps its exact cell, join keys uniform under clustering), one
+    distinct-participant aggregation per side, and a broadcast join
+    against the category totals (category cardinality-sized).  Nothing is
+    ever all-pairs: output is bounded by true neighbor pairs."""
+    c = float(d)
+    if c <= 0:
+        raise ValueError("d must be positive")
+    pts = points.select(
+        F.col(id_col).alias("_pid"),
+        F.col(lon_col).cast("double").alias("x"),
+        F.col(lat_col).cast("double").alias("y"),
+        F.col(cat_col).alias("_cat"),
+    )
+    cells = pts.select(
+        "*",
+        F.floor(F.col("x") / c).cast("long").alias("cx"),
+        F.floor(F.col("y") / c).cast("long").alias("cy"),
+    )
+    nbrs = F.array(
+        *[
+            F.struct(
+                (F.col("cx") + F.lit(dx)).alias("cx"),
+                (F.col("cy") + F.lit(dy)).alias("cy"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = cells.select(
+        F.col("_pid").alias("_pa"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.col("_cat").alias("_ca"),
+        F.explode(nbrs).alias("nb"),
+    ).select(
+        "_pa", "ax", "ay", "_ca", F.col("nb.cx").alias("cx"), F.col("nb.cy").alias("cy")
+    )
+    build = cells.select(
+        F.col("_pid").alias("_pb"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("_cat").alias("_cb"),
+        "cx",
+        "cy",
+    )
+    dd = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    near = (
+        probe.join(build, ["cx", "cy"])
+        .filter(F.col("_pa") < F.col("_pb"))  # each unordered pair once
+        .filter(F.col("_ca") != F.col("_cb"))
+        .filter(dd <= F.lit(c * c))
+    )
+    lo_first = F.col("_ca") < F.col("_cb")
+    grouped = near.select(
+        F.least("_ca", "_cb").alias("cat_a"),
+        F.greatest("_ca", "_cb").alias("cat_b"),
+        F.when(lo_first, F.col("_pa")).otherwise(F.col("_pb")).alias("_lo_pid"),
+        F.when(lo_first, F.col("_pb")).otherwise(F.col("_pa")).alias("_hi_pid"),
+    ).groupBy("cat_a", "cat_b").agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.countDistinct("_lo_pid").alias("part_a"),
+        F.countDistinct("_hi_pid").alias("part_b"),
+    )
+    totals = pts.groupBy("_cat").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    out = (
+        grouped.join(
+            F.broadcast(totals.select(F.col("_cat").alias("cat_a"), F.col("_n").alias("n_a"))),
+            "cat_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("_cat").alias("cat_b"), F.col("_n").alias("n_b"))),
+            "cat_b",
+        )
+    )
+    # integer-exact ppm ratios: part * 1e6 < 2^53, so the double division
+    # under floor is exact; DuckDB's // mirrors it
+    pr_a = F.floor((F.col("part_a") * F.lit(1_000_000)) / F.col("n_a"))
+    pr_b = F.floor((F.col("part_b") * F.lit(1_000_000)) / F.col("n_b"))
+    return out.select(
+        "cat_a",
+        "cat_b",
+        "pairs",
+        "n_a",
+        "n_b",
+        "part_a",
+        "part_b",
+        F.least(pr_a, pr_b).cast("long").alias("pi_ppm"),
+    )
+
+
+def colocation_pi_sql(points_path: str, d: float = 0.25) -> str:
+    """DuckDB twin of :func:`colocation_pi`: brute-force cross-category
+    pair matrix (independent algorithm), identical integer arithmetic."""
+    c = float(d)
+    return f"""
+        WITH p AS (SELECT fid AS pid, lon AS x, lat AS y, category AS cat
+                   FROM '{points_path}'),
+        tot AS (SELECT cat, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY cat),
+        pr AS (SELECT least(a.cat, b.cat) AS cat_a, greatest(a.cat, b.cat) AS cat_b,
+                      CASE WHEN a.cat < b.cat THEN a.pid ELSE b.pid END AS lo_pid,
+                      CASE WHEN a.cat < b.cat THEN b.pid ELSE a.pid END AS hi_pid
+               FROM p a JOIN p b ON a.pid < b.pid
+               WHERE a.cat <> b.cat
+                 AND (a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) <= {c!r} * {c!r}),
+        g AS (SELECT cat_a, cat_b, CAST(count(*) AS BIGINT) AS pairs,
+                     CAST(count(DISTINCT lo_pid) AS BIGINT) AS part_a,
+                     CAST(count(DISTINCT hi_pid) AS BIGINT) AS part_b
+              FROM pr GROUP BY cat_a, cat_b)
+        SELECT g.cat_a, g.cat_b, g.pairs, ta.n AS n_a, tb.n AS n_b,
+               g.part_a, g.part_b,
+               CAST(least((g.part_a * 1000000) // ta.n,
+                          (g.part_b * 1000000) // tb.n) AS BIGINT) AS pi_ppm
+        FROM g
+        JOIN tot ta ON ta.cat = g.cat_a
+        JOIN tot tb ON tb.cat = g.cat_b
+    """

@@ -1248,6 +1248,17 @@ def q_colocation_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_colocation_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Colocation-pattern participation index for EVERY category pair
+    (operators/hotspot.py colocation_pi, Shekhar & Huang SSTD 2001): the
+    fraction of each category's instances with a cross-category neighbor
+    within 0.25 deg, PI = the min of the two sides — integer-exact ppm,
+    one 3x3 cell self-join.  Brute-force pair-matrix oracle."""
+    from geowave_spark.operators.hotspot import colocation_pi
+
+    return colocation_pi(_geo(spark, sf_dir, "points"), d=RIPLEY_DISTS[0])
+
+
 def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global Moran's I spatial autocorrelation over the same 1-degree grid
     as Gi* (operators/hotspot.py morans_i): integer pair/cell sums combined
@@ -2020,6 +2031,7 @@ def _cms_oracle() -> str:
 
 def build_oracles() -> dict[str, str]:
     from geowave_spark.operators.hotspot import (
+        colocation_pi_sql,
         cross_k_sql,
         emerging_hotspots_sql,
         gi_star_sql,
@@ -2374,6 +2386,9 @@ def build_oracles() -> dict[str, str]:
             f"{GEO_SF001}/points.parquet", KNOX_DIST_DEG, KNOX_TAU_MS
         ),
         "ripley_k": ripley_k_sql(f"{GEO_SF001}/points.parquet", RIPLEY_DISTS),
+        "colocation_pi": colocation_pi_sql(
+            f"{GEO_SF001}/points.parquet", RIPLEY_DISTS[0]
+        ),
         "colocation_cross_k": cross_k_sql(
             f"{GEO_SF001}/points.parquet", *CROSS_K_CATS, RIPLEY_DISTS
         ),
@@ -2556,6 +2571,7 @@ ALL_QUERIES = {
     "knox_test": q_knox_test,
     "ripley_k": q_ripley_k,
     "colocation_cross_k": q_colocation_cross_k,
+    "colocation_pi": q_colocation_pi,
     "idw_grid": q_idw_grid,
     "track_stats": q_track_stats,
     "track_simplify": q_track_simplify,
@@ -2653,6 +2669,7 @@ DRIVER_EXCLUDED = {
     # rotation
     "ripley_k": "new in r04 after the surface filled — brute-force pair-matrix oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "colocation_cross_k": "new in r04 after the surface filled — brute-force a x b oracle runs in parity tests; queued to rotate into the r05 driver surface",
+    "colocation_pi": "new in r04 after the surface filled — brute-force cross-category pair-matrix oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "cotravel_pairs": "new in r04 after the surface filled — independent time-band IEJoin oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "convoy_pairs": "new in r04 after the surface filled — independent time-band IEJoin + islands oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "dsir_resample": "new in r04 after the surface filled — independent DuckDB replay of the quantized importance + Gumbel top-k runs in parity tests; queued to rotate into the r05 driver surface",

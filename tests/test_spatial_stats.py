@@ -737,3 +737,44 @@ class TestCotravel:
             (r.fid_a, r.fid_b)
             for r in cotravel_pairs(tracks, radius_deg=0.2, tau_s=3599).collect()
         } == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+class TestColocationPI:
+    def test_full_and_partial_participation(self, spark):
+        from geowave_spark.operators.hotspot import colocation_pi
+
+        # a0,a1 each have a b-neighbor; a2 is isolated from b but near c;
+        # c0 sits near a2 only
+        rows = [
+            ("a0", 0.00, 0.0, "a"),
+            ("a1", 1.00, 0.0, "a"),
+            ("a2", 50.00, 0.0, "a"),
+            ("b0", 0.05, 0.0, "b"),
+            ("b1", 1.05, 0.0, "b"),
+            ("c0", 50.05, 0.0, "c"),
+        ]
+        df = spark.createDataFrame(
+            rows, "fid string, lon double, lat double, category string"
+        )
+        out = {
+            (r.cat_a, r.cat_b): r for r in colocation_pi(df, d=0.25).collect()
+        }
+        assert set(out) == {("a", "b"), ("a", "c")}
+        ab = out[("a", "b")]
+        # pr(a|ab) = 2/3, pr(b|ab) = 2/2 -> PI = floor(2e6/3)
+        assert (ab.part_a, ab.part_b, ab.n_a, ab.n_b) == (2, 2, 3, 2)
+        assert ab.pi_ppm == 666_666
+        ac = out[("a", "c")]
+        assert (ac.part_a, ac.part_b) == (1, 1)
+        assert ac.pi_ppm == 333_333  # min(1/3, 1/1)
+
+    def test_rejects_nonpositive_radius(self, spark):
+        import pytest as _pt
+
+        from geowave_spark.operators.hotspot import colocation_pi
+
+        df = spark.createDataFrame(
+            [("x", 0.0, 0.0, "a")], "fid string, lon double, lat double, category string"
+        )
+        with _pt.raises(ValueError):
+            colocation_pi(df, d=0.0)
