@@ -315,7 +315,19 @@ def dbscan(
     (standard DBSCAN).  Label propagation runs over core-core edges only;
     border points attach to their minimum core neighbor's final label.
     """
-    edges = _eps_edges(points, eps, id_col, lon_col, lat_col, cfg).cache()
+    edges = _eps_edges(points, eps, id_col, lon_col, lat_col, cfg)
+    return _cluster_from_edges(edges, min_pts, id_col, max_rounds)
+
+
+def _cluster_from_edges(
+    edges: DataFrame, min_pts: int, id_col: str, max_rounds: int = 30
+) -> DataFrame:
+    """Density clustering over symmetric directed neighbor edges (a, b):
+    the shared core of :func:`dbscan` (spatial eps) and :func:`st_dbscan`
+    (spatial + temporal eps) — degree-thresholded cores, min-label
+    propagation with pointer jumping over core-core edges, border points
+    attached to their minimum core neighbor."""
+    edges = edges.cache()
     deg = edges.groupBy("a").agg(F.count("*").alias("_deg"))
     core = deg.filter(F.col("_deg") >= min_pts - 1).select(F.col("a").alias("id"))
     core = core.cache()
@@ -383,3 +395,104 @@ def dbscan(
         F.col("id").alias(id_col), F.col("label").alias("cluster"), "is_core"
     )
     return out
+
+
+def _st_edges(
+    points: DataFrame,
+    eps_s: float,
+    eps_t_s: float,
+    id_col: str,
+    lon_col: str,
+    lat_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Symmetric spatio-temporal epsilon edges (a != b): neighbors within
+    ``eps_s`` planar degrees AND ``eps_t_s`` seconds.  Grid at (eps_s cell,
+    eps_t bin); the left side explodes to its 9 spatial neighbors x 3 time
+    bins (27 bounded copies), the right side keeps its exact key, so each
+    ORDERED pair meets exactly once — the J1 pair-uniqueness invariant with
+    time as a third dimension (`operators/cotravel.py` uses the same key
+    with a one-sided orientation; DBSCAN needs both directions for the
+    degree count)."""
+    tau_u = int(eps_t_s * 1_000_000)
+    pts = points.select(
+        F.col(id_col).alias("_pid"),
+        F.col(lon_col).cast("double").alias("x"),
+        F.col(lat_col).cast("double").alias("y"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("tu"),
+    )
+    keyed = pts.select(
+        "*",
+        F.floor(F.col("x") / F.lit(float(eps_s))).cast("long").alias("cx"),
+        F.floor(F.col("y") / F.lit(float(eps_s))).cast("long").alias("cy"),
+        F.floor(F.col("tu") / F.lit(tau_u)).cast("long").alias("tb"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(dt).alias("dt")
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dt in (-1, 0, 1)
+        ]
+    )
+    left = keyed.withColumn("_o", F.explode(offsets)).select(
+        F.col("_pid").alias("a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.col("tu").alias("ta"),
+        (F.col("cx") + F.col("_o.dx")).alias("jx"),
+        (F.col("cy") + F.col("_o.dy")).alias("jy"),
+        (F.col("tb") + F.col("_o.dt")).alias("jt"),
+    )
+    right = keyed.select(
+        F.col("_pid").alias("b"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("tu").alias("tb_u"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+        F.col("tb").alias("jt"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) ** 2 + (F.col("ay") - F.col("by")) ** 2
+    return (
+        left.join(right, ["jx", "jy", "jt"])
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.abs(F.col("ta") - F.col("tb_u")) <= F.lit(tau_u))
+        .filter(d2 <= F.lit(float(eps_s) * float(eps_s)))
+        .select("a", "b")
+    )
+
+
+def st_dbscan(
+    points: DataFrame,
+    eps_s: float,
+    eps_t_s: float,
+    min_pts: int,
+    id_col: str = "fid",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    ts_col: str = "event_ts",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """ST-DBSCAN (Birant & Kut, Data & Knowledge Engineering 2007):
+    density clustering where a neighbor must be within ``eps_s`` degrees
+    AND ``eps_t_s`` seconds — the standard algorithm for event outbreaks,
+    burst detection, and moving-cluster seeding over timestamped points.
+    The reference indexes spatial-temporal constraints
+    (`core/geotime/.../SpatialTemporalQuery.java`) but has no ST
+    clustering; this composes the 3D bucketed edge join with the shared
+    :func:`_cluster_from_edges` label propagation.
+
+    Returns (id_col, cluster, is_core); cluster = min core id of the
+    spatio-temporally connected component, noise absent.
+
+    100 TB shape: identical to :func:`dbscan` — one bounded-fan-out
+    equi-join builds edges (27x map-side copies, uniform (cell, bin)
+    keys), label propagation is O(log diameter) rounds of core-core
+    min-agg, border attachment one more join."""
+    if eps_s <= 0 or eps_t_s <= 0:
+        raise ValueError("eps_s and eps_t_s must be positive")
+    edges = _st_edges(points, eps_s, eps_t_s, id_col, lon_col, lat_col, ts_col)
+    return _cluster_from_edges(edges, min_pts, id_col, max_rounds)

@@ -771,6 +771,33 @@ def _dbscan_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.filter(F.pmod(md5_long(F.col("fid")), F.lit(5)) == 0)
 
 
+ST_DBSCAN_EPS_S = 0.15  # spatial epsilon (wider than plain DBSCAN:
+# the temporal gate thins each neighborhood, so density needs range)
+ST_DBSCAN_EPS_T_S = 60 * 86400  # temporal epsilon: 60 days
+
+
+def q_st_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST-DBSCAN cluster sizes (operators/clustering.py st_dbscan, Birant &
+    Kut 2007): density clustering where neighbors must be within 0.15 deg
+    AND 60 days — the same md5-subset corpus as dbscan_clusters with a
+    wider spatial epsilon (the temporal gate thins each neighborhood), so
+    the rows directly show time splitting spatially-merged clusters.
+    Oracle = WITH RECURSIVE reachability over the spatio-temporal edge
+    set."""
+    from geowave_spark.operators.clustering import st_dbscan
+
+    out = st_dbscan(
+        _dbscan_subset(spark, sf_dir),
+        eps_s=ST_DBSCAN_EPS_S,
+        eps_t_s=ST_DBSCAN_EPS_T_S,
+        min_pts=DBSCAN_MIN_PTS,
+    )
+    return out.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.col("is_core").cast("int")).alias("n_core"),
+    )
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: per-cluster sizes after fixed Lloyd iterations.  Oracle = the same
     deterministic algorithm (md5-ranked init, k=8, 5 unrolled iterations)
@@ -1956,6 +1983,47 @@ def _dbscan_oracle() -> str:
     )
 
 
+def _st_dbscan_oracle() -> str:
+    """ST-DBSCAN twin of :func:`_dbscan_oracle`: identical WITH RECURSIVE
+    reachability, edge predicate extended with the temporal epsilon."""
+    from geowave_spark.functions.text import md5_long_sql
+
+    h = md5_long_sql("fid")
+    eps2 = repr(ST_DBSCAN_EPS_S * ST_DBSCAN_EPS_S)
+    tau_u = ST_DBSCAN_EPS_T_S * 1_000_000
+    return f"""WITH RECURSIVE
+        sub AS (SELECT fid, lon, lat, epoch_us(event_ts) AS tu
+                FROM '{GEO_SF001}/points.parquet' WHERE {h} % 5 = 0),
+        edges AS (
+          SELECT a.fid AS a, b.fid AS b
+          FROM sub a JOIN sub b
+            ON a.fid <> b.fid
+           AND abs(a.tu - b.tu) <= {tau_u}
+           AND (a.lon - b.lon) * (a.lon - b.lon)
+             + (a.lat - b.lat) * (a.lat - b.lat) <= {eps2}),
+        core AS (SELECT a AS id FROM edges GROUP BY a HAVING count(*) >= {DBSCAN_MIN_PTS - 1}),
+        cc AS (SELECT e.a, e.b FROM edges e
+               WHERE e.a IN (SELECT id FROM core) AND e.b IN (SELECT id FROM core)),
+        reach(id, r) AS (
+          SELECT id, id FROM core
+          UNION
+          SELECT cc.a, reach.r FROM cc JOIN reach ON reach.id = cc.b),
+        labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+        border AS (
+          SELECT e.a AS id, MIN(e.b) AS attach FROM edges e
+          WHERE e.b IN (SELECT id FROM core) AND e.a NOT IN (SELECT id FROM core)
+          GROUP BY e.a),
+        members AS (
+          SELECT id, label, TRUE AS is_core FROM labels
+          UNION ALL
+          SELECT b.id, l.label, FALSE AS is_core
+          FROM border b JOIN labels l ON l.id = b.attach)
+        SELECT label AS cluster,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(SUM(CASE WHEN is_core THEN 1 ELSE 0 END) AS BIGINT) AS n_core
+        FROM members GROUP BY label"""
+
+
 def _dbscan_hulls_oracle() -> str:
     """Independent hull-vertex count: a member is a strict convex-hull vertex
     of its cluster iff the largest circular gap between directions to its
@@ -2478,6 +2546,7 @@ def build_oracles() -> dict[str, str]:
         """,
         "kmeans_clusters": _kmeans_oracle(),
         "dbscan_clusters": _dbscan_oracle(),
+        "st_dbscan_clusters": _st_dbscan_oracle(),
         "dbscan_hulls": _dbscan_hulls_oracle(),
         "dbscan_concave_hulls": _dbscan_concave_hulls_oracle(),
         "cms_category_sketch": _cms_oracle(),
@@ -2553,6 +2622,7 @@ ALL_QUERIES = {
     "hot_cell_salting": q_hot_cell_salting,
     "kmeans_clusters": q_kmeans_clusters,
     "dbscan_clusters": q_dbscan_clusters,
+    "st_dbscan_clusters": q_st_dbscan_clusters,
     "dbscan_hulls": q_dbscan_hulls,
     "dbscan_concave_hulls": q_dbscan_concave_hulls,
     "tracks_box_temporal": q_tracks_box_temporal,
@@ -2670,6 +2740,7 @@ DRIVER_EXCLUDED = {
     "ripley_k": "new in r04 after the surface filled — brute-force pair-matrix oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "colocation_cross_k": "new in r04 after the surface filled — brute-force a x b oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "colocation_pi": "new in r04 after the surface filled — brute-force cross-category pair-matrix oracle runs in parity tests; queued to rotate into the r05 driver surface",
+    "st_dbscan_clusters": "new in r04 after the surface filled — WITH RECURSIVE spatio-temporal reachability oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "cotravel_pairs": "new in r04 after the surface filled — independent time-band IEJoin oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "convoy_pairs": "new in r04 after the surface filled — independent time-band IEJoin + islands oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "dsir_resample": "new in r04 after the surface filled — independent DuckDB replay of the quantized importance + Gumbel top-k runs in parity tests; queued to rotate into the r05 driver surface",

@@ -217,3 +217,66 @@ class TestEmergingHotspots:
         assert rising.mk_s == 26
         assert rising.n_bins == 8
         assert out[(20, 0)].trend == "flat"
+
+
+class TestStDbscan:
+    """ST-DBSCAN (operators/clustering.py st_dbscan): the temporal epsilon
+    must split spatially-identical blobs that occur in different seasons."""
+
+    def _pts(self, spark):
+        from datetime import datetime, timedelta
+
+        rows = []
+        # two temporal bursts at the SAME location, 100 days apart: plain
+        # DBSCAN sees one cluster, ST-DBSCAN two
+        for burst, day0 in (("w", 0), ("s", 100)):
+            for i in range(6):
+                rows.append(
+                    (
+                        f"{burst}{i}",
+                        10.0 + 0.01 * i,
+                        20.0,
+                        datetime(2020, 1, 1) + timedelta(days=day0 + i),
+                    )
+                )
+        # noise: far away in space
+        rows.append(("n0", 80.0, -40.0, datetime(2020, 1, 1)))
+        return spark.createDataFrame(
+            rows, "fid string, lon double, lat double, event_ts timestamp"
+        )
+
+    def test_temporal_epsilon_splits_bursts(self, spark):
+        from geowave_spark.operators.clustering import dbscan, st_dbscan
+
+        pts = self._pts(spark)
+        st = st_dbscan(pts, eps_s=0.2, eps_t_s=30 * 86400, min_pts=4).collect()
+        by_cluster = {}
+        for r in st:
+            by_cluster.setdefault(r.cluster, set()).add(r.fid)
+        assert len(by_cluster) == 2
+        groups = sorted(by_cluster.values(), key=lambda s: sorted(s)[0][0])
+        assert groups[0] == {f"s{i}" for i in range(6)}
+        assert groups[1] == {f"w{i}" for i in range(6)}
+        # noise point is absent
+        assert all("n0" not in g for g in groups)
+        # plain DBSCAN on the same corpus merges the bursts into one cluster
+        plain = dbscan(pts, eps=0.2, min_pts=4).collect()
+        assert len({r.cluster for r in plain}) == 1
+
+    def test_all_members_core_in_dense_burst(self, spark):
+        from geowave_spark.operators.clustering import st_dbscan
+
+        pts = self._pts(spark)
+        st = st_dbscan(pts, eps_s=0.2, eps_t_s=30 * 86400, min_pts=4).collect()
+        assert all(r.is_core for r in st)  # every burst member has >= 3 peers
+
+    def test_rejects_nonpositive_eps(self, spark):
+        import pytest as _pt
+
+        from geowave_spark.operators.clustering import st_dbscan
+
+        pts = self._pts(spark)
+        with _pt.raises(ValueError):
+            st_dbscan(pts, eps_s=0.0, eps_t_s=1.0, min_pts=2)
+        with _pt.raises(ValueError):
+            st_dbscan(pts, eps_s=1.0, eps_t_s=-5.0, min_pts=2)
