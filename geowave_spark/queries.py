@@ -1275,6 +1275,18 @@ def q_colocation_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_terrain_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn slope / aspect / hillshade over the 1-degree point-density
+    surface (operators/terrain.py): the 3x3 stencil as a bounded scatter
+    explode + one uniform-key groupBy — the raster-derivative family the
+    reference's KDE/tile pipeline stops short of.  Oracle gathers each
+    cell's 8 neighbors by key (independent formulation)."""
+    from geowave_spark.operators.hotspot import cell_counts
+    from geowave_spark.operators.terrain import horn_terrain
+
+    return horn_terrain(cell_counts(_geo(spark, sf_dir, "points"), 1.0), cell=1.0)
+
+
 def q_colocation_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Colocation-pattern participation index for EVERY category pair
     (operators/hotspot.py colocation_pi, Shekhar & Huang SSTD 2001): the
@@ -2115,6 +2127,7 @@ def build_oracles() -> dict[str, str]:
         track_stats_sql,
     )
     from geowave_spark.operators.cotravel import convoy_sql, cotravel_sql
+    from geowave_spark.operators.terrain import horn_terrain_sql
     from geowave_spark.operators.interpolate import idw_grid_sql
     from geowave_spark.operators.geofence import geofence_transitions_sql
     from geowave_spark.operators.kde import kde_oracle_sql
@@ -2457,6 +2470,7 @@ def build_oracles() -> dict[str, str]:
         "colocation_pi": colocation_pi_sql(
             f"{GEO_SF001}/points.parquet", RIPLEY_DISTS[0]
         ),
+        "terrain_slope": horn_terrain_sql(f"{GEO_SF001}/points.parquet", 1.0),
         "colocation_cross_k": cross_k_sql(
             f"{GEO_SF001}/points.parquet", *CROSS_K_CATS, RIPLEY_DISTS
         ),
@@ -2642,6 +2656,7 @@ ALL_QUERIES = {
     "ripley_k": q_ripley_k,
     "colocation_cross_k": q_colocation_cross_k,
     "colocation_pi": q_colocation_pi,
+    "terrain_slope": q_terrain_slope,
     "idw_grid": q_idw_grid,
     "track_stats": q_track_stats,
     "track_simplify": q_track_simplify,
@@ -2741,6 +2756,7 @@ DRIVER_EXCLUDED = {
     "colocation_cross_k": "new in r04 after the surface filled — brute-force a x b oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "colocation_pi": "new in r04 after the surface filled — brute-force cross-category pair-matrix oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "st_dbscan_clusters": "new in r04 after the surface filled — WITH RECURSIVE spatio-temporal reachability oracle runs in parity tests; queued to rotate into the r05 driver surface",
+    "terrain_slope": "new in r04 after the surface filled — independent gather-formulation oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "cotravel_pairs": "new in r04 after the surface filled — independent time-band IEJoin oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "convoy_pairs": "new in r04 after the surface filled — independent time-band IEJoin + islands oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "dsir_resample": "new in r04 after the surface filled — independent DuckDB replay of the quantized importance + Gumbel top-k runs in parity tests; queued to rotate into the r05 driver surface",

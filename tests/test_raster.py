@@ -321,3 +321,53 @@ class TestBicubic:
         )
         with pytest.raises(ValueError):
             raster_tiles(df, interpolation="lanczos")
+
+
+class TestHornTerrain:
+    """Horn slope/aspect/hillshade (operators/terrain.py) on hand grids."""
+
+    def _grid(self, spark, zfun, n=5):
+        rows = [(x, y, zfun(x, y)) for x in range(n) for y in range(n)]
+        return spark.createDataFrame(rows, "xb long, yb long, x long")
+
+    def test_unit_ramp_interior(self, spark):
+        import math
+
+        from geowave_spark.operators.terrain import horn_terrain
+
+        out = {
+            (r.xb, r.yb): r
+            for r in horn_terrain(self._grid(spark, lambda x, y: x)).collect()
+        }
+        c = out[(2, 2)]  # interior cell: full 3x3 stencil
+        # dz/dx = 1, dz/dy = 0 -> slope atan(1) = pi/4, aspect atan2(0, -1) = pi
+        assert c.slope_ppm == math.floor(math.atan(1.0) * 1e6)
+        assert c.aspect_ppm == math.floor(math.pi * 1e6)
+        zen = math.radians(45.0)
+        az = math.radians(315.0)
+        shade = math.cos(zen) * math.cos(math.pi / 4) + math.sin(zen) * math.sin(
+            math.pi / 4
+        ) * math.cos(az - math.pi)
+        assert c.hillshade_ppm == math.floor(max(shade, 0.0) * 1e6)
+
+    def test_flat_grid(self, spark):
+        import math
+
+        from geowave_spark.operators.terrain import horn_terrain
+
+        out = {
+            (r.xb, r.yb): r
+            for r in horn_terrain(self._grid(spark, lambda x, y: 7)).collect()
+        }
+        c = out[(2, 2)]
+        assert c.slope_ppm == 0
+        assert c.aspect_ppm is None
+        assert c.hillshade_ppm == math.floor(math.cos(math.radians(45.0)) * 1e6)
+
+    def test_rejects_bad_cell(self, spark):
+        import pytest as _pt
+
+        from geowave_spark.operators.terrain import horn_terrain
+
+        with _pt.raises(ValueError):
+            horn_terrain(self._grid(spark, lambda x, y: x), cell=0.0)
