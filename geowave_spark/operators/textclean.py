@@ -170,3 +170,123 @@ def block_dedup(
         F.coalesce("n_blocks_kept", F.lit(0)).cast("int").alias("n_blocks_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    k: int = 16,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring audit (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022): every SLIDING
+    k-token window whose exact text occurs >= ``min_count`` times anywhere
+    in the corpus marks its span duplicated; overlapping marked spans merge
+    into maximal intervals.  The sliding window catches duplicated passages
+    at any alignment — the gap :func:`block_dedup`'s fixed segmentation
+    leaves (a copied paragraph that straddles block boundaries dedups here).
+
+    Returns per document: (doc_id, n_tokens, n_spans, dup_tokens) —
+    maximal merged duplicated intervals and the token mass they cover
+    (the ACL-2022 "fraction of corpus duplicated" audit, per doc).
+
+    100 TB shape: one shingle explode; the occurrence count is a map-side
+    combinable agg on the shingle hash (hot boilerplate shingles collapse
+    in the combiner); positions re-join the >= min_count set on the same
+    uniform hash key; the interval merge is one per-document window
+    (bounded by document length).  Nothing quadratic, nothing collected.
+
+    Exactness: positions and counts are integers end-to-end; the md5
+    shingle hash is the shared cross-engine convention."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("_id"), F.size(toks).alias("n_tokens"), toks.alias("_t")
+    )
+    sh = base.select(
+        "_id",
+        F.posexplode(word_ngrams(F.col("_t"), k)).alias("_i", "_g"),
+    ).select("_id", "_i", md5_long(F.col("_g")).alias("_h"))
+    dup = (
+        sh.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= F.lit(int(min_count)))
+        .select("_h")
+    )
+    hits = sh.join(dup, "_h").select("_id", "_i")
+    w = Window.partitionBy("_id").orderBy("_i")
+    prev_end = F.max(F.col("_i") + F.lit(k)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "_brk", F.when(prev_end.isNull() | (F.col("_i") > prev_end), 1).otherwise(0)
+    ).withColumn("_isl", F.sum("_brk").over(w))
+    spans = islands.groupBy("_id", "_isl").agg(
+        F.min("_i").alias("_s"), (F.max("_i") + F.lit(k)).alias("_e")
+    )
+    per_doc = spans.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("_e") - F.col("_s")).cast("long").alias("dup_tokens"),
+    )
+    return (
+        base.select("_id", "n_tokens")
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        )
+    )
+
+
+def substring_dup_spans_sql(
+    docs_rel: str, k: int = 16, min_count: int = 2
+) -> str:
+    """DuckDB twin of :func:`substring_dup_spans`: same shingle hash, same
+    interval-merge arithmetic, window formulation independent of Spark's."""
+    from geowave_spark.functions.text import md5_long_sql, word_ngrams_sql
+
+    toks = "string_split(text, ' ')"
+    grams = word_ngrams_sql("toks", k)
+    h = md5_long_sql("g")
+    return f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM {docs_rel}),
+        raw AS (
+          SELECT doc_id, unnest(grams) AS g,
+                 generate_subscripts(grams, 1) - 1 AS i0
+          FROM (SELECT doc_id, {grams} AS grams FROM t)),
+        sh AS (SELECT doc_id, CAST(i0 AS BIGINT) AS i, {h} AS h FROM raw),
+        dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= {int(min_count)}),
+        hits AS (SELECT sh.doc_id, sh.i FROM sh JOIN dup USING (h)),
+        brk AS (
+          SELECT doc_id, i,
+                 CASE WHEN max(i + {int(k)}) OVER (
+                        PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      IS NULL
+                   OR i > max(i + {int(k)}) OVER (
+                        PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS b
+          FROM hits),
+        isl AS (SELECT doc_id, i, b,
+                       sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS isl
+                FROM brk),
+        spans AS (SELECT doc_id, isl, min(i) AS s, max(i) + {int(k)} AS e
+                  FROM isl GROUP BY doc_id, isl),
+        pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                      CAST(sum(e - s) AS BIGINT) AS dup_tokens
+               FROM spans GROUP BY doc_id)
+        SELECT t2.doc_id,
+               CAST(len(string_split(t2.text, ' ')) AS BIGINT) AS n_tokens,
+               COALESCE(pd.n_spans, 0) AS n_spans,
+               COALESCE(pd.dup_tokens, 0) AS dup_tokens
+        FROM {docs_rel} t2 LEFT JOIN pd USING (doc_id)
+    """

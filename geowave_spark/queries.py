@@ -2757,6 +2757,7 @@ DRIVER_EXCLUDED = {
     "colocation_pi": "new in r04 after the surface filled — brute-force cross-category pair-matrix oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "st_dbscan_clusters": "new in r04 after the surface filled — WITH RECURSIVE spatio-temporal reachability oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "terrain_slope": "new in r04 after the surface filled — independent gather-formulation oracle runs in parity tests; queued to rotate into the r05 driver surface",
+    "substring_dup_spans": "new in r04 after the surface filled — DuckDB window-formulation twin runs in parity tests; queued to rotate into the r05 driver surface",
     "cotravel_pairs": "new in r04 after the surface filled — independent time-band IEJoin oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "convoy_pairs": "new in r04 after the surface filled — independent time-band IEJoin + islands oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "dsir_resample": "new in r04 after the surface filled — independent DuckDB replay of the quantized importance + Gumbel top-k runs in parity tests; queued to rotate into the r05 driver surface",

@@ -354,7 +354,24 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_quality_score(docs, train, LM_TOP_K)
 
 
-DSIR_K = 500
+SUBSTR_K = 12
+SUBSTR_MIN_COUNT = 2
+
+
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring audit (operators/textclean.py, Lee et
+    al. ACL 2022): sliding 12-token windows occurring >= 2 times corpus-
+    wide, merged to maximal per-document spans — the alignment-free
+    companion to boilerplate_block_dedup."""
+    from geowave_spark.operators.textclean import substring_dup_spans
+
+    return substring_dup_spans(
+        _docs(spark, sf_dir), k=SUBSTR_K, min_count=SUBSTR_MIN_COUNT
+    )
+
+
+DSIR_K = 120  # a strict subset of the sf0.01 corpus (500 docs), so the
+# Gumbel top-k boundary is genuinely exercised
 DSIR_BUCKETS = 4096
 DSIR_TARGET = "source = 'src0'"
 
@@ -685,6 +702,12 @@ def _dsir_sql() -> str:
     return dsir_sql("documents", DSIR_TARGET, DSIR_K, DSIR_BUCKETS)
 
 
+def _substring_dup_sql() -> str:
+    from geowave_spark.operators.textclean import substring_dup_spans_sql
+
+    return substring_dup_spans_sql("documents", SUBSTR_K, SUBSTR_MIN_COUNT)
+
+
 def _bpe_pair_counts_sql() -> str:
     return f"""
         WITH w AS (SELECT word, count(*) AS wf
@@ -993,6 +1016,7 @@ def build_text_oracles() -> dict[str, str]:
         "boilerplate_block_dedup": _block_dedup_sql(),
         "lm_quality_score": _lm_quality_score_sql(),
         "dsir_resample": _dsir_sql(),
+        "substring_dup_spans": _substring_dup_sql(),
         "bpe_pair_counts": _bpe_pair_counts_sql(),
         "domain_mixture_sample": _domain_mixture_sql(),
         "semdedup_prune": _semdedup_sql(),
@@ -1024,6 +1048,7 @@ TEXT_QUERIES = {
     "boilerplate_block_dedup": q_boilerplate_block_dedup,
     "lm_quality_score": q_lm_quality_score,
     "dsir_resample": q_dsir_resample,
+    "substring_dup_spans": q_substring_dup_spans,
     "bpe_pair_counts": q_bpe_pair_counts,
     "domain_mixture_sample": q_domain_mixture_sample,
     "semdedup_prune": q_semdedup_prune,

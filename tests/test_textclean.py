@@ -304,3 +304,59 @@ class TestPiiRedact:
             | ((F.col("doc_id") % 5 != 4) & (F.col("total") != 1))
         ).count()
         assert bad == 0
+
+
+class TestSubstringDupSpans:
+    """Sliding k-gram duplicated-substring audit (Lee et al. 2022 style)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cross_alignment_duplicate_found(self, spark):
+        from geowave_spark.operators.textclean import substring_dup_spans
+
+        shared = " ".join(f"s{i}" for i in range(6))  # 6-token passage
+        docs = self._docs(
+            spark,
+            [
+                (1, "a b c " + shared + " x y"),  # passage at offset 3
+                (2, shared + " p q r"),  # passage at offset 0
+                (3, "u v w only unique tokens here"),
+            ],
+        )
+        out = {r.doc_id: r for r in substring_dup_spans(docs, k=4).collect()}
+        # windows of the shared passage: positions 3..5 in doc1, 0..2 in
+        # doc2 -> merged single span of 6 tokens in each
+        assert (out[1].n_spans, out[1].dup_tokens) == (1, 6)
+        assert (out[2].n_spans, out[2].dup_tokens) == (1, 6)
+        assert (out[3].n_spans, out[3].dup_tokens) == (0, 0)
+
+    def test_within_doc_repeat_counts(self, spark):
+        from geowave_spark.operators.textclean import substring_dup_spans
+
+        rep = " ".join(f"r{i}" for i in range(4))
+        docs = self._docs(spark, [(1, rep + " gap1 gap2 gap3 " + rep)])
+        out = substring_dup_spans(docs, k=4).collect()[0]
+        # the 4-token phrase occurs twice within one doc -> two disjoint
+        # spans of 4 tokens each
+        assert (out.n_spans, out.dup_tokens) == (2, 8)
+
+    def test_adjacent_windows_merge(self, spark):
+        from geowave_spark.operators.textclean import substring_dup_spans
+
+        long = " ".join(f"t{i}" for i in range(10))
+        docs = self._docs(spark, [(1, long), (2, long)])
+        out = {r.doc_id: r for r in substring_dup_spans(docs, k=4).collect()}
+        # every window duplicates -> one maximal span covering all 10 tokens
+        assert (out[1].n_spans, out[1].dup_tokens) == (1, 10)
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from geowave_spark.operators.textclean import substring_dup_spans
+
+        docs = self._docs(spark, [(1, "a b")])
+        with _pt.raises(ValueError):
+            substring_dup_spans(docs, k=1)
+        with _pt.raises(ValueError):
+            substring_dup_spans(docs, k=4, min_count=1)
