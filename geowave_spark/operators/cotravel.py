@@ -322,3 +322,219 @@ def convoy_sql(
         GROUP BY fid_a, fid_b
         HAVING max(run_len) >= {int(min_len)}
     """
+
+
+def snapshot_clusters(
+    tracks: DataFrame,
+    eps_deg: float,
+    bin_s: int,
+    min_pts: int = 3,
+) -> DataFrame:
+    """Per-time-bin density clusters of track pings: every ping of every
+    entity is grid-bucketed within its own time bin and clustered by the
+    shared DBSCAN label propagation (`operators/clustering.py
+    _cluster_from_edges`) — since no edge ever crosses a bin, ALL bins
+    cluster in ONE propagation run (components are bin-local by
+    construction; the plan never loops over bins).
+
+    Returns ping-level membership: (bin, cluster, fid) distinct — the
+    entity sets of every snapshot cluster."""
+    from geowave_spark.operators.clustering import _cluster_from_edges
+
+    if eps_deg <= 0 or bin_s <= 0:
+        raise ValueError("eps_deg and bin_s must be positive")
+    bin_u = int(bin_s) * US
+    p = track_pings(tracks).select(
+        F.concat_ws(":", "fid", "idx").alias("_pid"),
+        "fid",
+        "x",
+        "y",
+        F.floor(F.col("tu") / F.lit(bin_u)).cast("long").alias("bin"),
+    )
+    keyed = p.select(
+        "*",
+        F.floor(F.col("x") / F.lit(float(eps_deg))).cast("long").alias("cx"),
+        F.floor(F.col("y") / F.lit(float(eps_deg))).cast("long").alias("cy"),
+    )
+    nbrs = F.array(
+        *[
+            F.struct(
+                (F.col("cx") + F.lit(dx)).alias("cx"),
+                (F.col("cy") + F.lit(dy)).alias("cy"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    left = keyed.withColumn("_n", F.explode(nbrs)).select(
+        F.col("_pid").alias("a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.col("bin").alias("jb"),
+        F.col("_n.cx").alias("jx"),
+        F.col("_n.cy").alias("jy"),
+    )
+    right = keyed.select(
+        F.col("_pid").alias("b"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("bin").alias("jb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) ** 2 + (F.col("ay") - F.col("by")) ** 2
+    edges = (
+        left.join(right, ["jb", "jx", "jy"])
+        .filter(F.col("a") != F.col("b"))
+        .filter(d2 <= F.lit(float(eps_deg) * float(eps_deg)))
+        .select("a", "b")
+    )
+    members = _cluster_from_edges(edges, min_pts, "a").withColumnRenamed("a", "_pid")
+    return (
+        members.join(p.select("_pid", "fid", "bin"), "_pid")
+        .select("bin", "cluster", "fid")
+        .distinct()
+    )
+
+
+def moving_clusters(
+    tracks: DataFrame,
+    eps_deg: float = 0.5,
+    bin_s: int = 7 * 86400,
+    min_pts: int = 3,
+    theta_ppm: int = 300_000,
+) -> DataFrame:
+    """Moving clusters (Kalnis, Mamoulis & Bakiras, SSTD 2005): pairs of
+    snapshot clusters in CONSECUTIVE time bins whose entity sets overlap
+    with Jaccard >= theta — the cluster-level convoy analytic above the
+    pairwise :func:`convoy_pairs`.  The reference has no movement
+    analytics; this is the movement-family capstone built entirely from
+    parts already proven here (grid edges, shared label propagation, one
+    equi-join on entity).
+
+    Returns (bin, cluster_a, cluster_b, n_a, n_b, shared, jaccard_ppm):
+    cluster_a lives in ``bin``, cluster_b in ``bin + 1``, jaccard_ppm the
+    integer-exact floor(1e6 * |A&B| / |A|B|).
+
+    100 TB shape: one ping scan, one bounded 9x explode edge join keyed by
+    (bin, cell) — uniform keys — one label propagation (O(log diameter)
+    rounds over core edges), then the chain join keyed by entity id: an
+    entity is in at most one cluster per bin, so the join fan-out per
+    (entity, bin) is 1 and the output is bounded by true chains."""
+    if not 0 < theta_ppm <= 1_000_000:
+        raise ValueError("theta_ppm must be in (0, 1e6]")
+    m = snapshot_clusters(tracks, eps_deg, bin_s, min_pts)
+    sizes = m.groupBy("bin", "cluster").agg(F.count(F.lit(1)).alias("n"))
+    a = m.select(F.col("bin"), F.col("cluster").alias("cluster_a"), "fid")
+    b = m.select(
+        (F.col("bin") - 1).alias("bin"), F.col("cluster").alias("cluster_b"), "fid"
+    )
+    shared = (
+        a.join(b, ["bin", "fid"])
+        .groupBy("bin", "cluster_a", "cluster_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(
+            sizes.select(
+                "bin", F.col("cluster").alias("cluster_a"), F.col("n").alias("n_a")
+            ),
+            ["bin", "cluster_a"],
+        )
+        .join(
+            sizes.select(
+                (F.col("bin") - 1).alias("bin"),
+                F.col("cluster").alias("cluster_b"),
+                F.col("n").alias("n_b"),
+            ),
+            ["bin", "cluster_b"],
+        )
+    )
+    jac = F.floor(
+        (F.col("shared") * F.lit(1_000_000))
+        / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    ).cast("long")
+    return out.select(
+        "bin",
+        "cluster_a",
+        "cluster_b",
+        "n_a",
+        "n_b",
+        "shared",
+        jac.alias("jaccard_ppm"),
+    ).filter(F.col("jaccard_ppm") >= F.lit(int(theta_ppm)))
+
+
+def moving_clusters_sql(
+    tracks_path: str,
+    eps_deg: float = 0.5,
+    bin_s: int = 7 * 86400,
+    min_pts: int = 3,
+    theta_ppm: int = 300_000,
+) -> str:
+    """DuckDB twin of :func:`moving_clusters`: WITH RECURSIVE reachability
+    per (bin-local) component — independent of the Spark label
+    propagation — then the same integer chain arithmetic."""
+    bin_u = int(bin_s) * US
+    e2 = float(eps_deg) * float(eps_deg)
+    verts = (
+        "list_transform(string_split(replace(replace(geom_wkt, "
+        "'LINESTRING (', ''), ')', ''), ', '), "
+        "p -> struct_pack(x := CAST(string_split(p, ' ')[1] AS DOUBLE), "
+        "y := CAST(string_split(p, ' ')[2] AS DOUBLE)))"
+    )
+    return f"""
+        WITH RECURSIVE raw AS (
+          SELECT fid, epoch_us(start_ts) AS su, epoch_us(end_ts) AS eu,
+                 unnest({verts}) AS vert,
+                 generate_subscripts({verts}, 1) AS idx1,
+                 len({verts}) AS n
+          FROM '{tracks_path}'),
+        pings AS (
+          SELECT fid || ':' || CAST(idx1 - 1 AS VARCHAR) AS pid, fid,
+                 vert.x AS x, vert.y AS y,
+                 CAST(floor((su + CAST(floor((idx1 - 1) * (eu - su) / (n - 1))
+                   AS BIGINT)) / {bin_u}) AS BIGINT) AS bin
+          FROM raw WHERE n >= 2),
+        edges AS (
+          SELECT p.pid AS a, q.pid AS b
+          FROM pings p JOIN pings q
+            ON p.bin = q.bin AND p.pid <> q.pid
+           AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) <= {e2!r}),
+        core AS (SELECT a AS id FROM edges GROUP BY a
+                 HAVING count(*) >= {int(min_pts) - 1}),
+        cc AS (SELECT e.a, e.b FROM edges e
+               WHERE e.a IN (SELECT id FROM core) AND e.b IN (SELECT id FROM core)),
+        reach(id, r) AS (
+          SELECT id, id FROM core
+          UNION
+          SELECT cc.a, reach.r FROM cc JOIN reach ON reach.id = cc.b),
+        labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+        border AS (
+          SELECT e.a AS id, MIN(e.b) AS attach FROM edges e
+          WHERE e.b IN (SELECT id FROM core) AND e.a NOT IN (SELECT id FROM core)
+          GROUP BY e.a),
+        members0 AS (
+          SELECT id, label FROM labels
+          UNION ALL
+          SELECT b.id, l.label FROM border b JOIN labels l ON l.id = b.attach),
+        members AS (
+          SELECT DISTINCT p.bin, m.label AS cluster, p.fid
+          FROM members0 m JOIN pings p ON p.pid = m.id),
+        sizes AS (SELECT bin, cluster, CAST(count(*) AS BIGINT) AS n
+                  FROM members GROUP BY bin, cluster),
+        chains AS (
+          SELECT a.bin, a.cluster AS cluster_a, b.cluster AS cluster_b,
+                 CAST(count(*) AS BIGINT) AS shared
+          FROM members a JOIN members b
+            ON b.bin = a.bin + 1 AND b.fid = a.fid
+          GROUP BY a.bin, a.cluster, b.cluster)
+        SELECT c.bin, c.cluster_a, c.cluster_b, sa.n AS n_a, sb.n AS n_b,
+               c.shared,
+               CAST((c.shared * 1000000) // (sa.n + sb.n - c.shared) AS BIGINT)
+                 AS jaccard_ppm
+        FROM chains c
+        JOIN sizes sa ON sa.bin = c.bin AND sa.cluster = c.cluster_a
+        JOIN sizes sb ON sb.bin = c.bin + 1 AND sb.cluster = c.cluster_b
+        WHERE (c.shared * 1000000) // (sa.n + sb.n - c.shared) >= {int(theta_ppm)}
+    """

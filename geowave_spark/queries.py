@@ -1390,6 +1390,29 @@ def q_convoy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MOVING_EPS_DEG = 0.5
+MOVING_BIN_S = 7 * 86400
+MOVING_MIN_PTS = 3
+MOVING_THETA_PPM = 100_000
+
+
+def q_moving_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving clusters (operators/cotravel.py, Kalnis et al. SSTD 2005):
+    weekly snapshot density clusters of track pings chained by entity-set
+    Jaccard >= 0.1 across consecutive weeks — all snapshots cluster in ONE
+    label-propagation run because edges never cross a bin.  Oracle =
+    WITH RECURSIVE per-bin reachability + the same integer chain math."""
+    from geowave_spark.operators.cotravel import moving_clusters
+
+    return moving_clusters(
+        _geo(spark, sf_dir, "tracks"),
+        eps_deg=MOVING_EPS_DEG,
+        bin_s=MOVING_BIN_S,
+        min_pts=MOVING_MIN_PTS,
+        theta_ppm=MOVING_THETA_PPM,
+    )
+
+
 def q_geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geofence enter/exit/switch events per entity timeline
     (operators/geofence.py): one PIP join resolves each ping's (minimum)
@@ -2126,7 +2149,11 @@ def build_oracles() -> dict[str, str]:
         staypoints_sql,
         track_stats_sql,
     )
-    from geowave_spark.operators.cotravel import convoy_sql, cotravel_sql
+    from geowave_spark.operators.cotravel import (
+        convoy_sql,
+        cotravel_sql,
+        moving_clusters_sql,
+    )
     from geowave_spark.operators.terrain import horn_terrain_sql
     from geowave_spark.operators.interpolate import idw_grid_sql
     from geowave_spark.operators.geofence import geofence_transitions_sql
@@ -2484,6 +2511,13 @@ def build_oracles() -> dict[str, str]:
         "convoy_pairs": convoy_sql(
             f"{GEO_SF001}/tracks.parquet", COTRAVEL_DEG, COTRAVEL_TAU_S, 2
         ),
+        "moving_clusters": moving_clusters_sql(
+            f"{GEO_SF001}/tracks.parquet",
+            MOVING_EPS_DEG,
+            MOVING_BIN_S,
+            MOVING_MIN_PTS,
+            MOVING_THETA_PPM,
+        ),
         "geofence_transitions": geofence_transitions_sql(
             f"{GEO_SF001}/points.parquet", f"{GEO_SF001}/zone_halfplanes.parquet"
         ),
@@ -2663,6 +2697,7 @@ ALL_QUERIES = {
     "track_hausdorff": q_track_hausdorff,
     "cotravel_pairs": q_cotravel_pairs,
     "convoy_pairs": q_convoy_pairs,
+    "moving_clusters": q_moving_clusters,
     "geofence_transitions": q_geofence_transitions,
     "knn_hexring": q_knn_hexring,
     "routed_box_temporal": q_routed_box_temporal,
@@ -2758,6 +2793,7 @@ DRIVER_EXCLUDED = {
     "st_dbscan_clusters": "new in r04 after the surface filled — WITH RECURSIVE spatio-temporal reachability oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "terrain_slope": "new in r04 after the surface filled — independent gather-formulation oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "substring_dup_spans": "new in r04 after the surface filled — DuckDB window-formulation twin runs in parity tests; queued to rotate into the r05 driver surface",
+    "moving_clusters": "new in r04 after the surface filled — WITH RECURSIVE per-bin reachability oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "cotravel_pairs": "new in r04 after the surface filled — independent time-band IEJoin oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "convoy_pairs": "new in r04 after the surface filled — independent time-band IEJoin + islands oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "dsir_resample": "new in r04 after the surface filled — independent DuckDB replay of the quantized importance + Gumbel top-k runs in parity tests; queued to rotate into the r05 driver surface",

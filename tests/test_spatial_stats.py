@@ -778,3 +778,96 @@ class TestColocationPI:
         )
         with _pt.raises(ValueError):
             colocation_pi(df, d=0.0)
+
+
+class TestMovingClusters:
+    """Moving clusters (operators/cotravel.py, Kalnis et al. 2005)."""
+
+    def _tracks(self, spark, rows):
+        from datetime import datetime, timedelta
+
+        t0 = datetime(2021, 1, 1)
+        data = [
+            (fid, wkt, t0 + timedelta(days=d0), t0 + timedelta(days=d1))
+            for fid, wkt, d0, d1 in rows
+        ]
+        return spark.createDataFrame(
+            data,
+            "fid string, geom_wkt string, start_ts timestamp_ntz, "
+            "end_ts timestamp_ntz",
+        )
+
+    def test_caravan_chains_and_departure_dilutes(self, spark):
+        from geowave_spark.operators.cotravel import moving_clusters
+
+        # caravan of 4 entities: 3 pings each at days 0/7/14 (weekly bins),
+        # drifting east together; entity d peels off in week 2
+        def wkt(xs):
+            return "LINESTRING (" + ", ".join(f"{x} 0" for x in xs) + ")"
+
+        rows = [(f"m{i}", wkt([0.01 * i, 1 + 0.01 * i, 2 + 0.01 * i]), 0, 14)
+                for i in range(3)]
+        rows.append(("d0", wkt([0.03, 1.03, 40.0]), 0, 14))
+        tracks = self._tracks(spark, rows)
+        out = {
+            (r.bin, r.cluster_a, r.cluster_b): r
+            for r in moving_clusters(
+                tracks, eps_deg=0.5, bin_s=7 * 86400, min_pts=3, theta_ppm=100_000
+            ).collect()
+        }
+        # two chain links (week0 -> week1 -> week2)
+        assert len(out) == 2
+        links = sorted(out.values(), key=lambda r: r.bin)
+        # week0 cluster has all 4, week1 all 4, week2 only the 3 loyalists
+        assert (links[0].n_a, links[0].n_b, links[0].shared) == (4, 4, 4)
+        assert links[0].jaccard_ppm == 1_000_000
+        assert (links[1].n_a, links[1].n_b, links[1].shared) == (4, 3, 3)
+        assert links[1].jaccard_ppm == 750_000
+
+    def test_theta_gates_weak_overlap(self, spark):
+        from datetime import datetime, timedelta
+
+        from geowave_spark.operators.cotravel import moving_clusters
+
+        def wkt(xs):
+            return "LINESTRING (" + ", ".join(f"{x} 0" for x in xs) + ")"
+
+        # anchor at an absolute 7-day bin boundary (epoch us % 7d == 0):
+        # 2020-12-31 = 604800 * 2661 seconds
+        t0 = datetime(2020, 12, 31)
+
+        def tr(fid, x, d0, d1):
+            return (fid, wkt([x, x]), t0 + timedelta(days=d0), t0 + timedelta(days=d1))
+
+        rows = [tr(f"a{i}", 0.01 * i, 0, 6) for i in range(3)]  # bin 2661
+        rows += [tr(f"b{i}", 0.01 * i, 8, 13) for i in range(2)]  # bin 2662
+        rows.append(tr("a0x", 0.0, 8, 13))
+        rows.append(tr("a0", 0.02, 8, 13))  # the one bridging entity
+        tracks = spark.createDataFrame(
+            rows,
+            "fid string, geom_wkt string, start_ts timestamp_ntz, "
+            "end_ts timestamp_ntz",
+        )
+        # week-1 entities {a0,a1,a2}, week-2 {b0,b1,a0x,a0}: shared {a0},
+        # jaccard = 1 / (3 + 4 - 1) = 166666 ppm
+        got = moving_clusters(
+            tracks, eps_deg=0.5, bin_s=7 * 86400, min_pts=3, theta_ppm=300_000
+        ).collect()
+        assert got == []
+        got2 = moving_clusters(
+            tracks, eps_deg=0.5, bin_s=7 * 86400, min_pts=3, theta_ppm=150_000
+        ).collect()
+        assert len(got2) == 1
+        assert (got2[0].n_a, got2[0].n_b, got2[0].shared) == (3, 4, 1)
+        assert got2[0].jaccard_ppm == 166_666
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from geowave_spark.operators.cotravel import moving_clusters, snapshot_clusters
+
+        tracks = self._tracks(spark, [("t", "LINESTRING (0 0, 1 1)", 0, 1)])
+        with _pt.raises(ValueError):
+            snapshot_clusters(tracks, eps_deg=0.0, bin_s=60)
+        with _pt.raises(ValueError):
+            moving_clusters(tracks, theta_ppm=0)
