@@ -604,3 +604,122 @@ def hausdorff_join_sql(tracks_path: str, threshold_deg: float = 0.2) -> str:
         FROM dir1 JOIN dir2 ON dir1.fa = dir2.fa AND dir1.fb = dir2.fb
         WHERE GREATEST(dir1.h, dir2.h) <= {t2!r}
     """
+
+
+def resample_tracks(
+    tracks: DataFrame,
+    step_s: int = 7 * 86400,
+    wkt_col: str = "geom_wkt",
+    fid_col: str = "fid",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """Resample every track to a REGULAR absolute time grid: one position
+    per ``step_s``-second epoch tick inside the track's window, linearly
+    interpolated along the segment active at that instant — the
+    normalization pass every movement analytic wants upstream (fixed
+    cadence makes co-travel, OD, and snapshot clustering comparable across
+    entities with wildly different vertex densities).
+
+    Semantics: grid instants T = k * step (absolute epoch, so all entities
+    share the grid); segment i owns the half-open span [t_i, t_{i+1}), so
+    every in-window tick maps to exactly one segment; a tick landing
+    exactly on the track end is dropped (half-open), degenerate
+    zero-duration segments emit nothing.
+
+    Returns (fid, k, tu, x, y): tick index, exact tick microseconds, and
+    the interpolated position.
+
+    100 TB shape: one vertex scan, one LEAD window keyed by track id
+    (bounded partitions), and a per-segment ``sequence`` explode whose
+    fan-out is the tick count the segment truly covers — output-sensitive,
+    no cross-track shuffle at all beyond the window.
+
+    Exactness: tick times are BIGINT; the lerp is
+    ``x_i + (x_j - x_i) * ((T - t_i) / (t_j - t_i))`` evaluated in the
+    same IEEE order in the DuckDB twin, so positions hash-match exactly
+    (`operators/trajectory.py` staypoints convention)."""
+    from geowave_spark.operators.cotravel import track_pings
+
+    if step_s <= 0:
+        raise ValueError("step_s must be positive")
+    step_u = int(step_s) * 1_000_000
+    p = track_pings(tracks, wkt_col, fid_col, start_col, end_col)
+    w = Window.partitionBy("fid").orderBy("idx")
+    seg = p.select(
+        "fid",
+        F.col("x").alias("xi"),
+        F.col("y").alias("yi"),
+        F.col("tu").alias("ti"),
+        F.lead("x").over(w).alias("xj"),
+        F.lead("y").over(w).alias("yj"),
+        F.lead("tu").over(w).alias("tj"),
+    ).filter(F.col("tj").isNotNull() & (F.col("tj") > F.col("ti")))
+    # ceil/floor tick range over positive BIGINT epochs
+    kmin = F.floor((F.col("ti") + F.lit(step_u - 1)) / F.lit(step_u)).cast("long")
+    kmax = F.floor((F.col("tj") - F.lit(1)) / F.lit(step_u)).cast("long")
+    ticks = seg.select(
+        "fid",
+        "xi",
+        "yi",
+        "ti",
+        "xj",
+        "yj",
+        "tj",
+        F.explode(
+            F.when(kmax >= kmin, F.sequence(kmin, kmax)).otherwise(
+                F.array().cast("array<long>")
+            )
+        ).alias("k"),
+    )
+    tu = F.col("k") * F.lit(step_u)
+    frac = (tu - F.col("ti")).cast("double") / (F.col("tj") - F.col("ti")).cast(
+        "double"
+    )
+    return ticks.select(
+        "fid",
+        "k",
+        tu.alias("tu"),
+        (F.col("xi") + (F.col("xj") - F.col("xi")) * frac).alias("x"),
+        (F.col("yi") + (F.col("yj") - F.col("yi")) * frac).alias("y"),
+    )
+
+
+def resample_tracks_sql(tracks_path: str, step_s: int = 7 * 86400) -> str:
+    """DuckDB twin of :func:`resample_tracks`: same exact-integer tick grid
+    and the same IEEE lerp tree, window formulation independent."""
+    step_u = int(step_s) * 1_000_000
+    verts = (
+        "list_transform(string_split(replace(replace(geom_wkt, "
+        "'LINESTRING (', ''), ')', ''), ', '), "
+        "p -> struct_pack(x := CAST(string_split(p, ' ')[1] AS DOUBLE), "
+        "y := CAST(string_split(p, ' ')[2] AS DOUBLE)))"
+    )
+    return f"""
+        WITH raw AS (
+          SELECT fid, epoch_us(start_ts) AS su, epoch_us(end_ts) AS eu,
+                 unnest({verts}) AS vert,
+                 generate_subscripts({verts}, 1) AS idx1,
+                 len({verts}) AS n
+          FROM '{tracks_path}'),
+        pings AS (
+          SELECT fid, idx1 - 1 AS idx, vert.x AS x, vert.y AS y,
+                 su + CAST(floor((idx1 - 1) * (eu - su) / (n - 1)) AS BIGINT) AS tu
+          FROM raw WHERE n >= 2),
+        seg AS (
+          SELECT fid, x AS xi, y AS yi, tu AS ti,
+                 LEAD(x) OVER w AS xj, LEAD(y) OVER w AS yj,
+                 LEAD(tu) OVER w AS tj
+          FROM pings WINDOW w AS (PARTITION BY fid ORDER BY idx)),
+        segs AS (SELECT * FROM seg WHERE tj IS NOT NULL AND tj > ti),
+        ticks AS (
+          SELECT fid, xi, yi, ti, xj, yj, tj, CAST(k AS BIGINT) AS k
+          FROM segs, UNNEST(range((ti + {step_u - 1}) // {step_u},
+                                  (tj - 1) // {step_u} + 1)) AS u(k))
+        SELECT fid, k, k * {step_u} AS tu,
+               xi + (xj - xi) * (CAST(k * {step_u} - ti AS DOUBLE)
+                                 / CAST(tj - ti AS DOUBLE)) AS x,
+               yi + (yj - yi) * (CAST(k * {step_u} - ti AS DOUBLE)
+                                 / CAST(tj - ti AS DOUBLE)) AS y
+        FROM ticks
+    """

@@ -1390,6 +1390,20 @@ def q_convoy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESAMPLE_STEP_S = 4 * 3600  # tracks span hours-to-days; 4 h gives ~9 ticks each
+
+
+def q_track_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-cadence track resampling (operators/trajectory.py
+    resample_tracks): one interpolated position per entity per 4-hour
+    absolute epoch tick — the normalization pass upstream of co-travel /
+    OD / snapshot clustering.  Exact-integer tick grid; the lerp tree is
+    IEEE-identical in the DuckDB twin."""
+    from geowave_spark.operators.trajectory import resample_tracks
+
+    return resample_tracks(_geo(spark, sf_dir, "tracks"), step_s=RESAMPLE_STEP_S)
+
+
 MOVING_EPS_DEG = 0.5
 MOVING_BIN_S = 7 * 86400
 MOVING_MIN_PTS = 3
@@ -2145,6 +2159,7 @@ def build_oracles() -> dict[str, str]:
     from geowave_spark.operators.trajectory import (
         od_flows_sql,
         hausdorff_join_sql,
+        resample_tracks_sql,
         simplify_tracks_sql,
         staypoints_sql,
         track_stats_sql,
@@ -2511,6 +2526,9 @@ def build_oracles() -> dict[str, str]:
         "convoy_pairs": convoy_sql(
             f"{GEO_SF001}/tracks.parquet", COTRAVEL_DEG, COTRAVEL_TAU_S, 2
         ),
+        "track_resample": resample_tracks_sql(
+            f"{GEO_SF001}/tracks.parquet", RESAMPLE_STEP_S
+        ),
         "moving_clusters": moving_clusters_sql(
             f"{GEO_SF001}/tracks.parquet",
             MOVING_EPS_DEG,
@@ -2698,6 +2716,7 @@ ALL_QUERIES = {
     "cotravel_pairs": q_cotravel_pairs,
     "convoy_pairs": q_convoy_pairs,
     "moving_clusters": q_moving_clusters,
+    "track_resample": q_track_resample,
     "geofence_transitions": q_geofence_transitions,
     "knn_hexring": q_knn_hexring,
     "routed_box_temporal": q_routed_box_temporal,
@@ -2794,6 +2813,7 @@ DRIVER_EXCLUDED = {
     "terrain_slope": "new in r04 after the surface filled — independent gather-formulation oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "substring_dup_spans": "new in r04 after the surface filled — DuckDB window-formulation twin runs in parity tests; queued to rotate into the r05 driver surface",
     "moving_clusters": "new in r04 after the surface filled — WITH RECURSIVE per-bin reachability oracle runs in parity tests; queued to rotate into the r05 driver surface",
+    "track_resample": "new in r04 after the surface filled — independent window-formulation lerp oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "cotravel_pairs": "new in r04 after the surface filled — independent time-band IEJoin oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "convoy_pairs": "new in r04 after the surface filled — independent time-band IEJoin + islands oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "dsir_resample": "new in r04 after the surface filled — independent DuckDB replay of the quantized importance + Gumbel top-k runs in parity tests; queued to rotate into the r05 driver surface",

@@ -871,3 +871,69 @@ class TestMovingClusters:
             snapshot_clusters(tracks, eps_deg=0.0, bin_s=60)
         with _pt.raises(ValueError):
             moving_clusters(tracks, theta_ppm=0)
+
+
+class TestResampleTracks:
+    def test_hand_lerp(self, spark):
+        from datetime import datetime
+
+        from geowave_spark.operators.trajectory import resample_tracks
+
+        # 2 vertices, 0h -> 4h window anchored on the hour grid: hourly
+        # ticks at 0,1,2,3 (4h == end, dropped by half-open ownership)
+        df = spark.createDataFrame(
+            [
+                (
+                    "t",
+                    "LINESTRING (0 0, 4 8)",
+                    datetime(2021, 1, 1, 0),
+                    datetime(2021, 1, 1, 4),
+                )
+            ],
+            "fid string, geom_wkt string, start_ts timestamp_ntz, end_ts timestamp_ntz",
+        )
+        out = sorted(
+            resample_tracks(df, step_s=3600).collect(), key=lambda r: r.k
+        )
+        assert len(out) == 4
+        assert [(r.x, r.y) for r in out] == [
+            (0.0, 0.0),
+            (1.0, 2.0),
+            (2.0, 4.0),
+            (3.0, 6.0),
+        ]
+        assert out[1].tu - out[0].tu == 3600 * 1_000_000
+
+    def test_unaligned_window_and_multi_segment(self, spark):
+        from datetime import datetime
+
+        from geowave_spark.operators.trajectory import resample_tracks
+
+        # 3 vertices over 0:30 -> 2:30: vertex times 0:30 / 1:30 / 2:30,
+        # hourly ticks 1:00 (seg 0) and 2:00 (seg 1)
+        df = spark.createDataFrame(
+            [
+                (
+                    "t",
+                    "LINESTRING (0 0, 2 0, 2 4)",
+                    datetime(2021, 1, 1, 0, 30),
+                    datetime(2021, 1, 1, 2, 30),
+                )
+            ],
+            "fid string, geom_wkt string, start_ts timestamp_ntz, end_ts timestamp_ntz",
+        )
+        out = sorted(
+            resample_tracks(df, step_s=3600).collect(), key=lambda r: r.k
+        )
+        assert [(r.x, r.y) for r in out] == [(1.0, 0.0), (2.0, 2.0)]
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from geowave_spark.operators.trajectory import resample_tracks
+
+        df = spark.createDataFrame(
+            [], "fid string, geom_wkt string, start_ts timestamp_ntz, end_ts timestamp_ntz"
+        )
+        with _pt.raises(ValueError):
+            resample_tracks(df, step_s=0)
