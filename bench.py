@@ -69,6 +69,16 @@ HEADLINE = [
     # window — both shapes a 100-TB movement corpus runs constantly
     "hotspot_gi_star",
     "geofence_transitions",
+    # round-4 continuation: the movement/analytics/pipeline wave — pairwise
+    # co-travel over the bucketed space-time self-join, regular-cadence
+    # resampling, Horn terrain derivatives, colocation participation, the
+    # sliding-k-gram dup-span audit, and DSIR importance resampling
+    "cotravel_pairs",
+    "track_resample",
+    "terrain_slope",
+    "colocation_pi",
+    "substring_dup_spans",
+    "dsir_resample",
 ]
 
 

@@ -58,6 +58,13 @@ def track_pings(
     ``start + floor(i * (end - start) / (n - 1))`` microseconds (BIGINT all
     the way; a 2-vertex track spans its full window, 1-vertex tracks are
     dropped as timeless)."""
+    # the WKT parse is the expensive map stage: if the source exposes fewer
+    # splits than cores (the single-file local fixture; never a real 100-TB
+    # table, which arrives in thousands of files), spread the RAW rows first
+    # so the parse parallelizes — guarded, so well-split inputs pay nothing
+    sc = tracks.sparkSession.sparkContext
+    if tracks.rdd.getNumPartitions() < sc.defaultParallelism:
+        tracks = tracks.repartition(sc.defaultParallelism)
     # same WKT parse as trajectory.track_vertices, carrying the time window
     body = F.regexp_replace(F.col(wkt_col), r"LINESTRING \(|\)", "")
     verts = F.transform(
@@ -116,6 +123,11 @@ def cotravel_hits(
         F.floor(F.col("y") / F.lit(float(radius_deg))).cast("long").alias("cy"),
         F.floor(F.col("tu") / F.lit(tau_u)).cast("long").alias("tb"),
     )
+    # both join sides read `keyed`: materialize the parsed/keyed pings ONCE
+    # (the hotspot-family single-corpus-scan discipline) — without this the
+    # WKT vertex parse runs in each branch.  eager=False: nothing runs
+    # unless the query itself does.
+    keyed = keyed.localCheckpoint(eager=False)
     # side A explodes to 9 spatial neighbors x time-bin offsets {0,+1}
     offsets = F.array(
         *[
