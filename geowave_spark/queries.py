@@ -1356,6 +1356,28 @@ def q_track_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hausdorff_join(_geo(spark, sf_dir, "tracks"), threshold_deg=HAUSDORFF_DEG)
 
 
+SNAP_RADIUS_DEG = 0.1
+SNAP_CELL_DEG = 0.25
+
+
+def q_map_match_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-matching snap join (operators/mapmatch.py snap_join): every
+    point within 0.1 deg of the track network snaps to its nearest
+    segment — the network explodes to radius-padded bbox cells (build
+    side), pings carry one cell key (probe side, never exploded), one
+    equi-join + exact projection refine + groupBy-argmin.  The oracle is
+    brute-force point x segment with a bbox prefilter — an independent
+    plan, same IEEE arithmetic."""
+    from geowave_spark.operators.mapmatch import snap_join
+
+    return snap_join(
+        _geo(spark, sf_dir, "points"),
+        _geo(spark, sf_dir, "tracks"),
+        radius_deg=SNAP_RADIUS_DEG,
+        cell_deg=SNAP_CELL_DEG,
+    )
+
+
 COTRAVEL_DEG = 0.2  # co-location radius (planar degrees)
 COTRAVEL_TAU_S = 14400  # co-location time window (4 h)
 
@@ -2169,6 +2191,7 @@ def build_oracles() -> dict[str, str]:
         cotravel_sql,
         moving_clusters_sql,
     )
+    from geowave_spark.operators.mapmatch import snap_join_sql
     from geowave_spark.operators.terrain import horn_terrain_sql
     from geowave_spark.operators.interpolate import idw_grid_sql
     from geowave_spark.operators.geofence import geofence_transitions_sql
@@ -2520,6 +2543,9 @@ def build_oracles() -> dict[str, str]:
         "track_stats": track_stats_sql(f"{GEO_SF001}/tracks.parquet"),
         "track_simplify": simplify_tracks_sql(f"{GEO_SF001}/tracks.parquet", 0.05),
         "track_hausdorff": hausdorff_join_sql(f"{GEO_SF001}/tracks.parquet", HAUSDORFF_DEG),
+        "map_match_snap": snap_join_sql(
+            f"{GEO_SF001}/points.parquet", f"{GEO_SF001}/tracks.parquet", SNAP_RADIUS_DEG
+        ),
         "cotravel_pairs": cotravel_sql(
             f"{GEO_SF001}/tracks.parquet", COTRAVEL_DEG, COTRAVEL_TAU_S
         ),
@@ -2713,6 +2739,7 @@ ALL_QUERIES = {
     "track_stats": q_track_stats,
     "track_simplify": q_track_simplify,
     "track_hausdorff": q_track_hausdorff,
+    "map_match_snap": q_map_match_snap,
     "cotravel_pairs": q_cotravel_pairs,
     "convoy_pairs": q_convoy_pairs,
     "moving_clusters": q_moving_clusters,
@@ -2817,6 +2844,7 @@ DRIVER_EXCLUDED = {
     "cotravel_pairs": "new in r04 after the surface filled — independent time-band IEJoin oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "convoy_pairs": "new in r04 after the surface filled — independent time-band IEJoin + islands oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "dsir_resample": "new in r04 after the surface filled — independent DuckDB replay of the quantized importance + Gumbel top-k runs in parity tests; queued to rotate into the r05 driver surface",
+    "map_match_snap": "new in r04 after the surface filled — brute-force bbox-prefilter oracle runs in parity tests; queued to rotate into the r05 driver surface",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut
