@@ -1287,6 +1287,23 @@ def q_terrain_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return horn_terrain(cell_counts(_geo(spark, sf_dir, "points"), 1.0), cell=1.0)
 
 
+CONTOUR_THETA = 2.5
+
+
+def q_contour_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares iso-contours at count level 2.5 over the 1-degree
+    density surface (operators/contour.py): corner assembly as a bounded
+    x4 scatter + one pivot groupBy, then the 16-case edge-interpolation
+    table in pure Catalyst.  Oracle assembles corners by 4 LEFT JOINs (a
+    gather — independent plan), same half-integer level."""
+    from geowave_spark.operators.contour import marching_squares
+    from geowave_spark.operators.hotspot import cell_counts
+
+    return marching_squares(
+        cell_counts(_geo(spark, sf_dir, "points"), GI_CELL_DEG), theta=CONTOUR_THETA
+    )
+
+
 def q_colocation_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Colocation-pattern participation index for EVERY category pair
     (operators/hotspot.py colocation_pi, Shekhar & Huang SSTD 2001): the
@@ -2191,6 +2208,7 @@ def build_oracles() -> dict[str, str]:
         cotravel_sql,
         moving_clusters_sql,
     )
+    from geowave_spark.operators.contour import marching_squares_sql
     from geowave_spark.operators.mapmatch import snap_join_sql
     from geowave_spark.operators.terrain import horn_terrain_sql
     from geowave_spark.operators.interpolate import idw_grid_sql
@@ -2543,6 +2561,9 @@ def build_oracles() -> dict[str, str]:
         "track_stats": track_stats_sql(f"{GEO_SF001}/tracks.parquet"),
         "track_simplify": simplify_tracks_sql(f"{GEO_SF001}/tracks.parquet", 0.05),
         "track_hausdorff": hausdorff_join_sql(f"{GEO_SF001}/tracks.parquet", HAUSDORFF_DEG),
+        "contour_lines": marching_squares_sql(
+            f"{GEO_SF001}/points.parquet", GI_CELL_DEG, CONTOUR_THETA
+        ),
         "map_match_snap": snap_join_sql(
             f"{GEO_SF001}/points.parquet", f"{GEO_SF001}/tracks.parquet", SNAP_RADIUS_DEG
         ),
@@ -2740,6 +2761,7 @@ ALL_QUERIES = {
     "track_simplify": q_track_simplify,
     "track_hausdorff": q_track_hausdorff,
     "map_match_snap": q_map_match_snap,
+    "contour_lines": q_contour_lines,
     "cotravel_pairs": q_cotravel_pairs,
     "convoy_pairs": q_convoy_pairs,
     "moving_clusters": q_moving_clusters,
@@ -2845,6 +2867,7 @@ DRIVER_EXCLUDED = {
     "convoy_pairs": "new in r04 after the surface filled — independent time-band IEJoin + islands oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "dsir_resample": "new in r04 after the surface filled — independent DuckDB replay of the quantized importance + Gumbel top-k runs in parity tests; queued to rotate into the r05 driver surface",
     "map_match_snap": "new in r04 after the surface filled — brute-force bbox-prefilter oracle runs in parity tests; queued to rotate into the r05 driver surface",
+    "contour_lines": "new in r04 after the surface filled — gather-formulation LEFT-JOIN oracle runs in parity tests; queued to rotate into the r05 driver surface",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut

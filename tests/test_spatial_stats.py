@@ -937,3 +937,56 @@ class TestResampleTracks:
         )
         with _pt.raises(ValueError):
             resample_tracks(df, step_s=0)
+
+
+class TestMarchingSquares:
+    def _grid(self, spark, cells):
+        return spark.createDataFrame(cells, "xb bigint, yb bigint, x bigint")
+
+    def test_single_cell_emits_diamond(self, spark):
+        from geowave_spark.operators.contour import marching_squares
+
+        # one occupied cell z=5 at (0,0), θ=2.5: the cell corners 4 blocks,
+        # each crossing exactly once — a diamond of 4 segments whose
+        # endpoints sit at the 0.5-lerp of each edge ((2.5-0)/(5-0)=0.5)
+        out = marching_squares(self._grid(spark, [(0, 0, 5)]), theta=2.5)
+        rows = sorted(out.collect(), key=lambda r: (r.xb, r.yb))
+        assert [(r.xb, r.yb, r.case_idx) for r in rows] == [
+            (-1, -1, 4),
+            (-1, 0, 2),
+            (0, -1, 8),
+            (0, 0, 1),
+        ]
+        # block (0,0) case 1: L(0, 0.5) - B(0.5, 0), canonically sorted
+        r = rows[-1]
+        assert (r.ax_q, r.ay_q, r.bx_q, r.by_q) == (0, 500_000, 500_000, 0)
+
+    def test_saddle_disambiguates_on_center(self, spark):
+        from geowave_spark.operators.contour import marching_squares
+
+        # corners (5, 0, 5, 0) around block (0,0) = case 5 (z00, z11 above).
+        # center mean 2.5 is NOT > θ=2.5 -> disconnected diagonal: segments
+        # (L,B) and (R,T); with z=9 corners the mean 4.5 > θ -> (B,R),(L,T)
+        def corners(z):
+            return [(0, 0, z), (1, 0, 0), (0, 1, 0), (1, 1, z)]
+
+        for z, first_pair in ((5, (0, 500_000)), (9, (722_222, 0))):
+            out = marching_squares(self._grid(spark, corners(z)), theta=2.5)
+            segs = sorted(
+                out.filter("xb = 0 AND yb = 0").collect(), key=lambda r: r.seg_no
+            )
+            assert len(segs) == 2 and segs[0].case_idx == 5
+            # distinguish the two topologies by the first segment's sorted
+            # first endpoint: (L,B) sorts L=(0, (θ-z)/(0-z)) first; (B,R)
+            # sorts B=((θ-z)/(0-z), 0) first
+            assert (segs[0].ax_q, segs[0].ay_q) == first_pair
+
+    def test_flat_grid_emits_nothing(self, spark):
+        from geowave_spark.operators.contour import marching_squares
+
+        cells = [(x, y, 7) for x in range(3) for y in range(3)]
+        out = marching_squares(self._grid(spark, cells), theta=2.5)
+        # interior blocks are all-above (case 15); rim blocks cross -> only
+        # assert no all-above or all-below block emits
+        assert out.filter("case_idx IN (0, 15)").count() == 0
+        assert out.filter("xb = 1 AND yb = 1").count() == 0
