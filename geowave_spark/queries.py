@@ -1304,6 +1304,22 @@ def q_contour_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_TERMS = ["hash", "join", "window"]
+BM25_K = 12
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the document corpus (operators/search.py):
+    one corpus scan with the |Q|-term filter map-side before the (doc, term)
+    shuffle, broadcast df/corpus stats, integer micro-quantized per-term
+    contributions (order-independent sum), TakeOrdered top-k.  Oracle is
+    the gather formulation (per-doc list_filter counts, no explode)."""
+    from geowave_spark.operators.search import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, BM25_TERMS, k=BM25_K)
+
+
 def q_colocation_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Colocation-pattern participation index for EVERY category pair
     (operators/hotspot.py colocation_pi, Shekhar & Huang SSTD 2001): the
@@ -2209,6 +2225,7 @@ def build_oracles() -> dict[str, str]:
         moving_clusters_sql,
     )
     from geowave_spark.operators.contour import marching_squares_sql
+    from geowave_spark.operators.search import bm25_topk_sql
     from geowave_spark.operators.mapmatch import snap_join_sql
     from geowave_spark.operators.terrain import horn_terrain_sql
     from geowave_spark.operators.interpolate import idw_grid_sql
@@ -2564,6 +2581,7 @@ def build_oracles() -> dict[str, str]:
         "contour_lines": marching_squares_sql(
             f"{GEO_SF001}/points.parquet", GI_CELL_DEG, CONTOUR_THETA
         ),
+        "bm25_search": bm25_topk_sql("documents", BM25_TERMS, k=BM25_K),
         "map_match_snap": snap_join_sql(
             f"{GEO_SF001}/points.parquet", f"{GEO_SF001}/tracks.parquet", SNAP_RADIUS_DEG
         ),
@@ -2762,6 +2780,7 @@ ALL_QUERIES = {
     "track_hausdorff": q_track_hausdorff,
     "map_match_snap": q_map_match_snap,
     "contour_lines": q_contour_lines,
+    "bm25_search": q_bm25_search,
     "cotravel_pairs": q_cotravel_pairs,
     "convoy_pairs": q_convoy_pairs,
     "moving_clusters": q_moving_clusters,
@@ -2868,6 +2887,7 @@ DRIVER_EXCLUDED = {
     "dsir_resample": "new in r04 after the surface filled — independent DuckDB replay of the quantized importance + Gumbel top-k runs in parity tests; queued to rotate into the r05 driver surface",
     "map_match_snap": "new in r04 after the surface filled — brute-force bbox-prefilter oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "contour_lines": "new in r04 after the surface filled — gather-formulation LEFT-JOIN oracle runs in parity tests; queued to rotate into the r05 driver surface",
+    "bm25_search": "new in r04 after the surface filled — gather-formulation list_filter oracle runs in parity tests; queued to rotate into the r05 driver surface",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut

@@ -471,3 +471,72 @@ class TestDsir:
             dsir_importance(docs, docs, n_buckets=1)
         with _pt.raises(ValueError):
             dsir_resample(docs, docs, k=0)
+
+
+class TestBM25:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+
+    def test_matches_python_bm25(self, spark):
+        import math
+
+        from geowave_spark.operators.search import bm25_topk
+
+        texts = [
+            "cat dog cat fish",
+            "dog dog dog bird bird tree tree tree tree tree",
+            "cat bird",
+            "tree fish fish",
+            "rock rock rock",
+        ]
+        terms = ["cat", "tree"]
+        out = bm25_topk(self._docs(spark, texts), terms, k=5).collect()
+
+        # independent per-term replay with the documented integer scheme
+        toks = [t.split(" ") for t in texts]
+        n, sum_dl = len(toks), sum(len(t) for t in toks)
+        exp = {}
+        for term in terms:
+            df = sum(1 for t in toks if term in t)
+            idf = math.floor(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6)
+            for i, t in enumerate(toks):
+                tf = t.count(term)
+                if not tf:
+                    continue
+                rel = len(t) * n * 1_000_000 // sum_dl
+                den = 10 * 1_000_000 * tf + 3 * 1_000_000 + 9 * rel
+                hits, score = exp.get(i, (0, 0))
+                exp[i] = (hits + 1, score + idf * 22 * tf * 1_000_000 // den)
+        want = sorted(
+            ((i, h, s) for i, (h, s) in exp.items()),
+            key=lambda r: (-r[2], r[0]),
+        )
+        assert [tuple(r) for r in out] == want
+        # sanity on the ordering itself: doc 0 (two cats, short) outranks
+        # doc 2 (one cat) on the cat term, and every hit doc appears
+        assert {r.doc_id for r in out} == set(exp)
+
+    def test_tf_saturation_cap(self, spark):
+        from geowave_spark.operators.search import bm25_topk, _TF_CAP
+
+        texts = ["cat " * (_TF_CAP + 50) + "dog", "cat mouse"]
+        out = {
+            r.doc_id: r.score_micro
+            for r in bm25_topk(self._docs(spark, texts), ["cat"], k=2).collect()
+        }
+        # capped tf means the long doc's tf term saturates; score stays
+        # finite and the short focused doc can still compete
+        assert set(out) == {0, 1} and all(v > 0 for v in out.values())
+
+    def test_validation(self, spark):
+        from geowave_spark.operators.search import bm25_topk
+
+        df = self._docs(spark, ["a b"])
+        with pytest.raises(ValueError):
+            bm25_topk(df, [], k=3)
+        with pytest.raises(ValueError):
+            bm25_topk(df, ["a", "a"], k=3)
+        with pytest.raises(ValueError):
+            bm25_topk(df, ["a"], k=0)
