@@ -32,9 +32,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["marching_squares", "marching_squares_sql"]
+__all__ = [
+    "marching_squares",
+    "marching_squares_sql",
+    "contour_polylines",
+    "contour_polylines_sql",
+]
 
 _Q = 1_000_000
+
+# vertex packing for polyline assembly: v = (x_q + OFF) * SPAN + (y_q + OFF).
+# OFF = 2^29 covers |coord| < 536 (cell units x1e6 -> any global grid at
+# >= ~0.4 millidegree cells); packed ids stay < 2^60.
+_V_OFF = 1 << 29
+_V_SPAN = 1 << 30
 
 # case index = 1*(z00>θ) + 2*(z10>θ) + 4*(z11>θ) + 8*(z01>θ).
 # Edges: B between c00-c10, R between c10-c11, T between c01-c11,
@@ -278,4 +289,107 @@ def marching_squares_sql(points_path: str, cell_deg: float, theta: float = 2.5) 
                CASE WHEN s.ax > s.bx OR (s.ax = s.bx AND s.ay > s.by)
                     THEN s.ay ELSE s.by END AS by_q
         FROM segged
+    """
+
+def contour_polylines(segments: DataFrame) -> DataFrame:
+    """Assemble marching-squares segments into iso-line components.
+
+    ``segments`` is :func:`marching_squares` output (quantized endpoint
+    columns).  Segments sharing an endpoint chain into one polyline:
+    endpoints pack to bigint vertex ids, the segment list becomes an
+    undirected edge list, and the dedup family's large-star/small-star
+    ``connected_components`` (O(log n) rounds, no collect_set) labels each
+    vertex with its component minimum — the same core that clusters dup
+    pairs, applied to contour topology.
+
+    Returns (component, n_segments, n_vertices, length_micro, is_closed):
+    component = min packed vertex id, length_micro = sum of per-segment
+    floor(sqrt(dx^2+dy^2)) in micro cell units (IEEE sqrt is correctly
+    rounded, so the per-segment integer is engine-exact and the sum
+    order-independent), is_closed = 1 when n_vertices == n_segments (a
+    loop; a path has one more vertex).  Marching squares never emits
+    duplicate segments, which that test relies on.
+    """
+    from geowave_spark.operators.dedup import connected_components
+
+    for c in ("ax_q", "ay_q", "bx_q", "by_q"):
+        if c not in segments.columns:
+            raise ValueError("segments must be marching_squares output")
+
+    def pack(x: str, y: str):
+        return (F.col(x) + _V_OFF) * _V_SPAN + (F.col(y) + _V_OFF)
+
+    segs = segments.select(
+        pack("ax_q", "ay_q").alias("va"),
+        pack("bx_q", "by_q").alias("vb"),
+        F.floor(
+            F.sqrt(
+                (F.col("ax_q") - F.col("bx_q")) * (F.col("ax_q") - F.col("bx_q"))
+                + (F.col("ay_q") - F.col("by_q")) * (F.col("ay_q") - F.col("by_q"))
+            )
+        ).cast("long").alias("len_micro"),
+    ).localCheckpoint()
+
+    labels = connected_components(segs.select("va", "vb"))
+    seg_lab = segs.join(
+        labels.withColumnRenamed("u", "va").withColumnRenamed("label", "component"),
+        "va",
+    )
+    per_comp = seg_lab.groupBy("component").agg(
+        F.count("*").alias("n_segments"),
+        F.sum("len_micro").alias("length_micro"),
+    )
+    verts = (
+        segs.select(F.col("va").alias("u"))
+        .union(segs.select(F.col("vb").alias("u")))
+        .distinct()
+        .join(labels, "u")
+        .groupBy(F.col("label").alias("component"))
+        .agg(F.count("*").alias("n_vertices"))
+    )
+    return (
+        per_comp.join(verts, "component")
+        .withColumn(
+            "is_closed",
+            F.when(F.col("n_vertices") == F.col("n_segments"), 1).otherwise(0),
+        )
+        .select("component", "n_segments", "n_vertices", "length_micro", "is_closed")
+    )
+
+
+def contour_polylines_sql(points_path: str, cell_deg: float, theta: float = 2.5) -> str:
+    """DuckDB twin: the :func:`marching_squares_sql` gather plan feeds a
+    WITH RECURSIVE transitive-closure min-label (independent of the
+    star-rounds algorithm), same vertex packing and length quantization."""
+    inner = marching_squares_sql(points_path, cell_deg, theta)
+    return f"""
+        WITH RECURSIVE segs AS (
+          SELECT (ax_q + {_V_OFF}) * {_V_SPAN}::BIGINT + (ay_q + {_V_OFF}) AS va,
+                 (bx_q + {_V_OFF}) * {_V_SPAN}::BIGINT + (by_q + {_V_OFF}) AS vb,
+                 CAST(floor(sqrt((ax_q - bx_q) * (ax_q - bx_q)
+                                + (ay_q - by_q) * (ay_q - by_q))) AS BIGINT)
+                   AS len_micro
+          FROM ({inner})),
+        sym AS (
+          SELECT va AS u, vb AS v FROM segs
+          UNION SELECT vb, va FROM segs),
+        reach(u, root) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+          UNION
+          SELECT s.v, r.root FROM reach r JOIN sym s ON s.u = r.u),
+        labels AS (
+          SELECT u, MIN(root) AS component FROM reach GROUP BY u),
+        per_comp AS (
+          SELECT l.component, COUNT(*) AS n_segments,
+                 SUM(s.len_micro) AS length_micro
+          FROM segs s JOIN labels l ON l.u = s.va
+          GROUP BY l.component),
+        verts AS (
+          SELECT l.component, COUNT(*) AS n_vertices
+          FROM (SELECT DISTINCT u FROM sym) v JOIN labels l USING (u)
+          GROUP BY l.component)
+        SELECT p.component, p.n_segments, v.n_vertices, p.length_micro,
+               CASE WHEN v.n_vertices = p.n_segments THEN 1 ELSE 0 END
+                 AS is_closed
+        FROM per_comp p JOIN verts v USING (component)
     """

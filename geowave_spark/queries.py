@@ -1304,6 +1304,23 @@ def q_contour_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contour_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iso-line assembly: marching-squares segments chained into polyline
+    components by shared endpoints via the dedup family's large-star/
+    small-star connected components (operators/contour.py).  Oracle: the
+    gather-plan segments fed through a WITH RECURSIVE transitive-closure
+    min-label — an independent components algorithm."""
+    from geowave_spark.operators.contour import contour_polylines, marching_squares
+    from geowave_spark.operators.hotspot import cell_counts
+
+    return contour_polylines(
+        marching_squares(
+            cell_counts(_geo(spark, sf_dir, "points"), GI_CELL_DEG),
+            theta=CONTOUR_THETA,
+        )
+    )
+
+
 BM25_TERMS = ["hash", "join", "window"]
 BM25_K = 12
 
@@ -2224,7 +2241,7 @@ def build_oracles() -> dict[str, str]:
         cotravel_sql,
         moving_clusters_sql,
     )
-    from geowave_spark.operators.contour import marching_squares_sql
+    from geowave_spark.operators.contour import contour_polylines_sql, marching_squares_sql
     from geowave_spark.operators.search import bm25_topk_sql
     from geowave_spark.operators.mapmatch import snap_join_sql
     from geowave_spark.operators.terrain import horn_terrain_sql
@@ -2582,6 +2599,9 @@ def build_oracles() -> dict[str, str]:
             f"{GEO_SF001}/points.parquet", GI_CELL_DEG, CONTOUR_THETA
         ),
         "bm25_search": bm25_topk_sql("documents", BM25_TERMS, k=BM25_K),
+        "contour_polylines": contour_polylines_sql(
+            f"{GEO_SF001}/points.parquet", GI_CELL_DEG, CONTOUR_THETA
+        ),
         "map_match_snap": snap_join_sql(
             f"{GEO_SF001}/points.parquet", f"{GEO_SF001}/tracks.parquet", SNAP_RADIUS_DEG
         ),
@@ -2781,6 +2801,7 @@ ALL_QUERIES = {
     "map_match_snap": q_map_match_snap,
     "contour_lines": q_contour_lines,
     "bm25_search": q_bm25_search,
+    "contour_polylines": q_contour_polylines,
     "cotravel_pairs": q_cotravel_pairs,
     "convoy_pairs": q_convoy_pairs,
     "moving_clusters": q_moving_clusters,
@@ -2888,6 +2909,7 @@ DRIVER_EXCLUDED = {
     "map_match_snap": "new in r04 after the surface filled — brute-force bbox-prefilter oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "contour_lines": "new in r04 after the surface filled — gather-formulation LEFT-JOIN oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "bm25_search": "new in r04 after the surface filled — gather-formulation list_filter oracle runs in parity tests; queued to rotate into the r05 driver surface",
+    "contour_polylines": "new in r04 after the surface filled — WITH RECURSIVE closure oracle (independent components algorithm) runs in parity tests; queued to rotate into the r05 driver surface",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut

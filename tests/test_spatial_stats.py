@@ -990,3 +990,44 @@ class TestMarchingSquares:
         # assert no all-above or all-below block emits
         assert out.filter("case_idx IN (0, 15)").count() == 0
         assert out.filter("xb = 1 AND yb = 1").count() == 0
+
+
+class TestContourPolylines:
+    def test_two_separate_loops_and_lengths(self, spark):
+        from geowave_spark.operators.contour import contour_polylines, marching_squares
+
+        # two isolated z=5 cells far apart: each emits a 4-segment closed
+        # diamond; components must not merge and each diamond's length is
+        # 4 * sqrt(0.5) cell units (vertices at edge midpoints)
+        grid = spark.createDataFrame(
+            [(0, 0, 5), (50, 50, 5)], "xb bigint, yb bigint, x bigint"
+        )
+        out = contour_polylines(marching_squares(grid, theta=2.5)).collect()
+        assert len(out) == 2
+        import math
+
+        want_len = 4 * math.floor(math.sqrt(0.5) * 1e6)
+        for r in out:
+            assert (r.n_segments, r.n_vertices, r.is_closed) == (4, 4, 1)
+            assert r.length_micro == want_len
+
+    def test_adjacent_cells_chain_into_one_loop(self, spark):
+        from geowave_spark.operators.contour import contour_polylines, marching_squares
+
+        # a 2x1 bar of occupied cells contours as ONE closed ring
+        grid = spark.createDataFrame(
+            [(0, 0, 5), (1, 0, 5)], "xb bigint, yb bigint, x bigint"
+        )
+        out = contour_polylines(marching_squares(grid, theta=2.5)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.is_closed == 1 and r.n_segments == r.n_vertices >= 6
+
+    def test_rejects_non_segment_input(self, spark):
+        import pytest as _pt
+
+        from geowave_spark.operators.contour import contour_polylines
+
+        df = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+        with _pt.raises(ValueError):
+            contour_polylines(df)
