@@ -1304,6 +1304,29 @@ def q_contour_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLARK_EVANS_DMAX = 0.25
+
+
+def q_std_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional distribution: standard deviational ellipse over the
+    point corpus (operators/pointstats.py) — one pass of DECIMAL(38,0)
+    moment sums, A-form centering, eigen decomposition as one pinned
+    float expression.  Oracle: HUGEINT sums, identical expression."""
+    from geowave_spark.operators.pointstats import std_ellipse
+
+    return std_ellipse(_geo(spark, sf_dir, "points"))
+
+
+def q_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clark-Evans average-nearest-neighbor index (operators/
+    pointstats.py): the NN stage is the engine's bucketed kNN join (k=2
+    self-join); the oracle recomputes NN by brute force under the same
+    distance bound — an independent plan."""
+    from geowave_spark.operators.pointstats import clark_evans
+
+    return clark_evans(_geo(spark, sf_dir, "points"), CLARK_EVANS_DMAX)
+
+
 def q_contour_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iso-line assembly: marching-squares segments chained into polyline
     components by shared endpoints via the dedup family's large-star/
@@ -2243,6 +2266,7 @@ def build_oracles() -> dict[str, str]:
     )
     from geowave_spark.operators.contour import contour_polylines_sql, marching_squares_sql
     from geowave_spark.operators.search import bm25_topk_sql
+    from geowave_spark.operators.pointstats import clark_evans_sql, std_ellipse_sql
     from geowave_spark.operators.mapmatch import snap_join_sql
     from geowave_spark.operators.terrain import horn_terrain_sql
     from geowave_spark.operators.interpolate import idw_grid_sql
@@ -2599,6 +2623,10 @@ def build_oracles() -> dict[str, str]:
             f"{GEO_SF001}/points.parquet", GI_CELL_DEG, CONTOUR_THETA
         ),
         "bm25_search": bm25_topk_sql("documents", BM25_TERMS, k=BM25_K),
+        "std_ellipse": std_ellipse_sql(f"'{GEO_SF001}/points.parquet'"),
+        "clark_evans": clark_evans_sql(
+            f"'{GEO_SF001}/points.parquet'", CLARK_EVANS_DMAX
+        ),
         "contour_polylines": contour_polylines_sql(
             f"{GEO_SF001}/points.parquet", GI_CELL_DEG, CONTOUR_THETA
         ),
@@ -2802,6 +2830,8 @@ ALL_QUERIES = {
     "contour_lines": q_contour_lines,
     "bm25_search": q_bm25_search,
     "contour_polylines": q_contour_polylines,
+    "std_ellipse": q_std_ellipse,
+    "clark_evans": q_clark_evans,
     "cotravel_pairs": q_cotravel_pairs,
     "convoy_pairs": q_convoy_pairs,
     "moving_clusters": q_moving_clusters,
@@ -2910,6 +2940,8 @@ DRIVER_EXCLUDED = {
     "contour_lines": "new in r04 after the surface filled — gather-formulation LEFT-JOIN oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "bm25_search": "new in r04 after the surface filled — gather-formulation list_filter oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "contour_polylines": "new in r04 after the surface filled — WITH RECURSIVE closure oracle (independent components algorithm) runs in parity tests; queued to rotate into the r05 driver surface",
+    "std_ellipse": "new in r04 after the surface filled — HUGEINT-sum oracle with the identical pinned eigen expression runs in parity tests; queued to rotate into the r05 driver surface",
+    "clark_evans": "new in r04 after the surface filled — brute-force NN oracle under the same distance bound runs in parity tests; queued to rotate into the r05 driver surface",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut

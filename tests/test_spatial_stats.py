@@ -1031,3 +1031,108 @@ class TestContourPolylines:
         df = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
         with _pt.raises(ValueError):
             contour_polylines(df)
+
+
+class TestStdEllipse:
+    def test_axis_aligned_line(self, spark):
+        from geowave_spark.operators.pointstats import std_ellipse
+
+        # points on the x-axis: major axis along x (theta 0), minor sigma 0
+        df = _pts_df(spark, [(float(x), 0.0) for x in range(-3, 4)])
+        r = std_ellipse(df).collect()[0]
+        assert (r.n, r.mean_x_micro, r.mean_y_micro) == (7, 0, 0)
+        assert r.theta_microrad == 0 and r.sigma_minor_micro == 0
+        # sigma_major = population std of [-3..3] = 2 degrees exactly
+        assert r.sigma_major_micro == 2_000_000
+
+    def test_diagonal_cloud_rotates(self, spark):
+        import math
+
+        from geowave_spark.operators.pointstats import std_ellipse
+
+        # y = x line: major axis at 45 degrees
+        df = _pts_df(spark, [(float(x), float(x)) for x in range(-5, 6)])
+        r = std_ellipse(df).collect()[0]
+        assert abs(r.theta_microrad - math.floor(math.pi / 4 * 1e6)) <= 1
+        assert r.sigma_minor_micro == 0
+
+    def test_matches_numpy_covariance(self, spark):
+        import numpy as np
+
+        from geowave_spark.operators.pointstats import std_ellipse
+
+        rng = np.random.RandomState(7)
+        xy = rng.normal(size=(400, 2)) @ np.array([[2.0, 0.7], [0.0, 0.5]])
+        # quantize like the operator so the comparison is apples-to-apples
+        q = np.floor(xy * 1e6) / 1e6
+        df = _pts_df(spark, [(float(a), float(b)) for a, b in xy])
+        r = std_ellipse(df).collect()[0]
+        cov = np.cov(q.T, bias=True)
+        evals, evecs = np.linalg.eigh(cov)
+        sig_maj, sig_min = np.sqrt(evals[1]), np.sqrt(evals[0])
+        assert abs(r.sigma_major_micro / 1e6 - sig_maj) < 1e-5
+        assert abs(r.sigma_minor_micro / 1e6 - sig_min) < 1e-5
+        v = evecs[:, 1]
+        theta = np.arctan2(v[1], v[0])
+        if theta > np.pi / 2:
+            theta -= np.pi
+        elif theta < -np.pi / 2:
+            theta += np.pi
+        assert abs(r.theta_microrad / 1e6 - theta) < 1e-4
+
+
+class TestClarkEvans:
+    def test_square_grid_is_r2(self, spark):
+        from geowave_spark.operators.pointstats import clark_evans
+
+        # a perfect unit square grid: dbar = 1, density = n/area.  With the
+        # bbox area (k-1)^2 for a k x k grid, R = 2*sqrt(n)/(k-1) — slightly
+        # above 2 for finite k; dispersed (R >> 1) is the pin
+        pts = [
+            (f"p{ix}_{iy}", float(ix), float(iy))
+            for ix in range(6)
+            for iy in range(6)
+        ]
+        df = spark.createDataFrame(pts, "fid string, lon double, lat double")
+        r = clark_evans(df, 1.5).collect()[0]
+        assert r.n_points == r.n_with_nn == 36
+        assert r.sum_nnd_micro == 36 * 1_000_000
+        assert 2_000_000 < r.r_ppm < 2_600_000
+
+    def test_clustered_is_below_one(self, spark):
+        from geowave_spark.operators.pointstats import clark_evans
+
+        # two tight clumps far apart: observed NN distances tiny vs density
+        pts = [(f"a{i}", 0.0 + i * 1e-4, 0.0) for i in range(10)]
+        pts += [(f"b{i}", 50.0 + i * 1e-4, 50.0) for i in range(10)]
+        df = spark.createDataFrame(pts, "fid string, lon double, lat double")
+        r = clark_evans(df, 1.0).collect()[0]
+        assert r.n_with_nn == 20
+        assert r.r_ppm < 100_000  # deeply clustered
+
+    def test_truncation_excludes_isolates(self, spark):
+        from geowave_spark.operators.pointstats import clark_evans
+
+        pts = [("a", 0.0, 0.0), ("b", 0.5, 0.0), ("c", 99.0, 1.0)]
+        df = spark.createDataFrame(pts, "fid string, lon double, lat double")
+        r = clark_evans(df, 1.0).collect()[0]
+        # c's nearest neighbor is beyond the bound -> excluded from the mean
+        assert (r.n_points, r.n_with_nn) == (3, 2)
+        assert r.sum_nnd_micro == 1_000_000
+        assert r.r_ppm is not None and r.r_ppm > 0
+
+    def test_degenerate_extent_is_null(self, spark):
+        from geowave_spark.operators.pointstats import clark_evans
+
+        # collinear corpus: bbox area 0 -> R undefined (NULL), no raise
+        pts = [("a", 0.0, 0.0), ("b", 0.5, 0.0), ("c", 1.5, 0.0)]
+        df = spark.createDataFrame(pts, "fid string, lon double, lat double")
+        r = clark_evans(df, 1.0).collect()[0]
+        assert r.n_with_nn == 3 and r.r_ppm is None
+
+    def test_validation(self, spark):
+        from geowave_spark.operators.pointstats import clark_evans
+
+        df = spark.createDataFrame([("a", 0.0, 0.0)], "fid string, lon double, lat double")
+        with pytest.raises(ValueError):
+            clark_evans(df, 0.0)
