@@ -1305,6 +1305,21 @@ def q_contour_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CLARK_EVANS_DMAX = 0.25
+QT_CAP = 200
+QT_MIN_TIER, QT_MAX_TIER = 3, 12
+
+
+def q_adaptive_quadtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-adaptive quadtree layout (operators/quadtree.py): split
+    cells coarse-to-fine until each leaf holds <= cap, the frontier shrinking
+    each round.  Oracle: the bounded level loop unrolled into generated
+    CTEs (one join per level)."""
+    from geowave_spark.operators.quadtree import adaptive_quadtree
+
+    return adaptive_quadtree(
+        _geo(spark, sf_dir, "points"), QT_CAP, QT_MIN_TIER, QT_MAX_TIER
+    )
+
 
 
 def q_std_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2267,6 +2282,7 @@ def build_oracles() -> dict[str, str]:
     from geowave_spark.operators.contour import contour_polylines_sql, marching_squares_sql
     from geowave_spark.operators.search import bm25_topk_sql
     from geowave_spark.operators.pointstats import clark_evans_sql, std_ellipse_sql
+    from geowave_spark.operators.quadtree import adaptive_quadtree_sql
     from geowave_spark.operators.mapmatch import snap_join_sql
     from geowave_spark.operators.terrain import horn_terrain_sql
     from geowave_spark.operators.interpolate import idw_grid_sql
@@ -2624,6 +2640,9 @@ def build_oracles() -> dict[str, str]:
         ),
         "bm25_search": bm25_topk_sql("documents", BM25_TERMS, k=BM25_K),
         "std_ellipse": std_ellipse_sql(f"'{GEO_SF001}/points.parquet'"),
+        "adaptive_quadtree": adaptive_quadtree_sql(
+            f"'{GEO_SF001}/points.parquet'", QT_CAP, QT_MIN_TIER, QT_MAX_TIER
+        ),
         "clark_evans": clark_evans_sql(
             f"'{GEO_SF001}/points.parquet'", CLARK_EVANS_DMAX
         ),
@@ -2831,6 +2850,7 @@ ALL_QUERIES = {
     "bm25_search": q_bm25_search,
     "contour_polylines": q_contour_polylines,
     "std_ellipse": q_std_ellipse,
+    "adaptive_quadtree": q_adaptive_quadtree,
     "clark_evans": q_clark_evans,
     "cotravel_pairs": q_cotravel_pairs,
     "convoy_pairs": q_convoy_pairs,
@@ -2941,6 +2961,7 @@ DRIVER_EXCLUDED = {
     "bm25_search": "new in r04 after the surface filled — gather-formulation list_filter oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "contour_polylines": "new in r04 after the surface filled — WITH RECURSIVE closure oracle (independent components algorithm) runs in parity tests; queued to rotate into the r05 driver surface",
     "std_ellipse": "new in r04 after the surface filled — HUGEINT-sum oracle with the identical pinned eigen expression runs in parity tests; queued to rotate into the r05 driver surface",
+    "adaptive_quadtree": "new in r04 after the surface filled — unrolled-CTE level oracle (one join per level, independent of the shrinking-frontier iteration) runs in parity tests; queued to rotate into the r05 driver surface",
     "clark_evans": "new in r04 after the surface filled — brute-force NN oracle under the same distance bound runs in parity tests; queued to rotate into the r05 driver surface",
 }
 

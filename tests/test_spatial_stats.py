@@ -1136,3 +1136,49 @@ class TestClarkEvans:
         df = spark.createDataFrame([("a", 0.0, 0.0)], "fid string, lon double, lat double")
         with pytest.raises(ValueError):
             clark_evans(df, 0.0)
+
+
+class TestAdaptiveQuadtree:
+    def test_leaves_partition_and_respect_cap(self, spark):
+        from geowave_spark.operators.quadtree import adaptive_quadtree
+
+        # 3 dense clumps + a sparse scatter: dense areas must split deeper
+        rows = []
+        for cx, cy in ((10.25, 10.25), (10.26, 10.27), (-40.0, 5.0)):
+            rows += [(cx + i * 1e-3, cy + j * 1e-3) for i in range(5) for j in range(5)]
+        rows += [(float(x * 7 % 170 - 85), float(x * 13 % 120 - 60)) for x in range(30)]
+        df = _pts_df(spark, rows)
+        out = adaptive_quadtree(df, max_per_cell=10, min_tier=2, max_tier=14).collect()
+        # leaves partition the corpus exactly
+        assert sum(r.n_points for r in out) == len(rows)
+        # every non-depth-capped leaf respects the cap
+        for r in out:
+            assert r.n_points <= 10 or r.tier == 14
+        # dense clumps force multiple tiers
+        assert len({r.tier for r in out}) >= 3
+
+    def test_uniform_sparse_stays_coarse(self, spark):
+        from geowave_spark.operators.quadtree import adaptive_quadtree
+
+        # tier-2 cells are 90 degrees wide: one point per cell stays coarse
+        rows = [(float(x), float(y)) for x in (-170, -80, 10, 100) for y in (-80, 10)]
+        out = adaptive_quadtree(_pts_df(spark, rows), 10, min_tier=2, max_tier=8).collect()
+        assert all(r.tier == 2 for r in out)
+        assert sum(r.n_points for r in out) == 8
+
+    def test_depth_cap_keeps_overfull_leaf(self, spark):
+        from geowave_spark.operators.quadtree import adaptive_quadtree
+
+        # 30 coincident points can never split below the cap
+        rows = [(1.0, 1.0)] * 30
+        out = adaptive_quadtree(_pts_df(spark, rows), 10, min_tier=2, max_tier=5).collect()
+        assert len(out) == 1 and out[0].tier == 5 and out[0].n_points == 30
+
+    def test_validation(self, spark):
+        from geowave_spark.operators.quadtree import adaptive_quadtree
+
+        df = _pts_df(spark, [(0.0, 0.0)])
+        with pytest.raises(ValueError):
+            adaptive_quadtree(df, 0)
+        with pytest.raises(ValueError):
+            adaptive_quadtree(df, 5, min_tier=9, max_tier=3)
