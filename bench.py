@@ -79,6 +79,12 @@ HEADLINE = [
     "colocation_pi",
     "substring_dup_spans",
     "dsir_resample",
+    # round-4 final wave: raster->vector contouring chained through
+    # connected components, BM25 ranked retrieval over the doc corpus,
+    # and the density-adaptive quadtree layout (shrinking split frontier)
+    "contour_polylines",
+    "bm25_search",
+    "adaptive_quadtree",
 ]
 
 
