@@ -1248,6 +1248,12 @@ def q_knox_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RIPLEY_DISTS = (0.25, 0.5, 1.0)
+# colocation PI neighbor radius: 0.05 deg, NOT the Ripley ladder head —
+# PI enumerates exact cross-category neighbor pairs, so the radius must
+# scale with feature density (at sf0.1's metro-blob density, d=0.25 means
+# ~5.6e8 candidate pairs: a true-output blowup, measured in
+# BENCH/BASELINE.md §9, not a plan defect)
+COLOC_D = 0.05
 CROSS_K_CATS = ("cat0", "cat1")
 
 
@@ -1307,6 +1313,17 @@ def q_contour_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLARK_EVANS_DMAX = 0.25
 QT_CAP = 200
 QT_MIN_TIER, QT_MAX_TIER = 3, 12
+
+
+def q_region_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster regionization (operators/regionize.py): 4-connected
+    components of the occupied density-surface cells via the shared
+    large-star/small-star CC core; literal-offset scatter finds the
+    edges on the CELL table.  Oracle: WITH RECURSIVE closure min-label."""
+    from geowave_spark.operators.hotspot import cell_counts
+    from geowave_spark.operators.regionize import region_label
+
+    return region_label(cell_counts(_geo(spark, sf_dir, "points"), GI_CELL_DEG))
 
 
 def q_adaptive_quadtree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1383,7 +1400,7 @@ def q_colocation_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
     one 3x3 cell self-join.  Brute-force pair-matrix oracle."""
     from geowave_spark.operators.hotspot import colocation_pi
 
-    return colocation_pi(_geo(spark, sf_dir, "points"), d=RIPLEY_DISTS[0])
+    return colocation_pi(_geo(spark, sf_dir, "points"), d=COLOC_D)
 
 
 def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2283,6 +2300,7 @@ def build_oracles() -> dict[str, str]:
     from geowave_spark.operators.search import bm25_topk_sql
     from geowave_spark.operators.pointstats import clark_evans_sql, std_ellipse_sql
     from geowave_spark.operators.quadtree import adaptive_quadtree_sql
+    from geowave_spark.operators.regionize import region_label_sql
     from geowave_spark.operators.mapmatch import snap_join_sql
     from geowave_spark.operators.terrain import horn_terrain_sql
     from geowave_spark.operators.interpolate import idw_grid_sql
@@ -2625,7 +2643,7 @@ def build_oracles() -> dict[str, str]:
         ),
         "ripley_k": ripley_k_sql(f"{GEO_SF001}/points.parquet", RIPLEY_DISTS),
         "colocation_pi": colocation_pi_sql(
-            f"{GEO_SF001}/points.parquet", RIPLEY_DISTS[0]
+            f"{GEO_SF001}/points.parquet", COLOC_D
         ),
         "terrain_slope": horn_terrain_sql(f"{GEO_SF001}/points.parquet", 1.0),
         "colocation_cross_k": cross_k_sql(
@@ -2640,6 +2658,9 @@ def build_oracles() -> dict[str, str]:
         ),
         "bm25_search": bm25_topk_sql("documents", BM25_TERMS, k=BM25_K),
         "std_ellipse": std_ellipse_sql(f"'{GEO_SF001}/points.parquet'"),
+        "region_label": region_label_sql(
+            f"'{GEO_SF001}/points.parquet'", GI_CELL_DEG
+        ),
         "adaptive_quadtree": adaptive_quadtree_sql(
             f"'{GEO_SF001}/points.parquet'", QT_CAP, QT_MIN_TIER, QT_MAX_TIER
         ),
@@ -2851,6 +2872,7 @@ ALL_QUERIES = {
     "contour_polylines": q_contour_polylines,
     "std_ellipse": q_std_ellipse,
     "adaptive_quadtree": q_adaptive_quadtree,
+    "region_label": q_region_label,
     "clark_evans": q_clark_evans,
     "cotravel_pairs": q_cotravel_pairs,
     "convoy_pairs": q_convoy_pairs,
@@ -2962,6 +2984,7 @@ DRIVER_EXCLUDED = {
     "contour_polylines": "new in r04 after the surface filled — WITH RECURSIVE closure oracle (independent components algorithm) runs in parity tests; queued to rotate into the r05 driver surface",
     "std_ellipse": "new in r04 after the surface filled — HUGEINT-sum oracle with the identical pinned eigen expression runs in parity tests; queued to rotate into the r05 driver surface",
     "adaptive_quadtree": "new in r04 after the surface filled — unrolled-CTE level oracle (one join per level, independent of the shrinking-frontier iteration) runs in parity tests; queued to rotate into the r05 driver surface",
+    "region_label": "new in r04 after the surface filled — WITH RECURSIVE closure oracle (independent components algorithm) runs in parity tests; queued to rotate into the r05 driver surface",
     "clark_evans": "new in r04 after the surface filled — brute-force NN oracle under the same distance bound runs in parity tests; queued to rotate into the r05 driver surface",
 }
 
