@@ -1182,3 +1182,37 @@ class TestAdaptiveQuadtree:
             adaptive_quadtree(df, 0)
         with pytest.raises(ValueError):
             adaptive_quadtree(df, 5, min_tier=9, max_tier=3)
+
+
+class TestRegionLabel:
+    def _grid(self, spark, cells):
+        return spark.createDataFrame(cells, "xb bigint, yb bigint, x bigint")
+
+    def test_two_regions_and_isolate(self, spark):
+        from geowave_spark.operators.regionize import region_label
+
+        # an L-shaped 3-cell region, a 2-cell bar, and one isolated cell
+        cells = [
+            (0, 0, 5), (1, 0, 2), (1, 1, 1),         # L region
+            (10, 10, 4), (10, 11, 4),                  # bar
+            (-5, -5, 9),                               # isolate
+        ]
+        out = sorted(region_label(self._grid(spark, cells)).collect(),
+                     key=lambda r: r.n_cells)
+        assert [(r.n_cells, r.n_points) for r in out] == [(1, 9), (2, 8), (3, 8)]
+        l = out[2]
+        assert (l.min_xb, l.max_xb, l.min_yb, l.max_yb) == (0, 1, 0, 1)
+
+    def test_diagonal_split_by_connectivity(self, spark):
+        from geowave_spark.operators.regionize import region_label
+
+        # two diagonal cells: separate under 4-connectivity, merged under 8
+        cells = [(0, 0, 1), (1, 1, 1)]
+        assert region_label(self._grid(spark, cells), 4).count() == 2
+        assert region_label(self._grid(spark, cells), 8).count() == 1
+
+    def test_validation(self, spark):
+        from geowave_spark.operators.regionize import region_label
+
+        with pytest.raises(ValueError):
+            region_label(self._grid(spark, [(0, 0, 1)]), connectivity=6)
