@@ -1376,6 +1376,20 @@ def q_contour_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_WINDOW, PMI_MIN_COUNT, PMI_K = 3, 5, 30
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation extraction (operators/collocate.py) — the text twin
+    of the spatial colocation PI: within-window token pairs as zero-join
+    Catalyst array zips, micro-nat-quantized PMI, tie-broken top-k.
+    Oracle: position self-join pair generation (independent plan)."""
+    from geowave_spark.operators.collocate import pmi_collocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_collocations(docs, PMI_WINDOW, PMI_MIN_COUNT, PMI_K)
+
+
 BM25_TERMS = ["hash", "join", "window"]
 BM25_K = 12
 
@@ -2301,6 +2315,7 @@ def build_oracles() -> dict[str, str]:
     from geowave_spark.operators.pointstats import clark_evans_sql, std_ellipse_sql
     from geowave_spark.operators.quadtree import adaptive_quadtree_sql
     from geowave_spark.operators.regionize import region_label_sql
+    from geowave_spark.operators.collocate import pmi_collocations_sql
     from geowave_spark.operators.mapmatch import snap_join_sql
     from geowave_spark.operators.terrain import horn_terrain_sql
     from geowave_spark.operators.interpolate import idw_grid_sql
@@ -2657,6 +2672,9 @@ def build_oracles() -> dict[str, str]:
             f"{GEO_SF001}/points.parquet", GI_CELL_DEG, CONTOUR_THETA
         ),
         "bm25_search": bm25_topk_sql("documents", BM25_TERMS, k=BM25_K),
+        "pmi_collocations": pmi_collocations_sql(
+            "documents", PMI_WINDOW, PMI_MIN_COUNT, PMI_K
+        ),
         "std_ellipse": std_ellipse_sql(f"'{GEO_SF001}/points.parquet'"),
         "region_label": region_label_sql(
             f"'{GEO_SF001}/points.parquet'", GI_CELL_DEG
@@ -2869,6 +2887,7 @@ ALL_QUERIES = {
     "map_match_snap": q_map_match_snap,
     "contour_lines": q_contour_lines,
     "bm25_search": q_bm25_search,
+    "pmi_collocations": q_pmi_collocations,
     "contour_polylines": q_contour_polylines,
     "std_ellipse": q_std_ellipse,
     "adaptive_quadtree": q_adaptive_quadtree,
@@ -2981,6 +3000,7 @@ DRIVER_EXCLUDED = {
     "map_match_snap": "new in r04 after the surface filled — brute-force bbox-prefilter oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "contour_lines": "new in r04 after the surface filled — gather-formulation LEFT-JOIN oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "bm25_search": "new in r04 after the surface filled — gather-formulation list_filter oracle runs in parity tests; queued to rotate into the r05 driver surface",
+    "pmi_collocations": "new in r04 after the surface filled — position-self-join oracle (independent pair plan) runs in parity tests; queued to rotate into the r05 driver surface",
     "contour_polylines": "new in r04 after the surface filled — WITH RECURSIVE closure oracle (independent components algorithm) runs in parity tests; queued to rotate into the r05 driver surface",
     "std_ellipse": "new in r04 after the surface filled — HUGEINT-sum oracle with the identical pinned eigen expression runs in parity tests; queued to rotate into the r05 driver surface",
     "adaptive_quadtree": "new in r04 after the surface filled — unrolled-CTE level oracle (one join per level, independent of the shrinking-frontier iteration) runs in parity tests; queued to rotate into the r05 driver surface",

@@ -540,3 +540,63 @@ class TestBM25:
             bm25_topk(df, ["a", "a"], k=3)
         with pytest.raises(ValueError):
             bm25_topk(df, ["a"], k=0)
+
+
+class TestPmiCollocations:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+
+    def test_matches_python_replay(self, spark):
+        import math
+        from collections import Counter
+
+        from geowave_spark.operators.collocate import pmi_collocations
+
+        texts = [
+            "red apple red apple blue sky",
+            "blue sky blue sky red apple",
+            "green leaf green leaf green leaf",
+            "red sky blue apple",
+        ]
+        W, MC = 2, 2
+        out = [tuple(r) for r in pmi_collocations(self._docs(spark, texts), W, MC, 50).collect()]
+
+        uni, pairs = Counter(), Counter()
+        ntok = 0
+        for t in texts:
+            ts = t.split(" ")
+            ntok += len(ts)
+            uni.update(ts)
+            for off in range(1, W + 1):
+                for i in range(len(ts) - off):
+                    pairs[tuple(sorted((ts[i], ts[i + off])))] += 1
+        npairs = sum(pairs.values())
+        want = []
+        for (a, b), c in pairs.items():
+            if c < MC:
+                continue
+            pmi = math.floor(math.log((c * ntok * ntok) / (npairs * uni[a] * uni[b])) * 1e6)
+            want.append((a, b, c, pmi))
+        want.sort(key=lambda r: (-r[3], r[0], r[1]))
+        assert out == want
+        # the repeated bigram "green leaf" must rank top (pure phrase)
+        assert out[0][:2] == ("green", "leaf")
+
+    def test_window_widens_pairs(self, spark):
+        from geowave_spark.operators.collocate import pmi_collocations
+
+        texts = ["a x b"] * 3
+        # (a, b) are 2 apart: invisible at window 1, visible at window 2
+        w1 = {(r.term_a, r.term_b) for r in pmi_collocations(self._docs(spark, texts), 1, 2, 50).collect()}
+        w2 = {(r.term_a, r.term_b) for r in pmi_collocations(self._docs(spark, texts), 2, 2, 50).collect()}
+        assert ("a", "b") not in w1 and ("a", "b") in w2
+
+    def test_validation(self, spark):
+        from geowave_spark.operators.collocate import pmi_collocations
+
+        df = self._docs(spark, ["a b"])
+        for kwargs in ({"window": 0}, {"min_count": 0}, {"k": 0}):
+            with pytest.raises(ValueError):
+                pmi_collocations(df, **kwargs)
