@@ -1377,6 +1377,19 @@ def q_contour_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PMI_WINDOW, PMI_MIN_COUNT, PMI_K = 3, 5, 30
+SSSP_SNAP, SSSP_HOPS = 0.05, 8
+
+
+def q_track_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop single-source shortest paths over the snap-contracted
+    track network (operators/graph.py): delta-frontier Bellman-Ford, one
+    uniform equi-join + min-agg per round, hub source.  Oracle: the
+    relaxation unrolled into generated CTE levels."""
+    from geowave_spark.operators.graph import sssp_bounded, track_graph
+
+    g = track_graph(_geo(spark, sf_dir, "tracks"), SSSP_SNAP)
+    return sssp_bounded(g, hops=SSSP_HOPS)
+
 
 
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2316,6 +2329,7 @@ def build_oracles() -> dict[str, str]:
     from geowave_spark.operators.quadtree import adaptive_quadtree_sql
     from geowave_spark.operators.regionize import region_label_sql
     from geowave_spark.operators.collocate import pmi_collocations_sql
+    from geowave_spark.operators.graph import sssp_bounded_sql
     from geowave_spark.operators.mapmatch import snap_join_sql
     from geowave_spark.operators.terrain import horn_terrain_sql
     from geowave_spark.operators.interpolate import idw_grid_sql
@@ -2672,6 +2686,9 @@ def build_oracles() -> dict[str, str]:
             f"{GEO_SF001}/points.parquet", GI_CELL_DEG, CONTOUR_THETA
         ),
         "bm25_search": bm25_topk_sql("documents", BM25_TERMS, k=BM25_K),
+        "track_sssp": sssp_bounded_sql(
+            f"{GEO_SF001}/tracks.parquet", SSSP_SNAP, SSSP_HOPS
+        ),
         "pmi_collocations": pmi_collocations_sql(
             "documents", PMI_WINDOW, PMI_MIN_COUNT, PMI_K
         ),
@@ -2888,6 +2905,7 @@ ALL_QUERIES = {
     "contour_lines": q_contour_lines,
     "bm25_search": q_bm25_search,
     "pmi_collocations": q_pmi_collocations,
+    "track_sssp": q_track_sssp,
     "contour_polylines": q_contour_polylines,
     "std_ellipse": q_std_ellipse,
     "adaptive_quadtree": q_adaptive_quadtree,
@@ -3001,6 +3019,7 @@ DRIVER_EXCLUDED = {
     "contour_lines": "new in r04 after the surface filled — gather-formulation LEFT-JOIN oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "bm25_search": "new in r04 after the surface filled — gather-formulation list_filter oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "pmi_collocations": "new in r04 after the surface filled — position-self-join oracle (independent pair plan) runs in parity tests; queued to rotate into the r05 driver surface",
+    "track_sssp": "new in r04 after the surface filled — unrolled-relaxation CTE oracle (no frontier, independent formulation) runs in parity tests; queued to rotate into the r05 driver surface",
     "contour_polylines": "new in r04 after the surface filled — WITH RECURSIVE closure oracle (independent components algorithm) runs in parity tests; queued to rotate into the r05 driver surface",
     "std_ellipse": "new in r04 after the surface filled — HUGEINT-sum oracle with the identical pinned eigen expression runs in parity tests; queued to rotate into the r05 driver surface",
     "adaptive_quadtree": "new in r04 after the surface filled — unrolled-CTE level oracle (one join per level, independent of the shrinking-frontier iteration) runs in parity tests; queued to rotate into the r05 driver surface",

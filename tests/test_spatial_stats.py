@@ -1216,3 +1216,60 @@ class TestRegionLabel:
 
         with pytest.raises(ValueError):
             region_label(self._grid(spark, [(0, 0, 1)]), connectivity=6)
+
+
+class TestTrackGraphSssp:
+    def _tracks(self, spark, wkts):
+        return spark.createDataFrame(
+            [(f"t{i}", w) for i, w in enumerate(wkts)], "fid string, geom_wkt string"
+        )
+
+    def test_hand_path_distances(self, spark):
+        from geowave_spark.operators.graph import sssp_bounded, track_graph
+
+        # one straight track along x at y=0.5: cells 0..4 at snap 1.0 form
+        # a path; hub = any (all degree 2 except ends) -> min id cell 1
+        # (degree ties resolve to smallest packed id among degree-2 cells)
+        wkt = "LINESTRING (0.5 0.5, 1.5 0.5, 2.5 0.5, 3.5 0.5, 4.5 0.5)"
+        g = track_graph(self._tracks(spark, [wkt]), snap_deg=1.0)
+        edges = sorted((r.u, r.v, r.w_micro) for r in g.collect())
+        assert len(edges) == 4 and all(w == 1_000_000 for _, _, w in edges)
+        out = {r.vertex: r.dist_micro for r in sssp_bounded(g, hops=8).collect()}
+        assert len(out) == 5
+        # distances from the hub are 0,1,2,... in micro-degrees
+        assert sorted(out.values())[:3] == [0, 1_000_000, 1_000_000]
+
+    def test_two_tracks_stitch_through_shared_cell(self, spark):
+        from geowave_spark.operators.graph import sssp_bounded, track_graph
+
+        # tracks cross at the (5, 5) cell: the network connects them
+        wkts = [
+            "LINESTRING (3.5 5.5, 4.5 5.5, 5.5 5.5)",
+            "LINESTRING (5.5 5.5, 5.5 6.5, 5.5 7.5)",
+        ]
+        g = track_graph(self._tracks(spark, wkts), snap_deg=1.0)
+        out = sssp_bounded(g, source=(3 + (1 << 29)) * (1 << 30) + (5 + (1 << 29)),
+                           hops=8).collect()
+        # all 5 distinct cells reachable from the far end of track 1
+        assert len(out) == 5
+        assert max(r.dist_micro for r in out) == 4_000_000
+
+    def test_hop_bound_truncates(self, spark):
+        from geowave_spark.operators.graph import sssp_bounded, track_graph
+
+        wkt = "LINESTRING (0.5 0.5, 1.5 0.5, 2.5 0.5, 3.5 0.5, 4.5 0.5)"
+        g = track_graph(self._tracks(spark, [wkt]), snap_deg=1.0)
+        src = (0 + (1 << 29)) * (1 << 30) + (0 + (1 << 29))
+        out = sssp_bounded(g, source=src, hops=2).collect()
+        assert len(out) == 3  # source + 2 hops along the path
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from geowave_spark.operators.graph import sssp_bounded, track_graph
+
+        df = self._tracks(spark, ["LINESTRING (0.5 0.5, 1.5 0.5)"])
+        with _pt.raises(ValueError):
+            track_graph(df, snap_deg=0.0)
+        with _pt.raises(ValueError):
+            sssp_bounded(track_graph(df, 1.0), hops=0)
