@@ -85,6 +85,12 @@ HEADLINE = [
     "contour_polylines",
     "bm25_search",
     "adaptive_quadtree",
+    # round-4 closing wave: PMI collocations (zero-join window pairs),
+    # the snap-contracted track network's delta-frontier SSSP, and raster
+    # regionization through the shared connected-components core
+    "pmi_collocations",
+    "track_sssp",
+    "region_label",
 ]
 
 
