@@ -1122,3 +1122,115 @@ def colocation_pi_sql(points_path: str, d: float = 0.25) -> str:
         JOIN tot ta ON ta.cat = g.cat_a
         JOIN tot tb ON tb.cat = g.cat_b
     """
+
+def local_morans_i(
+    points: DataFrame,
+    cell_deg: float = 1.0,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Local Moran's I (Anselin 1995, "LISA") over gridded point counts
+    with binary 8-neighbor weights — the per-cell decomposition of
+    :func:`morans_i` and the standard cluster/outlier map (HH/LH/LL/HL)
+    next to the Gi* hotspot map.
+
+        I_i = n * (x_i - xbar) * (lag_i) / sum_k (x_k - xbar)^2,
+        lag_i = sum_j w_ij (x_j - xbar) = wx_i - wn_i * xbar
+
+    Everything aggregates over INTEGERS (cell counts, neighbor sums,
+    global sums); the statistic is one pinned float expression over those
+    exact numbers, ppm-FLOOR quantized, NULL when the variance is 0.
+    Returns (xb, yb, n_neighbors, lisa_ppm, quadrant) for every occupied
+    cell with >= 1 occupied neighbor; quadrant 1=HH 2=LH 3=LL 4=HL from
+    the signs of (x_i - xbar) and lag_i.
+
+    100 TB shape: identical to :func:`gi_star` — one gridding shuffle,
+    one bounded 8-offset cell-table explode + equi-join, a broadcast
+    1-row global agg."""
+    cells = cell_counts(points, cell_deg, lon_col, lat_col).localCheckpoint()
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in NEIGHBOR_OFFSETS
+        ]
+    )
+    probed = cells.withColumn("_o", F.explode(offs)).select(
+        (F.col("xb") + F.col("_o.dx")).alias("xb"),
+        (F.col("yb") + F.col("_o.dy")).alias("yb"),
+        F.col("x").alias("_xj"),
+    )
+    nb = (
+        cells.select("xb", "yb", F.col("x").alias("_xi"))
+        .join(probed, ["xb", "yb"])
+        .groupBy("xb", "yb", "_xi")
+        .agg(F.count("*").alias("wn"), F.sum("_xj").alias("wx"))
+    )
+    g = cells.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("x").cast("double").alias("_sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("_sx2"),
+    )
+    xbar = F.col("_sx") / F.col("_n")
+    zi = F.col("_xi").cast("double") - xbar
+    lag = F.col("wx").cast("double") - F.col("wn").cast("double") * xbar
+    den = F.col("_sx2") - F.col("_sx") * F.col("_sx") / F.col("_n")
+    lisa = F.col("_n") * zi * lag / den
+    quadrant = (
+        F.when((zi > 0) & (lag > 0), 1)
+        .when((zi <= 0) & (lag > 0), 2)
+        .when((zi <= 0) & (lag <= 0), 3)
+        .otherwise(4)
+    )
+    return nb.crossJoin(F.broadcast(g)).select(
+        "xb",
+        "yb",
+        F.col("wn").alias("n_neighbors"),
+        F.when(den > 0, F.floor(lisa * F.lit(1000000.0)).cast("long"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("lisa_ppm"),
+        quadrant.alias("quadrant"),
+    )
+
+
+def local_morans_i_sql(points_path: str, cell_deg: float) -> str:
+    """DuckDB twin of :func:`local_morans_i`: same integer aggregates,
+    term-for-term identical float expression, BETWEEN neighborhood."""
+    return f"""
+        WITH cells AS (
+          SELECT CAST(FLOOR(lon / {cell_deg!r}) AS BIGINT) AS xb,
+                 CAST(FLOOR(lat / {cell_deg!r}) AS BIGINT) AS yb,
+                 count(*) AS x
+          FROM '{points_path}' GROUP BY 1, 2),
+        g AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(SUM(x) AS DOUBLE) AS sx,
+                 CAST(SUM(x * x) AS DOUBLE) AS sx2
+          FROM cells),
+        nb AS (
+          SELECT a.xb, a.yb, a.x AS xi,
+                 count(*) AS wn, SUM(b.x) AS wx
+          FROM cells a JOIN cells b
+            ON b.xb BETWEEN a.xb - 1 AND a.xb + 1
+           AND b.yb BETWEEN a.yb - 1 AND a.yb + 1
+           AND NOT (b.xb = a.xb AND b.yb = a.yb)
+          GROUP BY a.xb, a.yb, a.x)
+        SELECT nb.xb, nb.yb, nb.wn AS n_neighbors,
+               CASE WHEN (g.sx2 - g.sx * g.sx / g.n) > 0 THEN
+                 CAST(FLOOR(g.n * (CAST(nb.xi AS DOUBLE) - g.sx / g.n)
+                      * (CAST(nb.wx AS DOUBLE)
+                         - CAST(nb.wn AS DOUBLE) * (g.sx / g.n))
+                      / (g.sx2 - g.sx * g.sx / g.n)
+                      * 1000000.0) AS BIGINT)
+               ELSE NULL END AS lisa_ppm,
+               CASE WHEN (CAST(nb.xi AS DOUBLE) - g.sx / g.n) > 0
+                     AND (CAST(nb.wx AS DOUBLE)
+                          - CAST(nb.wn AS DOUBLE) * (g.sx / g.n)) > 0 THEN 1
+                    WHEN (CAST(nb.xi AS DOUBLE) - g.sx / g.n) <= 0
+                     AND (CAST(nb.wx AS DOUBLE)
+                          - CAST(nb.wn AS DOUBLE) * (g.sx / g.n)) > 0 THEN 2
+                    WHEN (CAST(nb.xi AS DOUBLE) - g.sx / g.n) <= 0
+                     AND (CAST(nb.wx AS DOUBLE)
+                          - CAST(nb.wn AS DOUBLE) * (g.sx / g.n)) <= 0 THEN 3
+                    ELSE 4 END AS quadrant
+        FROM nb CROSS JOIN g
+    """

@@ -1380,6 +1380,17 @@ PMI_WINDOW, PMI_MIN_COUNT, PMI_K = 3, 5, 30
 SSSP_SNAP, SSSP_HOPS = 0.05, 8
 
 
+def q_local_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anselin LISA cluster/outlier map (operators/hotspot.py
+    local_morans_i): per-cell local Moran's I + HH/LH/LL/HL quadrant over
+    the same gridding/neighborhood machinery as Gi*.  Oracle: identical
+    integer aggregates, term-for-term float expression."""
+    from geowave_spark.operators.hotspot import local_morans_i
+
+    return local_morans_i(_geo(spark, sf_dir, "points"), GI_CELL_DEG)
+
+
+
 def q_track_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-hop single-source shortest paths over the snap-contracted
     track network (operators/graph.py): delta-frontier Bellman-Ford, one
@@ -2330,6 +2341,7 @@ def build_oracles() -> dict[str, str]:
     from geowave_spark.operators.regionize import region_label_sql
     from geowave_spark.operators.collocate import pmi_collocations_sql
     from geowave_spark.operators.graph import sssp_bounded_sql
+    from geowave_spark.operators.hotspot import local_morans_i_sql
     from geowave_spark.operators.mapmatch import snap_join_sql
     from geowave_spark.operators.terrain import horn_terrain_sql
     from geowave_spark.operators.interpolate import idw_grid_sql
@@ -2686,6 +2698,9 @@ def build_oracles() -> dict[str, str]:
             f"{GEO_SF001}/points.parquet", GI_CELL_DEG, CONTOUR_THETA
         ),
         "bm25_search": bm25_topk_sql("documents", BM25_TERMS, k=BM25_K),
+        "local_morans_i": local_morans_i_sql(
+            f"{GEO_SF001}/points.parquet", GI_CELL_DEG
+        ),
         "track_sssp": sssp_bounded_sql(
             f"{GEO_SF001}/tracks.parquet", SSSP_SNAP, SSSP_HOPS
         ),
@@ -2906,6 +2921,7 @@ ALL_QUERIES = {
     "bm25_search": q_bm25_search,
     "pmi_collocations": q_pmi_collocations,
     "track_sssp": q_track_sssp,
+    "local_morans_i": q_local_morans_i,
     "contour_polylines": q_contour_polylines,
     "std_ellipse": q_std_ellipse,
     "adaptive_quadtree": q_adaptive_quadtree,
@@ -3020,6 +3036,7 @@ DRIVER_EXCLUDED = {
     "bm25_search": "new in r04 after the surface filled — gather-formulation list_filter oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "pmi_collocations": "new in r04 after the surface filled — position-self-join oracle (independent pair plan) runs in parity tests; queued to rotate into the r05 driver surface",
     "track_sssp": "new in r04 after the surface filled — unrolled-relaxation CTE oracle (no frontier, independent formulation) runs in parity tests; queued to rotate into the r05 driver surface",
+    "local_morans_i": "new in r04 after the surface filled — BETWEEN-neighborhood oracle with the identical pinned expression runs in parity tests; queued to rotate into the r05 driver surface",
     "contour_polylines": "new in r04 after the surface filled — WITH RECURSIVE closure oracle (independent components algorithm) runs in parity tests; queued to rotate into the r05 driver surface",
     "std_ellipse": "new in r04 after the surface filled — HUGEINT-sum oracle with the identical pinned eigen expression runs in parity tests; queued to rotate into the r05 driver surface",
     "adaptive_quadtree": "new in r04 after the surface filled — unrolled-CTE level oracle (one join per level, independent of the shrinking-frontier iteration) runs in parity tests; queued to rotate into the r05 driver surface",

@@ -1273,3 +1273,42 @@ class TestTrackGraphSssp:
             track_graph(df, snap_deg=0.0)
         with _pt.raises(ValueError):
             sssp_bounded(track_graph(df, 1.0), hops=0)
+
+
+class TestLocalMoransI:
+    def test_quadrants_on_planted_pattern(self, spark):
+        from geowave_spark.operators.hotspot import local_morans_i
+
+        # a dense 3x3 block (counts 9) in a sea of count-1 cells: block
+        # interior = HH; the count-1 ring adjacent to the block = LH
+        rows = []
+        for cx in range(10):
+            for cy in range(10):
+                n = 9 if 4 <= cx <= 6 and 4 <= cy <= 6 else 1
+                rows += [(cx + 0.5, cy + 0.5)] * n
+        out = {(r.xb, r.yb): r for r in local_morans_i(_pts_df(spark, rows), 1.0).collect()}
+        assert out[(5, 5)].quadrant == 1 and out[(5, 5)].lisa_ppm > 0
+        assert out[(3, 5)].quadrant == 2  # low cell next to the high block
+        assert out[(0, 0)].quadrant == 3  # low cell among lows
+        assert out[(0, 0)].lisa_ppm > 0   # LL agreement is still positive I
+
+    def test_decomposition_sums_to_global(self, spark, geo001):
+        from geowave_spark.operators.hotspot import local_morans_i, morans_i
+
+        # sum of local I over cells = n/W * sum w_ij z_i z_j / m2 * ...:
+        # with binary weights, sum_i I_i = n * num / den = W/n * global I * n
+        # => global I = sum_i I_i / W  (Anselin 1995 eq. 8)
+        pts = spark.read.parquet(str(geo001 / "points.parquet"))
+        local = local_morans_i(pts, 1.0).collect()
+        glob = morans_i(pts, 1.0).collect()[0]
+        w = sum(r.n_neighbors for r in local)
+        assert w == glob.w_pairs
+        total = sum(r.lisa_ppm for r in local if r.lisa_ppm is not None)
+        assert abs(total / w - glob.morans_i_ppm) < 50  # ppm rounding slack
+
+    def test_uniform_counts_null(self, spark):
+        from geowave_spark.operators.hotspot import local_morans_i
+
+        rows = [(cx + 0.5, 0.5) for cx in range(5)]
+        out = local_morans_i(_pts_df(spark, rows), 1.0).collect()
+        assert out and all(r.lisa_ppm is None for r in out)
