@@ -723,3 +723,100 @@ def resample_tracks_sql(tracks_path: str, step_s: int = 7 * 86400) -> str:
                                  / CAST(tj - ti AS DOUBLE)) AS y
         FROM ticks
     """
+
+def track_bearing_stats(
+    tracks: DataFrame, wkt_col: str = "geom_wkt", fid_col: str = "fid"
+) -> DataFrame:
+    """Per-track circular bearing statistics (Mardia's directional stats,
+    the movement-analysis staple next to :func:`track_stats`):
+    (fid, n_segs, mean_bearing_micro, resultant_ppm) where the mean
+    bearing is atan2(sum sin, sum cos) over segment headings and the
+    resultant length R in [0, 1] measures heading concentration (1 =
+    perfectly straight, ~0 = directionless wandering).
+
+    Same discipline and plan shape as track_stats: ONE map-side
+    projection, the vertex array never explodes, nothing shuffles.
+    Per-segment sin/cos are FLOOR-quantized to micro units BEFORE the
+    fold so the sums are exact integers (order-independent; the trig of
+    identical doubles is the terrain family's established ppm-FLOOR risk
+    class).  Tracks with no segments emit NULL stats."""
+    body = F.regexp_replace(F.col(wkt_col), r"LINESTRING \(|\)", "")
+    verts = F.transform(
+        F.split(body, ", "),
+        lambda p: F.struct(
+            F.split(p, " ")[0].cast("double").alias("x"),
+            F.split(p, " ")[1].cast("double").alias("y"),
+        ),
+    )
+    t = tracks.select(F.col(fid_col).alias("fid"), verts.alias("_v"))
+    n = F.size(F.col("_v"))
+
+    def bearing(i):
+        dx = F.element_at(F.col("_v"), i + 1).x - F.element_at(F.col("_v"), i).x
+        dy = F.element_at(F.col("_v"), i + 1).y - F.element_at(F.col("_v"), i).y
+        return F.atan2(dy, dx)
+
+    # guard: Spark's sequence(1, 0) DESCENDS instead of being empty, which
+    # would index past the array on a single-vertex track (ANSI error)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    ss = F.aggregate(
+        idx, F.lit(0).cast("long"),
+        lambda acc, i: acc + F.floor(F.sin(bearing(i)) * 1_000_000).cast("long"),
+    )
+    cc = F.aggregate(
+        idx, F.lit(0).cast("long"),
+        lambda acc, i: acc + F.floor(F.cos(bearing(i)) * 1_000_000).cast("long"),
+    )
+    ssd = ss.cast("double")
+    ccd = cc.cast("double")
+    nseg = (n - 1).cast("long")
+    return t.select(
+        "fid",
+        F.greatest(nseg, F.lit(0).cast("long")).alias("n_segs"),
+        F.when(
+            nseg > 0, F.floor(F.atan2(ssd, ccd) * 1_000_000).cast("long")
+        ).alias("mean_bearing_micro"),
+        F.when(
+            nseg > 0,
+            F.floor(F.sqrt(ssd * ssd + ccd * ccd) / nseg.cast("double")).cast("long"),
+        ).alias("resultant_ppm"),
+    )
+
+
+def track_bearing_stats_sql(tracks_path: str) -> str:
+    """DuckDB twin of :func:`track_bearing_stats`: same vertex idiom,
+    list_transform bearings, list_sum of the identically quantized
+    sin/cos, identical final expressions."""
+    verts = (
+        "list_transform(string_split(replace(replace(geom_wkt, "
+        "'LINESTRING (', ''), ')', ''), ', '), "
+        "p -> struct_pack(x := CAST(string_split(p, ' ')[1] AS DOUBLE), "
+        "y := CAST(string_split(p, ' ')[2] AS DOUBLE)))"
+    )
+    return f"""
+        WITH t AS (SELECT fid, {verts} AS v FROM '{tracks_path}'),
+        folded AS (
+          SELECT fid, len(v) - 1 AS n_segs,
+                 COALESCE(list_sum(list_transform(range(1, len(v)),
+                   i -> CAST(floor(sin(atan2(v[i + 1].y - v[i].y,
+                                             v[i + 1].x - v[i].x))
+                             * 1000000) AS BIGINT))), 0) AS ss,
+                 COALESCE(list_sum(list_transform(range(1, len(v)),
+                   i -> CAST(floor(cos(atan2(v[i + 1].y - v[i].y,
+                                             v[i + 1].x - v[i].x))
+                             * 1000000) AS BIGINT))), 0) AS cc
+          FROM t)
+        SELECT fid, GREATEST(n_segs, 0) AS n_segs,
+               CASE WHEN n_segs > 0 THEN
+                 CAST(floor(atan2(CAST(ss AS DOUBLE), CAST(cc AS DOUBLE))
+                            * 1000000) AS BIGINT)
+               ELSE NULL END AS mean_bearing_micro,
+               CASE WHEN n_segs > 0 THEN
+                 CAST(floor(sqrt(CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                                + CAST(cc AS DOUBLE) * CAST(cc AS DOUBLE))
+                            / CAST(n_segs AS DOUBLE)) AS BIGINT)
+               ELSE NULL END AS resultant_ppm
+        FROM folded
+    """

@@ -1380,6 +1380,16 @@ PMI_WINDOW, PMI_MIN_COUNT, PMI_K = 3, 5, 30
 SSSP_SNAP, SSSP_HOPS = 0.05, 8
 
 
+def q_track_bearings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-track circular bearing stats (operators/trajectory.py
+    track_bearing_stats): Mardia mean direction + resultant concentration
+    as a zero-shuffle array fold with per-segment quantized sin/cos.
+    Oracle: same fold over the shared WKT vertex idiom."""
+    from geowave_spark.operators.trajectory import track_bearing_stats
+
+    return track_bearing_stats(_geo(spark, sf_dir, "tracks"))
+
+
 def q_local_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anselin LISA cluster/outlier map (operators/hotspot.py
     local_morans_i): per-cell local Moran's I + HH/LH/LL/HL quadrant over
@@ -2342,6 +2352,7 @@ def build_oracles() -> dict[str, str]:
     from geowave_spark.operators.collocate import pmi_collocations_sql
     from geowave_spark.operators.graph import sssp_bounded_sql
     from geowave_spark.operators.hotspot import local_morans_i_sql
+    from geowave_spark.operators.trajectory import track_bearing_stats_sql
     from geowave_spark.operators.mapmatch import snap_join_sql
     from geowave_spark.operators.terrain import horn_terrain_sql
     from geowave_spark.operators.interpolate import idw_grid_sql
@@ -2698,6 +2709,9 @@ def build_oracles() -> dict[str, str]:
             f"{GEO_SF001}/points.parquet", GI_CELL_DEG, CONTOUR_THETA
         ),
         "bm25_search": bm25_topk_sql("documents", BM25_TERMS, k=BM25_K),
+        "track_bearings": track_bearing_stats_sql(
+            f"{GEO_SF001}/tracks.parquet"
+        ),
         "local_morans_i": local_morans_i_sql(
             f"{GEO_SF001}/points.parquet", GI_CELL_DEG
         ),
@@ -2922,6 +2936,7 @@ ALL_QUERIES = {
     "pmi_collocations": q_pmi_collocations,
     "track_sssp": q_track_sssp,
     "local_morans_i": q_local_morans_i,
+    "track_bearings": q_track_bearings,
     "contour_polylines": q_contour_polylines,
     "std_ellipse": q_std_ellipse,
     "adaptive_quadtree": q_adaptive_quadtree,
@@ -3037,6 +3052,7 @@ DRIVER_EXCLUDED = {
     "pmi_collocations": "new in r04 after the surface filled — position-self-join oracle (independent pair plan) runs in parity tests; queued to rotate into the r05 driver surface",
     "track_sssp": "new in r04 after the surface filled — unrolled-relaxation CTE oracle (no frontier, independent formulation) runs in parity tests; queued to rotate into the r05 driver surface",
     "local_morans_i": "new in r04 after the surface filled — BETWEEN-neighborhood oracle with the identical pinned expression runs in parity tests; queued to rotate into the r05 driver surface",
+    "track_bearings": "new in r04 after the surface filled — list-fold oracle over the shared vertex idiom runs in parity tests; queued to rotate into the r05 driver surface",
     "contour_polylines": "new in r04 after the surface filled — WITH RECURSIVE closure oracle (independent components algorithm) runs in parity tests; queued to rotate into the r05 driver surface",
     "std_ellipse": "new in r04 after the surface filled — HUGEINT-sum oracle with the identical pinned eigen expression runs in parity tests; queued to rotate into the r05 driver surface",
     "adaptive_quadtree": "new in r04 after the surface filled — unrolled-CTE level oracle (one join per level, independent of the shrinking-frontier iteration) runs in parity tests; queued to rotate into the r05 driver surface",

@@ -1312,3 +1312,47 @@ class TestLocalMoransI:
         rows = [(cx + 0.5, 0.5) for cx in range(5)]
         out = local_morans_i(_pts_df(spark, rows), 1.0).collect()
         assert out and all(r.lisa_ppm is None for r in out)
+
+
+class TestTrackBearings:
+    def _tracks(self, spark, wkts):
+        return spark.createDataFrame(
+            [(f"t{i}", w) for i, w in enumerate(wkts)], "fid string, geom_wkt string"
+        )
+
+    def test_straight_track_is_fully_concentrated(self, spark):
+        import math
+
+        from geowave_spark.operators.trajectory import track_bearing_stats
+
+        r = track_bearing_stats(
+            self._tracks(spark, ["LINESTRING (0 0, 1 1, 2 2, 3 3)"])
+        ).collect()[0]
+        assert r.n_segs == 3
+        assert abs(r.mean_bearing_micro - math.floor(math.pi / 4 * 1e6)) <= 2
+        # all bearings equal -> resultant ~ 1 (floor of quantized sums)
+        assert r.resultant_ppm >= 999_998
+
+    def test_back_and_forth_cancels(self, spark):
+        from geowave_spark.operators.trajectory import track_bearing_stats
+
+        # east then west: opposite headings cancel -> resultant ~ 0
+        r = track_bearing_stats(
+            self._tracks(spark, ["LINESTRING (0 0, 1 0, 0 0)"])
+        ).collect()[0]
+        assert r.n_segs == 2 and r.resultant_ppm <= 1
+
+    def test_single_vertex_track_is_null(self, spark):
+        from geowave_spark.operators.trajectory import track_bearing_stats
+
+        r = track_bearing_stats(self._tracks(spark, ["LINESTRING (5 5)"])).collect()[0]
+        assert (r.n_segs, r.mean_bearing_micro, r.resultant_ppm) == (0, None, None)
+
+    def test_zero_shuffle_plan(self, spark, geo001):
+        from geowave_spark.operators.trajectory import track_bearing_stats
+
+        tracks = spark.read.parquet(str(geo001 / "tracks.parquet"))
+        plan = (
+            track_bearing_stats(tracks)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
