@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from geowave_spark.functions.text import tokens
 
-__all__ = ["bm25_topk", "bm25_topk_sql"]
+__all__ = ["bm25_topk", "bm25_topk_sql", "tfidf_top_terms", "tfidf_top_terms_sql"]
 
 _TF_CAP = 10_000
 _M = 1_000_000
@@ -140,4 +140,75 @@ def bm25_topk_sql(docs_table: str, terms: list[str], k: int = 10) -> str:
                SUM(contrib) AS score_micro
         FROM scored GROUP BY doc_id
         ORDER BY score_micro DESC, doc_id ASC LIMIT {int(k)}
+    """
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document keyword extraction: top-``k`` terms by tf-idf.
+
+    score_micro = tf * floor(ln(n_docs / df) * 1e6) — tf and df are exact
+    integers, the idf is micro-nat-floored once per term, so the score is
+    an exact integer product and the per-doc top-k (score desc, term asc)
+    is engine-deterministic.  One corpus explode, a term-keyed df agg
+    broadcast back, one row_number window per doc_id (uniform keys — each
+    doc's candidate set is its own vocabulary).
+
+    Returns (doc_id, term, tf, score_micro, rank), rank 1..k."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    tf = (
+        docs.select(F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_micro",
+            F.col("tf")
+            * F.floor(
+                F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score_micro", "rank")
+    )
+
+
+def tfidf_top_terms_sql(docs_table: str, k: int = 5) -> str:
+    """DuckDB twin of :func:`tfidf_top_terms` (same aggregation algorithm
+    — the idf/window arithmetic is what the comparison pins; QUALIFY
+    replaces the window filter)."""
+    return f"""
+        WITH tf AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM {docs_table}),
+        tfc AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+        dfc AS (
+          SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+        nd AS (SELECT COUNT(*) AS n_docs FROM {docs_table})
+        SELECT doc_id, term, tf,
+               tf * CAST(floor(ln(CAST(n.n_docs AS DOUBLE)
+                                  / CAST(d.df AS DOUBLE)) * 1000000) AS BIGINT)
+                 AS score_micro,
+               CAST(row_number() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY tf * CAST(floor(ln(CAST(n.n_docs AS DOUBLE)
+                          / CAST(d.df AS DOUBLE)) * 1000000) AS BIGINT) DESC,
+                          term ASC) AS INT) AS rank
+        FROM tfc t JOIN dfc d USING (term) CROSS JOIN nd n
+        QUALIFY rank <= {int(k)}
     """

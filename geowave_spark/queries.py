@@ -1424,6 +1424,20 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(docs, PMI_WINDOW, PMI_MIN_COUNT, PMI_K)
 
 
+TFIDF_K = 5
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction (operators/search.py
+    tfidf_top_terms): exact-integer tf x micro-nat idf scores, one
+    row_number window per doc.  Oracle pins the identical arithmetic via
+    QUALIFY."""
+    from geowave_spark.operators.search import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, TFIDF_K)
+
+
 BM25_TERMS = ["hash", "join", "window"]
 BM25_K = 12
 
@@ -2345,7 +2359,7 @@ def build_oracles() -> dict[str, str]:
         moving_clusters_sql,
     )
     from geowave_spark.operators.contour import contour_polylines_sql, marching_squares_sql
-    from geowave_spark.operators.search import bm25_topk_sql
+    from geowave_spark.operators.search import bm25_topk_sql, tfidf_top_terms_sql
     from geowave_spark.operators.pointstats import clark_evans_sql, std_ellipse_sql
     from geowave_spark.operators.quadtree import adaptive_quadtree_sql
     from geowave_spark.operators.regionize import region_label_sql
@@ -2709,6 +2723,7 @@ def build_oracles() -> dict[str, str]:
             f"{GEO_SF001}/points.parquet", GI_CELL_DEG, CONTOUR_THETA
         ),
         "bm25_search": bm25_topk_sql("documents", BM25_TERMS, k=BM25_K),
+        "tfidf_keywords": tfidf_top_terms_sql("documents", TFIDF_K),
         "track_bearings": track_bearing_stats_sql(
             f"{GEO_SF001}/tracks.parquet"
         ),
@@ -2937,6 +2952,7 @@ ALL_QUERIES = {
     "track_sssp": q_track_sssp,
     "local_morans_i": q_local_morans_i,
     "track_bearings": q_track_bearings,
+    "tfidf_keywords": q_tfidf_keywords,
     "contour_polylines": q_contour_polylines,
     "std_ellipse": q_std_ellipse,
     "adaptive_quadtree": q_adaptive_quadtree,
@@ -3053,6 +3069,7 @@ DRIVER_EXCLUDED = {
     "track_sssp": "new in r04 after the surface filled — unrolled-relaxation CTE oracle (no frontier, independent formulation) runs in parity tests; queued to rotate into the r05 driver surface",
     "local_morans_i": "new in r04 after the surface filled — BETWEEN-neighborhood oracle with the identical pinned expression runs in parity tests; queued to rotate into the r05 driver surface",
     "track_bearings": "new in r04 after the surface filled — list-fold oracle over the shared vertex idiom runs in parity tests; queued to rotate into the r05 driver surface",
+    "tfidf_keywords": "new in r04 after the surface filled — QUALIFY-window oracle with the identical integer scoring runs in parity tests; queued to rotate into the r05 driver surface",
     "contour_polylines": "new in r04 after the surface filled — WITH RECURSIVE closure oracle (independent components algorithm) runs in parity tests; queued to rotate into the r05 driver surface",
     "std_ellipse": "new in r04 after the surface filled — HUGEINT-sum oracle with the identical pinned eigen expression runs in parity tests; queued to rotate into the r05 driver surface",
     "adaptive_quadtree": "new in r04 after the surface filled — unrolled-CTE level oracle (one join per level, independent of the shrinking-frontier iteration) runs in parity tests; queued to rotate into the r05 driver surface",

@@ -600,3 +600,45 @@ class TestPmiCollocations:
         for kwargs in ({"window": 0}, {"min_count": 0}, {"k": 0}):
             with pytest.raises(ValueError):
                 pmi_collocations(df, **kwargs)
+
+
+class TestTfidfKeywords:
+    def test_matches_python_replay(self, spark):
+        import math
+        from collections import Counter
+
+        from geowave_spark.operators.search import tfidf_top_terms
+
+        texts = [
+            "apple apple apple banana common common",
+            "banana banana cherry common common",
+            "cherry cherry cherry apple common",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+        out = sorted(tuple(r) for r in tfidf_top_terms(df, 2).collect())
+
+        toks = [t.split(" ") for t in texts]
+        dfc = Counter()
+        for t in toks:
+            dfc.update(set(t))
+        want = []
+        for i, t in enumerate(toks):
+            scores = [
+                (term, c, c * math.floor(math.log(len(toks) / dfc[term]) * 1e6))
+                for term, c in Counter(t).items()
+            ]
+            scores.sort(key=lambda r: (-r[2], r[0]))
+            for rank, (term, c, s) in enumerate(scores[:2], 1):
+                want.append((i, term, c, s, rank))
+        assert out == sorted(want)
+        # 'common' appears in every doc -> idf 0 -> never a top keyword
+        assert all(r[1] != "common" for r in out)
+
+    def test_validation(self, spark):
+        from geowave_spark.operators.search import tfidf_top_terms
+
+        df = spark.createDataFrame([(0, "a b")], "doc_id bigint, text string")
+        with pytest.raises(ValueError):
+            tfidf_top_terms(df, 0)
