@@ -2993,6 +2993,19 @@ ALL_QUERIES = {
 # query (same operator, different table/metric/backend) and keeps full oracle
 # coverage through tests/test_oracle_parity.py + tools/check_oracle.py --all.
 DRIVER_EXCLUDED = {
+    "ann_lsh_topk": "holds a green r03 driver row; rotated out at the end of r04 so the closing wave's never-checked queries earn driver rows — the identical oracle comparison continues in tests/test_oracle_parity.py",
+    "training_data_filter": "holds a green r03 driver row; rotated out at the end of r04 so the closing wave's never-checked queries earn driver rows — the identical oracle comparison continues in tests/test_oracle_parity.py",
+    "spans_preserved": "holds a green r03 driver row; rotated out at the end of r04 so the closing wave's never-checked queries earn driver rows — the identical oracle comparison continues in tests/test_oracle_parity.py",
+    "stats_summary": "holds a green r03 driver row; rotated out at the end of r04 so the closing wave's never-checked queries earn driver rows — the identical oracle comparison continues in tests/test_oracle_parity.py",
+    "visibility_filter": "holds a green r03 driver row; rotated out at the end of r04 so the closing wave's never-checked queries earn driver rows — the identical oracle comparison continues in tests/test_oracle_parity.py",
+    "distinct_count_stats": "holds a green r03 driver row; rotated out at the end of r04 so the closing wave's never-checked queries earn driver rows — the identical oracle comparison continues in tests/test_oracle_parity.py",
+    "hot_cell_salting": "holds a green r03 driver row; rotated out at the end of r04 so the closing wave's never-checked queries earn driver rows — the identical oracle comparison continues in tests/test_oracle_parity.py",
+    "tracks_box_temporal": "holds a green r03 driver row; rotated out at the end of r04 so the closing wave's never-checked queries earn driver rows — the identical oracle comparison continues in tests/test_oracle_parity.py",
+    "raster_pyramid": "holds a green r03 driver row; rotated out at the end of r04 so the closing wave's never-checked queries earn driver rows — the identical oracle comparison continues in tests/test_oracle_parity.py",
+    "events_asof_join": "holds a green r03 driver row; rotated out at the end of r04 so the closing wave's never-checked queries earn driver rows — the identical oracle comparison continues in tests/test_oracle_parity.py",
+    "events_rollup_cascade": "holds a green r03 driver row; rotated out at the end of r04 so the closing wave's never-checked queries earn driver rows — the identical oracle comparison continues in tests/test_oracle_parity.py",
+    "points_track_interval_join": "holds a green r03 driver row; rotated out at the end of r04 so the closing wave's never-checked queries earn driver rows — the identical oracle comparison continues in tests/test_oracle_parity.py",
+
     "knn_geodesic": "brute/bucketed twin of knn_haversine (equality pytest)",
     "spatial_box_temporal_query": "routed_box_temporal runs the same constraints through index routing",
     "docs_extent_query": "envelope twin of docs_box_query",
@@ -3063,18 +3076,6 @@ DRIVER_EXCLUDED = {
     "convoy_pairs": "new in r04 after the surface filled — independent time-band IEJoin + islands oracle runs in parity tests; queued to rotate into the r05 driver surface",
     "dsir_resample": "new in r04 after the surface filled — independent DuckDB replay of the quantized importance + Gumbel top-k runs in parity tests; queued to rotate into the r05 driver surface",
     "map_match_snap": "new in r04 after the surface filled — brute-force bbox-prefilter oracle runs in parity tests; queued to rotate into the r05 driver surface",
-    "contour_lines": "new in r04 after the surface filled — gather-formulation LEFT-JOIN oracle runs in parity tests; queued to rotate into the r05 driver surface",
-    "bm25_search": "new in r04 after the surface filled — gather-formulation list_filter oracle runs in parity tests; queued to rotate into the r05 driver surface",
-    "pmi_collocations": "new in r04 after the surface filled — position-self-join oracle (independent pair plan) runs in parity tests; queued to rotate into the r05 driver surface",
-    "track_sssp": "new in r04 after the surface filled — unrolled-relaxation CTE oracle (no frontier, independent formulation) runs in parity tests; queued to rotate into the r05 driver surface",
-    "local_morans_i": "new in r04 after the surface filled — BETWEEN-neighborhood oracle with the identical pinned expression runs in parity tests; queued to rotate into the r05 driver surface",
-    "track_bearings": "new in r04 after the surface filled — list-fold oracle over the shared vertex idiom runs in parity tests; queued to rotate into the r05 driver surface",
-    "tfidf_keywords": "new in r04 after the surface filled — QUALIFY-window oracle with the identical integer scoring runs in parity tests; queued to rotate into the r05 driver surface",
-    "contour_polylines": "new in r04 after the surface filled — WITH RECURSIVE closure oracle (independent components algorithm) runs in parity tests; queued to rotate into the r05 driver surface",
-    "std_ellipse": "new in r04 after the surface filled — HUGEINT-sum oracle with the identical pinned eigen expression runs in parity tests; queued to rotate into the r05 driver surface",
-    "adaptive_quadtree": "new in r04 after the surface filled — unrolled-CTE level oracle (one join per level, independent of the shrinking-frontier iteration) runs in parity tests; queued to rotate into the r05 driver surface",
-    "region_label": "new in r04 after the surface filled — WITH RECURSIVE closure oracle (independent components algorithm) runs in parity tests; queued to rotate into the r05 driver surface",
-    "clark_evans": "new in r04 after the surface filled — brute-force NN oracle under the same distance bound runs in parity tests; queued to rotate into the r05 driver surface",
 }
 
 # driver surface: never-driver-checked entries FIRST (the round-2 file cut
@@ -3109,6 +3110,20 @@ _NEW_IN_R04 = [
     "track_simplify",  # new this round (distributed Douglas-Peucker rounds)
     "track_hausdorff",  # new this round (output-sensitive Hausdorff similarity join)
     "knox_test",  # new this round (Knox space-time interaction statistic)
+    # closing wave (also new this round): rotated into the surface at the
+    # end of r04, displacing 12 green-r03 rows into the parity twin set
+    "contour_lines",
+    "contour_polylines",
+    "bm25_search",
+    "std_ellipse",
+    "clark_evans",
+    "adaptive_quadtree",
+    "region_label",
+    "pmi_collocations",
+    "track_sssp",
+    "local_morans_i",
+    "track_bearings",
+    "tfidf_keywords",
 ]
 QUERIES = {n: ALL_QUERIES[n] for n in _NEW_IN_R04}
 QUERIES.update(
