@@ -1234,3 +1234,87 @@ def local_morans_i_sql(points_path: str, cell_deg: float) -> str:
                     ELSE 4 END AS quadrant
         FROM nb CROSS JOIN g
     """
+
+def cell_diversity(
+    points: DataFrame,
+    cell_deg: float = 1.0,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cat_col: str = "category",
+) -> DataFrame:
+    """Per-cell Shannon diversity of the category mix (the landscape-
+    ecology / mixture-diagnostics staple next to the density statistics):
+    H_i = -sum_c p_c ln p_c over the categories present in cell i, with
+    p_c = n_ic / n_i.  H = 0 for single-category cells; ln(k) for a
+    perfectly even k-category mix.
+
+    Determinism: each category's term -p ln p is floor-quantized to
+    micro-nats BEFORE the per-cell sum (the per-term-quantize rule), and
+    p is one exact integer ratio, so the engines agree bit-for-bit.
+    Also returns the evenness ratio H / ln(n_cats) in ppm (NULL for
+    single-category cells, where evenness is undefined).
+
+    100 TB shape: one gridding shuffle to (cell, category) counts, one
+    re-agg to cells — both uniform keys; category cardinality bounds the
+    blowup at x|cats|, nothing is ever per-point downstream."""
+    c = float(cell_deg)
+    per_cat = (
+        points.select(
+            F.floor(F.col(lon_col) / c).cast("long").alias("xb"),
+            F.floor(F.col(lat_col) / c).cast("long").alias("yb"),
+            F.col(cat_col).alias("_cat"),
+        )
+        .groupBy("xb", "yb", "_cat")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    totals = per_cat.groupBy("xb", "yb").agg(F.sum("nc").alias("n"))
+    p = F.col("nc").cast("double") / F.col("n").cast("double")
+    term = F.floor(-p * F.log(p) * 1_000_000).cast("long")
+    agg = (
+        per_cat.join(totals, ["xb", "yb"])
+        .select("xb", "yb", "n", term.alias("_t"))
+        .groupBy("xb", "yb", "n")
+        .agg(F.count(F.lit(1)).alias("n_cats"), F.sum("_t").alias("shannon_micro"))
+    )
+    evenness = F.floor(
+        F.col("shannon_micro").cast("double")
+        / (F.log(F.col("n_cats").cast("double")) * 1_000_000)
+        * 1_000_000
+    ).cast("long")
+    return agg.select(
+        "xb",
+        "yb",
+        F.col("n").alias("n_points"),
+        "n_cats",
+        "shannon_micro",
+        F.when(F.col("n_cats") > 1, evenness).alias("evenness_ppm"),
+    )
+
+
+def cell_diversity_sql(points_path: str, cell_deg: float) -> str:
+    """DuckDB twin of :func:`cell_diversity`: identical quantization and
+    expression trees."""
+    c = float(cell_deg)
+    return f"""
+        WITH per_cat AS (
+          SELECT CAST(FLOOR(lon / {c!r}) AS BIGINT) AS xb,
+                 CAST(FLOOR(lat / {c!r}) AS BIGINT) AS yb,
+                 category, COUNT(*) AS nc
+          FROM '{points_path}' GROUP BY 1, 2, 3),
+        totals AS (
+          SELECT xb, yb, SUM(nc) AS n FROM per_cat GROUP BY 1, 2),
+        agg AS (
+          SELECT p.xb, p.yb, t.n, COUNT(*) AS n_cats,
+                 SUM(CAST(floor(-(CAST(p.nc AS DOUBLE) / CAST(t.n AS DOUBLE))
+                     * ln(CAST(p.nc AS DOUBLE) / CAST(t.n AS DOUBLE))
+                     * 1000000) AS BIGINT)) AS shannon_micro
+          FROM per_cat p JOIN totals t USING (xb, yb)
+          GROUP BY 1, 2, 3)
+        SELECT xb, yb, n AS n_points, n_cats, shannon_micro,
+               CASE WHEN n_cats > 1 THEN
+                 CAST(floor(CAST(shannon_micro AS DOUBLE)
+                      / (ln(CAST(n_cats AS DOUBLE)) * 1000000)
+                      * 1000000) AS BIGINT)
+               ELSE NULL END AS evenness_ppm
+        FROM agg
+    """

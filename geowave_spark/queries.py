@@ -1390,6 +1390,15 @@ def q_track_bearings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return track_bearing_stats(_geo(spark, sf_dir, "tracks"))
 
 
+def q_cell_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell Shannon category diversity + evenness (operators/
+    hotspot.py cell_diversity): per-term micro-nat quantization before
+    the per-cell sum.  Oracle: identical trees."""
+    from geowave_spark.operators.hotspot import cell_diversity
+
+    return cell_diversity(_geo(spark, sf_dir, "points"), GI_CELL_DEG)
+
+
 def q_local_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anselin LISA cluster/outlier map (operators/hotspot.py
     local_morans_i): per-cell local Moran's I + HH/LH/LL/HL quadrant over
@@ -2365,7 +2374,7 @@ def build_oracles() -> dict[str, str]:
     from geowave_spark.operators.regionize import region_label_sql
     from geowave_spark.operators.collocate import pmi_collocations_sql
     from geowave_spark.operators.graph import sssp_bounded_sql
-    from geowave_spark.operators.hotspot import local_morans_i_sql
+    from geowave_spark.operators.hotspot import cell_diversity_sql, local_morans_i_sql
     from geowave_spark.operators.trajectory import track_bearing_stats_sql
     from geowave_spark.operators.mapmatch import snap_join_sql
     from geowave_spark.operators.terrain import horn_terrain_sql
@@ -2727,6 +2736,9 @@ def build_oracles() -> dict[str, str]:
         "track_bearings": track_bearing_stats_sql(
             f"{GEO_SF001}/tracks.parquet"
         ),
+        "cell_diversity": cell_diversity_sql(
+            f"{GEO_SF001}/points.parquet", GI_CELL_DEG
+        ),
         "local_morans_i": local_morans_i_sql(
             f"{GEO_SF001}/points.parquet", GI_CELL_DEG
         ),
@@ -2953,6 +2965,7 @@ ALL_QUERIES = {
     "local_morans_i": q_local_morans_i,
     "track_bearings": q_track_bearings,
     "tfidf_keywords": q_tfidf_keywords,
+    "cell_diversity": q_cell_diversity,
     "contour_polylines": q_contour_polylines,
     "std_ellipse": q_std_ellipse,
     "adaptive_quadtree": q_adaptive_quadtree,
@@ -2993,6 +3006,7 @@ ALL_QUERIES = {
 # query (same operator, different table/metric/backend) and keeps full oracle
 # coverage through tests/test_oracle_parity.py + tools/check_oracle.py --all.
 DRIVER_EXCLUDED = {
+    "cell_diversity": "new at the very end of r04 after the rotated surface filled — identical-tree oracle runs in tests/test_oracle_parity.py; queued for the r05 rotation",
     "ann_lsh_topk": "holds a green r03 driver row; rotated out at the end of r04 so the closing wave's never-checked queries earn driver rows — the identical oracle comparison continues in tests/test_oracle_parity.py",
     "training_data_filter": "holds a green r03 driver row; rotated out at the end of r04 so the closing wave's never-checked queries earn driver rows — the identical oracle comparison continues in tests/test_oracle_parity.py",
     "spans_preserved": "holds a green r03 driver row; rotated out at the end of r04 so the closing wave's never-checked queries earn driver rows — the identical oracle comparison continues in tests/test_oracle_parity.py",

@@ -1356,3 +1356,30 @@ class TestTrackBearings:
             track_bearing_stats(tracks)._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestCellDiversity:
+    def test_hand_mix(self, spark):
+        import math
+
+        from geowave_spark.operators.hotspot import cell_diversity
+
+        rows = [(0.5, 0.5, "a")] * 2 + [(0.5, 0.5, "b")] * 2  # even 2-mix
+        rows += [(5.5, 0.5, "a")] * 7                          # pure cell
+        df = spark.createDataFrame(rows, "lon double, lat double, category string")
+        out = {(r.xb, r.yb): r for r in cell_diversity(df, 1.0).collect()}
+        even = out[(0, 0)]
+        assert even.n_cats == 2
+        # H = ln 2 exactly (two equal floor-quantized terms)
+        assert even.shannon_micro == 2 * math.floor(0.5 * math.log(2) * 1e6)
+        assert abs(even.evenness_ppm - 1_000_000) <= 2
+        pure = out[(5, 0)]
+        assert (pure.n_cats, pure.shannon_micro, pure.evenness_ppm) == (1, 0, None)
+
+    def test_skewed_mix_less_even(self, spark):
+        from geowave_spark.operators.hotspot import cell_diversity
+
+        rows = [(0.5, 0.5, "a")] * 9 + [(0.5, 0.5, "b")] * 1
+        df = spark.createDataFrame(rows, "lon double, lat double, category string")
+        r = cell_diversity(df, 1.0).collect()[0]
+        assert r.n_cats == 2 and 0 < r.evenness_ppm < 500_000
