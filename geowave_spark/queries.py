@@ -1390,6 +1390,16 @@ def q_track_bearings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return track_bearing_stats(_geo(spark, sf_dir, "tracks"))
 
 
+def q_hourly_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hour-of-day chi-square periodicity (operators/
+    periodicity.py): exact integer algebra (24*so2 - n^2)*1e6 DIV n over
+    two uniform-key aggs.  Oracle: identical algebra."""
+    from geowave_spark.operators.periodicity import hourly_periodicity
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hourly_periodicity(ev)
+
+
 def q_cell_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell Shannon category diversity + evenness (operators/
     hotspot.py cell_diversity): per-term micro-nat quantization before
@@ -2375,6 +2385,7 @@ def build_oracles() -> dict[str, str]:
     from geowave_spark.operators.collocate import pmi_collocations_sql
     from geowave_spark.operators.graph import sssp_bounded_sql
     from geowave_spark.operators.hotspot import cell_diversity_sql, local_morans_i_sql
+    from geowave_spark.operators.periodicity import hourly_periodicity_sql
     from geowave_spark.operators.trajectory import track_bearing_stats_sql
     from geowave_spark.operators.mapmatch import snap_join_sql
     from geowave_spark.operators.terrain import horn_terrain_sql
@@ -2736,6 +2747,7 @@ def build_oracles() -> dict[str, str]:
         "track_bearings": track_bearing_stats_sql(
             f"{GEO_SF001}/tracks.parquet"
         ),
+        "hourly_periodicity": hourly_periodicity_sql("events"),
         "cell_diversity": cell_diversity_sql(
             f"{GEO_SF001}/points.parquet", GI_CELL_DEG
         ),
@@ -2966,6 +2978,7 @@ ALL_QUERIES = {
     "track_bearings": q_track_bearings,
     "tfidf_keywords": q_tfidf_keywords,
     "cell_diversity": q_cell_diversity,
+    "hourly_periodicity": q_hourly_periodicity,
     "contour_polylines": q_contour_polylines,
     "std_ellipse": q_std_ellipse,
     "adaptive_quadtree": q_adaptive_quadtree,
@@ -3007,6 +3020,7 @@ ALL_QUERIES = {
 # coverage through tests/test_oracle_parity.py + tools/check_oracle.py --all.
 DRIVER_EXCLUDED = {
     "cell_diversity": "new at the very end of r04 after the rotated surface filled — identical-tree oracle runs in tests/test_oracle_parity.py; queued for the r05 rotation",
+    "hourly_periodicity": "new at the very end of r04 after the rotated surface filled — identical-algebra oracle runs in tests/test_oracle_parity.py; queued for the r05 rotation",
     "ann_lsh_topk": "holds a green r03 driver row; rotated out at the end of r04 so the closing wave's never-checked queries earn driver rows — the identical oracle comparison continues in tests/test_oracle_parity.py",
     "training_data_filter": "holds a green r03 driver row; rotated out at the end of r04 so the closing wave's never-checked queries earn driver rows — the identical oracle comparison continues in tests/test_oracle_parity.py",
     "spans_preserved": "holds a green r03 driver row; rotated out at the end of r04 so the closing wave's never-checked queries earn driver rows — the identical oracle comparison continues in tests/test_oracle_parity.py",

@@ -172,3 +172,41 @@ class TestOdFlows:
             for r in od_flows(tracks, zones).collect()
         }
         assert out == {("A", "B"): 1, ("A", "A"): 1}
+
+
+class TestHourlyPeriodicity:
+    def test_hand_profiles(self, spark):
+        from datetime import datetime
+
+        from geowave_spark.operators.periodicity import hourly_periodicity
+
+        rows = []
+        # user 1: all 24 events at hour 9 -> chi2 = 24*576-576 / 24 = 552
+        rows += [(1, datetime(2021, 1, d + 1, 9, 0)) for d in range(24)]
+        # user 2: one event every hour -> perfectly uniform, chi2 = 0
+        rows += [(2, datetime(2021, 1, 1, h, 0)) for h in range(24)]
+        df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+        out = {r.entity: r for r in hourly_periodicity(df, min_events=24).collect()}
+        assert out[1].n_hours_active == 1
+        assert out[1].chi2_micro == (24 * 24 * 24 - 24 * 24) * 1_000_000 // 24
+        assert out[2].n_hours_active == 24 and out[2].chi2_micro == 0
+
+    def test_min_events_filter(self, spark):
+        from datetime import datetime
+
+        from geowave_spark.operators.periodicity import hourly_periodicity
+
+        df = spark.createDataFrame(
+            [(1, datetime(2021, 1, 1, 9, 0))], "user_id bigint, ts timestamp"
+        )
+        assert hourly_periodicity(df, min_events=24).count() == 0
+        assert hourly_periodicity(df, min_events=1).count() == 1
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from geowave_spark.operators.periodicity import hourly_periodicity
+
+        df = spark.createDataFrame([], "user_id bigint, ts timestamp")
+        with _pt.raises(ValueError):
+            hourly_periodicity(df, min_events=0)
