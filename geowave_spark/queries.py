@@ -161,6 +161,38 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal MAJORITY (the categorical zonal statistic next to J6's
+    numeric aggs): PIP join -> per-(zone, category) counts -> per-zone
+    mode with a (count desc, category asc) tie-break, plus the exact
+    integer share in ppm.  Oracle: the half-plane PIP scan with QUALIFY."""
+    from pyspark.sql import Window
+
+    from geowave_spark.operators.spatial_join import pip_join
+
+    pts = _geo(spark, sf_dir, "points")
+    zones = _geo(spark, sf_dir, "zones").filter(F.col("zclass") == "convex")
+    pc = (
+        pip_join(pts, zones)
+        .groupBy("zone_id", "category")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("zone_id").orderBy(F.desc("n"), F.asc("category"))
+    totals = pc.groupBy("zone_id").agg(F.sum("n").alias("n_total"))
+    return (
+        pc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .join(totals, "zone_id")
+        .select(
+            "zone_id",
+            F.col("category").alias("majority_cat"),
+            F.col("n").alias("n_majority"),
+            "n_total",
+            F.expr("n * 1000000L DIV n_total").alias("share_ppm"),
+        )
+    )
+
+
 def q_tracks_contains_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 CONTAINS over line features: track fully within the box."""
     tracks = _geo(spark, sf_dir, "tracks")
@@ -2748,6 +2780,22 @@ def build_oracles() -> dict[str, str]:
             f"{GEO_SF001}/tracks.parquet"
         ),
         "hourly_periodicity": hourly_periodicity_sql("events"),
+        "zonal_majority": f"""
+            WITH pc AS (
+              SELECT z.zone_id, p.category, COUNT(*) AS n
+              FROM {pts} p, (SELECT DISTINCT zone_id FROM {hp}) z
+              WHERE NOT EXISTS (
+                SELECT 1 FROM {hp} h
+                WHERE h.zone_id = z.zone_id AND h.a * p.lon + h.b * p.lat > h.c)
+              GROUP BY 1, 2),
+            tot AS (SELECT zone_id, SUM(n) AS n_total FROM pc GROUP BY 1)
+            SELECT pc.zone_id, pc.category AS majority_cat,
+                   pc.n AS n_majority, tot.n_total,
+                   pc.n * 1000000 // tot.n_total AS share_ppm
+            FROM pc JOIN tot USING (zone_id)
+            QUALIFY row_number() OVER (
+              PARTITION BY pc.zone_id ORDER BY pc.n DESC, pc.category ASC) = 1
+        """,
         "cell_diversity": cell_diversity_sql(
             f"{GEO_SF001}/points.parquet", GI_CELL_DEG
         ),
@@ -2979,6 +3027,7 @@ ALL_QUERIES = {
     "tfidf_keywords": q_tfidf_keywords,
     "cell_diversity": q_cell_diversity,
     "hourly_periodicity": q_hourly_periodicity,
+    "zonal_majority": q_zonal_majority,
     "contour_polylines": q_contour_polylines,
     "std_ellipse": q_std_ellipse,
     "adaptive_quadtree": q_adaptive_quadtree,
@@ -3021,6 +3070,7 @@ ALL_QUERIES = {
 DRIVER_EXCLUDED = {
     "cell_diversity": "new at the very end of r04 after the rotated surface filled — identical-tree oracle runs in tests/test_oracle_parity.py; queued for the r05 rotation",
     "hourly_periodicity": "new at the very end of r04 after the rotated surface filled — identical-algebra oracle runs in tests/test_oracle_parity.py; queued for the r05 rotation",
+    "zonal_majority": "new at the very end of r04 after the rotated surface filled — half-plane QUALIFY oracle runs in tests/test_oracle_parity.py; queued for the r05 rotation",
     "ann_lsh_topk": "holds a green r03 driver row; rotated out at the end of r04 so the closing wave's never-checked queries earn driver rows — the identical oracle comparison continues in tests/test_oracle_parity.py",
     "training_data_filter": "holds a green r03 driver row; rotated out at the end of r04 so the closing wave's never-checked queries earn driver rows — the identical oracle comparison continues in tests/test_oracle_parity.py",
     "spans_preserved": "holds a green r03 driver row; rotated out at the end of r04 so the closing wave's never-checked queries earn driver rows — the identical oracle comparison continues in tests/test_oracle_parity.py",
