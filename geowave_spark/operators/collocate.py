@@ -10,10 +10,13 @@ tokenizer-merge candidates beyond raw BPE counts).
 
 Spark-first shape: pair generation is ZERO-JOIN — for each offset
 k = 1..w the pair list is a pure Catalyst array zip over the token array
-(`transform(sequence(...), i -> (toks[i], toks[i+k]))`), so one corpus
-scan emits a stream bounded by w * n_tokens; one groupBy on uniform
-(term_a, term_b) keys counts pairs, unigram counts broadcast back, and
-the PMI top-k is a TakeOrdered.  Nothing is all-pairs; the min-support
+(`transform(sequence(...), i -> (toks[i], toks[i+k]))`), emitting a
+stream bounded by w * n_tokens; one groupBy on uniform (term_a, term_b)
+keys counts pairs, unigram counts broadcast back, and the PMI top-k is
+a TakeOrdered.  TWO corpus scans total: the pair-count aggregate is
+checkpointed and serves both the min-support-filtered candidates and
+the global pair total, and the unigram aggregate likewise yields the
+token total as a sum of itself.  Nothing is all-pairs; the min-support
 filter runs before the broadcast joins.
 
 Determinism: PMI = ln((c_ab * T^2) / (P * c_a * c_b)) is computed as ONE
@@ -80,18 +83,22 @@ def pmi_collocations(
         F.explode(F.concat(*pair_arrays)).alias("p")
     ).select(F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b"))
 
-    pair_counts = (
-        pairs.groupBy("term_a", "term_b")
-        .agg(F.count(F.lit(1)).alias("n_pair"))
-        .filter(F.col("n_pair") >= min_count)
-    )
+    # two corpus scans total: the pair explode feeds BOTH the filtered
+    # pair counts and the global pair total (one shuffle, two consumers of
+    # its output); the unigram explode likewise yields n_tok as the sum of
+    # its own aggregate — nothing re-reads the corpus beyond these two
+    pc_all = pairs.groupBy("term_a", "term_b").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    ).localCheckpoint()
+    pair_counts = pc_all.filter(F.col("n_pair") >= min_count)
+    npairs = pc_all.agg(F.sum("n_pair").alias("n_pairs"))
     unigrams = (
         toks.select(F.explode("toks").alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("n_uni"))
+        .localCheckpoint()
     )
-    totals = toks.agg(F.sum(F.size("toks")).alias("n_tok"))
-    npairs = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    totals = unigrams.agg(F.sum("n_uni").alias("n_tok"))
 
     ud = F.col("n_uni").cast("double")
     scored = (

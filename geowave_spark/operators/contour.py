@@ -41,11 +41,10 @@ __all__ = [
 
 _Q = 1_000_000
 
-# vertex packing for polyline assembly: v = (x_q + OFF) * SPAN + (y_q + OFF).
-# OFF = 2^29 covers |coord| < 536 (cell units x1e6 -> any global grid at
-# >= ~0.4 millidegree cells); packed ids stay < 2^60.
-_V_OFF = 1 << 29
-_V_SPAN = 1 << 30
+# vertex packing for polyline assembly: the shared guarded convention in
+# operators/_packing.py — injective for |coord| < 2^30 (endpoints are in
+# cell units x1e6, so grids coarser than ~0.34 deg; finer grids REFUSE at
+# runtime instead of silently merging components)
 
 # case index = 1*(z00>θ) + 2*(z10>θ) + 4*(z11>θ) + 8*(z01>θ).
 # Edges: B between c00-c10, R between c10-c11, T between c01-c11,
@@ -150,55 +149,69 @@ def marching_squares(grid: DataFrame, theta: float = 2.5) -> DataFrame:
             f"ex_{name}", F.floor(ex * _Q).cast("long")
         ).withColumn(f"ey_{name}", F.floor(ey * _Q).cast("long"))
 
-    def seg_struct(a: str, b: str):
-        ax = F.col(f"ex_{a}")
-        ay = F.col(f"ey_{a}")
-        bx_ = F.col(f"ex_{b}")
-        by_ = F.col(f"ey_{b}")
-        swap = (ax > bx_) | ((ax == bx_) & (ay > by_))
+    # the case table ships as a LITERAL lookup (32 entries: cases 0-15,
+    # +16 for the center-above saddle variant) of edge-code pairs
+    # (0=B 1=R 2=T 3=L) instead of a 16-branch when-chain of struct
+    # arrays — the chain's generated code exceeded Janino's 64KB method
+    # limit and dropped the whole stage to interpreted mode (measured
+    # ~10x slower); the lookup + a 4-branch edge resolve stays tiny
+    edge_code = {"B": 0, "R": 1, "T": 2, "L": 3}
+
+    def seg_entry(a: str, b: str):
         return F.struct(
-            F.when(swap, bx_).otherwise(ax).alias("ax_q"),
-            F.when(swap, by_).otherwise(ay).alias("ay_q"),
-            F.when(swap, ax).otherwise(bx_).alias("bx_q"),
-            F.when(swap, ay).otherwise(by_).alias("by_q"),
+            F.lit(edge_code[a]).alias("ea"), F.lit(edge_code[b]).alias("eb")
         )
 
-    def segs_array(pairs):
+    def case_entry(pairs):
         if not pairs:
-            return F.array().cast(
-                "array<struct<ax_q:bigint,ay_q:bigint,bx_q:bigint,by_q:bigint>>"
-            )
-        return F.array(*[seg_struct(a, b) for a, b in pairs])
+            return F.array().cast("array<struct<ea:int,eb:int>>")
+        return F.array(*[seg_entry(a, b) for a, b in pairs])
 
-    segs = None
-    for case in range(16):
-        if case in (5, 10):
-            arr = F.when(center_above, segs_array(_SADDLE[(case, True)])).otherwise(
-                segs_array(_SADDLE[(case, False)])
+    table = F.array(
+        *[
+            case_entry(
+                _SADDLE[(case, above)] if case in (5, 10) else _CASE_SEGS[case]
             )
-        else:
-            arr = segs_array(_CASE_SEGS[case])
-        segs = F.when(idx == case, arr) if segs is None else segs.when(idx == case, arr)
+            for above in (False, True)
+            for case in range(16)
+        ]
+    )
+    lookup = idx + F.when(center_above, 16).otherwise(0) + 1
 
-    return (
+    def resolve(which, edge):
+        out = None
+        for name, code in edge_code.items():
+            c = F.col(f"e{which}_{name}")
+            out = F.when(edge == code, c) if out is None else out.when(edge == code, c)
+        return out
+
+    exploded = (
         blocks.withColumn("case_idx", idx)
-        .withColumn("segs", segs)
+        .withColumn("segs", F.element_at(table, lookup.cast("int")))
         .select(
             F.col("bx").alias("xb"),
             F.col("by").alias("yb"),
             "case_idx",
+            *[F.col(c) for c in blocks.columns if c.startswith(("ex_", "ey_"))],
             F.posexplode("segs").alias("seg_no", "s"),
         )
-        .select(
-            "xb",
-            "yb",
-            "case_idx",
-            "seg_no",
-            F.col("s.ax_q").alias("ax_q"),
-            F.col("s.ay_q").alias("ay_q"),
-            F.col("s.bx_q").alias("bx_q"),
-            F.col("s.by_q").alias("by_q"),
-        )
+        .withColumn("_ax", resolve("x", F.col("s.ea")))
+        .withColumn("_ay", resolve("y", F.col("s.ea")))
+        .withColumn("_bx", resolve("x", F.col("s.eb")))
+        .withColumn("_by", resolve("y", F.col("s.eb")))
+    )
+    swap = (F.col("_ax") > F.col("_bx")) | (
+        (F.col("_ax") == F.col("_bx")) & (F.col("_ay") > F.col("_by"))
+    )
+    return exploded.select(
+        "xb",
+        "yb",
+        "case_idx",
+        "seg_no",
+        F.when(swap, F.col("_bx")).otherwise(F.col("_ax")).alias("ax_q"),
+        F.when(swap, F.col("_by")).otherwise(F.col("_ay")).alias("ay_q"),
+        F.when(swap, F.col("_ax")).otherwise(F.col("_bx")).alias("bx_q"),
+        F.when(swap, F.col("_ay")).otherwise(F.col("_by")).alias("by_q"),
     )
 
 
@@ -316,8 +329,10 @@ def contour_polylines(segments: DataFrame) -> DataFrame:
         if c not in segments.columns:
             raise ValueError("segments must be marching_squares output")
 
+    from geowave_spark.operators._packing import pack_xy
+
     def pack(x: str, y: str):
-        return (F.col(x) + _V_OFF) * _V_SPAN + (F.col(y) + _V_OFF)
+        return pack_xy(F.col(x), F.col(y))
 
     segs = segments.select(
         pack("ax_q", "ay_q").alias("va"),
@@ -361,11 +376,13 @@ def contour_polylines_sql(points_path: str, cell_deg: float, theta: float = 2.5)
     """DuckDB twin: the :func:`marching_squares_sql` gather plan feeds a
     WITH RECURSIVE transitive-closure min-label (independent of the
     star-rounds algorithm), same vertex packing and length quantization."""
+    from geowave_spark.operators._packing import pack_xy_sql
+
     inner = marching_squares_sql(points_path, cell_deg, theta)
     return f"""
         WITH RECURSIVE segs AS (
-          SELECT (ax_q + {_V_OFF}) * {_V_SPAN}::BIGINT + (ay_q + {_V_OFF}) AS va,
-                 (bx_q + {_V_OFF}) * {_V_SPAN}::BIGINT + (by_q + {_V_OFF}) AS vb,
+          SELECT {pack_xy_sql("ax_q", "ay_q")} AS va,
+                 {pack_xy_sql("bx_q", "by_q")} AS vb,
                  CAST(floor(sqrt((ax_q - bx_q) * (ax_q - bx_q)
                                 + (ay_q - by_q) * (ay_q - by_q))) AS BIGINT)
                    AS len_micro

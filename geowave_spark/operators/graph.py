@@ -38,8 +38,6 @@ from pyspark.sql import functions as F
 __all__ = ["track_graph", "sssp_bounded", "track_graph_sql", "sssp_bounded_sql"]
 
 _M = 1_000_000
-_OFF = 1 << 29
-_SPAN = 1 << 30
 
 
 def track_graph(tracks: DataFrame, snap_deg: float = 0.05) -> DataFrame:
@@ -58,8 +56,10 @@ def track_graph(tracks: DataFrame, snap_deg: float = 0.05) -> DataFrame:
     cy1 = F.floor(F.col("y1") / c).cast("long")
     cx2 = F.floor(F.col("x2") / c).cast("long")
     cy2 = F.floor(F.col("y2") / c).cast("long")
-    p1 = (cx1 + _OFF) * _SPAN + (cy1 + _OFF)
-    p2 = (cx2 + _OFF) * _SPAN + (cy2 + _OFF)
+    from geowave_spark.operators._packing import pack_xy
+
+    p1 = pack_xy(cx1, cy1)
+    p2 = pack_xy(cx2, cy2)
     dx = (cx1 - cx2).cast("double")
     dy = (cy1 - cy2).cast("double")
     w = F.floor(F.sqrt(dx * dx + dy * dy) * c * _M).cast("long")
@@ -139,6 +139,8 @@ def track_graph_sql(tracks_path: str, snap_deg: float = 0.05) -> str:
     """DuckDB twin of :func:`track_graph` over the raw LINESTRING WKT:
     regex-split vertex parse (the established tracks-oracle idiom), same
     snapping, packing, weighting and parallel-edge min."""
+    from geowave_spark.operators._packing import pack_xy_sql
+
     c = float(snap_deg)
     # the movement family's shared WKT vertex idiom (mapmatch oracle)
     verts = (
@@ -154,8 +156,8 @@ def track_graph_sql(tracks_path: str, snap_deg: float = 0.05) -> str:
                                 + CAST(cy1 - cy2 AS DOUBLE) * (cy1 - cy2))
                             * {c!r} * {_M}) AS BIGINT) AS w_micro
           FROM (
-            SELECT (cx1 + {_OFF}) * {_SPAN}::BIGINT + (cy1 + {_OFF}) AS p1,
-                   (cx2 + {_OFF}) * {_SPAN}::BIGINT + (cy2 + {_OFF}) AS p2,
+            SELECT {pack_xy_sql("cx1", "cy1")} AS p1,
+                   {pack_xy_sql("cx2", "cy2")} AS p2,
                    cx1, cy1, cx2, cy2
             FROM (
               SELECT CAST(floor(vs[i].x / {c!r}) AS BIGINT) AS cx1,

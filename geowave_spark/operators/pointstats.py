@@ -10,8 +10,12 @@ shapes that survive 10^12 points:
 
 - **std_ellipse**: one pass of integer-exact moment sums.  Coordinates
   quantize to micro-degrees per row (the track_stats/IDW discipline), the
-  five moment sums run as DECIMAL(38,0) so a 10^12-row sum of squares
-  cannot overflow, centering happens in the exact A-form
+  five moment sums run as DECIMAL(38,0) (a 10^12-row sum of squares fits
+  with ~5 digits to spare); the A-form products n*S_ab cap the exact
+  envelope at n ~ 5e10 worst-case rows (every point at |lon| = 180) —
+  beyond that Spark's decimal multiply overflows to NULL and DuckDB's
+  HUGEINT raises, so a larger corpus should pre-center coordinates (or
+  aggregate per region first), centering happens in the exact A-form
   (A_xx = n*Sxx - Sx^2 = n^2 * sum((x - xbar)^2)), and the eigen
   decomposition of the 2x2 scatter matrix is ONE pinned float expression
   over those exact integers — theta = atan2/2 (no division-by-zero
@@ -50,7 +54,9 @@ def std_ellipse(
     (n, mean_x_micro, mean_y_micro, sigma_major_micro, sigma_minor_micro,
     theta_microrad) — mean center, principal-axis standard deviations and
     the major-axis angle from +x in (-pi/2, pi/2], all floor-quantized to
-    micro units (micro-degrees / micro-radians)."""
+    micro units (micro-degrees / micro-radians).  Exact up to ~5e10 rows
+    at worst-case coordinates (see the module docstring's A-form envelope
+    note)."""
     xu = F.floor(F.col(lon_col) * _M).cast("decimal(38,0)")
     yu = F.floor(F.col(lat_col) * _M).cast("decimal(38,0)")
     sums = points.agg(

@@ -26,11 +26,6 @@ from pyspark.sql import functions as F
 
 __all__ = ["region_label", "region_label_sql"]
 
-# cell packing shared convention with contour polyline assembly:
-# v = (xb + OFF) * SPAN + (yb + OFF); OFF covers |coord| < 2^29
-_OFF = 1 << 29
-_SPAN = 1 << 30
-
 _OFFSETS_4 = ((1, 0), (-1, 0), (0, 1), (0, -1))
 _OFFSETS_8 = _OFFSETS_4 + ((1, 1), (1, -1), (-1, 1), (-1, -1))
 
@@ -46,7 +41,9 @@ def region_label(cells: DataFrame, connectivity: int = 4) -> DataFrame:
         raise ValueError("connectivity must be 4 or 8")
     offsets = _OFFSETS_4 if connectivity == 4 else _OFFSETS_8
 
-    packed = (F.col("xb") + _OFF) * _SPAN + (F.col("yb") + _OFF)
+    from geowave_spark.operators._packing import pack_xy
+
+    packed = pack_xy(F.col("xb"), F.col("yb"))
     base = cells.select(
         "xb", "yb", F.col("x").alias("n_points"), packed.alias("v")
     ).localCheckpoint()
@@ -84,6 +81,8 @@ def region_label_sql(points_table: str, cell_deg: float, connectivity: int = 4) 
     bins (the `cell_counts` convention), then WITH RECURSIVE
     transitive-closure min-label over the same neighborhood — an
     independent components algorithm."""
+    from geowave_spark.operators._packing import pack_xy_sql
+
     if connectivity not in (4, 8):
         raise ValueError("connectivity must be 4 or 8")
     offsets = _OFFSETS_4 if connectivity == 4 else _OFFSETS_8
@@ -96,8 +95,7 @@ def region_label_sql(points_table: str, cell_deg: float, connectivity: int = 4) 
                  COUNT(*) AS n_points
           FROM {points_table} GROUP BY 1, 2),
         keyed AS (
-          SELECT xb, yb, n_points,
-                 (xb + {_OFF}) * {_SPAN}::BIGINT + (yb + {_OFF}) AS v
+          SELECT xb, yb, n_points, {pack_xy_sql("xb", "yb")} AS v
           FROM cells),
         edges AS (
           SELECT a.v AS u, b.v

@@ -27,11 +27,15 @@ Integer scheme: with k1 = 1.2 = 6/5 and b = 0.75 = 3/4,
     tf_term = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
             = 22*tf*1e6 / (10e6*tf + 3e6 + 9*rel)          (exact)
 
-where rel = floor(dl * N * 1e6 / sum_dl) is dl/avgdl in micro units.
-idf_micro = floor(ln(1 + (N - df + 0.5)/(df + 0.5)) * 1e6) — always
-positive (the BM25+ form).  contrib = (idf_micro * 22 * tf * 1e6) DIV den
-with tf saturated at 10^4 (the tf term is within 0.3% of its k1+1
-asymptote long before that; the cap keeps the widest product under 2^63).
+where rel = floor(dl * N * 1e6 / sum_dl) is dl/avgdl in micro units —
+computed in DECIMAL(38,0)/HUGEINT because the intermediate dl*N*1e6
+exceeds int64 once dl*N > ~9.2e12 (any real corpus at the claimed
+scale); the quotient itself fits a long for any dl within 9e12x the
+average.  idf_micro = floor(ln(1 + (N - df + 0.5)/(df + 0.5)) * 1e6) —
+always positive (the BM25+ form).  contrib = (idf_micro * 22 * tf * 1e6)
+DIV den with tf saturated at 10^4 (the tf term is within 0.3% of its
+k1+1 asymptote long before that; the cap keeps contrib's widest product
+under 2^63).
 """
 
 from __future__ import annotations
@@ -85,8 +89,13 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
             ).cast("long"),
         )
         .withColumn(
+            # decimal intermediate: dl * n_docs * 1e6 overflows int64 at
+            # real corpus scale; the quotient is long-sized
             "rel",
-            F.expr(f"dl * n_docs * {_M}L DIV sum_dl"),
+            F.expr(
+                f"CAST(CAST(dl AS DECIMAL(38,0)) * n_docs * {_M}"
+                f" DIV sum_dl AS BIGINT)"
+            ),
         )
         .withColumn(
             "contrib",
@@ -134,7 +143,8 @@ def bm25_topk_sql(docs_table: str, terms: list[str], k: int = 10) -> str:
                             * {_M}) AS BIGINT)
                  * 22 * h.tf * {_M}
                  // (10 * {_M} * h.tf + 3 * {_M}
-                     + 9 * (h.dl * s.n_docs * {_M} // s.sum_dl)) AS contrib
+                     + 9 * CAST(CAST(h.dl AS HUGEINT) * s.n_docs * {_M}
+                            // s.sum_dl AS BIGINT)) AS contrib
           FROM hits h JOIN dfs f USING (term) CROSS JOIN stats s)
         SELECT doc_id, COUNT(*) AS n_terms_hit,
                SUM(contrib) AS score_micro

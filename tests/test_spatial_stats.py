@@ -1248,7 +1248,7 @@ class TestTrackGraphSssp:
             "LINESTRING (5.5 5.5, 5.5 6.5, 5.5 7.5)",
         ]
         g = track_graph(self._tracks(spark, wkts), snap_deg=1.0)
-        out = sssp_bounded(g, source=(3 + (1 << 29)) * (1 << 30) + (5 + (1 << 29)),
+        out = sssp_bounded(g, source=(3 + (1 << 30)) * (1 << 31) + (5 + (1 << 30)),
                            hops=8).collect()
         # all 5 distinct cells reachable from the far end of track 1
         assert len(out) == 5
@@ -1259,7 +1259,7 @@ class TestTrackGraphSssp:
 
         wkt = "LINESTRING (0.5 0.5, 1.5 0.5, 2.5 0.5, 3.5 0.5, 4.5 0.5)"
         g = track_graph(self._tracks(spark, [wkt]), snap_deg=1.0)
-        src = (0 + (1 << 29)) * (1 << 30) + (0 + (1 << 29))
+        src = (0 + (1 << 30)) * (1 << 31) + (0 + (1 << 30))
         out = sssp_bounded(g, source=src, hops=2).collect()
         assert len(out) == 3  # source + 2 hops along the path
 
