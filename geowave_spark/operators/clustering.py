@@ -307,6 +307,7 @@ def dbscan(
     lat_col: str = "lat",
     cfg: SpatialConfig = DEFAULT_CONFIG,
     max_rounds: int = 30,
+    checkpointer=None,
 ) -> DataFrame:
     """DBSCAN via cell-bucketed edges + min-label propagation.
 
@@ -316,17 +317,28 @@ def dbscan(
     border points attach to their minimum core neighbor's final label.
     """
     edges = _eps_edges(points, eps, id_col, lon_col, lat_col, cfg)
-    return _cluster_from_edges(edges, min_pts, id_col, max_rounds)
+    return _cluster_from_edges(
+        edges, min_pts, id_col, max_rounds, checkpointer=checkpointer
+    )
 
 
 def _cluster_from_edges(
-    edges: DataFrame, min_pts: int, id_col: str, max_rounds: int = 30
+    edges: DataFrame,
+    min_pts: int,
+    id_col: str,
+    max_rounds: int = 30,
+    checkpointer=None,
 ) -> DataFrame:
     """Density clustering over symmetric directed neighbor edges (a, b):
     the shared core of :func:`dbscan` (spatial eps) and :func:`st_dbscan`
     (spatial + temporal eps) — degree-thresholded cores, min-label
     propagation with pointer jumping over core-core edges, border points
-    attached to their minimum core neighbor."""
+    attached to their minimum core neighbor.
+
+    ``checkpointer`` (a ``plans.lineage.RoundCheckpointer``) lands the
+    core-core edge set as durable static state and each propagation
+    round's labels as durable round state, so a killed run resumes at the
+    last committed round."""
     edges = edges.cache()
     deg = edges.groupBy("a").agg(F.count("*").alias("_deg"))
     core = deg.filter(F.col("_deg") >= min_pts - 1).select(F.col("a").alias("id"))
@@ -336,12 +348,29 @@ def _cluster_from_edges(
         edges.join(core.withColumnRenamed("id", "a"), "a")
         .join(core.withColumnRenamed("id", "b"), "b")
         .select("a", "b")
-        .cache()
     )
 
     labels = core.withColumn("label", F.col("id"))
     converged = False
-    for _ in range(max_rounds):
+    start_round = 0
+    if checkpointer is not None:
+        static = checkpointer.load_static("cc_edges")
+        if static is not None:
+            cc_edges = static[0]
+        else:
+            cc_edges, _ = checkpointer.save_static("cc_edges", cc_edges)
+        resumed = checkpointer.resume()
+        if resumed is not None:
+            rno, dfs, extras = resumed
+            labels = dfs["labels"]
+            start_round = rno + 1
+            if extras.get("done"):
+                converged = True
+    else:
+        cc_edges = cc_edges.cache()
+    for rnd in range(start_round, max_rounds):
+        if converged:
+            break
         # one propagation round: every core takes min(own, neighbors' labels)
         neigh = (
             cc_edges.join(labels.withColumnRenamed("id", "b"), "b")
@@ -366,16 +395,39 @@ def _cluster_from_edges(
                     "label"
                 ),
             )
-        ).localCheckpoint()  # truncate the iterative lineage each round
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
-            .filter(F.col("label") != F.col("old"))
-            .take(1)
         )
-        labels = new_labels
-        if not changed:
-            converged = True
-            break
+        if checkpointer is not None:
+            old = labels.withColumnRenamed("label", "old")
+            seen: dict = {}
+
+            def _extras(dfs: dict) -> dict:
+                ch = (
+                    dfs["labels"]
+                    .join(old, "id")
+                    .filter(F.col("label") != F.col("old"))
+                    .take(1)
+                )
+                seen["changed"] = bool(ch)
+                return {"done": not ch}
+
+            labels = checkpointer.save_round(
+                rnd, {"labels": new_labels}, extras_fn=_extras
+            )["labels"]
+            if not seen["changed"]:
+                converged = True
+                break
+        else:
+            # truncate the iterative lineage each round
+            new_labels = new_labels.localCheckpoint()
+            changed = (
+                new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+                .filter(F.col("label") != F.col("old"))
+                .take(1)
+            )
+            labels = new_labels
+            if not changed:
+                converged = True
+                break
     if not converged:
         raise RuntimeError(
             f"dbscan label propagation did not converge within {max_rounds} rounds; "
@@ -475,6 +527,7 @@ def st_dbscan(
     lat_col: str = "lat",
     ts_col: str = "event_ts",
     max_rounds: int = 30,
+    checkpointer=None,
 ) -> DataFrame:
     """ST-DBSCAN (Birant & Kut, Data & Knowledge Engineering 2007):
     density clustering where a neighbor must be within ``eps_s`` degrees
@@ -495,4 +548,6 @@ def st_dbscan(
     if eps_s <= 0 or eps_t_s <= 0:
         raise ValueError("eps_s and eps_t_s must be positive")
     edges = _st_edges(points, eps_s, eps_t_s, id_col, lon_col, lat_col, ts_col)
-    return _cluster_from_edges(edges, min_pts, id_col, max_rounds)
+    return _cluster_from_edges(
+        edges, min_pts, id_col, max_rounds, checkpointer=checkpointer
+    )

@@ -304,7 +304,7 @@ def marching_squares_sql(points_path: str, cell_deg: float, theta: float = 2.5) 
         FROM segged
     """
 
-def contour_polylines(segments: DataFrame) -> DataFrame:
+def contour_polylines(segments: DataFrame, checkpointer=None) -> DataFrame:
     """Assemble marching-squares segments into iso-line components.
 
     ``segments`` is :func:`marching_squares` output (quantized endpoint
@@ -345,7 +345,9 @@ def contour_polylines(segments: DataFrame) -> DataFrame:
         ).cast("long").alias("len_micro"),
     ).localCheckpoint()
 
-    labels = connected_components(segs.select("va", "vb"))
+    labels = connected_components(
+        segs.select("va", "vb"), checkpointer=checkpointer
+    )
     seg_lab = segs.join(
         labels.withColumnRenamed("u", "va").withColumnRenamed("label", "component"),
         "va",

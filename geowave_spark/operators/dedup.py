@@ -294,7 +294,7 @@ def contamination_pairs(
 
 
 def connected_components(
-    edges: DataFrame, max_rounds: int = 50
+    edges: DataFrame, max_rounds: int = 50, checkpointer=None
 ) -> DataFrame:
     """Connected components over an undirected edge list ``(u, v)`` via
     alternating large-star / small-star rounds (Kiveris et al., "Connected
@@ -311,6 +311,12 @@ def connected_components(
     the driver but a per-round convergence scalar, and each round's edge
     set is localCheckpoint-ed so the iterative plan never grows.
 
+    ``checkpointer`` (a ``plans.lineage.RoundCheckpointer``) swaps the
+    executor-local ``localCheckpoint`` for durable per-round parquet state:
+    a killed run re-invoked with the same checkpointer config resumes from
+    the last committed round instead of round 0 (the reference durably
+    chains every analytic iteration — `MapReduceJobController.java`).
+
     Invariant carried between rounds: every edge is oriented (hi, lo) with
     ``lo < hi`` — large-star emits (v, min) with v > u >= min, small-star
     emits (x, min) with x > min — so the star-forest fixpoint IS the
@@ -321,10 +327,25 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint()
     )
     prev_sig = None
-    for _ in range(max_rounds):
+    start_round = 0
+    if checkpointer is not None:
+        resumed = checkpointer.resume()
+        if resumed is not None:
+            rno, dfs, extras = resumed
+            e = dfs["edges"]
+            if extras.get("converged"):
+                return _cc_labels(e)
+            ps = extras.get("sig")
+            prev_sig = tuple(ps) if ps else None
+            start_round = rno + 1
+        else:
+            e = checkpointer.save_round(-1, {"edges": e})["edges"]
+            start_round = 0
+    else:
+        e = e.localCheckpoint()
+    for rnd in range(start_round, max_rounds):
         # large-star over the symmetric closure: for each u, attach every
         # strictly larger neighbor to m = min(u, Γ(u))
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -349,16 +370,39 @@ def connected_components(
             .filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        new_e = own.union(rest).distinct().localCheckpoint()
+        new_e = own.union(rest).distinct()
         # bit_xor, not sum: the edge set is distinct so xor is a sound set
         # signature, and it cannot overflow under ANSI mode
-        sig = new_e.agg(
+        _sig_agg = lambda df: df.agg(  # noqa: E731
             F.count("*").alias("n"), F.expr("bit_xor(xxhash64(u, v))").alias("h")
         ).first()
+        if checkpointer is not None:
+            seen: dict = {}
+
+            def _extras(dfs: dict) -> dict:
+                s = _sig_agg(dfs["edges"])
+                seen["sig"] = (s["n"], s["h"])
+                return {
+                    "sig": list(seen["sig"]),
+                    "converged": s["n"] == 0 or prev_sig == seen["sig"],
+                }
+
+            new_e = checkpointer.save_round(
+                rnd, {"edges": new_e}, extras_fn=_extras
+            )["edges"]
+            sig = seen["sig"]
+        else:
+            new_e = new_e.localCheckpoint()
+            s = _sig_agg(new_e)
+            sig = (s["n"], s["h"])
         e = new_e
-        if sig["n"] == 0 or prev_sig == (sig["n"], sig["h"]):
+        if sig[0] == 0 or prev_sig == sig:
             break
-        prev_sig = (sig["n"], sig["h"])
+        prev_sig = sig
+    return _cc_labels(e)
+
+
+def _cc_labels(e: DataFrame) -> DataFrame:
     # at the fixpoint every edge is (member, root); roots label themselves
     roots = e.select(F.col("v").alias("u"), F.col("v").alias("label")).distinct()
     return e.select(F.col("u"), F.col("v").alias("label")).union(roots)
@@ -370,6 +414,7 @@ def dup_clusters(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    checkpointer=None,
 ) -> DataFrame:
     """Transitive near-duplicate clusters over the WHOLE corpus:
     ``(doc_id, cluster_id, cluster_size)`` for every document, where
@@ -385,7 +430,9 @@ def dup_clusters(
     """
     if pairs is None:
         pairs = minhash_lsh_pairs(docs, text_col, id_col, threshold)
-    labels = connected_components(pairs.select("id_a", "id_b"))
+    labels = connected_components(
+        pairs.select("id_a", "id_b"), checkpointer=checkpointer
+    )
     out = (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(labels.withColumnRenamed("u", "doc_id"), "doc_id", "left")

@@ -75,40 +75,77 @@ def track_graph(tracks: DataFrame, snap_deg: float = 0.05) -> DataFrame:
     )
 
 
-def sssp_bounded(edges: DataFrame, source: int | None = None, hops: int = 6) -> DataFrame:
+def _hub_source(sym: DataFrame) -> int | None:
+    """Deterministic default source: highest degree, ties to smallest id."""
+    row = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.desc("deg"), F.asc("u"))
+        .first()
+    )
+    return None if row is None else int(row["u"])
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    source: int | None = None,
+    hops: int = 6,
+    checkpointer=None,
+) -> DataFrame:
     """H-hop shortest distances from ``source`` (default: the highest-
     degree vertex, ties to the smallest id — a deterministic hub) over
     undirected (u, v, w_micro) edges.  Returns (vertex, dist_micro) for
-    every vertex reachable within ``hops``."""
+    every vertex reachable within ``hops``.
+
+    ``checkpointer`` (a ``plans.lineage.RoundCheckpointer``) makes every
+    relaxation round durable: the symmetric edge table lands once as static
+    state, (dist, frontier) land per round, and a killed run re-invoked
+    with the same config resumes from the last committed hop."""
     if hops < 1:
         raise ValueError("hops must be >= 1")
-    sym = (
-        edges.select("u", "v", "w_micro")
-        .union(
-            edges.select(
-                F.col("v").alias("u"), F.col("u").alias("v"), "w_micro"
-            )
-        )
-        .localCheckpoint()
+    sym = edges.select("u", "v", "w_micro").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "w_micro")
     )
+    start_hop = 0
+    dist = frontier = None
+    if checkpointer is not None:
+        static = checkpointer.load_static("sym")
+        if static is not None:
+            sym, s_extras = static
+            source = int(s_extras["source"]) if s_extras.get("source") is not None else None
+        else:
+            if source is None:
+                source = _hub_source(sym)
+                if source is None:
+                    return sym.select(
+                        F.col("u").alias("vertex"),
+                        F.col("w_micro").alias("dist_micro"),
+                    ).limit(0)
+            sym, _ = checkpointer.save_static(
+                "sym", sym, extras={"source": int(source)}
+            )
+        resumed = checkpointer.resume()
+        if resumed is not None:
+            rno, dfs, extras = resumed
+            if extras.get("done") or rno + 1 >= int(hops):
+                return dfs["dist"]
+            dist, frontier = dfs["dist"], dfs["frontier"]
+            start_hop = rno + 1
+    else:
+        sym = sym.localCheckpoint()
     if source is None:
-        row = (
-            sym.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .orderBy(F.desc("deg"), F.asc("u"))
-            .first()
-        )
-        if row is None:
+        source = _hub_source(sym)
+        if source is None:
             return sym.select(
                 F.col("u").alias("vertex"), F.col("w_micro").alias("dist_micro")
             ).limit(0)
-        source = row["u"]
 
-    dist = sym.sparkSession.createDataFrame(
-        [(int(source), 0)], "vertex bigint, dist_micro bigint"
-    ).localCheckpoint()
-    frontier = dist
-    for _ in range(int(hops)):
+    if dist is None:
+        dist = sym.sparkSession.createDataFrame(
+            [(int(source), 0)], "vertex bigint, dist_micro bigint"
+        ).localCheckpoint()
+        frontier = dist
+    for rnd in range(start_hop, int(hops)):
         relaxed = (
             frontier.join(sym, frontier.vertex == sym.u)
             .select(
@@ -120,16 +157,46 @@ def sssp_bounded(edges: DataFrame, source: int | None = None, hops: int = 6) -> 
             dist.unionByName(relaxed)
             .groupBy("vertex")
             .agg(F.min("dist_micro").alias("dist_micro"))
-            .localCheckpoint()
         )
         # delta frontier: only vertices whose distance changed this round
         # propagate next round — settled subgraphs cost nothing
-        frontier = new_dist.join(
-            dist.withColumnRenamed("dist_micro", "_old"), "vertex", "left"
-        ).filter(
-            F.col("_old").isNull() | (F.col("dist_micro") < F.col("_old"))
-        ).select("vertex", "dist_micro").localCheckpoint()
-        dist = new_dist
+        if checkpointer is not None:
+            old_dist = dist.withColumnRenamed("dist_micro", "_old")
+            saved = checkpointer.save_round(
+                rnd,
+                {
+                    "dist": new_dist,
+                    # built from the MATERIALIZED dist read-back so the
+                    # round's groupBy runs once, not twice
+                    "frontier": lambda rb: rb["dist"]
+                    .join(old_dist, "vertex", "left")
+                    .filter(
+                        F.col("_old").isNull()
+                        | (F.col("dist_micro") < F.col("_old"))
+                    )
+                    .select("vertex", "dist_micro"),
+                },
+                extras_fn=lambda dfs: {
+                    "done": dfs["frontier"].limit(1).count() == 0
+                },
+            )
+            dist, frontier = saved["dist"], saved["frontier"]
+        else:
+            new_dist = new_dist.localCheckpoint()
+            frontier = (
+                new_dist.join(
+                    dist.withColumnRenamed("dist_micro", "_old"),
+                    "vertex",
+                    "left",
+                )
+                .filter(
+                    F.col("_old").isNull()
+                    | (F.col("dist_micro") < F.col("_old"))
+                )
+                .select("vertex", "dist_micro")
+                .localCheckpoint()
+            )
+            dist = new_dist
         if frontier.limit(1).count() == 0:
             break
     return dist

@@ -57,10 +57,16 @@ def adaptive_quadtree(
     max_tier: int = 12,
     lon_col: str = "lon",
     lat_col: str = "lat",
+    checkpointer=None,
 ) -> DataFrame:
     """Leaf cells of the adaptive quadtree: (tier, xb, yb, n_points),
     where every leaf holds <= ``max_per_cell`` points unless it sits at
-    ``max_tier`` (depth-capped leaves keep their full count)."""
+    ``max_tier`` (depth-capped leaves keep their full count).
+
+    ``checkpointer`` (a ``plans.lineage.RoundCheckpointer``) makes each
+    tier's (active frontier, accumulated leaves) durable so a killed run
+    resumes at the last committed tier instead of re-splitting from
+    ``min_tier``."""
     if max_per_cell <= 0:
         raise ValueError("max_per_cell must be positive")
     if not (0 <= min_tier <= max_tier <= 28):
@@ -73,39 +79,64 @@ def adaptive_quadtree(
         F.col(lat_col).alias("_lat"),
         _xb(lon_col, min_tier).alias("xb"),
         _yb(lat_col, min_tier).alias("yb"),
-    ).localCheckpoint()
-    leaves: list[DataFrame] = []
-    for tier in range(min_tier, max_tier + 1):
+    )
+    if checkpointer is None:
+        active = active.localCheckpoint()
+    leaves_df: DataFrame | None = None
+    start_tier = min_tier
+    if checkpointer is not None:
+        resumed = checkpointer.resume()
+        if resumed is not None:
+            rno, dfs, extras = resumed
+            leaves_df = dfs["leaves"]
+            if extras.get("done"):
+                return leaves_df.select("tier", "xb", "yb", "n_points")
+            active = dfs["active"]
+            start_tier = rno + 1
+
+    def _acc(base: DataFrame | None, more: DataFrame) -> DataFrame:
+        return more if base is None else base.unionByName(more)
+
+    for tier in range(start_tier, max_tier + 1):
         counts = active.groupBy("xb", "yb").agg(
             F.count("*").alias("n_points")
         )
         if tier == max_tier:
-            leaves.append(counts.withColumn("tier", F.lit(tier)))
+            leaves_df = _acc(leaves_df, counts.withColumn("tier", F.lit(tier)))
+            if checkpointer is not None:
+                leaves_df = checkpointer.save_round(
+                    tier,
+                    {"active": active.limit(0), "leaves": leaves_df},
+                    extras={"done": True},
+                )["leaves"]
             break
         done = counts.filter(F.col("n_points") <= max_per_cell)
-        leaves.append(
-            done.withColumn("tier", F.lit(tier)).localCheckpoint()
-        )
+        new_leaves = done.withColumn("tier", F.lit(tier))
         over = counts.filter(F.col("n_points") > max_per_cell).select("xb", "yb")
         # one tier finer for the points under oversized cells only: the
         # inner join on the current cell key keeps the frontier shrinking
         # (|over| <= n/cap, so Spark broadcasts it once it's small)
-        active = (
-            active.join(over, ["xb", "yb"])
-            .select(
-                "_lon",
-                "_lat",
-                _xb("_lon", tier + 1).alias("xb"),
-                _yb("_lat", tier + 1).alias("yb"),
-            )
-            .localCheckpoint()
+        new_active = active.join(over, ["xb", "yb"]).select(
+            "_lon",
+            "_lat",
+            _xb("_lon", tier + 1).alias("xb"),
+            _yb("_lat", tier + 1).alias("yb"),
         )
+        if checkpointer is not None:
+            saved = checkpointer.save_round(
+                tier,
+                {"active": new_active, "leaves": _acc(leaves_df, new_leaves)},
+                extras_fn=lambda dfs: {
+                    "done": dfs["active"].limit(1).count() == 0
+                },
+            )
+            active, leaves_df = saved["active"], saved["leaves"]
+        else:
+            leaves_df = _acc(leaves_df, new_leaves.localCheckpoint())
+            active = new_active.localCheckpoint()
         if active.limit(1).count() == 0:
             break
-    out = leaves[0]
-    for df in leaves[1:]:
-        out = out.unionByName(df)
-    return out.select("tier", "xb", "yb", "n_points")
+    return leaves_df.select("tier", "xb", "yb", "n_points")
 
 
 def _xb_sql(lon_col: str, tier: int) -> str:

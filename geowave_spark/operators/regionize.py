@@ -30,7 +30,9 @@ _OFFSETS_4 = ((1, 0), (-1, 0), (0, 1), (0, -1))
 _OFFSETS_8 = _OFFSETS_4 + ((1, 1), (1, -1), (-1, 1), (-1, -1))
 
 
-def region_label(cells: DataFrame, connectivity: int = 4) -> DataFrame:
+def region_label(
+    cells: DataFrame, connectivity: int = 4, checkpointer=None
+) -> DataFrame:
     """Label connected components of the (xb, yb, x) occupied-cell grid.
 
     Returns (region, n_cells, n_points, min_xb, max_xb, min_yb, max_yb)
@@ -62,7 +64,7 @@ def region_label(cells: DataFrame, connectivity: int = 4) -> DataFrame:
     edges = base.select("xb", "yb", "v").join(probed, ["xb", "yb"]).select(
         F.col("v_from").alias("u"), F.col("v")
     )
-    labels = connected_components(edges)
+    labels = connected_components(edges, checkpointer=checkpointer)
     labeled = base.join(
         labels.withColumnRenamed("u", "v"), "v", "left"
     ).withColumn("region", F.coalesce(F.col("label"), F.col("v")))
