@@ -383,6 +383,54 @@ def ensure_coverages(sf: str, root: Path | None = None) -> Path:
     return out
 
 
+def ensure_geotiffs(sf: str, root: Path | None = None) -> Path:
+    """Generate (once) the GeoTIFF binary fixture: the SAME coverages as
+    :func:`ensure_coverages`, each round-tripped through a real
+    georeferenced single-band TIFF encoding (functions/geotiff.py) with a
+    deterministic rotation of compression (none/PackBits/LZW/Deflate ±
+    predictor), georeferencing encoding (Tiepoint+PixelScale vs
+    ModelTransformation) and byte order — so the GeoTIFF ingest path can be
+    pinned byte-identical against the parquet source."""
+    from geowave_spark.functions.geotiff import geotiff_bytes
+
+    out = ensure_coverages(sf, root)
+    f = out / "geotiffs.parquet"
+    if not f.exists():
+        cov = pq.read_table(out / "coverages.parquet")
+        rows = cov.to_pylist()
+        comps = [
+            ("none", False),
+            ("packbits", False),
+            ("lzw", False),
+            ("deflate", False),
+            ("lzw", True),
+            ("deflate", True),
+        ]
+        ids, blobs = [], []
+        for i, r in enumerate(rows):
+            grid = (
+                np.asarray(r["pixels"], dtype=np.int16)
+                .reshape(r["height"], r["width"])[::-1]  # row 0: south -> north
+            )
+            comp, pred = comps[i % len(comps)]
+            blobs.append(
+                geotiff_bytes(
+                    grid,
+                    (r["minx"], r["miny"], r["maxx"], r["maxy"]),
+                    compression=comp,
+                    predictor=pred,
+                    transform_tag=(i % 3 == 0),
+                    byteorder=">" if i % 5 == 0 else "<",
+                    rows_per_strip=(8, 16, 64)[i % 3],
+                )
+            )
+            ids.append(r["coverage_id"])
+        pq.write_table(
+            pa.table({"coverage_id": ids, "media": pa.array(blobs, pa.binary())}), f
+        )
+    return out
+
+
 def ensure_geo_tables(sf: str, root: Path | None = None) -> Path:
     """Generate (once) and return the fixture dir for a scale factor."""
     root = Path(root) if root else GEO_DATA_ROOT

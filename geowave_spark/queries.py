@@ -1803,6 +1803,31 @@ def q_raster_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geotiff_ingest_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+R5: georeferenced-raster ingest — single-band GeoTIFF binaries
+    (Tiepoint+PixelScale or ModelTransformation georeferencing, GDAL nodata,
+    none/PackBits/LZW/Deflate strips ± predictor, both byte orders) decode
+    executor-side into placed coverages, then run the full tier-select /
+    chop / mosaic pipeline.  The fixture is the raster_tiling coverage set
+    round-tripped through real GeoTIFF encoding, so the oracle is the SAME
+    independent SQL re-derivation over the parquet source: matching it
+    proves the georeferencing parse placed every pixel bit-identically.
+    Mirrors `extensions/formats/geotools-raster` ingest feeding
+    `RasterDataAdapter.java:391-516`."""
+    from pathlib import Path
+
+    from geowave_spark.datagen import SCALES, ensure_geotiffs
+    from geowave_spark.operators.raster import mosaic_summary, mosaic_tiles, raster_tiles
+    from geowave_spark.sources.formats import read_geotiff_coverages
+
+    sf = Path(sf_dir).name
+    d = ensure_geotiffs(sf if sf in SCALES else "sf0.01")
+    covs = read_geotiff_coverages(spark.read.parquet(str(d / "geotiffs.parquet")))
+    return mosaic_summary(mosaic_tiles(raster_tiles(covs))).select(
+        "tier", "xb", "yb", "n_sources", "checksum", "n_nodata"
+    )
+
+
 def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3-A5 analog: per-category ingest statistics (count, bbox, range)."""
     pts = _geo(spark, sf_dir, "points")
@@ -2748,6 +2773,10 @@ def build_oracles() -> dict[str, str]:
         """,
         "raster_tiling": _raster_oracle(),
         "raster_pyramid": _raster_oracle(pyramid=True),
+        # identical oracle by design: the GeoTIFF fixture IS coverages.parquet
+        # round-tripped through real TIFF bytes, so oracle-equality proves the
+        # georeferencing parse + pixel decode placed everything bit-exactly
+        "geotiff_ingest_tiles": _raster_oracle(),
         "s2_cell_counts": _s2_oracle(),
         "hex_cell_counts": _hex_oracle(),
         "geohash_cell_counts": _geohash_oracle(),
@@ -2999,6 +3028,7 @@ ALL_QUERIES = {
     "docs_extent_query": q_docs_extent_query,
     "docs_polygon_query": q_docs_polygon_query,
     "raster_tiling": q_raster_tiling,
+    "geotiff_ingest_tiles": q_geotiff_ingest_tiles,
     "raster_pyramid": q_raster_pyramid,
     "s2_cell_counts": q_s2_cell_counts,
     "hex_cell_counts": q_hex_cell_counts,

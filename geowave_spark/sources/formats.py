@@ -409,3 +409,61 @@ def read_geojson(
             )
 
     return raw.mapInPandas(_parse, GEOJSON_SCHEMA)
+
+
+COVERAGE_SCHEMA = (
+    "coverage_id string, minx double, miny double, maxx double, maxy double, "
+    "width int, height int, pixels array<int>"
+)
+
+
+def read_geotiff_coverages(
+    raw: DataFrame, id_col: str = "coverage_id", media_col: str = "media"
+) -> DataFrame:
+    """Georeferenced-raster ingest: decode single-band GeoTIFF binaries into
+    the engine's coverage contract, envelope included, so a GeoTIFF lands on
+    the tile pyramid without hand-fed bounds.
+
+    Mirrors the reference's ``extensions/formats/geotools-raster`` ingest
+    (GeoTools reads the GeoTIFF grid-to-CRS from ModelTiepoint/PixelScale or
+    ModelTransformation and hands ``RasterDataAdapter.java:391-516`` a
+    placed coverage).  The decode runs executor-side in Arrow-batched
+    ``mapInPandas`` — at 100 TB each binary decodes where it already lives,
+    nothing funnels through the driver — and the output feeds
+    :func:`geowave_spark.operators.raster.raster_tiles` unchanged.
+
+    TIFF raster space is top-down (row 0 = north edge); the coverage
+    contract is bottom-up (row 0 = southernmost), so rows are flipped here,
+    making a parquet-coverage twin byte-identical.  Undecodable or
+    non-georeferenced payloads raise — silent drops would desync the
+    mosaic's latest-wins merge.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from geowave_spark.functions.geotiff import geotiff_decode
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "coverage_id": [], "minx": [], "miny": [], "maxx": [],
+                "maxy": [], "width": [], "height": [], "pixels": [],
+            }
+            for cid, blob in zip(pdf[id_col], pdf[media_col]):
+                grid, (minx, miny, maxx, maxy), _nodata = geotiff_decode(
+                    bytes(blob)
+                )
+                h, w = grid.shape
+                out["coverage_id"].append(cid)
+                out["minx"].append(minx)
+                out["miny"].append(miny)
+                out["maxx"].append(maxx)
+                out["maxy"].append(maxy)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pixels"].append(
+                    np.ascontiguousarray(grid[::-1]).ravel().tolist()
+                )
+            yield pd.DataFrame(out)
+
+    return raw.select(id_col, media_col).mapInPandas(_decode, COVERAGE_SCHEMA)
