@@ -431,6 +431,87 @@ def ensure_geotiffs(sf: str, root: Path | None = None) -> Path:
     return out
 
 
+def ensure_stanag4676(sf: str, root: Path | None = None) -> Path:
+    """Generate (once) the STANAG 4676 XML fixture: the SAME tracks as
+    tracks.parquet, each serialized as a NATO4676 ``TrackMessage`` with the
+    element vocabulary the reference decoder reads (trackUUID/trackNumber/
+    trackStatus, ``items`` with ``xsi:type="TrackPoint"`` carrying
+    trackItemUUID/trackItemTime/trackPointPosition/speed/course) — so the
+    4676 ingest path can be pinned byte-identical against the parquet twin.
+    Coordinate text is copied verbatim from the WKT (repr round-trip is
+    exact); per-point times interpolate start->end floored to whole
+    milliseconds (the 4676 wire format carries .SSS).  Non-point ``items``
+    (identity info), untyped items, and malformed numeric fields are
+    sprinkled deterministically to exercise the decoder's skip/null paths.
+    """
+    out = ensure_geo_tables(sf, root)
+    d = out / "stanag4676"
+    marker = d / "_MANIFEST"
+    if marker.exists():
+        return out
+    d.mkdir(parents=True, exist_ok=True)
+    tracks = pq.read_table(out / "tracks.parquet").to_pylist()
+    per_file = 20
+    for fi in range(0, len(tracks), per_file):
+        parts = [
+            '<?xml version="1.0" encoding="UTF-8"?>',
+            '<TrackMessage xmlns="urn:int:nato:stanag4676:0.14" '
+            'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">',
+            "  <stanagVersion>3.1</stanagVersion>",
+            "  <msgCreatedTime>2014-01-01T00:00:00.000Z</msgCreatedTime>",
+        ]
+        for ti, tr in enumerate(tracks[fi : fi + per_file]):
+            i = fi + ti
+            coords = tr["geom_wkt"][len("LINESTRING (") : -1].split(", ")
+            n = len(coords)
+            t0 = np.datetime64(tr["start_ts"], "us").astype("int64")
+            t1 = np.datetime64(tr["end_ts"], "us").astype("int64")
+            parts.append("  <tracks>")
+            parts.append(f"    <trackUUID>{tr['fid']}</trackUUID>")
+            parts.append(f"    <trackNumber>TN-{i:07d}</trackNumber>")
+            parts.append(
+                f"    <trackStatus>{('INITIATING', 'MAINTAINING', 'DROPPING')[i % 3]}</trackStatus>"
+            )
+            if i % 11 == 0:  # non-point item: the decoder must skip it
+                parts.append(
+                    '    <items xsi:type="TrackIdentityInformation">'
+                    "<identity>FRIEND</identity></items>"
+                )
+            for pi, c in enumerate(coords):
+                x, y = c.split(" ")
+                us = int(t0 + (t1 - t0) * pi // max(n - 1, 1))
+                iso = str(np.datetime64(us // 1000, "ms")) + "Z"
+                # every 7th track's mid items are untyped (decoder tries
+                # them as TrackPoints); others carry the explicit xsi:type
+                typed = not (i % 7 == 0 and 0 < pi < n - 1)
+                parts.append(
+                    '    <items xsi:type="TrackPoint">' if typed else "    <items>"
+                )
+                parts.append(f"      <trackItemUUID>{tr['fid']}#{pi}</trackItemUUID>")
+                parts.append(f"      <trackItemTime>{iso}</trackItemTime>")
+                parts.append("      <trackPointPosition>")
+                parts.append(f"        <latitude>{y}</latitude>")
+                parts.append(f"        <longitude>{x}</longitude>")
+                if pi % 3 == 0:
+                    parts.append(f"        <elevation>{float(100 + pi)!r}</elevation>")
+                parts.append("      </trackPointPosition>")
+                if pi % 2 == 0:
+                    parts.append(f"      <trackPointSpeed>{float(pi) * 2.5!r}</trackPointSpeed>")
+                if pi % 5 == 1:  # malformed number -> decoder nulls it
+                    parts.append("      <trackPointCourse>not-a-number</trackPointCourse>")
+                elif pi % 5 == 2:
+                    parts.append(f"      <trackPointCourse>{float(pi % 360)!r}</trackPointCourse>")
+                parts.append(
+                    f"      <trackPointType>{'MANUAL ESTIMATED' if pi % 4 == 0 else 'AUTOMATIC MEASURED'}</trackPointType>"
+                )
+                parts.append("    </items>")
+            parts.append("  </tracks>")
+        parts.append("</TrackMessage>")
+        (d / f"msg_{fi // per_file:05d}.xml").write_text("\n".join(parts))
+    marker.write_text(f"tracks={len(tracks)} per_file={per_file}\n")
+    return out
+
+
 def ensure_geo_tables(sf: str, root: Path | None = None) -> Path:
     """Generate (once) and return the fixture dir for a scale factor."""
     root = Path(root) if root else GEO_DATA_ROOT

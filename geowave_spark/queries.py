@@ -1547,6 +1547,27 @@ def q_track_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return track_stats(_geo(spark, sf_dir, "tracks"))
 
 
+def q_stanag_track_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: STANAG 4676 ingest end-to-end — NATO TrackMessage XML files parse
+    executor-side (sources/formats.read_stanag4676, mirroring
+    `extensions/formats/stanag4676` NATO4676Decoder semantics), points
+    reassemble into the track contract, and track_stats runs unchanged.
+    The fixture is tracks.parquet serialized as 4676 XML (coordinate text
+    verbatim, times floored to the wire format's milliseconds), so the
+    oracle is the SAME independent track_stats SQL over the parquet source:
+    matching it proves the 4676 parse + reassembly is byte-identical."""
+    from pathlib import Path
+
+    from geowave_spark.datagen import SCALES, ensure_stanag4676
+    from geowave_spark.operators.trajectory import track_stats
+    from geowave_spark.sources.formats import read_stanag4676, stanag_to_tracks
+
+    sf = Path(sf_dir).name
+    d = ensure_stanag4676(sf if sf in SCALES else "sf0.01")
+    pts = read_stanag4676(spark, str(d / "stanag4676" / "*.xml"))
+    return track_stats(stanag_to_tracks(pts))
+
+
 def q_track_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Douglas-Peucker simplification over every track at once
     (operators/trajectory.py simplify_tracks): distributed split rounds —
@@ -2798,6 +2819,10 @@ def build_oracles() -> dict[str, str]:
         ),
         "idw_grid": idw_grid_sql(f"{GEO_SF001}/points.parquet", GI_CELL_DEG),
         "track_stats": track_stats_sql(f"{GEO_SF001}/tracks.parquet"),
+        # identical oracle by design: the 4676 fixture IS tracks.parquet
+        # serialized as TrackMessage XML, so oracle-equality proves the
+        # decoder-semantics parse + reassembly is byte-identical
+        "stanag_track_stats": track_stats_sql(f"{GEO_SF001}/tracks.parquet"),
         "track_simplify": simplify_tracks_sql(f"{GEO_SF001}/tracks.parquet", 0.05),
         "track_hausdorff": hausdorff_join_sql(f"{GEO_SF001}/tracks.parquet", HAUSDORFF_DEG),
         "contour_lines": marching_squares_sql(
@@ -3045,6 +3070,7 @@ ALL_QUERIES = {
     "terrain_slope": q_terrain_slope,
     "idw_grid": q_idw_grid,
     "track_stats": q_track_stats,
+    "stanag_track_stats": q_stanag_track_stats,
     "track_simplify": q_track_simplify,
     "track_hausdorff": q_track_hausdorff,
     "map_match_snap": q_map_match_snap,

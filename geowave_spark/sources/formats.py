@@ -467,3 +467,172 @@ def read_geotiff_coverages(
             yield pd.DataFrame(out)
 
     return raw.select(id_col, media_col).mapInPandas(_decode, COVERAGE_SCHEMA)
+
+
+STANAG_SCHEMA = (
+    "source string, track_id string, track_number string, track_status string, "
+    "point_idx long, point_uuid string, ts timestamp, lon double, lat double, "
+    "elevation double, speed double, course double, point_type string"
+)
+
+
+def read_stanag4676(
+    spark: SparkSession, path: str, max_file_bytes: int = MAX_WHOLE_FILE_BYTES
+) -> DataFrame:
+    """STANAG 4676 (NATO ISR track) XML ``TrackMessage`` files -> normalized
+    track points, completing the reference's ingest-format set
+    (``extensions/formats/stanag4676``, ``NATO4676Decoder.java``).
+
+    Decoder semantics mirrored (behavior, not code): only ``TrackMessage``
+    roots are read; each ``tracks`` element is one track event keyed by
+    ``trackUUID``/``trackNumber``; ``items`` with ``xsi:type="TrackPoint"``
+    — or with no xsi:type, which the reference also tries as a TrackPoint —
+    contribute points in document order; positions come from
+    ``trackPointPosition`` (or ``motionEventPosition``); unparseable
+    speed/course become null exactly as the decoder's NumberFormatException
+    handlers do; ``trackItemTime`` fractions beyond milliseconds are
+    truncated first (the decoder's ``(\\.\\d{3})\\d+Z`` regex).  Non-point
+    item types (identity/classification/management/video/lineage/ESM/motion
+    events) are skipped; points with no parseable lat/lon are dropped —
+    they can't place a geometry, same as the GDELT reader's policy.
+
+    Whole-file-per-row like the GPX reader: 4676 messages are per-sensor
+    uploads; parsing runs executor-side in Arrow-batched ``mapInPandas``,
+    so a million message files fan out across the cluster.
+    """
+    import pandas as pd
+
+    files = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), F.col("value").alias("xml")
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+        import xml.etree.ElementTree as ET
+        from datetime import datetime
+
+        frac = re.compile(r"(\.\d{3})\d+(Z?)$")
+        xsi_type = "{http://www.w3.org/2001/XMLSchema-instance}type"
+
+        def localname(tag: str) -> str:
+            return tag.rsplit("}", 1)[-1]
+
+        def child_map(el) -> dict:
+            return {localname(c.tag): c for c in el}
+
+        def num(el) -> float | None:
+            if el is None or el.text is None:
+                return None
+            try:
+                return float(el.text.strip())
+            except ValueError:
+                return None  # Double.parseDouble -> NumberFormatException path
+
+        def when(el):
+            if el is None or el.text is None:
+                return None
+            s = frac.sub(r"\1\2", el.text.strip())
+            for fmt in (
+                "%Y-%m-%dT%H:%M:%S.%fZ",
+                "%Y-%m-%dT%H:%M:%SZ",
+                "%Y-%m-%dT%H:%M:%S.%f",
+                "%Y-%m-%dT%H:%M:%S",
+            ):
+                try:
+                    return datetime.strptime(s, fmt)
+                except ValueError:
+                    continue
+            return None
+
+        for pdf in batches:
+            rows = []
+            for fname, xml in zip(pdf["file"], pdf["xml"]):
+                _guard_whole_file(fname, xml, max_file_bytes, "STANAG4676")
+                root = ET.fromstring(xml)
+                if localname(root.tag) != "TrackMessage":
+                    continue  # the decoder only reads TrackMessage roots
+                base = fname.rsplit("/", 1)[-1]
+                for tev in (c for c in root if localname(c.tag) == "tracks"):
+                    tc = child_map(tev)
+                    uuid_el = tc.get("trackUUID")
+                    num_el = tc.get("trackNumber")
+                    status_el = tc.get("trackStatus")
+                    track_uuid = uuid_el.text if uuid_el is not None else None
+                    track_number = num_el.text if num_el is not None else None
+                    track_id = track_uuid or track_number
+                    if track_id is None:
+                        continue
+                    idx = 0
+                    for item in (c for c in tev if localname(c.tag) == "items"):
+                        itype = item.get(xsi_type)
+                        if itype is not None and itype != "TrackPoint":
+                            continue  # identity/classification/video/... items
+                        ic = child_map(item)
+                        pos = ic.get("trackPointPosition") or ic.get(
+                            "motionEventPosition"
+                        )
+                        if pos is None:
+                            continue  # untyped non-point item
+                        pc = child_map(pos)
+                        lat, lon = num(pc.get("latitude")), num(pc.get("longitude"))
+                        if lat is None or lon is None:
+                            continue  # no geometry to place
+                        uu = ic.get("trackItemUUID")
+                        pt = ic.get("trackPointType")
+                        rows.append(
+                            (
+                                base,
+                                track_id,
+                                track_number,
+                                status_el.text if status_el is not None else None,
+                                idx,
+                                uu.text if uu is not None else None,
+                                when(ic.get("trackItemTime")),
+                                lon,
+                                lat,
+                                num(pc.get("elevation")),
+                                num(ic.get("trackPointSpeed")),
+                                num(ic.get("trackPointCourse")),
+                                pt.text if pt is not None else None,
+                            )
+                        )
+                        idx += 1
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "source", "track_id", "track_number", "track_status",
+                    "point_idx", "point_uuid", "ts", "lon", "lat",
+                    "elevation", "speed", "course", "point_type",
+                ],
+            )
+
+    return files.repartition(F.col("file")).mapInPandas(_parse, STANAG_SCHEMA)
+
+
+def stanag_to_tracks(points: DataFrame) -> DataFrame:
+    """Assemble 4676 track points back into the engine's track contract
+    (fid, geom_wkt, start_ts, end_ts) so every ``track_*`` operator runs on
+    4676 input unchanged.  One ``applyInPandas`` per track — the WKT uses
+    Python ``repr`` formatting, the same convention the parquet fixtures and
+    GeoJSON writer use, so a parquet-sourced twin reconstructs
+    byte-identically.  At scale this is one shuffle on track_id (the same
+    grouping any per-track operator needs anyway)."""
+    import pandas as pd
+
+    def _build(key, pdf):
+        pdf = pdf.sort_values("point_idx")
+        wkt = "LINESTRING (" + ", ".join(
+            f"{float(x)!r} {float(y)!r}" for x, y in zip(pdf["lon"], pdf["lat"])
+        ) + ")"
+        return pd.DataFrame(
+            {
+                "fid": [key[0]],
+                "geom_wkt": [wkt],
+                "start_ts": [pdf["ts"].min()],
+                "end_ts": [pdf["ts"].max()],
+            }
+        )
+
+    return points.groupBy("track_id").applyInPandas(
+        _build, "fid string, geom_wkt string, start_ts timestamp, end_ts timestamp"
+    )

@@ -483,3 +483,99 @@ class TestReviewRegressions:
             ("017/20081023025304", 0),
             ("017/20081023025304", 1),
         }
+
+
+class TestStanag4676:
+    """STANAG 4676 TrackMessage ingest (read_stanag4676 / stanag_to_tracks),
+    mirroring NATO4676Decoder semantics: TrackPoint items in document order,
+    untyped items tried as TrackPoints, non-point item types skipped,
+    NumberFormatException -> null for speed/course, sub-millisecond time
+    fractions truncated, non-TrackMessage roots ignored."""
+
+    XML = """<?xml version="1.0"?>
+<TrackMessage xmlns="urn:int:nato:stanag4676:0.14"
+              xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">
+  <msgCreatedTime>2020-01-01T00:00:00.000Z</msgCreatedTime>
+  <tracks>
+    <trackUUID>uuid-1</trackUUID>
+    <trackNumber>TN-1</trackNumber>
+    <trackStatus>MAINTAINING</trackStatus>
+    <items xsi:type="TrackIdentityInformation"><identity>FRIEND</identity></items>
+    <items xsi:type="TrackPoint">
+      <trackItemUUID>p0</trackItemUUID>
+      <trackItemTime>2020-06-01T10:00:00.123456789Z</trackItemTime>
+      <trackPointPosition>
+        <latitude>48.1</latitude><longitude>11.5</longitude><elevation>510.0</elevation>
+      </trackPointPosition>
+      <trackPointSpeed>12.5</trackPointSpeed>
+      <trackPointCourse>not-a-number</trackPointCourse>
+      <trackPointType>AUTOMATIC MEASURED</trackPointType>
+    </items>
+    <items>
+      <trackItemUUID>p1</trackItemUUID>
+      <trackItemTime>2020-06-01T10:00:05Z</trackItemTime>
+      <trackPointPosition>
+        <latitude>48.2</latitude><longitude>11.6</longitude>
+      </trackPointPosition>
+      <trackPointCourse>270.0</trackPointCourse>
+    </items>
+    <items xsi:type="TrackPoint">
+      <trackItemUUID>bad</trackItemUUID>
+      <trackPointPosition><latitude>oops</latitude><longitude>11.7</longitude></trackPointPosition>
+    </items>
+  </tracks>
+  <tracks>
+    <trackNumber>TN-2</trackNumber>
+    <items xsi:type="TrackPoint">
+      <trackItemTime>2020-06-01T11:00:00.500Z</trackItemTime>
+      <motionEventPosition><latitude>-3.5</latitude><longitude>100.25</longitude></motionEventPosition>
+    </items>
+  </tracks>
+</TrackMessage>"""
+
+    def test_decoder_semantics(self, spark, tmp_path):
+        from datetime import datetime
+
+        from geowave_spark.sources.formats import read_stanag4676
+
+        (tmp_path / "a.xml").write_text(self.XML)
+        (tmp_path / "not4676.xml").write_text("<gpx><trk/></gpx>")
+        rows = {
+            (r["track_id"], r["point_idx"]): r
+            for r in read_stanag4676(spark, str(tmp_path / "*.xml")).collect()
+        }
+        # identity item skipped, malformed-latitude point dropped: 2 points
+        assert set(rows) == {("uuid-1", 0), ("uuid-1", 1), ("TN-2", 0)}
+        p0 = rows[("uuid-1", 0)]
+        assert (p0["lat"], p0["lon"], p0["elevation"]) == (48.1, 11.5, 510.0)
+        assert p0["speed"] == 12.5 and p0["course"] is None  # NumberFormat -> null
+        assert p0["ts"] == datetime(2020, 6, 1, 10, 0, 0, 123000)  # .123456789 -> .123
+        assert p0["track_number"] == "TN-1" and p0["track_status"] == "MAINTAINING"
+        assert p0["point_type"] == "AUTOMATIC MEASURED"
+        p1 = rows[("uuid-1", 1)]  # untyped item parsed as a TrackPoint
+        assert p1["ts"] == datetime(2020, 6, 1, 10, 0, 5)
+        assert p1["course"] == 270.0 and p1["speed"] is None
+        m = rows[("TN-2", 0)]  # trackUUID absent -> trackNumber keys the track
+        assert (m["lat"], m["lon"]) == (-3.5, 100.25)
+        assert m["ts"] == datetime(2020, 6, 1, 11, 0, 0, 500000)
+
+    def test_track_stats_byte_identical_to_parquet_twin(self, spark, geo001):
+        """The 4676 fixture round-trips to the exact track_stats rows of the
+        parquet source — every vertex, every quantized length term."""
+        from geowave_spark.datagen import ensure_stanag4676
+        from geowave_spark.operators.trajectory import track_stats
+        from geowave_spark.queries import q_stanag_track_stats
+
+        d = ensure_stanag4676("sf0.001")
+        got = sorted(
+            map(tuple, q_stanag_track_stats(spark, "/root/testdata/sf0.001").collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                track_stats(
+                    spark.read.parquet(str(d / "tracks.parquet"))
+                ).collect(),
+            )
+        )
+        assert got == want and len(got) == 200
