@@ -84,8 +84,12 @@ def write_indexed(
         # identical layout through the catalog: tier partitioning; the
         # within-file cell order comes from the sortWithinPartitions above
         # (v2 writes preserve task-local row order), matching iceberg_ddl's
-        # WRITE ORDERED BY clause
-        out.writeTo(path).partitionedBy(out["tier"]).using("iceberg").createOrReplace()
+        # WRITE ORDERED BY clause.  The call chain executes FROM the frozen
+        # spec so the golden-pinned contract IS the code path.
+        spec = iceberg_write_spec(path)
+        writer = out.writeTo(spec["table"]).using(spec["using"])
+        writer = writer.partitionedBy(*[out[c] for c in spec["partitioned_by"]])
+        getattr(writer, spec["finish"])()
         return
     out.write.mode(mode).partitionBy("tier").parquet(path)
     if stats:
@@ -163,6 +167,26 @@ def ingest_extents(
     """Extent ingest (lines/polygons): K1 tiered insertion cells (<=4 rows
     per entry, `num_duplicates` carried for F5 dedup semantics)."""
     write_indexed(with_insertion_cells(df, bbox_cols), path, **kw)
+
+
+def iceberg_write_spec(table: str) -> dict:
+    """The exact DataFrameWriterV2 call chain ``write_indexed(format=
+    'iceberg')`` executes once a runtime jar is present, frozen as data:
+    ``df.writeTo(table).using('iceberg').partitionedBy(tier)
+    .createOrReplace()`` over a ``sortWithinPartitions('tier', 'cell')``
+    input.  The spec is what the pytest golden pins (the catalog jar is
+    absent offline, so the chain itself can't run here) AND what the write
+    path executes — one source of truth, so a future environment with the
+    jar needs zero code change."""
+    return {
+        "api": "DataFrameWriterV2",
+        "table": table,
+        "using": "iceberg",
+        "partitioned_by": ["tier"],
+        "within_file_order": ["tier", "cell"],
+        "finish": "createOrReplace",
+        "ddl_twin": "iceberg_ddl",
+    }
 
 
 def iceberg_ddl(table: str, schema_cols: dict[str, str]) -> str:

@@ -60,6 +60,29 @@ def kafka_connector_available(spark: SparkSession) -> bool:
         return False
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The exact option map :func:`read_docs_kafka_stream` hands the
+    ``kafka`` source, frozen as data: the pytest golden pins it (the
+    connector jar is absent offline, so ``load()`` can't run here) AND the
+    reader builds from it — one source of truth, so a future environment
+    with the jar needs zero code change.  ``maxOffsetsPerTrigger`` is the
+    per-microbatch backpressure bound (the reference's batch-size knob on
+    its Kafka staging consumer, `IngestFromKafkaDriver.java`)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def read_docs_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -86,18 +109,12 @@ def read_docs_kafka_stream(
             "sandbox). Use read_docs_stream (file source) — every downstream "
             "operator consumes the identical columns."
         )
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-    )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
-    raw = reader.load()
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), DOCS_SCHEMA).alias("d")
-    ).select("d.doc_id", "d.spans")
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        bootstrap_servers, topic, starting_offsets, max_offsets_per_trigger
+    ).items():
+        reader = reader.option(k, v)
+    return parse_docs_payload(reader.load())
 
 
 def parse_docs_payload(raw: DataFrame, value_col: str = "value") -> DataFrame:
