@@ -128,15 +128,26 @@ def cotravel_hits(
     # WKT vertex parse runs in each branch.  eager=False: nothing runs
     # unless the query itself does.
     keyed = keyed.localCheckpoint(eager=False)
-    # side A explodes to 9 spatial neighbors x time-bin offsets {0,+1}
+    # side A explodes to 14 (cell, time-bin) offsets: the same-bin (dt=0)
+    # spatial deltas use the FORWARD half-neighborhood only — (0,0) plus one
+    # representative of each {v, -v} class — because a same-bin pair is
+    # found from EITHER endpoint, so probing half the deltas emits every
+    # cross-cell pair exactly once (hotspot.FORWARD_OFFSETS rationale);
+    # the bin+1 (dt=1) deltas need all 9 because the probe is pinned to the
+    # earlier ping.  Identical hit set as the full 9x2 probe at ~3/4 the
+    # exploded volume and ~half the same-bin candidates.
+    dt0_spatial = [(0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
+    dt1_spatial = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     offsets = F.array(
         *[
             F.struct(
-                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(dt).alias("dt")
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(dt).alias("dt"),
+                F.lit(dt == 0 and dx == 0 and dy == 0).alias("same"),
             )
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-            for dt in (0, 1)
+            for dt, spatial in ((0, dt0_spatial), (1, dt1_spatial))
+            for dx, dy in spatial
         ]
     )
     a = (
@@ -151,6 +162,7 @@ def cotravel_hits(
             (F.col("cy") + F.col("_o.dy")).alias("jy"),
             (F.col("tb") + F.col("_o.dt")).alias("jt"),
             F.col("_o.dt").alias("dt"),
+            F.col("_o.same").alias("_same"),
         )
     )
     b = keyed.select(
@@ -172,10 +184,11 @@ def cotravel_hits(
     pairs = (
         a.join(b, ["jx", "jy", "jt"])
         .filter(F.col("fid_a") != F.col("fid_b"))
-        # exactly-once without a dedup shuffle: same-bin matches appear in
-        # both orientations (keep ping_a < ping_b); bin+1 matches only with
-        # A = earlier bin (keep all)
-        .filter((F.col("dt") == 1) | ping_a_lt_b)
+        # exactly-once without a dedup shuffle: same-bin SAME-CELL matches
+        # appear in both orientations (keep ping_a < ping_b); same-bin
+        # forward-cell matches appear exactly once and bin+1 matches only
+        # with A = earlier bin (keep all)
+        .filter((F.col("dt") == 1) | ~F.col("_same") | ping_a_lt_b)
         .filter(F.abs(F.col("ta") - F.col("tb_u")) <= F.lit(tau_u))
         .filter(dx * dx + dy * dy <= F.lit(r2))
     )

@@ -34,6 +34,14 @@ from pyspark.sql import functions as F
 
 QUEEN_OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
+# Forward half-neighborhood for SELF-join candidate generation: (0,0) plus
+# one representative of each {v, -v} delta class.  Probing only these emits
+# every unordered cross-cell pair exactly once (the pair whose delta is -v
+# is found from its other endpoint), so the exact-distance stages see the
+# identical pair set as a full 3x3 probe at ~half the exploded volume;
+# same-cell pairs still need the id-order rule.
+FORWARD_OFFSETS = [(0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
+
 
 def cell_counts(
     points: DataFrame,
@@ -473,16 +481,20 @@ def knox_test(
     100 TB shape — every pair count is OUTPUT-SENSITIVE, no n^2 stage:
 
     * space (+ joint) pairs: grid events at dist_deg; the probe side
-      explodes to its 3x3 cell neighborhood (bounded x9) and equi-joins
-      the build side on the cell — only pairs within ~2*sqrt(2)*d ever
-      materialize (the hausdorff_join bound).  The symmetric neighborhood
-      means each near pair meets in both orientations; fid ordering keeps
-      exactly one.  Exact d^2 filter restores the circle, and the SAME
-      joined rows yield the joint space-AND-time count (one extra |dt|
-      predicate — no second join).
-    * time pairs: identical pattern in 1D — bin at tau, explode to
-      {-1,0,+1} neighboring bins (x3), equi-join on the bin, exact |dt|
-      filter; candidates are bounded by pairs within 2*tau.
+      explodes to the FORWARD half-neighborhood (``FORWARD_OFFSETS``, x5)
+      and equi-joins the build side on the cell — only pairs within
+      ~2*sqrt(2)*d ever materialize (the hausdorff_join bound).  Forward
+      cross-cell deltas emit each unordered pair exactly once; only
+      same-cell matches need the id-order rule, so the candidate volume
+      is ~half the full 3x3 probe for the identical pair set.  Exact d^2
+      filter restores the circle, and the SAME joined rows yield the
+      joint space-AND-time count (one extra |dt| predicate — no second
+      join).
+    * time pairs: identical pattern in 1D — bin at tau, explode to the
+      forward bins {0,+1} (x2; bin -1 pairs are found from their earlier
+      endpoint), equi-join on the bin, id-order rule on same-bin matches
+      only, exact |dt| filter; candidates are bounded by pairs within
+      2*tau.
     * the three 1-row aggregates broadcast-crossJoin into the result.
 
     Each self-join side is a column-pruned scan of (id, lon, lat, ts)
@@ -514,9 +526,9 @@ def knox_test(
             F.struct(
                 (F.col("cx") + F.lit(dx)).alias("cx"),
                 (F.col("cy") + F.lit(dy)).alias("cy"),
+                F.lit(dx == 0 and dy == 0).alias("same"),
             )
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
+            for dx, dy in FORWARD_OFFSETS
         ]
     )
     probe = cells.select(
@@ -525,13 +537,17 @@ def knox_test(
         F.col("y").alias("ay"),
         F.col("ms").alias("ams"),
         F.explode(nbrs).alias("nb"),
-    ).select("_pa", "ax", "ay", "ams", F.col("nb.cx").alias("cx"), F.col("nb.cy").alias("cy"))
+    ).select(
+        "_pa", "ax", "ay", "ams",
+        F.col("nb.cx").alias("cx"), F.col("nb.cy").alias("cy"),
+        F.col("nb.same").alias("_same"),
+    )
     build = cells.select(
         F.col("_pid").alias("_pb"), F.col("x").alias("bx"), F.col("y").alias("by"),
         F.col("ms").alias("bms"), "cx", "cy",
     )
     near = probe.join(build, ["cx", "cy"]).filter(
-        (F.col("_pa") < F.col("_pb"))
+        (~F.col("_same") | (F.col("_pa") < F.col("_pb")))
         & (
             (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
             + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
@@ -555,12 +571,20 @@ def knox_test(
         F.col("_pid").alias("_pa"),
         F.col("ms").alias("ams"),
         F.explode(
-            F.array(*[(F.col("_tb") + F.lit(o)).alias("b") for o in (-1, 0, 1)])
-        ).alias("_tb"),
-    )
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("_tb") + F.lit(o)).alias("b"),
+                        F.lit(o == 0).alias("same"),
+                    )
+                    for o in (0, 1)
+                ]
+            )
+        ).alias("_nb"),
+    ).select("_pa", "ams", F.col("_nb.b").alias("_tb"), F.col("_nb.same").alias("_same"))
     tbuild = tb.select(F.col("_pid").alias("_pb"), F.col("ms").alias("bms"), "_tb")
     time_agg = tprobe.join(tbuild, "_tb").filter(
-        (F.col("_pa") < F.col("_pb"))
+        (~F.col("_same") | (F.col("_pa") < F.col("_pb")))
         & (F.abs(F.col("ams") - F.col("bms")) <= F.lit(tau))
     ).agg(F.count("*").alias("time_pairs"))
 
@@ -634,16 +658,21 @@ def _near_pair_dd(
     pts: DataFrame, dmax: float, *, ordered: bool
 ) -> DataFrame:
     """Squared planar distances of all point pairs within ``dmax``, found
-    output-sensitively: grid at dmax, explode ONE side to its 3x3 cell
-    neighborhood (bounded x9), equi-join on the cell, exact dd filter.
-    ``ordered=True`` keeps each unordered pair once via id ordering (the
-    self-join case); ``ordered=False`` emits every (probe, build) pair once
-    (the two-category cross case, where the sides are disjoint).
+    output-sensitively: grid at dmax, explode ONE side to its cell
+    neighborhood, equi-join on the cell, exact dd filter.
+    ``ordered=True`` keeps each unordered pair once — the self-join case,
+    probed over the FORWARD half-neighborhood (x5, ``FORWARD_OFFSETS``)
+    with the id-order rule only on same-cell matches, which emits the
+    identical pair set as a full 3x3 probe at ~half the exploded volume;
+    ``ordered=False`` emits every (probe, build) pair once (the
+    two-category cross case, where the sides are disjoint — all 9 offsets
+    are required there).
 
     Inputs carry (_pid, x, y); output is a single ``dd`` column — the
     caller's per-distance counts all aggregate the SAME joined rows, so m
     radii cost m WHEN-sums, never m joins."""
     c = float(dmax)
+    offsets = FORWARD_OFFSETS if ordered else QUEEN_OFFSETS
     cells = pts.select(
         "*",
         F.floor(F.col("x") / c).cast("long").alias("cx"),
@@ -654,9 +683,9 @@ def _near_pair_dd(
             F.struct(
                 (F.col("cx") + F.lit(dx)).alias("cx"),
                 (F.col("cy") + F.lit(dy)).alias("cy"),
+                F.lit(dx == 0 and dy == 0).alias("same"),
             )
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
+            for dx, dy in offsets
         ]
     )
     probe = cells.select(
@@ -664,7 +693,14 @@ def _near_pair_dd(
         F.col("x").alias("ax"),
         F.col("y").alias("ay"),
         F.explode(nbrs).alias("nb"),
-    ).select("_pa", "ax", "ay", F.col("nb.cx").alias("cx"), F.col("nb.cy").alias("cy"))
+    ).select(
+        "_pa",
+        "ax",
+        "ay",
+        F.col("nb.cx").alias("cx"),
+        F.col("nb.cy").alias("cy"),
+        F.col("nb.same").alias("_same"),
+    )
     build = cells.select(
         F.col("_pid").alias("_pb"),
         F.col("x").alias("bx"),
@@ -677,7 +713,7 @@ def _near_pair_dd(
     ) * (F.col("ay") - F.col("by"))
     joined = probe.join(build, ["cx", "cy"])
     if ordered:
-        joined = joined.filter(F.col("_pa") < F.col("_pb"))
+        joined = joined.filter(~F.col("_same") | (F.col("_pa") < F.col("_pb")))
     return joined.filter(dd <= F.lit(c * c)).select(dd.alias("dd"))
 
 
@@ -1001,12 +1037,18 @@ def colocation_pi(
     pi_ppm the integer-exact floor(1e6 * PI) — no float ever enters, so
     the oracle is hash-exact by construction.
 
-    100 TB shape: one 3x3 cell-neighborhood self-join (the
-    :func:`_near_pair_dd` discipline — probe side explodes x9, build side
-    keeps its exact cell, join keys uniform under clustering), one
-    distinct-participant aggregation per side, and a broadcast join
-    against the category totals (category cardinality-sized).  Nothing is
-    ever all-pairs: output is bounded by true neighbor pairs."""
+    100 TB shape: one cell-neighborhood self-join (the
+    :func:`_near_pair_dd` discipline — probe side explodes to the FORWARD
+    half-neighborhood only, x5 instead of x9, build side keeps its exact
+    cell, join keys uniform under clustering), one distinct-participant
+    aggregation per side, and a broadcast join against the category totals
+    (category cardinality-sized).  Nothing is ever all-pairs: output is
+    bounded by true neighbor pairs.  The forward-half trick: every
+    unordered cross-cell pair has cell deltas {v, -v}; probing only the
+    half-set {(1,0),(-1,1),(0,1),(1,1)} emits it exactly once with no
+    dedup filter, and same-cell pairs keep the id-order rule — the emitted
+    pair SET is identical to the full 3x3 probe, so results are hash-equal
+    while the exploded shuffle and candidate volume nearly halve."""
     c = float(d)
     if c <= 0:
         raise ValueError("d must be positive")
@@ -1026,9 +1068,9 @@ def colocation_pi(
             F.struct(
                 (F.col("cx") + F.lit(dx)).alias("cx"),
                 (F.col("cy") + F.lit(dy)).alias("cy"),
+                F.lit(dx == 0 and dy == 0).alias("same"),
             )
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
+            for dx, dy in FORWARD_OFFSETS
         ]
     )
     probe = cells.select(
@@ -1038,7 +1080,13 @@ def colocation_pi(
         F.col("_cat").alias("_ca"),
         F.explode(nbrs).alias("nb"),
     ).select(
-        "_pa", "ax", "ay", "_ca", F.col("nb.cx").alias("cx"), F.col("nb.cy").alias("cy")
+        "_pa",
+        "ax",
+        "ay",
+        "_ca",
+        F.col("nb.cx").alias("cx"),
+        F.col("nb.cy").alias("cy"),
+        F.col("nb.same").alias("_same"),
     )
     build = cells.select(
         F.col("_pid").alias("_pb"),
@@ -1053,7 +1101,9 @@ def colocation_pi(
     ) * (F.col("ay") - F.col("by"))
     near = (
         probe.join(build, ["cx", "cy"])
-        .filter(F.col("_pa") < F.col("_pb"))  # each unordered pair once
+        # same-cell matches appear in both orientations (keep _pa < _pb);
+        # forward-cell matches appear exactly once (keep all)
+        .filter(~F.col("_same") | (F.col("_pa") < F.col("_pb")))
         .filter(F.col("_ca") != F.col("_cb"))
         .filter(dd <= F.lit(c * c))
     )
