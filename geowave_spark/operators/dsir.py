@@ -74,12 +74,18 @@ def dsir_importance(
     ``ln(p_target(b) / p_raw(b))`` under add-one smoothing."""
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
-    fb_raw = _features(raw, text_col, id_col, n_buckets)
+    # the tokenize+hash explode is the expensive map stage and feeds BOTH
+    # the raw bucket model and the per-document scoring join: materialize it
+    # once (eager=False — nothing runs unless the query does; the
+    # hotspot-family single-corpus-scan discipline)
+    fb_raw = _features(raw, text_col, id_col, n_buckets).localCheckpoint(eager=False)
     fb_tgt = _features(target, text_col, id_col, n_buckets)
     cr = fb_raw.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
     ct = fb_tgt.groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
-    rn = fb_raw.agg(F.count(F.lit(1)).alias("_rn"))
-    tn = fb_tgt.agg(F.count(F.lit(1)).alias("_tn"))
+    # feature totals fold from the <= n_buckets-row models — no extra
+    # corpus pass for either total
+    rn = cr.agg(F.coalesce(F.sum("_cr"), F.lit(0)).alias("_rn"))
+    tn = ct.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_tn"))
     b = int(n_buckets)
     # bucket model: <= n_buckets rows however large the corpus; the totals
     # are 1-row cross joins.  ratio folds as two divisions (overflow-free).
