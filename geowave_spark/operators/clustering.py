@@ -31,6 +31,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from geowave_spark.plans.lineage import truncate_plan
 from geowave_spark.sfc import DEFAULT_CONFIG, SpatialConfig
 
 from .indexing import cell_at_tier, with_point_cells
@@ -417,8 +418,10 @@ def _cluster_from_edges(
                 converged = True
                 break
         else:
-            # truncate the iterative lineage each round
-            new_labels = new_labels.localCheckpoint()
+            # truncate the iterative lineage each round (stats-resetting:
+            # plain localCheckpoint compounds estimated sizeInBytes across
+            # rounds — see plans.lineage.truncate_plan)
+            new_labels = truncate_plan(new_labels)
             changed = (
                 new_labels.join(labels.withColumnRenamed("label", "old"), "id")
                 .filter(F.col("label") != F.col("old"))

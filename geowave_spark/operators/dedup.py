@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from geowave_spark.plans.lineage import truncate_plan
+
 from geowave_spark.functions.text import MOD, md5_long, tokens, word_ngrams
 
 NUM_PERM = 16
@@ -392,7 +394,8 @@ def connected_components(
             )["edges"]
             sig = seen["sig"]
         else:
-            new_e = new_e.localCheckpoint()
+            # stats-resetting round barrier (plans.lineage.truncate_plan)
+            new_e = truncate_plan(new_e)
             s = _sig_agg(new_e)
             sig = (s["n"], s["h"])
         e = new_e

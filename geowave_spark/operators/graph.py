@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from geowave_spark.plans.lineage import truncate_plan
+
 __all__ = ["track_graph", "sssp_bounded", "track_graph_sql", "sssp_bounded_sql"]
 
 _M = 1_000_000
@@ -182,7 +184,8 @@ def sssp_bounded(
             )
             dist, frontier = saved["dist"], saved["frontier"]
         else:
-            new_dist = new_dist.localCheckpoint()
+            # stats-resetting round barriers (plans.lineage.truncate_plan)
+            new_dist = truncate_plan(new_dist)
             frontier = (
                 new_dist.join(
                     dist.withColumnRenamed("dist_micro", "_old"),
@@ -194,8 +197,8 @@ def sssp_bounded(
                     | (F.col("dist_micro") < F.col("_old"))
                 )
                 .select("vertex", "dist_micro")
-                .localCheckpoint()
             )
+            frontier = truncate_plan(frontier)
             dist = new_dist
         if frontier.limit(1).count() == 0:
             break

@@ -22,6 +22,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from geowave_spark.plans.lineage import truncate_plan
 from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 
@@ -348,7 +350,8 @@ def _adaptive_rounds(
                 lambda rem=rem, radius=radius: run_round(rem, radius),
             )
         else:
-            out = run_round(remaining, radius).localCheckpoint()
+            # stats-resetting round barriers (plans.lineage.truncate_plan)
+            out = truncate_plan(run_round(remaining, radius))
         if is_last:
             chunks.append(out)
             break
@@ -357,10 +360,10 @@ def _adaptive_rounds(
             .agg(F.count("*").alias("_n"))
             .filter(F.col("_n") >= k)
             .select(query_id_col)
-            .localCheckpoint()
         )
+        satisfied = truncate_plan(satisfied)
         chunks.append(out.join(satisfied, query_id_col, "left_semi"))
-        remaining = remaining.join(satisfied, query_id_col, "left_anti").localCheckpoint()
+        remaining = truncate_plan(remaining.join(satisfied, query_id_col, "left_anti"))
         if not remaining.take(1):  # scalar early-exit probe, not an id transfer
             break
     result = chunks[0]

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from geowave_spark.plans.lineage import truncate_plan
+
 __all__ = ["adaptive_quadtree", "adaptive_quadtree_sql"]
 
 
@@ -132,8 +134,9 @@ def adaptive_quadtree(
             )
             active, leaves_df = saved["active"], saved["leaves"]
         else:
-            leaves_df = _acc(leaves_df, new_leaves.localCheckpoint())
-            active = new_active.localCheckpoint()
+            # stats-resetting round barriers (plans.lineage.truncate_plan)
+            leaves_df = _acc(leaves_df, truncate_plan(new_leaves))
+            active = truncate_plan(new_active)
         if active.limit(1).count() == 0:
             break
     return leaves_df.select("tier", "xb", "yb", "n_points")

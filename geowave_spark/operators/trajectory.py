@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from geowave_spark.plans.lineage import truncate_plan
+
 
 def track_vertices(
     tracks: DataFrame, wkt_col: str = "geom_wkt", fid_col: str = "fid"
@@ -354,7 +356,8 @@ def simplify_tracks(
             "fid", "i", "xi", "yi", "j", "xj", "yj",
             F.col("_b.k").alias("k"), F.col("_b.xk").alias("xk"), F.col("_b.yk").alias("yk"),
         )
-        kept.append(split.select("fid", F.col("k").alias("idx")).localCheckpoint())
+        # stats-resetting round barriers (plans.lineage.truncate_plan)
+        kept.append(truncate_plan(split.select("fid", F.col("k").alias("idx"))))
         halves = F.array(
             F.struct(
                 F.col("i").alias("i"), F.col("xi").alias("xi"), F.col("yi").alias("yi"),
@@ -369,8 +372,8 @@ def simplify_tracks(
             split.select("fid", F.explode(halves).alias("_h"))
             .select("fid", "_h.i", "_h.xi", "_h.yi", "_h.j", "_h.xj", "_h.yj")
             .filter(F.col("j") - F.col("i") > 1)  # no interior vertices -> done
-            .localCheckpoint()
         )
+        active = truncate_plan(active)
     out = kept[0]
     for k in kept[1:]:
         out = out.unionByName(k)

@@ -37,6 +37,44 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST = "_manifest.json"
 
 
+def truncate_plan(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` + drop inherited plan statistics — the round
+    barrier every iterative operator must use.
+
+    Spark's ``Dataset.localCheckpoint`` copies the PRE-checkpoint plan's
+    *estimated* statistics onto the resulting LogicalRDD
+    (``LogicalRDD.rewriteStatsAndConstraints``).  An iterative operator's
+    next round references that LogicalRDD several times, and the size-only
+    stats visitor MULTIPLIES child sizes at every join
+    (``SizeInBytesOnlyStatsPlanVisitor.default``) — so the carried
+    sizeInBytes BigInt multiplies its DIGIT COUNT every round.  By round
+    ~10 the driver burns minutes per checkpoint inside
+    ``BigInteger.multiplyToomCook3`` on million-digit integers (observed
+    live in tools/movement_scale_demo.py at 4.8M pings; thread dump
+    pinned the product loop).  Row counts and data are never wrong — the
+    run just grinds to a driver-side halt, at ANY data scale, purely as a
+    function of round count.
+
+    Fix: materialize via ``localCheckpoint`` (which safely copies rows),
+    then rebuild the DataFrame from the checkpointed RDD via
+    ``internalCreateDataFrame`` — a LogicalRDD with NO inherited stats
+    (default sizeInBytes; AQE re-plans every exchange from runtime sizes,
+    so join strategies stay correct).  Per-round stats work is O(1)
+    forever after.  Falls back to the plain checkpoint if the JVM surface
+    ever drifts."""
+    ck = df.localCheckpoint()
+    try:
+        jdf = ck._jdf
+        jplan = jdf.queryExecution().analyzed()
+        spark = df.sparkSession
+        jnew = spark._jsparkSession.internalCreateDataFrame(
+            jplan.rdd(), jdf.schema(), False
+        )
+        return DataFrame(jnew, spark)
+    except Exception:  # pragma: no cover - JVM API drift safety net
+        return ck
+
+
 def _fingerprint(obj) -> str:
     import hashlib
 

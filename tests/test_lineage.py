@@ -245,3 +245,54 @@ class TestMediaGeoPipeline:
             for r in links.join(pts, "media_ref").collect()
         }
         assert got == want and want
+
+
+class TestTruncatePlan:
+    """plans.lineage.truncate_plan: the stats-resetting round barrier.
+
+    Plain Dataset.localCheckpoint copies the pre-checkpoint plan's
+    ESTIMATED statistics onto the LogicalRDD; iterative operators that
+    reference the previous round several times then multiply that
+    sizeInBytes every round (SizeInBytesOnlyStatsPlanVisitor products),
+    so the BigInt's digit count grows geometrically with the round number
+    and the driver eventually burns minutes per checkpoint inside
+    BigInteger multiplication — at any data scale.  truncate_plan keeps
+    per-round stats O(1)."""
+
+    @staticmethod
+    def _digits(df):
+        return len(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+
+    def test_stats_bounded_and_values_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        from geowave_spark.plans.lineage import truncate_plan
+
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        # the pathological shape: each round references the previous round
+        # three times through joins
+        plain = df.localCheckpoint()
+        fixed = truncate_plan(df)
+        plain_digits, fixed_digits = [], []
+        for _ in range(4):
+            def step(cur):
+                return (
+                    cur.join(cur.withColumnRenamed("v", "v2"), "k")
+                    .join(cur.withColumnRenamed("v", "v3"), "k")
+                    .select("k", (F.col("v") + F.col("v2") + F.col("v3")).alias("v"))
+                )
+
+            plain = step(plain).localCheckpoint()
+            fixed = truncate_plan(step(fixed))
+            plain_digits.append(self._digits(plain))
+            fixed_digits.append(self._digits(fixed))
+        # the plain path compounds (strictly growing digit counts)...
+        assert plain_digits == sorted(plain_digits) and plain_digits[-1] > 3 * plain_digits[0]
+        # ...the truncated path stays flat
+        assert len(set(fixed_digits)) == 1
+        # and the data is bit-identical between the two paths
+        assert sorted(map(tuple, fixed.collect())) == sorted(map(tuple, plain.collect()))
+        # v after 4 rounds of v -> 3v is 2k * 81
+        assert fixed.filter(F.col("k") == 7).collect()[0].v == 7 * 2 * 81
